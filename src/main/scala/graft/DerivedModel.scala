@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic derivations of the GBIF data model (FIXTURES.md §3) from
+  * the driver's shared TPC-H-ish tables (TESTDATA.md), so every reference
+  * operator can be exercised against `/root/testdata` *and* checked by the
+  * driver's DuckDB oracle: each derivation here has a textually-equivalent
+  * SQL CTE in [[DerivedSql]], built from integer arithmetic and one-decimal
+  * doubles only, so Spark and DuckDB produce bit-identical values.
+  *
+  *  - occurrence <- lineitem x nation (taxonKey, lat/lon grid, country, rank)
+  *  - backbone   <- part (key, unique-ish canonical name, rank/kingdom/
+  *    status/acceptedKey/lineage/habitat from key arithmetic)
+  *  - taxa       <- customer (input table with name/taxid/rank columns,
+  *    nulls sprinkled to exercise the tri-state path)
+  */
+object DerivedModel {
+
+  /** Zone used by derived-model queries (G2). */
+  val Country = "NATION_7"
+
+  /** Diamond |lon-20.05| + |lat-10.05| <= 30.001, vertices chosen so no
+    * derived grid point (one-decimal lat/lon) lies within 5e-4 of an edge —
+    * Spark's ray-cast and DuckDB's arithmetic predicate can't disagree on
+    * any point (SURVEY.md §7.5.3 determinism note).
+    */
+  val DiamondWkt: String =
+    "POLYGON ((50.051 10.05, 20.05 40.051, -9.951 10.05, 20.05 -19.951, 50.051 10.05))"
+  val DiamondSqlPred: String =
+    "abs(decimalLongitude - 20.05) + abs(decimalLatitude - 10.05) <= 30.001"
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def occurrence(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "nation")),
+        expr("l_suppkey % 25") === col("n_nationkey"))
+      .selectExpr(
+        "l_partkey % 500 AS taxonKey",
+        "CAST(l_orderkey % 1800 AS DOUBLE) / 10.0 - 90.0 AS decimalLatitude",
+        "CAST((l_suppkey * 7 + l_linenumber * 131) % 3600 AS DOUBLE) / 10.0 - 180.0 AS decimalLongitude",
+        "n_name AS countryCode",
+        "CASE l_linenumber % 3 WHEN 0 THEN 'SPECIES' WHEN 1 THEN 'GENUS' ELSE 'FAMILY' END AS taxonRank")
+
+  def backbone(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "part").selectExpr(
+      "p_partkey AS key",
+      "concat(p_name, ' ', CAST(p_partkey % 40 AS STRING)) AS canonicalName",
+      "CASE p_partkey % 4 WHEN 0 THEN 'SPECIES' WHEN 1 THEN 'GENUS' WHEN 2 THEN 'FAMILY' ELSE 'ORDER' END AS rank",
+      "CASE p_partkey % 2 WHEN 0 THEN 'Animalia' ELSE 'Plantae' END AS kingdom",
+      "CASE WHEN p_partkey % 5 = 0 THEN 'SYNONYM' ELSE 'ACCEPTED' END AS taxonomicStatus",
+      "CASE WHEN p_partkey % 5 = 0 THEN (p_partkey + 1) % 2000 END AS acceptedKey",
+      "array(p_partkey % 100, p_partkey % 10) AS higherTaxonKeys",
+      "CASE p_partkey % 3 WHEN 0 THEN 'TERRESTRIAL' WHEN 1 THEN 'FRESHWATER' ELSE 'MARINE' END AS habitat")
+
+  def taxa(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "part"),
+        expr("(c_custkey * 7) % 2000") === col("p_partkey"), "left")
+      .selectExpr(
+        "c_custkey AS row_id",
+        "CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE concat(p_name, ' ', CAST(p_partkey % 40 AS STRING)) END AS name",
+        "CASE WHEN c_custkey % 7 = 0 THEN CAST((c_custkey * 13) % 500 AS STRING) END AS taxid",
+        "CASE WHEN c_custkey % 3 = 0 THEN (CASE p_partkey % 4 WHEN 0 THEN 'SPECIES' WHEN 1 THEN 'GENUS' WHEN 2 THEN 'FAMILY' ELSE 'ORDER' END) END AS rank")
+}
+
+/** DuckDB-dialect CTEs mirroring [[DerivedModel]] exactly. Compose with
+  * [[DerivedSql.withCtes]]. The driver registers each parquet file as a
+  * table named after it (lineitem, nation, part, customer, ...).
+  */
+object DerivedSql {
+
+  val occurrence: String =
+    """occurrence AS (
+      |  SELECT l_partkey % 500 AS taxonKey,
+      |         CAST(l_orderkey % 1800 AS DOUBLE) / 10.0 - 90.0 AS decimalLatitude,
+      |         CAST((l_suppkey * 7 + l_linenumber * 131) % 3600 AS DOUBLE) / 10.0 - 180.0 AS decimalLongitude,
+      |         n_name AS countryCode,
+      |         CASE l_linenumber % 3 WHEN 0 THEN 'SPECIES' WHEN 1 THEN 'GENUS' ELSE 'FAMILY' END AS taxonRank
+      |  FROM lineitem JOIN nation ON l_suppkey % 25 = n_nationkey)""".stripMargin
+
+  val backbone: String =
+    """backbone AS (
+      |  SELECT p_partkey AS key,
+      |         p_name || ' ' || CAST(p_partkey % 40 AS VARCHAR) AS canonicalName,
+      |         CASE p_partkey % 4 WHEN 0 THEN 'SPECIES' WHEN 1 THEN 'GENUS' WHEN 2 THEN 'FAMILY' ELSE 'ORDER' END AS rank,
+      |         CASE p_partkey % 2 WHEN 0 THEN 'Animalia' ELSE 'Plantae' END AS kingdom,
+      |         CASE WHEN p_partkey % 5 = 0 THEN 'SYNONYM' ELSE 'ACCEPTED' END AS taxonomicStatus,
+      |         CASE WHEN p_partkey % 5 = 0 THEN (p_partkey + 1) % 2000 END AS acceptedKey,
+      |         CASE p_partkey % 3 WHEN 0 THEN 'TERRESTRIAL' WHEN 1 THEN 'FRESHWATER' ELSE 'MARINE' END AS habitat
+      |  FROM part)""".stripMargin
+
+  val taxa: String =
+    """taxa AS (
+      |  SELECT c_custkey AS row_id,
+      |         CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE p_name || ' ' || CAST(p_partkey % 40 AS VARCHAR) END AS name,
+      |         CASE WHEN c_custkey % 7 = 0 THEN CAST((c_custkey * 13) % 500 AS VARCHAR) END AS taxid,
+      |         CASE WHEN c_custkey % 3 = 0 THEN (CASE p_partkey % 4 WHEN 0 THEN 'SPECIES' WHEN 1 THEN 'GENUS' WHEN 2 THEN 'FAMILY' ELSE 'ORDER' END) END AS rank
+      |  FROM customer LEFT JOIN part ON (c_custkey * 7) % 2000 = p_partkey)""".stripMargin
+
+  /** Strict name resolution (J1 semantics, TaxonomyResolver scaladoc):
+    * unique-candidate match with rank constraint, synonym chase, taxid
+    * precedence. Depends on `taxa` + `backbone` CTEs. Emits CTE `resolved`
+    * with (row_id, name, taxid, rank, resolved_taxid, resolved_rank).
+    */
+  val resolved: String =
+    """cand AS (
+      |  SELECT t.row_id, b.key, b.rank AS brank, b.taxonomicStatus AS bstatus, b.acceptedKey AS bacc
+      |  FROM taxa t JOIN backbone b ON t.name = b.canonicalName
+      |    AND (t.rank IS NULL OR t.rank = b.rank)
+      |  WHERE t.taxid IS NULL AND t.name IS NOT NULL),
+      |uniq AS (
+      |  SELECT row_id, count(*) AS cnt, min(key) AS mkey, min(brank) AS mrank,
+      |         min(bstatus) AS mstatus, min(bacc) AS macc
+      |  FROM cand GROUP BY row_id),
+      |resolved AS (
+      |  SELECT t.row_id, t.name, t.taxid, t.rank,
+      |         COALESCE(CAST(t.taxid AS BIGINT),
+      |                  CASE WHEN u.cnt = 1 THEN
+      |                    CASE WHEN u.mstatus = 'SYNONYM' THEN u.macc ELSE u.mkey END END) AS resolved_taxid,
+      |         CASE WHEN t.taxid IS NOT NULL THEN t.rank
+      |              WHEN u.cnt = 1 THEN u.mrank END AS resolved_rank
+      |  FROM taxa t LEFT JOIN uniq u ON t.row_id = u.row_id)""".stripMargin
+
+  def withCtes(ctes: String*)(body: String): String =
+    "WITH " + ctes.mkString(",\n") + "\n" + body
+}

@@ -1,13 +1,285 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.config.FilterConfig
+import graft.geo.GeoFunctions
+import graft.ops.{OccurrenceFilter, RankResolver, TaxonomyResolver}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY.md §2 over the
+  * shared `/root/testdata` tables via the [[DerivedModel]] mapping; each
+  * `oracleSql` entry is the DuckDB-equivalent SQL built from [[DerivedSql]]
+  * CTEs. Column names are aligned on both sides (driver hashes by sorted
+  * column name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import DerivedModel.{occurrence, backbone, taxa, Country, DiamondWkt, DiamondSqlPred}
+  import DerivedSql.withCtes
+
+  /** Config used by the derived-model pipeline queries. */
+  private val derivedCfg = FilterConfig(
+    nameColumn = Some("name"),
+    taxidColumn = Some("taxid"),
+    rankColumn = Some("rank"),
+    country = Some(Country),
+    resolveToRank = Some("SPECIES"),
+    habitat = Some("TERRESTRIAL"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
+    * reference pipeline (J1 -> J2 -> J3/J4/A1 -> T1/T2) in tag mode.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    GbifFilterJob.run(taxa(spark, dir), backbone(spark, dir),
+      occurrence(spark, dir), derivedCfg, tagMode = true)
+  }
+
+  private val inzoneCte =
+    s"inzone AS (SELECT DISTINCT taxonKey FROM occurrence WHERE countryCode = '$Country')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S1/P1: scan + projection + pushed filter ---------------------
+    "s1_scan_project" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .filter(col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // ---- S3: occurrence source with server-side-style predicates ------
+    "s3_occurrence_source" -> ((s, dir) =>
+      occurrence(s, dir)
+        .filter(col("countryCode") === Country && col("taxonRank") === "SPECIES")
+        .select(col("taxonKey"), col("decimalLatitude"), col("decimalLongitude"))),
+
+    // ---- P2/P4: null-normalize + precedence coalesce ------------------
+    "p2_p4_normalize_coalesce" -> ((s, dir) =>
+      taxa(s, dir).select(col("row_id"),
+        coalesce(col("taxid"), col("name")).as("taxon_info"))),
+
+    // ---- P3: rank uppercase -------------------------------------------
+    "p3_rank_upper" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "part")
+        .select(col("p_partkey"), upper(col("p_type")).as("rank_u"))),
+
+    // ---- P5: accepted-status filter -----------------------------------
+    "p5_status_filter" -> ((s, dir) =>
+      backbone(s, dir).filter(col("taxonomicStatus") === "ACCEPTED")
+        .select(col("key"), col("canonicalName"))),
+
+    // ---- P6: rank-membership filter + taxonKey projection -------------
+    "p6_rank_membership" -> ((s, dir) =>
+      OccurrenceFilter.occurrencesAtRanks(occurrence(s, dir), Seq("SPECIES", "GENUS"))),
+
+    // ---- C1: memo-cache dedup = distinct join keys --------------------
+    "c1_distinct_dedup" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .selectExpr("l_partkey % 500 AS taxonKey").distinct()),
+
+    // ---- J1: name resolution (strict, synonym chase, taxid wins) ------
+    "j1_name_resolution" -> ((s, dir) =>
+      TaxonomyResolver.resolve(taxa(s, dir), backbone(s, dir), derivedCfg)
+        .select(col("row_id"),
+          col(TaxonomyResolver.TaxidCol).as("resolved_taxid"),
+          col(TaxonomyResolver.RankCol).as("resolved_rank"))),
+
+    // ---- J2: occurrence-existence semi-join ---------------------------
+    "j2_occurrence_exists" -> ((s, dir) => {
+      val orders = DerivedModel.table(s, dir, "orders")
+        .filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      DerivedModel.table(s, dir, "customer")
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+    }),
+
+    // ---- A2: existence probe as boolean flag --------------------------
+    "a2_exists_probe" -> ((s, dir) => {
+      val keys = DerivedModel.table(s, dir, "orders")
+        .filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey")).distinct()
+      DerivedModel.table(s, dir, "customer")
+        .join(keys, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_custkey").isNotNull.as("has_big_order"))
+    }),
+
+    // ---- G1: point-in-polygon (custom codegen'd expression) -----------
+    "g1_point_in_polygon" -> ((s, dir) =>
+      occurrence(s, dir)
+        .filter(GeoFunctions.bboxFilter(col("decimalLatitude"), col("decimalLongitude"), DiamondWkt) &&
+          GeoFunctions.pointInPolygon(col("decimalLatitude"), col("decimalLongitude"), DiamondWkt))
+        .select(col("taxonKey"), col("decimalLatitude"), col("decimalLongitude"))),
+
+    // ---- G2: country filter -------------------------------------------
+    "g2_country_filter" -> ((s, dir) =>
+      occurrence(s, dir).filter(col("countryCode") === Country)
+        .select(col("taxonKey"), col("countryCode"))),
+
+    // ---- T1 (+J1+J2): tri-state tag append ----------------------------
+    "t1_tag_tristate" -> ((s, dir) => {
+      val resolved = TaxonomyResolver.resolve(taxa(s, dir), backbone(s, dir),
+        derivedCfg.copy(geometry = None))
+      OccurrenceFilter.tagExistsInZone(resolved, occurrence(s, dir),
+        derivedCfg.copy(geometry = None))
+        .select(col("row_id"), col(OccurrenceFilter.TagCol))
+    }),
+
+    // ---- F1: boolean row filter (filter mode) -------------------------
+    "f1_filter_mode" -> ((s, dir) => {
+      val resolved = TaxonomyResolver.resolve(taxa(s, dir), backbone(s, dir),
+        derivedCfg.copy(geometry = None))
+      OccurrenceFilter.tagExistsInZone(resolved, occurrence(s, dir),
+        derivedCfg.copy(geometry = None))
+        .filter(col(OccurrenceFilter.TagCol) <=> true)
+        .select(col("row_id"))
+    }),
+
+    // ---- J3+J4: children resolution + child spatial semi-join ---------
+    "j3_children_resolution" -> ((s, dir) => {
+      val parents = DerivedModel.table(s, dir, "part")
+        .selectExpr("p_partkey % 100 AS parent").distinct()
+      RankResolver.childrenInZone(parents, backbone(s, dir), occurrence(s, dir),
+        derivedCfg.copy(geometry = None))
+    }),
+
+    // ---- J4 standalone: spatial semi-join over a taxa set -------------
+    "j4_spatial_semijoin" -> ((s, dir) =>
+      OccurrenceFilter.filterInZone(
+        backbone(s, dir).filter(col("rank") === "SPECIES").select(col("key")),
+        "key", occurrence(s, dir), derivedCfg.copy(geometry = None))),
+
+    // ---- A1: collect children lists (canonical order, stringified) ----
+    "a1_collect_children" -> ((s, dir) => {
+      val parents = DerivedModel.table(s, dir, "part")
+        .selectExpr("p_partkey % 100 AS parent").distinct()
+      RankResolver.childrenInZone(parents, backbone(s, dir), occurrence(s, dir),
+        derivedCfg.copy(geometry = None))
+        .groupBy(col("parentKey"))
+        .agg(
+          array_join(sort_array(collect_list(col("canonicalName"))), "|").as("child_names"),
+          array_join(sort_array(collect_list(col("key"))).cast("array<string>"), "|").as("child_ids"))
+    }),
+
+    // ---- T3: first-row-only window gate -------------------------------
+    "t3_first_row_gate" -> ((s, dir) => {
+      val w = Window.partitionBy(col("taxonKey"))
+        .orderBy(col("decimalLatitude"), col("decimalLongitude"),
+          col("countryCode"), col("taxonRank"))
+      occurrence(s, dir)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("taxonKey"), col("decimalLatitude"), col("decimalLongitude"))
+    }),
+
+    // ---- K1: CSV sink round-trip (NA semantics) -----------------------
+    "k1_csv_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_k1_csv"
+      val df = taxa(s, dir).selectExpr("CAST(row_id AS STRING) AS row_id_str",
+        "name", "taxid", "rank")
+      graft.sources.Sources.writeCsv(df, out, sep = ";")
+      graft.sources.Sources.readTaxaCsv(s, out, sep = ";")
+    }),
+
+    // ---- L1: prefixed taxid parse/format ------------------------------
+    "l1_taxid_parse" -> ((s, dir) =>
+      backbone(s, dir).select(
+        concat(lit("GBIF:"), col("key")).as("prefixed"),
+        col("key")).select(
+        col("prefixed"),
+        split(col("prefixed"), ":").getItem(0).as("db_prefix"),
+        split(col("prefixed"), ":").getItem(1).cast("long").as("parsed_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5",
+
+    "s3_occurrence_source" -> withCtes(DerivedSql.occurrence)(
+      s"""SELECT taxonKey, decimalLatitude, decimalLongitude FROM occurrence
+         |WHERE countryCode = '$Country' AND taxonRank = 'SPECIES'""".stripMargin),
+
+    "p2_p4_normalize_coalesce" -> withCtes(DerivedSql.taxa)(
+      "SELECT row_id, COALESCE(taxid, name) AS taxon_info FROM taxa"),
+
+    "p3_rank_upper" ->
+      "SELECT p_partkey, upper(p_type) AS rank_u FROM part",
+
+    "p5_status_filter" -> withCtes(DerivedSql.backbone)(
+      "SELECT key, canonicalName FROM backbone WHERE taxonomicStatus = 'ACCEPTED'"),
+
+    "p6_rank_membership" -> withCtes(DerivedSql.occurrence)(
+      "SELECT taxonKey FROM occurrence WHERE taxonRank IN ('SPECIES', 'GENUS')"),
+
+    "c1_distinct_dedup" ->
+      "SELECT DISTINCT l_partkey % 500 AS taxonKey FROM lineitem",
+
+    "j1_name_resolution" -> withCtes(DerivedSql.taxa, DerivedSql.backbone, DerivedSql.resolved)(
+      "SELECT row_id, resolved_taxid, resolved_rank FROM resolved"),
+
+    "j2_occurrence_exists" ->
+      """SELECT c_custkey FROM customer WHERE EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)""".stripMargin,
+
+    "a2_exists_probe" ->
+      """SELECT c_custkey, EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000) AS has_big_order
+        |FROM customer""".stripMargin,
+
+    "g1_point_in_polygon" -> withCtes(DerivedSql.occurrence)(
+      s"""SELECT taxonKey, decimalLatitude, decimalLongitude FROM occurrence
+         |WHERE $DiamondSqlPred""".stripMargin),
+
+    "g2_country_filter" -> withCtes(DerivedSql.occurrence)(
+      s"SELECT taxonKey, countryCode FROM occurrence WHERE countryCode = '$Country'"),
+
+    "t1_tag_tristate" -> withCtes(DerivedSql.taxa, DerivedSql.backbone,
+      DerivedSql.occurrence, DerivedSql.resolved, inzoneCte)(
+      """SELECT r.row_id,
+        |       CASE WHEN r.resolved_taxid IS NULL THEN NULL
+        |            ELSE z.taxonKey IS NOT NULL END AS gbif_filter_tag
+        |FROM resolved r LEFT JOIN inzone z ON r.resolved_taxid = z.taxonKey""".stripMargin),
+
+    "f1_filter_mode" -> withCtes(DerivedSql.taxa, DerivedSql.backbone,
+      DerivedSql.occurrence, DerivedSql.resolved, inzoneCte)(
+      """SELECT r.row_id
+        |FROM resolved r JOIN inzone z ON r.resolved_taxid = z.taxonKey""".stripMargin),
+
+    "j3_children_resolution" -> withCtes(DerivedSql.backbone, DerivedSql.occurrence, inzoneCte)(
+      """SELECT DISTINCT par.parent AS parentKey, b.key, b.canonicalName
+        |FROM (SELECT DISTINCT p_partkey % 100 AS parent FROM part) par
+        |JOIN backbone b ON (b.key % 100 = par.parent OR b.key % 10 = par.parent)
+        |JOIN inzone z ON b.key = z.taxonKey
+        |WHERE b.taxonomicStatus = 'ACCEPTED' AND b.rank = 'SPECIES'
+        |  AND b.habitat = 'TERRESTRIAL'""".stripMargin),
+
+    "j4_spatial_semijoin" -> withCtes(DerivedSql.backbone, DerivedSql.occurrence, inzoneCte)(
+      """SELECT key FROM backbone b JOIN inzone z ON b.key = z.taxonKey
+        |WHERE b.rank = 'SPECIES'""".stripMargin),
+
+    "a1_collect_children" -> withCtes(DerivedSql.backbone, DerivedSql.occurrence, inzoneCte)(
+      """SELECT parentKey,
+        |       array_to_string(list_sort(list(canonicalName)), '|') AS child_names,
+        |       array_to_string(list_sort(list(key)), '|') AS child_ids
+        |FROM (
+        |  SELECT DISTINCT par.parent AS parentKey, b.key, b.canonicalName
+        |  FROM (SELECT DISTINCT p_partkey % 100 AS parent FROM part) par
+        |  JOIN backbone b ON (b.key % 100 = par.parent OR b.key % 10 = par.parent)
+        |  JOIN inzone z ON b.key = z.taxonKey
+        |  WHERE b.taxonomicStatus = 'ACCEPTED' AND b.rank = 'SPECIES'
+        |    AND b.habitat = 'TERRESTRIAL')
+        |GROUP BY parentKey""".stripMargin),
+
+    "t3_first_row_gate" -> withCtes(DerivedSql.occurrence)(
+      """SELECT taxonKey, decimalLatitude, decimalLongitude FROM occurrence
+        |QUALIFY row_number() OVER (PARTITION BY taxonKey
+        |  ORDER BY decimalLatitude, decimalLongitude, countryCode, taxonRank) = 1""".stripMargin),
+
+    "k1_csv_roundtrip" -> withCtes(DerivedSql.taxa)(
+      "SELECT CAST(row_id AS VARCHAR) AS row_id_str, name, taxid, rank FROM taxa"),
+
+    "l1_taxid_parse" -> withCtes(DerivedSql.backbone)(
+      """SELECT 'GBIF:' || CAST(key AS VARCHAR) AS prefixed,
+        |       'GBIF' AS db_prefix, key AS parsed_id
+        |FROM backbone""".stripMargin)
+  )
 }

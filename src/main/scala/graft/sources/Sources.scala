@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Pluggable data sources, mirroring the reference's deleted layered design
+  * (`util/data_source.pyc`, SURVEY.md §1.4): the ABCs `OccurrenceSource` /
+  * `TaxonomicSource` become traits over DataFrames; the REST API
+  * (`gbif_helper.py:86-88,17-19,35-42`) becomes local Parquet/CSV scans with
+  * Catalyst predicate pushdown replacing the server-side query params.
+  *
+  * Expected schemas (FIXTURES.md §3):
+  *  - occurrence: taxonKey long, decimalLatitude double, decimalLongitude
+  *    double, countryCode string, taxonRank string
+  *  - backbone:   key long, canonicalName string, rank string, kingdom
+  *    string, taxonomicStatus string, acceptedKey long?, higherTaxonKeys
+  *    array<long>, habitat string?
+  */
+trait OccurrenceSource { def occurrences(spark: SparkSession): DataFrame }
+trait TaxonomicSource { def backbone(spark: SparkSession): DataFrame }
+
+final case class ParquetOccurrenceSource(path: String) extends OccurrenceSource {
+  def occurrences(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+final case class ParquetTaxonomicSource(path: String) extends TaxonomicSource {
+  def backbone(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+object Sources {
+
+  /** S1 csv-scan (`apply_gbif_filter.py:102-104`): header = schema, all
+    * columns kept as strings (pandas `dtype=object` forcing — no inference,
+    * so taxids don't become floats), configurable separator, `NA` → null.
+    */
+  def readTaxaCsv(spark: SparkSession, path: String, sep: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("sep", sep)
+      .option("inferSchema", "false")
+      .option("nullValue", "NA")
+      .csv(path)
+
+  /** K1 csv-sink (`apply_gbif_filter.py:187,192`): same separator, `NA` for
+    * nulls. Spark CSV cannot serialize arrays, so list columns (T2 resolved
+    * names/ids) are stringified to the pandas repr the reference writes
+    * (`['a', 'b']` / `[1, 2]`, SURVEY.md §7.5.1).
+    */
+  def writeCsv(df: DataFrame, path: String, sep: String, singleFile: Boolean = false): Unit = {
+    val stringified = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case ArrayType(StringType, _) =>
+          acc.withColumn(f.name, when(col(f.name).isNotNull, concat(
+            lit("["),
+            array_join(transform(col(f.name), x => concat(lit("'"), x, lit("'"))), ", "),
+            lit("]"))))
+        case _: ArrayType =>
+          acc.withColumn(f.name, when(col(f.name).isNotNull,
+            concat(lit("["), array_join(col(f.name).cast("array<string>"), ", "), lit("]"))))
+        case _ => acc
+      }
+    }
+    val out = if (singleFile) stringified.coalesce(1) else stringified
+    out.write
+      .mode("overwrite")
+      .option("header", "true")
+      .option("sep", sep)
+      .option("nullValue", "NA")
+      .option("emptyValue", "")
+      .csv(path)
+  }
+}
