@@ -34,6 +34,16 @@ object DerivedModel {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table ships TIMESTAMP(NANOS) parquet, which Spark rejects
+    * by default; read nanos as long and convert to a micros timestamp
+    * (lossless here: the generator emits micro-precision values).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def occurrence(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .join(broadcast(table(spark, dir, "nation")),

@@ -40,7 +40,11 @@ object SparkEntry {
   private val inzoneCte =
     s"inzone AS (SELECT DISTINCT taxonKey FROM occurrence WHERE countryCode = '$Country')"
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    referenceQueries ++ analyticsQueries ++ extensionQueries
+
+  /** Operators from the reference's own inventory (SURVEY.md §2). */
+  private def referenceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S1/P1: scan + projection + pushed filter ---------------------
     "s1_scan_project" -> ((s, dir) =>
       DerivedModel.table(s, dir, "lineitem")
@@ -190,7 +194,125 @@ object SparkEntry {
         split(col("prefixed"), ":").getItem(1).cast("long").as("parsed_id")))
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** Engine analytics beyond the reference surface (SURVEY.md §2.8):
+    * hash aggregation, top-k, running windows, set ops. Money sums use
+    * integer cents (floor(x*100+0.5)) so results are exact under any
+    * aggregation order — the determinism rule for double columns.
+    */
+  private def analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(floor(col("l_quantity") * 100 + 0.5)).as("qty_cents"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5)).as("price_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5))
+            .as("disc_price_cents"),
+          count(lit(1)).as("n_rows"))),
+
+    "q3_top_orders" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)),
+
+    "w1_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      DerivedModel.table(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5)).over(w).as("running_cents"))
+    }),
+
+    "set1_except" -> ((s, dir) => {
+      val all = DerivedModel.table(s, dir, "orders").select(col("o_custkey")).distinct()
+      val big = DerivedModel.table(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000).select(col("o_custkey")).distinct()
+      all.except(big)
+    })
+  )
+
+  /** North-star extension operators (dedup / similarity / text /
+    * multimodal / streaming), each over the shared documents/embeddings/
+    * events tables.
+    */
+  private def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ------------------------------------------------
+    "x_text_tokens" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))),
+
+    "x_text_langid" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.langId(col("text")).as("lang_pred"))),
+
+    "x_text_quality" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.wordCount(col("text")).cast("long").as("n_words"),
+        graft.text.TextFunctions.avgWordLen(col("text")).as("avg_word_len"),
+        graft.text.TextFunctions.stopwordScore(col("text")).cast("long").as("stop_score"))),
+
+    "x_text_fingerprint" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // ---- dedup --------------------------------------------------------
+    "x_dedup_exact" -> ((s, dir) =>
+      graft.dedup.Dedup.exactDuplicateGroups(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
+
+    "x_dedup_ngram_jaccard" -> ((s, dir) =>
+      graft.dedup.Dedup.ngramJaccardPairs(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.8)),
+
+    "x_dedup_minhash" -> ((s, dir) =>
+      graft.dedup.Dedup.minhashNearDuplicates(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2)),
+
+    "x_dedup_simhash" -> ((s, dir) =>
+      graft.dedup.Dedup.simhash64(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("_id").as("doc_id"), col("simhash"))),
+
+    "x_dedup_embed_cosine" -> ((s, dir) =>
+      graft.sim.Similarity.cosineNearDupPairs(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.4)),
+
+    // ---- similarity search --------------------------------------------
+    "x_ann_bruteforce" -> ((s, dir) =>
+      graft.sim.Similarity.bruteForceTopK(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
+    "x_ann_lsh" -> ((s, dir) =>
+      graft.sim.Similarity.lshTopK(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
+    // ---- multimodal plumbing ------------------------------------------
+    "x_multimodal_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.decodeFeatures(
+        graft.multimodal.Multimodal.toMediaRecords(
+          DerivedModel.table(s, dir, "documents"))).toDF()),
+
+    // ---- streaming-shaped (batch form for the oracle) -----------------
+    "x_stream_window" -> ((s, dir) =>
+      graft.streaming.StreamingOps.windowedEventStats(
+        DerivedModel.events(s, dir))),
+
+    "x_stream_sessionize" -> ((s, dir) =>
+      graft.streaming.StreamingOps.sessionize(
+        DerivedModel.events(s, dir), gapMillis = 30L * 60 * 1000))
+  )
+
+  def oracleSql: Map[String, String] =
+    referenceOracleSql ++ analyticsOracleSql ++ extensionOracleSql
+
+  private def referenceOracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5",
 
@@ -282,4 +404,120 @@ object SparkEntry {
         |       'GBIF' AS db_prefix, key AS parsed_id
         |FROM backbone""".stripMargin)
   )
+
+  private def analyticsOracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS disc_price_cents,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "w1_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM lineitem""".stripMargin,
+
+    "set1_except" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin
+  )
+
+  /** Shared CTEs for the n-gram Jaccard oracle (exact pairwise similarity
+    * in DuckDB — also the truth set the MinHash+LSH query must reproduce).
+    */
+  private val ngramJaccardOracle: String = {
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |ng AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+      |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8""".stripMargin
+  }
+
+  private def extensionOracleSql: Map[String, String] = {
+    import graft.text.TextFunctions._
+    val cos = graft.sim.Similarity.cosineSql("a.embedding", "b.embedding", 64)
+    Map(
+      "x_text_tokens" ->
+        s"SELECT doc_id, ${tokenCountSql("text")} AS n_tokens FROM documents",
+
+      "x_text_langid" ->
+        s"SELECT doc_id, ${langIdSql("text")} AS lang_pred FROM documents",
+
+      "x_text_quality" ->
+        s"""SELECT doc_id, ${tokenCountSql("text")} AS n_words,
+           |  ${avgWordLenSql("text")} AS avg_word_len,
+           |  ${stopwordScoreSql("text")} AS stop_score
+           |FROM documents""".stripMargin,
+
+      "x_text_fingerprint" ->
+        s"SELECT doc_id, ${fingerprintSql("text")} AS fp FROM documents",
+
+      "x_dedup_exact" ->
+        """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY md5(text)""".stripMargin,
+
+      "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+      // MinHash+LSH must reproduce the exact-Jaccard truth set: banding at
+      // 16 bands x 2 rows misses a tau=0.8 pair with prob (1-0.64)^16 ~ 1e-7
+      "x_dedup_minhash" -> ngramJaccardOracle,
+
+      "x_dedup_embed_cosine" ->
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE $cos >= 0.4""".stripMargin,
+
+      "x_ann_bruteforce" ->
+        s"""SELECT b.vec_id, $cos AS cosine
+           |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+           |ORDER BY cosine DESC, b.vec_id LIMIT 10""".stripMargin,
+
+      "x_multimodal_features" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |  CAST(320 + (octet_length(encode(text)) % 16) * 8 AS INTEGER) AS width,
+          |  CAST(240 + (octet_length(encode(text)) % 9) * 8 AS INTEGER) AS height,
+          |  CAST(1 + doc_id % 3 AS INTEGER) AS channels
+          |FROM documents""".stripMargin,
+
+      "x_stream_window" ->
+        """SELECT date_trunc('hour', ts) AS window_start, event_type,
+          |  count(*) AS n_events,
+          |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+      "x_stream_sessionize" ->
+        """WITH ordered AS (
+          |  SELECT user_id, event_id, ts, value,
+          |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+          |           (PARTITION BY user_id ORDER BY ts, event_id) > 1800000 THEN 1
+          |         WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+          |         ELSE 0 END AS new_sess
+          |  FROM events),
+          |sessions AS (
+          |  SELECT user_id, ts, value,
+          |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+          |  FROM ordered)
+          |SELECT user_id, session_idx, count(*) AS n_events,
+          |  min(ts) AS session_start,
+          |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM sessions GROUP BY user_id, session_idx""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,188 @@
+package graft.dedup
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extensions): exact hash dedup, word-n-gram Jaccard, MinHash+LSH,
+  * SimHash. All shuffle on *content-derived keys* (hash / n-gram / band
+  * bucket), never on document ids, so they scale horizontally: at 100 TB
+  * the only all-pairs work happens inside hash buckets, whose size is
+  * bounded by collision probability, not corpus size.
+  */
+object Dedup {
+
+  // ---------------- exact dedup (hash-groupBy) ----------------
+
+  /** One row per distinct text: content hash, surviving (minimum) id,
+    * duplicate count. A single hash-partitioned aggregation — the scalable
+    * groupBy formulation of `dropDuplicates(text)` that also reports
+    * multiplicity.
+    */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep exactly the minimum-id row per distinct text (full-row dedup). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_graft_rn")
+  }
+
+  // ---------------- word n-gram shingles ----------------
+
+  /** Distinct word n-gram shingles of a text column (1-based `slice`). */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val t = TextFunctions.tokens(c)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n))))))
+  }
+
+  /** Exploded (id, shingle) pairs, distinct per document. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("_id"), explode(wordNgrams(col(textCol), n)).as("ngram"))
+
+  /** Exact n-gram Jaccard similarity join: all pairs with
+    * jaccard >= tau. The join key is the shingle (content), so co-occurring
+    * documents meet without any all-pairs scan; `maxDf` optionally drops
+    * shingles present in more than that many documents (stop-shingle guard
+    * against quadratic blowup on boilerplate at scale).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tau: Double, maxDf: Option[Int] = None): DataFrame = {
+    val ng = shingles(df, idCol, textCol, n)
+    val ngFiltered = maxDf match {
+      case Some(m) =>
+        val keep = ng.groupBy(col("ngram")).count().filter(col("count") <= m)
+          .select(col("ngram"))
+        ng.join(keep, Seq("ngram"), "left_semi")
+      case None => ng
+    }
+    val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = ngFiltered.select(col("_id").as("id_a"), col("ngram"))
+    val b = ngFiltered.select(col("_id").as("id_b"), col("ngram"))
+    val inter = a.join(b, Seq("ngram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.select(col("_id").as("id_a"), col("n_shingles").as("n_a")), Seq("id_a"))
+      .join(cnt.select(col("_id").as("id_b"), col("n_shingles").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** MinHash signatures: per document, the element-wise minimum of
+    * `numHashes` seeded xxhash64 values over its shingles. One shuffle
+    * (groupBy id); signature width is a constant column count.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val ng = shingles(df, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("ngram"))).as(s"_h$i"))
+    ng.groupBy(col("_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("_id"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: hash `rowsPerBand`-sized signature slices into band
+    * buckets; documents sharing any (band, bucket) become candidate pairs.
+    * The pair join is an equi-join on (band, bucket) — no all-pairs work.
+    */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandEntries = (0 until numBands).map { bIdx =>
+      struct(lit(bIdx).as("band"),
+        xxhash64(lit(bIdx), slice(col("signature"), bIdx * rowsPerBand + 1, rowsPerBand))
+          .as("bucket"))
+    }
+    val buckets = signatures
+      .select(col("_id"), explode(array(bandEntries: _*)).as("bb"))
+      .select(col("_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified with *exact* n-gram
+    * Jaccard (so precision is exact; recall is the LSH banding guarantee —
+    * with 16 bands x 2 rows, a pair at jaccard 0.9 is missed with
+    * probability (1-0.9^2)^16 ~ 3e-12).
+    */
+  def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.8,
+      numHashes: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val cand = lshCandidatePairs(sigs, numHashes, rowsPerBand)
+    val ng = shingles(df, idCol, textCol, n)
+    val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = cand
+      .join(ng.select(col("_id").as("id_a"), col("ngram")), Seq("id_a"))
+      .join(ng.select(col("_id").as("id_b"), col("ngram").as("ngram_b")), Seq("id_b"))
+      .filter(col("ngram") === col("ngram_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.select(col("_id").as("id_a"), col("n_shingles").as("n_a")), Seq("id_a"))
+      .join(cnt.select(col("_id").as("id_b"), col("n_shingles").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash over distinct tokens: per bit, the sign of the sum of
+    * +/-1 contributions from each token's xxhash64 bit. One groupBy with 64
+    * integer sums — constant-width state, scan-speed at scale.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("_id"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("token"))
+      .withColumn("_h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$b"))
+    val fingerprint = (0 until 64).map(b =>
+      when(col(s"_b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    tok.groupBy(col("_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("_id"), fingerprint.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pairs within `maxHamming` bits. Pair
+    * generation via byte-block banding (split the 64-bit hash into 8
+    * bytes; pigeonhole: any pair within k bits shares >= 8-k exact byte
+    * blocks) — an equi-join on (block index, block value), no all-pairs.
+    */
+  def simhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocks = (0 until 8).map(i =>
+      struct(lit(i).as("blk"),
+        shiftright(col("simhash"), i * 8).bitwiseAND(0xFF).as("blkval")))
+    val exploded = hashes.select(col("_id"), col("simhash"),
+      explode(array(blocks: _*)).as("bb"))
+      .select(col("_id"), col("simhash"), col("bb.blk").as("blk"), col("bb.blkval").as("blkval"))
+    exploded.as("x").join(exploded.as("y"), Seq("blk", "blkval"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product over two `array<double>` columns.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) express this
+  * but are CodegenFallback — interpreted per element, which made the
+  * all-pairs cosine join ~30x slower than necessary. This expression
+  * generates a tight primitive loop inside whole-stage codegen.
+  * Accumulation is strictly index-ascending, so results are bit-identical
+  * to a left-associated explicit sum (the DuckDB oracle's form).
+  */
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SimExpressions {
+
+  /** Register `graft_dot` (idempotent); also usable from SQL text. */
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+
+  /** Codegen'd dot product; casts inputs to `array<double>`. */
+  def dot(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
+  }
+}

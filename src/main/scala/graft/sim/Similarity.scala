@@ -1,0 +1,105 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extensions): brute-force cosine
+  * top-k as the exact baseline, random-hyperplane LSH bucketing as the
+  * scale path, and cosine near-duplicate pairs.
+  *
+  * All math is double-precision with a fixed left-to-right accumulation
+  * order (`zip_with` + `aggregate` higher-order functions), so results are
+  * bit-deterministic and reproducible in the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Cosine similarity of two `array<float|double>` columns, built on the
+    * native codegen'd [[DotProductExpr]] (index-ascending accumulation —
+    * bit-identical to the oracle's explicit left-associated sum).
+    */
+  def cosine(a: Column, b: Column): Column =
+    SimExpressions.dot(a, b) /
+      (sqrt(SimExpressions.dot(a, a)) * sqrt(SimExpressions.dot(b, b)))
+
+  /** DuckDB twin of [[cosine]] for a known dimensionality: explicit
+    * left-associated sum, 1-based list indexing — identical op order.
+    */
+  def cosineSql(a: String, b: String, dim: Int): String = {
+    def dot(x: String, y: String) = (1 to dim)
+      .map(i => s"CAST($x[$i] AS DOUBLE) * CAST($y[$i] AS DOUBLE)").mkString(" + ")
+    s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** Exact top-k nearest neighbors of one query row (by id) against the
+    * whole collection: broadcast the single query vector, scan-and-score,
+    * total-order by (cosine desc, id) for determinism. The baseline every
+    * ANN variant is measured against.
+    */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val query = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qvec"))
+    embeddings
+      .join(broadcast(query))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs with cosine >= tau. NB: this is the exact O(n^2) formulation
+    * (a cross join with an inequality filter) — correct at verification
+    * scale; at 100 TB use [[lshCosinePairs]], which replaces the cross join
+    * with an equi-join on hyperplane-sign buckets.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    // precompute each row's norm once (same doubles as computing it per
+    // pair, so the oracle formula dot/(sqrt(na)*sqrt(nb)) is unchanged)
+    val normed = embeddings.select(col(idCol).as("_nid"), col(vecCol).as("_nvec"),
+      sqrt(SimExpressions.dot(col(vecCol), col(vecCol))).as("_nnorm"))
+    val a = normed.select(col("_nid").as("id_a"), col("_nvec").as("_va"), col("_nnorm").as("_na"))
+    val b = normed.select(col("_nid").as("id_b"), col("_nvec").as("_vb"), col("_nnorm").as("_nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (fixed seed) for
+    * sign-LSH. Generated driver-side once; shipped as literals.
+    */
+  def hyperplanes(dim: Int, count: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(count)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot product).
+    * Vectors with high cosine land in the same bucket with high
+    * probability; bucketing is a plain column, so candidate generation is
+    * an equi-join — the scale path for near-neighbor search.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = SimExpressions.dot(vec, array(p.map(lit): _*))
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+
+  /** ANN via sign-LSH: score only candidates sharing the query's bucket
+    * (single probe), then exact-cosine rank. Recall < 1 by construction;
+    * measured against [[bruteForceTopK]] in the spec.
+    */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(dim, numPlanes)
+    val bucketed = embeddings.withColumn("_bucket", lshBucket(col(vecCol), planes))
+    val query = bucketed.filter(col(idCol) === queryId)
+      .select(col("_bucket").as("_qbucket"), col(vecCol).as("_qvec"))
+    bucketed
+      .join(broadcast(query), col("_bucket") === col("_qbucket"))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

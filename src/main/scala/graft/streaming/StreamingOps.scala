@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+
+/** Streaming operators over the `events` table shape (event_id, ts,
+  * user_id, event_type, value, props): tumbling-window aggregation and
+  * sessionization. Each has a batch formulation (used by the DuckDB
+  * oracle) and a Structured Streaming formulation (`readStream` +
+  * watermark) over the same logic — the Spark idiom where one query
+  * definition serves both modes.
+  *
+  * Money math: `value` is converted to integer cents via
+  * `floor(value*100 + 0.5)` *before* aggregation, so sums are exact
+  * integers regardless of aggregation order — deterministic at any
+  * parallelism (doubles summed in shuffle order are not).
+  */
+object StreamingOps {
+
+  def valueCents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + 0.5)
+
+  /** Tumbling-window event stats (batch form). Window start is exposed as
+    * a plain timestamp column so results align with `date_trunc`.
+    */
+  def windowedEventStats(events: DataFrame, windowDuration: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(valueCents(col("value"))).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  /** Streaming form of [[windowedEventStats]]: same aggregation over
+    * `readStream`, with a watermark bounding state. Late data beyond the
+    * watermark is dropped; output mode `update`/`append` chosen by caller.
+    */
+  def streamingWindowedEventStats(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, windowDuration: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(valueCents(col("value"))).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  /** Sessionization (batch form): a new session starts when the gap to the
+    * previous event of the same user exceeds `gapMillis`. Classic
+    * lag + cumulative-sum window pair; event_id breaks timestamp ties so
+    * the order — and therefore the session assignment — is total and
+    * deterministic.
+    */
+  def sessionize(events: DataFrame, gapMillis: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession =
+      when(unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(byUser) > gapMillis, 1)
+        .when(lag(col("ts"), 1).over(byUser).isNull, 1)
+        .otherwise(0)
+    events
+      .withColumn("_new_sess", newSession)
+      .withColumn("session_idx",
+        sum(col("_new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        sum(valueCents(col("value"))).as("value_cents"))
+  }
+
+  /** Streaming sessionization shape: `flatMapGroupsWithState` is the
+    * general tool, but for gap-based sessions Spark's built-in
+    * `session_window` expresses the same semantics declaratively — state
+    * handling, watermark eviction and merge logic come from the engine.
+    */
+  def streamingSessionize(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(valueCents(col("value"))).as("value_cents"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("value_cents"))
+}

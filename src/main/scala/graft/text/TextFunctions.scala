@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extensions, SURVEY.md §7.6): language ID, quality scoring,
+  * token counting, document fingerprinting. All pure `Column` expressions
+  * (whole-stage codegen, no UDFs), each with a DuckDB-SQL twin generated
+  * from the same definition so the driver oracle can replay it —
+  * the `*Sql` methods must stay formula-identical to the Column versions.
+  *
+  * Scale notes: everything here is a narrow map over one string column —
+  * no shuffle, no state; at 100 TB these run at scan speed and pipeline
+  * into whatever agg/join follows.
+  */
+object TextFunctions {
+
+  /** Marker stopwords per language for the n-gram/stopword heuristic
+    * language ID. Order = tie-break priority.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "los", "que"),
+    "fr" -> Seq("le", "les", "et"))
+
+  /** Whitespace tokens (documents are single-space normalized word soup). */
+  def tokens(c: Column): Column = split(trim(c), " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+  def tokenCountSql(c: String): String = s"len(string_split(trim($c), ' '))"
+
+  /** Occurrence-mass of marker words: sum of length deltas when removing
+    * each padded marker — monotone in occurrence count, integer-exact, and
+    * expressible identically in any SQL dialect with `replace`.
+    */
+  private def markerScore(c: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), c, lit(" "))
+    words.map { w =>
+      length(padded) - length(call_function("replace", padded, lit(s" $w "), lit("")))
+    }.reduce(_ + _)
+  }
+
+  private def markerScoreSql(c: String, words: Seq[String]): String = {
+    val padded = s"(' ' || $c || ' ')"
+    words.map(w => s"(length($padded) - length(replace($padded, ' $w ', '')))")
+      .mkString(" + ")
+  }
+
+  /** Heuristic language ID: argmax of marker scores, first-listed wins
+    * ties (deterministic).
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, words) => lang -> markerScore(c, words) }
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, score), i), elseCol) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        when(laterScores.map(score >= _).reduce(_ && _), lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  def langIdSql(c: String): String = {
+    val scores = LangMarkers.map { case (lang, words) => lang -> markerScoreSql(c, words) }
+    val cases = scores.init.zipWithIndex.map { case ((lang, s), i) =>
+      val later = scores.drop(i + 1).map(_._2)
+      val cond = later.map(l => s"($s) >= ($l)").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${scores.last._1}' END"
+  }
+
+  /** Quality signals: word count, average word length, stopword ratio.
+    * Ratios are double divisions of identical integers on both engines —
+    * bit-deterministic.
+    */
+  def wordCount(c: Column): Column = tokenCount(c)
+  def avgWordLen(c: Column): Column = {
+    val spaces = length(c) - length(call_function("replace", c, lit(" "), lit("")))
+    (length(c) - spaces).cast("double") / tokenCount(c)
+  }
+  def avgWordLenSql(c: String): String =
+    s"CAST(length($c) - (length($c) - length(replace($c, ' ', ''))) AS DOUBLE) / ${tokenCountSql(c)}"
+
+  def stopwordScore(c: Column): Column = markerScore(c, LangMarkers.head._2)
+  def stopwordScoreSql(c: String): String = markerScoreSql(c, LangMarkers.head._2)
+
+  /** Canonical document fingerprint: md5 of the sorted token multiset —
+    * robust to token reordering, byte-stable across engines.
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(tokens(c))).cast("binary"))
+  def fingerprintSql(c: String): String =
+    s"md5(array_to_string(list_sort(string_split(trim($c), ' ')), ' '))"
+}
