@@ -59,21 +59,44 @@ object FilterConfig {
     habitat = cfg.habitat.map(_.toUpperCase).filter(Habitats.contains))
 
   /** Minimal flat-YAML loader for reference-shaped config files
-    * (`example/config.yml`, `test/config.yml` — flat `key: value` pairs;
-    * no external YAML dependency is available offline).
+    * (`example/config.yml`, `test/config.yml`): flat `key : "value" #
+    * comment` pairs, double-quoted values that may span lines (the test
+    * config's Norway polygon), `\t`/`\n` escapes in quoted strings. No
+    * external YAML dependency is available offline.
     */
   def fromYaml(yaml: String): FilterConfig = {
-    val kv: Map[String, String] = yaml.linesIterator
-      .map(_.takeWhile(_ != '#'))
-      .filter(_.contains(":"))
-      .map { line =>
+    val kv = scala.collection.mutable.Map.empty[String, String]
+    var curKey: String = null
+    var buf: StringBuilder = null
+    var inQuote = false
+    def unescape(s: String): String = s.replace("\\t", "\t").replace("\\n", "\n")
+    for (line <- yaml.linesIterator) {
+      if (inQuote) {
+        val end = line.indexOf('"')
+        if (end >= 0) {
+          buf.append(" ").append(line.substring(0, end).trim)
+          kv(curKey) = unescape(buf.toString)
+          inQuote = false
+        } else buf.append(" ").append(line.trim)
+      } else {
         val i = line.indexOf(':')
-        val k = line.substring(0, i).trim
-        val v = line.substring(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
-        k -> v
+        if (i > 0) {
+          val k = line.substring(0, i).trim
+          if (k.nonEmpty && !k.startsWith("#")) {
+            val v = line.substring(i + 1).trim
+            if (v.startsWith("\"")) {
+              val rest = v.substring(1)
+              val end = rest.indexOf('"')
+              if (end >= 0) kv(k) = unescape(rest.substring(0, end))
+              else { curKey = k; buf = new StringBuilder(rest.trim); inQuote = true }
+            } else {
+              val bare = v.takeWhile(_ != '#').trim
+              if (bare.nonEmpty) kv(k) = bare
+            }
+          }
+        }
       }
-      .filter { case (k, v) => k.nonEmpty && v.nonEmpty }
-      .toMap
+    }
     normalized(FilterConfig(
       sep = kv.getOrElse("sep", ","),
       nameColumn = kv.get("name_column"),

@@ -1,0 +1,60 @@
+package graft
+
+import graft.dedup.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Small corpus with one exact dup, one near dup (1-word edit), and
+    * unrelated documents.
+    */
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+      (4L, "completely different words about spark query engines here now"),
+      (5L, "entirely unrelated text mentioning window functions and shuffles")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup: groups and survivor selection") {
+    val groups = Dedup.exactDuplicateGroups(corpus, "doc_id", "text").collect()
+    assert(groups.length == 4)
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+
+    val kept = Dedup.exactDedup(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("ngram jaccard finds the near-dup pair, not the unrelated ones") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), "near dup pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH reproduces the exact-jaccard truth set on documents") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH ${lsh.size} pairs vs exact ${exact.size}")
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val hashes = Dedup.simhash64(corpus, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(hashes, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical texts must have hamming 0")
+    assert(pairs.contains((1L, 3L)), "1-token-edit text within hamming 10")
+    assert(!pairs.contains((4L, 5L)), "unrelated texts should be far apart")
+  }
+}

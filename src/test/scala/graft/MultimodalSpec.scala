@@ -1,0 +1,37 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media records: binary payload schema + deterministic stub decode") {
+    val docs = DerivedModel.table(spark, dir, "documents")
+    val records = Multimodal.toMediaRecords(docs)
+    assert(records.schema("payload").dataType.typeName == "binary")
+
+    val feats = Multimodal.decodeFeatures(records).collect()
+    assert(feats.length == docs.count())
+    val expected = docs.selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    feats.foreach { f =>
+      assert(f.byte_len == expected(f.doc_id), "byte_len = utf8 length (ascii corpus)")
+      assert(f.width == 320 + (f.byte_len % 16) * 8)
+      assert(f.height == 240 + (f.byte_len % 9) * 8)
+      assert(f.channels == 1 + f.doc_id % 3)
+    }
+  }
+
+  test("frame-offset sampling strides the payload") {
+    val docs = DerivedModel.table(spark, dir, "documents").limit(5)
+    val offsets = Multimodal.sampleFrameOffsets(Multimodal.toMediaRecords(docs), stride = 100)
+      .collect()
+    offsets.foreach { r =>
+      val arr = r.getSeq[Long](1)
+      assert(arr.head == 0L)
+      assert(arr.zip(arr.tail).forall { case (a, b) => b - a == 100 })
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cosine matches a driver-side computation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.0f)),
+      (4L, Array(2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cos = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(cos((1L, 2L))) < 1e-12, "orthogonal")
+    assert(math.abs(cos((1L, 4L)) - 1.0) < 1e-12, "parallel")
+    assert(math.abs(cos((1L, 3L)) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("brute-force top-k is ordered, excludes the query, correct k") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect()
+    assert(top.length == 10)
+    assert(!top.exists(_.getLong(0) == 0L))
+    val cosines = top.map(_.getDouble(1))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, "descending")
+  }
+
+  test("LSH top-k: only same-bucket candidates, reasonable recall") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 10, numPlanes = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.nonEmpty, "query bucket must contain neighbors")
+    // sanity: single-probe sign-LSH on near-uniform vectors is lossy; just
+    // require overlap to be possible and all results to be valid ids
+    assert(approx.subsetOf(
+      emb.select("vec_id").collect().map(_.getLong(0)).toSet - 0L))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"sign-LSH single-probe recall@10 = $recall%.2f")
+  }
+
+  test("hyperplanes are deterministic across invocations") {
+    val a = Similarity.hyperplanes(8, 4)
+    val b = Similarity.hyperplanes(8, 4)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+  }
+}

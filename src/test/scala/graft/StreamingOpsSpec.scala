@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming forms must agree with their batch twins: stream
+  * the events table from parquet with Trigger.AvailableNow into a memory
+  * sink and compare against the batch aggregation of the same rows.
+  */
+class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val eventsMicros = {
+    // re-write events with micros timestamps so readStream sees a plain
+    // TIMESTAMP schema (the shipped file is TIMESTAMP(NANOS))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_micros"
+    DerivedModel.events(spark, dir).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  test("streaming windowed stats == batch windowed stats") {
+    val batchDf = spark.read.parquet(eventsMicros)
+    val expected = StreamingOps.windowedEventStats(batchDf)
+      .collect().map(_.toSeq).toSet
+
+    val sq = StreamingOps.streamingWindowedEventStats(spark, eventsMicros, batchDf)
+      .writeStream
+      .format("memory")
+      .queryName("graft_win_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination(120000)
+    val got = spark.table("graft_win_test").collect().map(_.toSeq).toSet
+    assert(got == expected,
+      s"streaming (${got.size} rows) != batch (${expected.size} rows)")
+    assert(got.nonEmpty)
+  }
+
+  test("streaming session_window produces sessions consistent with batch gap logic") {
+    val batchDf = spark.read.parquet(eventsMicros)
+    val sq = StreamingOps.streamingSessionize(spark, eventsMicros, batchDf, gap = "30 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("graft_sess_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination(120000)
+    val streamed = spark.table("graft_sess_test")
+    val batch = StreamingOps.sessionize(batchDf, gapMillis = 30L * 60 * 1000)
+    // session_window merges by gap exactly like the lag/cumsum batch form:
+    // same number of sessions and same total event count per user
+    val a = streamed.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = batch.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "sessions per user differ between streaming and batch")
+  }
+}
