@@ -146,6 +146,14 @@ object SparkEntry {
         derivedCfg.copy(geometry = None))
     }),
 
+    // ---- A3: children cap (reference's 1000-limit analog, cap=5) ------
+    "a3_children_cap" -> ((s, dir) => {
+      val parents = DerivedModel.table(s, dir, "part")
+        .selectExpr("p_partkey % 100 AS parent").distinct()
+      RankResolver.childrenInZone(parents, backbone(s, dir), occurrence(s, dir),
+        derivedCfg.copy(geometry = None), maxChildren = Some(5))
+    }),
+
     // ---- J4 standalone: spatial semi-join over a taxa set -------------
     "j4_spatial_semijoin" -> ((s, dir) =>
       OccurrenceFilter.filterInZone(
@@ -373,6 +381,20 @@ object SparkEntry {
         |JOIN inzone z ON b.key = z.taxonKey
         |WHERE b.taxonomicStatus = 'ACCEPTED' AND b.rank = 'SPECIES'
         |  AND b.habitat = 'TERRESTRIAL'""".stripMargin),
+
+    "a3_children_cap" -> withCtes(DerivedSql.backbone, DerivedSql.occurrence, inzoneCte,
+      """kids AS (
+        |  SELECT DISTINCT par.parent AS parentKey, b.key, b.canonicalName
+        |  FROM (SELECT DISTINCT p_partkey % 100 AS parent FROM part) par
+        |  JOIN backbone b ON (b.key % 100 = par.parent OR b.key % 10 = par.parent)
+        |  WHERE b.taxonomicStatus = 'ACCEPTED' AND b.rank = 'SPECIES'
+        |    AND b.habitat = 'TERRESTRIAL'),
+        |capped AS (
+        |  SELECT parentKey, key, canonicalName FROM kids
+        |  QUALIFY row_number() OVER (PARTITION BY parentKey
+        |    ORDER BY canonicalName, key) <= 5)""".stripMargin)(
+      """SELECT c.parentKey, c.key, c.canonicalName
+        |FROM capped c JOIN inzone z ON c.key = z.taxonKey""".stripMargin),
 
     "j4_spatial_semijoin" -> withCtes(DerivedSql.backbone, DerivedSql.occurrence, inzoneCte)(
       """SELECT key FROM backbone b JOIN inzone z ON b.key = z.taxonKey

@@ -56,7 +56,11 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxDf: Option[Int] = None): DataFrame = {
+    // the shingle relation feeds both join sides and the per-doc counts —
+    // without persist Spark recomputes the explode 4x (no exchange reuse
+    // across mixed broadcast/shuffle strategies)
     val ng = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ngFiltered = maxDf match {
       case Some(m) =>
         val keep = ng.groupBy(col("ngram")).count().filter(col("count") <= m)
@@ -125,9 +129,15 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.8,
       numHashes: Int = 32, rowsPerBand: Int = 2): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
-    val cand = lshCandidatePairs(sigs, numHashes, rowsPerBand)
     val ng = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("ngram"))).as(s"_h$i"))
+    val sigs = ng.groupBy(col("_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("_id"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))
+    val cand = lshCandidatePairs(sigs, numHashes, rowsPerBand)
     val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = cand
       .join(ng.select(col("_id").as("id_a"), col("ngram")), Seq("id_a"))

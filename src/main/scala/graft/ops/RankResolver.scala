@@ -45,8 +45,25 @@ object RankResolver {
     * at `cfg.resolveToRank`, habitat-filtered, zone-filtered.
     * Returns (parentKey, key, canonicalName).
     */
+  /** A3 (SURVEY.md §2.5): optional per-parent children cap, the engine
+    * analog of the reference's REST page limit (`gbif_helper.py:41` —
+    * 1000, with a broken truncation warning we do not replicate).
+    * Deterministic: children ranked by (canonicalName, key). None = no cap.
+    */
+  def capChildren(children: DataFrame, maxChildren: Option[Int]): DataFrame =
+    maxChildren match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("parentKey")).orderBy(col("canonicalName"), col("key"))
+        children.withColumn("_graft_child_rn", row_number().over(w))
+          .filter(col("_graft_child_rn") <= cap)
+          .drop("_graft_child_rn")
+      case None => children
+    }
+
   def childrenInZone(parents: DataFrame, backbone: DataFrame,
-      occurrence: DataFrame, cfg: FilterConfig): DataFrame = {
+      occurrence: DataFrame, cfg: FilterConfig,
+      maxChildren: Option[Int] = None): DataFrame = {
     val target = cfg.resolveToRank.getOrElse("SPECIES")
     val habitatCond = cfg.habitat
       .map(h => upper(col("habitat")) === lit(h))
@@ -61,8 +78,9 @@ object RankResolver {
       .join(parentKeys, col("_graft_anc") === col("_graft_parent"), "inner")
       .select(col("_graft_parent").as("parentKey"), col("key"), col("canonicalName"))
       .distinct() // an ancestor may appear once per lineage entry
-    // J4: child must itself occur in the zone
-    OccurrenceFilter.filterInZone(joined, "key", occurrence, cfg)
+    // A3 cap applies at the children lookup, like the reference's limit;
+    // then J4: child must itself occur in the zone
+    OccurrenceFilter.filterInZone(capChildren(joined, maxChildren), "key", occurrence, cfg)
   }
 
   /** Adds the two T2 list columns to a tagged, resolved input. Parents not
