@@ -20,10 +20,14 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { name =>
-      println(s"\n========== $name ==========")
-      try SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+    names.foreach {
+      case "entry" =>
+        println(s"\n========== entry (smoke) ==========")
+        println(s"entry rows = ${SparkEntry.entry(spark).count()}")
+      case name =>
+        println(s"\n========== $name ==========")
+        try SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
     }
     spark.stop()
   }

@@ -240,6 +240,40 @@ object SparkEntry {
       val big = DerivedModel.table(s, dir, "orders")
         .filter(col("o_totalprice") > 300000).select(col("o_custkey")).distinct()
       all.except(big)
+    }),
+
+    "agg_rollup" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_quantity") * 100 + 0.5)).as("qty_cents"))),
+
+    "agg_count_distinct" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    "f_date_extract" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"))
+        .agg(count(lit(1)).as("n_orders"))),
+
+    "f_string_funcs" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "part").select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 5).as("name_pre"),
+        length(col("p_name")).cast("long").as("name_len"),
+        upper(col("p_brand")).as("brand_u"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))),
+
+    "w2_dense_rank_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+      DerivedModel.table(s, dir, "part")
+        .withColumn("rnk", dense_rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rnk"))
     })
   )
 
@@ -452,7 +486,35 @@ object SparkEntry {
     "set1_except" ->
       """SELECT DISTINCT o_custkey FROM orders
         |EXCEPT
-        |SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "f_date_extract" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month, count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "f_string_funcs" ->
+      """SELECT p_partkey, substring(p_name, 1, 5) AS name_pre,
+        |  length(p_name) AS name_len, upper(p_brand) AS brand_u,
+        |  p_brand || '-' || p_type AS brand_type
+        |FROM part""".stripMargin,
+
+    "w2_dense_rank_topk" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(dense_rank() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC) AS INTEGER) AS rnk
+        |  FROM part) WHERE rnk <= 3""".stripMargin
   )
 
   /** Shared CTEs for the n-gram Jaccard oracle (exact pairwise similarity
