@@ -335,6 +335,11 @@ object SparkEntry {
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
+    "x_ann_ivf" -> ((s, dir) =>
+      graft.sim.Similarity.ivfTopK(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, numClusters = 16, nProbe = 4)),
+
     // ---- multimodal plumbing ------------------------------------------
     "x_multimodal_features" -> ((s, dir) =>
       graft.multimodal.Multimodal.decodeFeatures(
@@ -344,11 +349,13 @@ object SparkEntry {
     // ---- streaming-shaped (batch form for the oracle) -----------------
     "x_stream_window" -> ((s, dir) =>
       graft.streaming.StreamingOps.windowedEventStats(
-        DerivedModel.events(s, dir))),
+        DerivedModel.events(s, dir))
+        .withColumn("window_start", unix_millis(col("window_start")))),
 
     "x_stream_sessionize" -> ((s, dir) =>
       graft.streaming.StreamingOps.sessionize(
-        DerivedModel.events(s, dir), gapMillis = 30L * 60 * 1000))
+        DerivedModel.events(s, dir), gapMillis = 30L * 60 * 1000)
+        .withColumn("session_start", unix_millis(col("session_start"))))
   )
 
   def oracleSql: Map[String, String] =
@@ -580,7 +587,7 @@ object SparkEntry {
           |FROM documents""".stripMargin,
 
       "x_stream_window" ->
-        """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type,
           |  count(*) AS n_events,
           |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
@@ -599,7 +606,7 @@ object SparkEntry {
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
           |  FROM ordered)
           |SELECT user_id, session_idx, count(*) AS n_events,
-          |  min(ts) AS session_start,
+          |  epoch_ms(min(ts)) AS session_start,
           |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM sessions GROUP BY user_id, session_idx""".stripMargin
     )

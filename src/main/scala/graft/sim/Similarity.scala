@@ -85,6 +85,55 @@ object Similarity {
       when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
 
+  /** IVF coarse quantizer: centroids are the k lowest-id vectors
+    * (deterministic seeds — a real index would train them, e.g. k-means;
+    * the partition/probe mechanics are identical), assignment is argmax
+    * cosine with (sim desc, centroid id) tie-break. The cluster id is a
+    * plain column, so probing is an equi-/semi-join — at scale the inverted
+    * lists shard by cluster and only nProbe lists are scanned per query.
+    */
+  def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int): DataFrame = {
+    val centroids = ivfCentroids(embeddings, idCol, vecCol, numClusters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
+    embeddings
+      .join(broadcast(centroids))
+      .withColumn("_csim", cosine(col(vecCol), col("_cvec")))
+      .withColumn("_crn", row_number().over(w))
+      .filter(col("_crn") === 1)
+      .select(col(idCol), col(vecCol), col("_cid").as("cluster"))
+  }
+
+  def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int): DataFrame =
+    embeddings.orderBy(col(idCol)).limit(numClusters)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cvec"))
+
+  /** ANN via IVF: rank the query's nProbe nearest clusters, score only
+    * vectors assigned to them. Recall measured against [[bruteForceTopK]]
+    * in the spec.
+    */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, numClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(embeddings, idCol, vecCol, numClusters)
+    val query = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qvec"))
+    val probed = ivfCentroids(embeddings, idCol, vecCol, numClusters)
+      .join(broadcast(query))
+      .select(col("_cid"), cosine(col("_cvec"), col("_qvec")).as("_qsim"))
+      .orderBy(col("_qsim").desc, col("_cid"))
+      .limit(nProbe)
+      .select(col("_cid").as("cluster"))
+    assigned
+      .join(broadcast(probed), Seq("cluster"), "left_semi")
+      .join(broadcast(query))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN via sign-LSH: score only candidates sharing the query's bucket
     * (single probe), then exact-cosine rank. Recall < 1 by construction;
     * measured against [[bruteForceTopK]] in the spec.

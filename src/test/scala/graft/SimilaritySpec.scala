@@ -51,6 +51,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     info(f"sign-LSH single-probe recall@10 = $recall%.2f")
   }
 
+  test("IVF top-k: nProbe=all equals brute force; partial probe has recall") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // probing every cluster must reproduce the exact result
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      numClusters = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact, "nProbe = numClusters must equal brute force")
+    val partial = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      numClusters = 8, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact.map(_._1).toSet & partial).size.toDouble / exact.size
+    info(f"IVF recall@10 with 2/8 probes = $recall%.2f")
+    assert(partial.size == 10)
+  }
+
+  test("salted equi-join is row-identical to the plain join") {
+    import spark.implicits._
+    // skewed big side: key 1 holds most rows
+    val big = (1 to 500).map(i => (if (i <= 400) 1L else (i % 7).toLong, s"v$i"))
+      .toDF("k", "payload")
+    val small = Seq((1L, "one"), (2L, "two"), (5L, "five")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString("|"))
+    val salted = graft.ops.SkewJoin.saltedEquiJoin(big, small, "k", saltBuckets = 8)
+      .select(col("k"), col("payload"), col("name"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(salted == plain)
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = Similarity.hyperplanes(8, 4)
     val b = Similarity.hyperplanes(8, 4)
