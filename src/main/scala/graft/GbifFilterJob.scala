@@ -27,11 +27,15 @@ object GbifFilterJob {
     val cfg = FilterConfig.normalized(cfg0)
     val inputCols = input.columns.toSeq
     val resolved = TaxonomyResolver.resolve(input, backbone, cfg)
-    val tagged = OccurrenceFilter.tagExistsInZone(resolved, occurrence, cfg)
+    val tagged0 = OccurrenceFilter.tagExistsInZone(resolved, occurrence, cfg)
     val withChildren =
-      if (cfg.resolveToRank.isDefined)
+      if (cfg.resolveToRank.isDefined) {
+        // children resolution references `tagged` twice (parent extraction
+        // + final join); persist so the resolve/tag joins run once, not
+        // twice — at scale this halves the input scans
+        val tagged = tagged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         RankResolver.resolveChildren(tagged, backbone, occurrence, cfg)
-      else tagged
+      } else tagged0
     OutputShaper.shape(withChildren, inputCols, cfg, tagMode)
   }
 }

@@ -301,6 +301,15 @@ object SparkEntry {
       DerivedModel.table(s, dir, "documents").select(col("doc_id"),
         graft.text.TextFunctions.fingerprint(col("text")).as("fp"))),
 
+    "x_text_tokens_bpeish" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.bpeishTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    // rolling hash: custom codegen'd expression; rows-only (no SQL loop)
+    "x_text_rolling_hash" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextExpressions.rollingHash(col("text")).as("rhash"))),
+
     // ---- dedup --------------------------------------------------------
     "x_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exactDuplicateGroups(
@@ -558,6 +567,9 @@ object SparkEntry {
 
       "x_text_fingerprint" ->
         s"SELECT doc_id, ${fingerprintSql("text")} AS fp FROM documents",
+
+      "x_text_tokens_bpeish" ->
+        s"SELECT doc_id, ${bpeishTokenCountSql("text")} AS n_bpe_tokens FROM documents",
 
       "x_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -92,4 +92,15 @@ object TextFunctions {
     md5(concat_ws(" ", array_sort(tokens(c))).cast("binary"))
   def fingerprintSql(c: String): String =
     s"md5(array_to_string(list_sort(string_split(trim($c), ' ')), ' '))"
+
+  /** BPE-ish subword token count: the classic GPT-2-style pre-tokenizer
+    * shape restricted to constructs whose semantics are identical in Java
+    * regex (Spark) and RE2 (DuckDB): optional leading space + letter run /
+    * digit run / other-symbol run.
+    */
+  val BpeishPattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+  def bpeishTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeishPattern)).cast("long")
+  def bpeishTokenCountSql(c: String): String =
+    s"len(regexp_extract_all($c, '$BpeishPattern'))"
 }

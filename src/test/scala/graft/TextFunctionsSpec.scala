@@ -1,0 +1,47 @@
+package graft
+
+import graft.text.{RollingHashExpr, TextExpressions, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
+
+  private def one(colExpr: org.apache.spark.sql.Column, text: String): Any = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(colExpr).collect().head.get(0)
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    assert(one(TextFunctions.tokenCount(col("t")), "a quick brown fox") == 4)
+    assert(one(TextFunctions.bpeishTokenCount(col("t")), "hello world") == 2L)
+    assert(one(TextFunctions.bpeishTokenCount(col("t")), "abc123 x-y") == 5L,
+      "letter run, digit run, ' x', '-', 'y'")
+  }
+
+  test("language ID picks the dominant marker set; ties break by priority") {
+    assert(one(TextFunctions.langId(col("t")), "the cat and the hat of a dog") == "en")
+    assert(one(TextFunctions.langId(col("t")), "der hund und die katze und") == "de")
+    assert(one(TextFunctions.langId(col("t")), "el gato los perros que") == "es")
+    assert(one(TextFunctions.langId(col("t")), "le chat et les chiens") == "fr")
+    assert(one(TextFunctions.langId(col("t")), "xyz") == "en", "no markers -> first priority")
+  }
+
+  test("fingerprint is order-invariant; rolling hash is order-sensitive") {
+    val fpA = one(TextFunctions.fingerprint(col("t")), "b a c")
+    val fpB = one(TextFunctions.fingerprint(col("t")), "c b a")
+    assert(fpA == fpB)
+
+    val rhA = one(TextExpressions.rollingHash(col("t")), "b a c")
+    val rhB = one(TextExpressions.rollingHash(col("t")), "c b a")
+    assert(rhA != rhB)
+    // matches the static reference implementation (codegen and eval agree)
+    assert(rhA == RollingHashExpr.hashBytes("b a c".getBytes("UTF-8")))
+  }
+
+  test("quality signals") {
+    assert(one(TextFunctions.wordCount(col("t")), "one two three") == 3)
+    assert(one(TextFunctions.avgWordLen(col("t")), "ab abcd") == 3.0)
+    assert(one(TextFunctions.stopwordScore(col("t")), "the a of and")
+      .asInstanceOf[Int] > 0)
+  }
+}
