@@ -154,6 +154,16 @@ object SparkEntry {
         derivedCfg.copy(geometry = None), maxChildren = Some(5))
     }),
 
+    // ---- full pipeline (J1+J2+J3/J4/A1+T1/T2), tag mode, end to end ----
+    "pipeline_tag_full" -> ((s, dir) =>
+      GbifFilterJob.run(taxa(s, dir), backbone(s, dir), occurrence(s, dir),
+        derivedCfg.copy(geometry = None), tagMode = true)
+        .select(col("row_id"), col("name"), col("taxid"), col("rank"),
+          col("gbif_filter_tag"),
+          array_join(col("gbif_filter_resolved_species_names"), "|").as("resolved_names"),
+          array_join(col("gbif_filter_resolved_species_ids").cast("array<string>"), "|")
+            .as("resolved_ids"))),
+
     // ---- J4 standalone: spatial semi-join over a taxa set -------------
     "j4_spatial_semijoin" -> ((s, dir) =>
       OccurrenceFilter.filterInZone(
@@ -445,6 +455,35 @@ object SparkEntry {
         |    ORDER BY canonicalName, key) <= 5)""".stripMargin)(
       """SELECT c.parentKey, c.key, c.canonicalName
         |FROM capped c JOIN inzone z ON c.key = z.taxonKey""".stripMargin),
+
+    "pipeline_tag_full" -> withCtes(DerivedSql.taxa, DerivedSql.backbone,
+      DerivedSql.occurrence, DerivedSql.resolved, inzoneCte,
+      """tagged AS (
+        |  SELECT r.row_id, r.name, r.taxid, r.rank, r.resolved_taxid, r.resolved_rank,
+        |         CASE WHEN r.resolved_taxid IS NULL THEN NULL
+        |              ELSE z.taxonKey IS NOT NULL END AS gbif_filter_tag
+        |  FROM resolved r LEFT JOIN inzone z ON r.resolved_taxid = z.taxonKey),
+        |parents AS (
+        |  SELECT DISTINCT resolved_taxid AS parent FROM tagged
+        |  WHERE gbif_filter_tag AND resolved_rank IN ('FAMILY', 'GENUS')
+        |    AND resolved_rank <> 'SPECIES'),
+        |kids AS (
+        |  SELECT DISTINCT p.parent, b.key, b.canonicalName
+        |  FROM parents p
+        |  JOIN backbone b ON (b.key % 100 = p.parent OR b.key % 10 = p.parent)
+        |  JOIN inzone z ON b.key = z.taxonKey
+        |  WHERE b.taxonomicStatus = 'ACCEPTED' AND b.rank = 'SPECIES'
+        |    AND b.habitat = 'TERRESTRIAL'),
+        |lists AS (
+        |  SELECT parent,
+        |    array_to_string(list(canonicalName ORDER BY canonicalName, key), '|') AS resolved_names,
+        |    array_to_string(list(CAST(key AS VARCHAR) ORDER BY canonicalName, key), '|') AS resolved_ids
+        |  FROM kids GROUP BY parent)""".stripMargin)(
+      """SELECT t.row_id, t.name, t.taxid, t.rank, t.gbif_filter_tag,
+        |       l.resolved_names, l.resolved_ids
+        |FROM tagged t LEFT JOIN lists l ON t.resolved_taxid = l.parent
+        |  AND t.gbif_filter_tag AND t.resolved_rank IN ('FAMILY', 'GENUS')
+        |  AND t.resolved_rank <> 'SPECIES'""".stripMargin),
 
     "j4_spatial_semijoin" -> withCtes(DerivedSql.backbone, DerivedSql.occurrence, inzoneCte)(
       """SELECT key FROM backbone b JOIN inzone z ON b.key = z.taxonKey
