@@ -284,7 +284,30 @@ object SparkEntry {
         .withColumn("rnk", dense_rank().over(w))
         .filter(col("rnk") <= 3)
         .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rnk"))
-    })
+    }),
+
+    "j5_anti_join" -> ((s, dir) => {
+      val orderKeys = DerivedModel.table(s, dir, "orders").select(col("o_custkey"))
+      DerivedModel.table(s, dir, "customer")
+        .join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "j6_full_outer" -> ((s, dir) => {
+      val cust = DerivedModel.table(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+      val supp = DerivedModel.table(s, dir, "supplier")
+        .filter(col("s_acctbal") > 5000)
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+    }),
+
+    "f_json_extract" -> ((s, dir) =>
+      DerivedModel.events(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val")))
   )
 
   /** North-star extension operators (dedup / similarity / text /
@@ -569,7 +592,24 @@ object SparkEntry {
         |  SELECT p_brand, p_partkey, p_retailprice,
         |    CAST(dense_rank() OVER (PARTITION BY p_brand
         |      ORDER BY p_retailprice DESC) AS INTEGER) AS rnk
-        |  FROM part) WHERE rnk <= 3""".stripMargin
+        |  FROM part) WHERE rnk <= 3""".stripMargin,
+
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "j6_full_outer" ->
+      """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey, c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |      WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |      WHERE s_acctbal > 5000 GROUP BY s_nationkey) s
+        |ON c.c_nationkey = s.s_nationkey""".stripMargin,
+
+    "f_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events""".stripMargin
   )
 
   /** Shared CTEs for the n-gram Jaccard oracle (exact pairwise similarity
