@@ -71,7 +71,7 @@ object Dedup {
     val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
     val a = ngFiltered.select(col("_id").as("id_a"), col("ngram"))
     val b = ngFiltered.select(col("_id").as("id_b"), col("ngram"))
-    val inter = a.join(b, Seq("ngram"))
+    val inter = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("ngram"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
