@@ -77,6 +77,18 @@ object Multimodal {
     }
   }
 
+  /** Resize plumbing: recompute target dimensions preserving aspect ratio
+    * (the geometry math is real; the pixel resampling would live in the
+    * codec and is stubbed like decode). Pure column math — runs at scan
+    * speed.
+    */
+  def resizeMeta(features: Dataset[MediaFeatures], maxDim: Int): DataFrame =
+    features.toDF().withColumn("scale",
+      least(lit(1.0), lit(maxDim) / greatest(col("width"), col("height"))))
+      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+      .drop("scale")
+
   /** Frame-sampling plumbing demo: every k-th byte of the payload as a
     * "frame" offset list — the partition/batch shape of video frame
     * sampling with the sampler stubbed.

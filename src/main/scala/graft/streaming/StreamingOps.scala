@@ -72,6 +72,20 @@ object StreamingOps {
         sum(valueCents(col("value"))).as("value_cents"))
   }
 
+  /** Streaming exactly-once dedup: `dropDuplicates` on the event key with
+    * a watermark bounding the dedup state — the standard Structured
+    * Streaming idiom for at-least-once sources. State holds only keys
+    * newer than the watermark, so memory is bounded by (rate x watermark),
+    * not stream length.
+    */
+  def streamingDedup(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, watermark: String = "2 hours"): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
   /** Streaming sessionization shape: `flatMapGroupsWithState` is the
     * general tool, but for gap-based sessions Spark's built-in
     * `session_window` expresses the same semantics declaratively — state

@@ -24,6 +24,21 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("resize preserves aspect ratio, never upscales") {
+    val docs = DerivedModel.table(spark, dir, "documents")
+    val resized = Multimodal.resizeMeta(
+      Multimodal.decodeFeatures(Multimodal.toMediaRecords(docs)), maxDim = 256)
+      .collect()
+    resized.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(math.max(ow, oh) <= 256)
+      assert(ow <= w && oh <= h, "never upscale")
+      // aspect ratio preserved within rounding
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.05)
+    }
+  }
+
   test("frame-offset sampling strides the payload") {
     val docs = DerivedModel.table(spark, dir, "documents").limit(5)
     val offsets = Multimodal.sampleFrameOffsets(Multimodal.toMediaRecords(docs), stride = 100)

@@ -39,6 +39,26 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup drops replayed events, watermark-bounded state") {
+    val batchDf = spark.read.parquet(eventsMicros)
+    // replay the source twice (at-least-once delivery) into one stream dir
+    val dupPath = s"${System.getProperty("java.io.tmpdir")}/graft_events_dup"
+    batchDf.write.mode("overwrite").parquet(dupPath)
+    batchDf.write.mode("append").parquet(dupPath)
+
+    val sq = StreamingOps.streamingDedup(spark, dupPath, batchDf)
+      .writeStream
+      .format("memory")
+      .queryName("graft_dedup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination(120000)
+    val got = spark.table("graft_dedup_test").count()
+    assert(got == batchDf.count(),
+      s"doubled source must dedup back to ${batchDf.count()} events, got $got")
+  }
+
   test("streaming session_window produces sessions consistent with batch gap logic") {
     val batchDf = spark.read.parquet(eventsMicros)
     val sq = StreamingOps.streamingSessionize(spark, eventsMicros, batchDf, gap = "30 minutes")
