@@ -307,7 +307,20 @@ object SparkEntry {
 
     "f_json_extract" -> ((s, dir) =>
       DerivedModel.events(s, dir).select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_val")))
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))),
+
+    "f_explode_lineage" -> ((s, dir) =>
+      backbone(s, dir).select(col("key"),
+        explode(col("higherTaxonKeys")).as("ancestor"))),
+
+    "agg_pivot" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o")))
   )
 
   /** North-star extension operators (dedup / similarity / text /
@@ -609,7 +622,16 @@ object SparkEntry {
 
     "f_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "f_explode_lineage" -> withCtes(DerivedSql.backbone)(
+      """SELECT key, unnest([key % 100, key % 10]) AS ancestor FROM backbone"""),
+
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 
   /** Shared CTEs for the n-gram Jaccard oracle (exact pairwise similarity

@@ -20,6 +20,8 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       // the deployment route for the custom expressions; GraftExtensionsSpec
       // asserts they resolve from plain SQL text
       .withExtensions(new graft.GraftExtensions)
