@@ -1,9 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user running totals carried as explicit state (see
+  * [[StreamingOps.statefulUserTotals]]). */
+final case class UserRunningTotal(user_id: Long, n_events: Long, value_cents: Long)
 
 /** Streaming operators over the `events` table shape (event_id, ts,
   * user_id, event_type, value, props): tumbling-window aggregation and
@@ -85,6 +89,38 @@ object StreamingOps {
       .parquet(sourcePath)
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /** Custom streaming state via `flatMapGroupsWithState`: per-user running
+    * totals that survive across micro-batches. The state is an explicit
+    * case class per key — the general tool when built-in
+    * windows/session_window can't express the semantics (escalating
+    * counters, custom eviction, cross-event machines). Update-mode output
+    * emits the refreshed total for each user seen in the batch.
+    */
+  def statefulUserTotals(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame): Dataset[UserRunningTotal] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunningTotal, UserRunningTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[(Long, Double)], state: GroupState[UserRunningTotal]) =>
+          val prev = state.getOption.getOrElse(UserRunningTotal(uid, 0L, 0L))
+          var n = prev.n_events
+          var cents = prev.value_cents
+          events.foreach { case (_, v) =>
+            n += 1
+            cents += math.floor(v * 100 + 0.5).toLong
+          }
+          val next = UserRunningTotal(uid, n, cents)
+          state.update(next)
+          Iterator(next)
+      }
+  }
 
   /** Streaming sessionization shape: `flatMapGroupsWithState` is the
     * general tool, but for gap-based sessions Spark's built-in

@@ -59,6 +59,29 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
       s"doubled source must dedup back to ${batchDf.count()} events, got $got")
   }
 
+  test("flatMapGroupsWithState running totals equal batch aggregation") {
+    val batchDf = spark.read.parquet(eventsMicros)
+    val sq = StreamingOps.statefulUserTotals(spark, eventsMicros, batchDf)
+      .writeStream
+      .format("memory")
+      .queryName("graft_state_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination(120000)
+    // keep the LAST update per user (multiple micro-batches emit multiple)
+    val got = spark.sql(
+      """SELECT user_id, max(n_events) AS n, max(value_cents) AS cents
+        |FROM graft_state_test GROUP BY user_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val expected = batchDf.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          StreamingOps.valueCents(org.apache.spark.sql.functions.col("value"))).as("cents"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("streaming session_window produces sessions consistent with batch gap logic") {
     val batchDf = spark.read.parquet(eventsMicros)
     val sq = StreamingOps.streamingSessionize(spark, eventsMicros, batchDf, gap = "30 minutes")
