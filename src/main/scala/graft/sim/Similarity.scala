@@ -60,10 +60,13 @@ object Similarity {
       sqrt(SimExpressions.dot(col(vecCol), col(vecCol))).as("_nnorm"))
     val a = normed.select(col("_nid").as("id_a"), col("_nvec").as("_va"), col("_nnorm").as("_na"))
     val b = normed.select(col("_nid").as("id_b"), col("_nvec").as("_vb"), col("_nnorm").as("_nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))).as("cosine"))
-      .filter(col("cosine") >= tau)
+    val cosineExpr =
+      SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))
+    // evaluate the threshold INSIDE the join condition: the nested-loop
+    // join then only materializes matching pairs instead of copying both
+    // vectors for every candidate combination (~3x at low parallelism)
+    a.join(b, col("id_a") < col("id_b") && cosineExpr >= tau)
+      .select(col("id_a"), col("id_b"), cosineExpr.as("cosine"))
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (fixed seed) for
