@@ -370,6 +370,12 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2)),
 
+    "x_dedup_groups" -> ((s, dir) =>
+      graft.dedup.Dedup.duplicateGroups(
+        graft.dedup.Dedup.minhashNearDuplicates(
+          DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+          n = 3, tau = 0.8))),
+
     "x_dedup_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash64(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text")

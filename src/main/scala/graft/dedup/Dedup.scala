@@ -154,6 +154,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---------------- duplicate groups (connected components) ----------------
+
+  /** Resolve near-dup *pairs* into duplicate *groups*: connected
+    * components over the pair graph by iterative label propagation
+    * (each node adopts the minimum label among itself and its neighbors
+    * until fixpoint). Returns (_id, group_id) where group_id is the
+    * minimum member id of the component — the canonical "survivor".
+    *
+    * Distributed-safe: each iteration is one join + one aggregation on the
+    * (undirected) edge list; convergence takes O(diameter) iterations and
+    * near-dup components are shallow in practice (`maxIterations` guards
+    * pathological chains). Driver only orchestrates the loop — no data is
+    * collected, only a converged flag.
+    */
+  def duplicateGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("_id")).distinct()
+      .withColumn("group_id", col("_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("_id"))
+        .groupBy(col("src")).agg(min(col("group_id")).as("_nbr_min"))
+      val updated = labels
+        .join(neighborMin, labels("_id") === neighborMin("src"), "left")
+        .select(col("_id"),
+          least(col("group_id"), coalesce(col("_nbr_min"), col("group_id")))
+            .as("group_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.join(labels.withColumnRenamed("group_id", "_old"), Seq("_id"))
+        .filter(col("group_id") =!= col("_old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-dup removal: MinHash near-dup pairs -> connected
+    * components -> keep each group's minimum id. Returns the surviving
+    * rows of `df`.
+    */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDuplicates(df, idCol, textCol, n, tau)
+    val groups = duplicateGroups(pairs)
+    val losers = groups.filter(col("_id") =!= col("group_id"))
+      .select(col("_id").as("_graft_loser"))
+    df.join(losers, df(idCol) === col("_graft_loser"), "left_anti")
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash over distinct tokens: per bit, the sign of the sum of

@@ -49,6 +49,38 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(exact.nonEmpty, "test data should contain planted near-dups")
   }
 
+  test("duplicate groups: connected components match driver-side union-find") {
+    import spark.implicits._
+    // two components: {1,2,3} via chain 1-2, 2-3; {7,9}; singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("nearDedup keeps one representative per near-dup component") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", n = 3, tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find as the oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = parent.keys.filter(k => find(k) != k).toSet
+    val expectedCount = docs.count() - losers.size
+
+    val kept = Dedup.nearDedup(docs, "doc_id", "text", n = 3, tau = 0.8)
+    assert(kept.count() == expectedCount)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(losers.forall(!keptIds.contains(_)))
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val hashes = Dedup.simhash64(corpus, "doc_id", "text")
     val pairs = Dedup.simhashPairs(hashes, maxHamming = 10)
