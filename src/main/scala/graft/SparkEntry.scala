@@ -370,11 +370,12 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2)),
 
+    // near-dup components are pairs/stars here (diameter <= 2)
     "x_dedup_groups" -> ((s, dir) =>
       graft.dedup.Dedup.duplicateGroups(
         graft.dedup.Dedup.minhashNearDuplicates(
           DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-          n = 3, tau = 0.8))),
+          n = 3, tau = 0.8), iterations = 2)),
 
     "x_dedup_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash64(

@@ -156,39 +156,63 @@ object Dedup {
 
   // ---------------- duplicate groups (connected components) ----------------
 
-  /** Resolve near-dup *pairs* into duplicate *groups*: connected
-    * components over the pair graph by iterative label propagation
-    * (each node adopts the minimum label among itself and its neighbors
-    * until fixpoint). Returns (_id, group_id) where group_id is the
-    * minimum member id of the component — the canonical "survivor".
-    *
-    * Distributed-safe: each iteration is one join + one aggregation on the
-    * (undirected) edge list; convergence takes O(diameter) iterations and
-    * near-dup components are shallow in practice (`maxIterations` guards
-    * pathological chains). Driver only orchestrates the loop — no data is
-    * collected, only a converged flag.
-    */
-  def duplicateGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+  private def undirectedEdges(pairs: DataFrame, idA: String, idB: String): DataFrame =
+    pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+
+  private def propagateOnce(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val neighborMin = edges
+      .join(labels, edges("dst") === labels("_id"))
+      .groupBy(col("src")).agg(min(col("group_id")).as("_nbr_min"))
+    labels
+      .join(neighborMin, labels("_id") === neighborMin("src"), "left")
+      .select(col("_id"),
+        least(col("group_id"), coalesce(col("_nbr_min"), col("group_id")))
+          .as("group_id"))
+  }
+
+  /** Resolve near-dup *pairs* into duplicate *groups*: connected
+    * components by min-label propagation (each node adopts the minimum
+    * label among itself and its neighbors). Returns (_id, group_id) with
+    * group_id = the component's minimum member id — the canonical
+    * "survivor".
+    *
+    * This variant unrolls a FIXED number of iterations into one lazy plan
+    * — a single Spark job, no driver-side actions. Exact when the
+    * component graph diameter <= iterations; near-dup components are
+    * shallow (pairs and small stars), so the default covers them with
+    * slack. For graphs of unknown diameter use
+    * [[duplicateGroupsConverged]].
+    */
+  def duplicateGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      iterations: Int = 6): DataFrame = {
+    val edges = undirectedEdges(pairs, idA, idB)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("_id")).distinct()
       .withColumn("group_id", col("_id"))
+    (0 until iterations).foreach(_ => labels = propagateOnce(labels, edges))
+    labels
+  }
+
+  /** Convergence-checked label propagation for graphs of unknown diameter:
+    * iterates until a fixpoint (checked with a limit-1 existence probe, no
+    * data collected), up to `maxIterations`.
+    */
+  def duplicateGroupsConverged(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIterations: Int = 20): DataFrame = {
+    val edges = undirectedEdges(pairs, idA, idB)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("_id")).distinct()
+      .withColumn("group_id", col("_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("_id"))
-        .groupBy(col("src")).agg(min(col("group_id")).as("_nbr_min"))
-      val updated = labels
-        .join(neighborMin, labels("_id") === neighborMin("src"), "left")
-        .select(col("_id"),
-          least(col("group_id"), coalesce(col("_nbr_min"), col("group_id")))
-            .as("group_id"))
+      val updated = propagateOnce(labels, edges)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.join(labels.withColumnRenamed("group_id", "_old"), Seq("_id"))
+      val changed = updated
+        .join(labels.withColumnRenamed("group_id", "_old"), Seq("_id"))
         .filter(col("group_id") =!= col("_old")).limit(1).count()
       labels = updated
       converged = changed == 0
