@@ -264,6 +264,11 @@ object SparkEntry {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))),
 
+    "agg_median" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(median(floor(col("l_extendedprice") * 100 + 0.5)).as("median_price_cents"))),
+
     "f_date_extract" -> ((s, dir) =>
       DerivedModel.table(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("o_year"),
@@ -594,6 +599,11 @@ object SparkEntry {
     "agg_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_median" ->
+      """SELECT l_returnflag,
+        |  median(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS median_price_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "f_date_extract" ->
