@@ -3,10 +3,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to every core: the target box is local[32] (driver contract);
+    // an unset env must not silently run 8x underparallelized
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -31,6 +36,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may persist intermediates (e.g. shingle relations);
       // drop them so queries are timed independently
+      Persisted.unpersistAll()
       spark.catalog.clearCache()
       name -> dt
     }

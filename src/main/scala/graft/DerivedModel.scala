@@ -37,9 +37,15 @@ object DerivedModel {
   /** The events table ships TIMESTAMP(NANOS) parquet, which Spark rejects
     * by default; read nanos as long and convert to a micros timestamp
     * (lossless here: the generator emits micro-precision values).
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
+    * construction (set by Verify/Bench/GbifFilterApp/tests) — deliberately
+    * NOT mutated here, so a query builder never silently changes global
+    * session state for later reads.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): set spark.sql.legacy.parquet.nanosAsLong=true on the session")
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

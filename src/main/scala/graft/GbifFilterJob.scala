@@ -32,8 +32,10 @@ object GbifFilterJob {
       if (cfg.resolveToRank.isDefined) {
         // children resolution references `tagged` twice (parent extraction
         // + final join); persist so the resolve/tag joins run once, not
-        // twice — at scale this halves the input scans
-        val tagged = tagged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // twice — at scale this halves the input scans. Released by the
+        // caller via graft.Persisted.unpersistAll() once materialized.
+        val tagged = Persisted.track(tagged0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         RankResolver.resolveChildren(tagged, backbone, occurrence, cfg)
       } else tagged0
     OutputShaper.shape(withChildren, inputCols, cfg, tagMode)

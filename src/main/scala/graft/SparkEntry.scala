@@ -195,7 +195,10 @@ object SparkEntry {
 
     // ---- K1: CSV sink round-trip (NA semantics) -----------------------
     "k1_csv_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_k1_csv"
+      // path is per-(sf,process): concurrent runs (e.g. Verify + Bench)
+      // must not clobber each other's roundtrip output
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_k1_csv_" +
+        s"${new java.io.File(dir).getName}_${ProcessHandle.current().pid()}"
       val df = taxa(s, dir).selectExpr("CAST(row_id AS STRING) AS row_id_str",
         "name", "taxid", "rank")
       graft.sources.Sources.writeCsv(df, out, sep = ";")
@@ -325,7 +328,47 @@ object SparkEntry {
         .agg(count(lit(1)))
         .select(col("l_returnflag"),
           coalesce(col("F"), lit(0L)).as("n_f"),
-          coalesce(col("O"), lit(0L)).as("n_o")))
+          coalesce(col("O"), lit(0L)).as("n_o"))),
+
+    "agg_cube" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(floor(col("l_quantity") * 100 + 0.5)).as("qty_cents"))),
+
+    "set2_intersect" -> ((s, dir) => {
+      val big = DerivedModel.table(s, dir, "orders")
+        .filter(col("o_totalprice") > 200000).select(col("o_custkey")).distinct()
+      val recent = DerivedModel.table(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995).select(col("o_custkey")).distinct()
+      big.intersect(recent)
+    }),
+
+    "w3_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      DerivedModel.table(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          lag(floor(col("l_extendedprice") * 100 + 0.5), 1).over(w).as("prev_cents"),
+          lead(floor(col("l_extendedprice") * 100 + 0.5), 1).over(w).as("next_cents"))
+    }),
+
+    // ---- as-of join (union-tag formulation, one shuffle, no join blowup)
+    "x_asof_join" -> ((s, dir) => {
+      val ev = DerivedModel.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purch_event_id"), col("value").as("purch_value"))
+      graft.ops.AsofJoin.backward(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("purch_event_id", "purch_value"), strict = true)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("asof_purch_event_id").as("purch_event_id"),
+          col("asof_purch_value").as("purch_value"))
+    })
   )
 
   /** North-star extension operators (dedup / similarity / text /
@@ -406,6 +449,15 @@ object SparkEntry {
       graft.sim.Similarity.ivfTopK(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10, numClusters = 16, nProbe = 4)),
+
+    "x_ann_ivf_kmeans" -> ((s, dir) =>
+      graft.sim.Similarity.ivfTopKTrained(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, numClusters = 16, nProbe = 4, trainIterations = 2)),
+
+    "x_knn_topk" -> ((s, dir) =>
+      graft.sim.Similarity.knnJoin(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)),
 
     // ---- multimodal plumbing ------------------------------------------
     "x_multimodal_features" -> ((s, dir) =>
@@ -648,7 +700,37 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
         |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "set2_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995""".stripMargin,
+
+    "w3_lag_lead" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  lag(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice) AS prev_cents,
+        |  lead(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice) AS next_cents
+        |FROM lineitem""".stripMargin,
+
+    "x_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+        |SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+        |       r.event_id AS purch_event_id, r.value AS purch_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts""".stripMargin
   )
 
   /** Shared CTEs for the n-gram Jaccard oracle (exact pairwise similarity
@@ -708,6 +790,14 @@ object SparkEntry {
         s"""SELECT b.vec_id, $cos AS cosine
            |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
            |ORDER BY cosine DESC, b.vec_id LIMIT 10""".stripMargin,
+
+      "x_knn_topk" ->
+        s"""SELECT vec_id, neighbor_id, cosine, rnk FROM (
+           |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cos AS cosine,
+           |    CAST(row_number() OVER (PARTITION BY a.vec_id
+           |      ORDER BY $cos DESC, b.vec_id) AS INTEGER) AS rnk
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+           |WHERE rnk <= 5""".stripMargin,
 
       "x_multimodal_features" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

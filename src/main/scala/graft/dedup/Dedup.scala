@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.Persisted
 import graft.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -59,16 +60,21 @@ object Dedup {
     // the shingle relation feeds both join sides and the per-doc counts —
     // without persist Spark recomputes the explode 4x (no exchange reuse
     // across mixed broadcast/shuffle strategies)
-    val ng = shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ng = Persisted.track(shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ngFiltered = maxDf match {
       case Some(m) =>
         val keep = ng.groupBy(col("ngram")).count().filter(col("count") <= m)
           .select(col("ngram"))
-        ng.join(keep, Seq("ngram"), "left_semi")
+        Persisted.track(ng.join(keep, Seq("ngram"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       case None => ng
     }
-    val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+    // per-doc counts over the SAME (filtered) shingle universe as the
+    // intersection, so Jaccard is exact over that universe — mixing the
+    // unfiltered denominator with a filtered numerator would systematically
+    // underestimate similarity
+    val cnt = ngFiltered.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
     val a = ngFiltered.select(col("_id").as("id_a"), col("ngram"))
     val b = ngFiltered.select(col("_id").as("id_b"), col("ngram"))
     val inter = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("ngram"))
@@ -129,8 +135,8 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.8,
       numHashes: Int = 32, rowsPerBand: Int = 2): DataFrame = {
-    val ng = shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ng = Persisted.track(shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("ngram"))).as(s"_h$i"))
     val sigs = ng.groupBy(col("_id"))
@@ -139,10 +145,13 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))
     val cand = lshCandidatePairs(sigs, numHashes, rowsPerBand)
     val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+    // intersection sizes via an equi-join on (id, ngram): the second join
+    // keys on BOTH the doc id and the shingle, so per candidate pair we
+    // stream |shingles(a)| probe rows — never the |a| x |b| cross product a
+    // join-on-id-then-filter shape would materialize
     val inter = cand
       .join(ng.select(col("_id").as("id_a"), col("ngram")), Seq("id_a"))
-      .join(ng.select(col("_id").as("id_b"), col("ngram").as("ngram_b")), Seq("id_b"))
-      .filter(col("ngram") === col("ngram_b"))
+      .join(ng.select(col("_id").as("id_b"), col("ngram")), Seq("id_b", "ngram"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -187,8 +196,12 @@ object Dedup {
     */
   def duplicateGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       iterations: Int = 6): DataFrame = {
-    val edges = undirectedEdges(pairs, idA, idB)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pairs may be an expensive upstream plan (e.g. the full MinHash
+    // pipeline); undirectedEdges references it twice, so persist it first
+    val p = Persisted.track(pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val edges = Persisted.track(undirectedEdges(p, idA, idB)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var labels = edges.select(col("src").as("_id")).distinct()
       .withColumn("group_id", col("_id"))
     (0 until iterations).foreach(_ => labels = propagateOnce(labels, edges))
@@ -201,8 +214,10 @@ object Dedup {
     */
   def duplicateGroupsConverged(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIterations: Int = 20): DataFrame = {
-    val edges = undirectedEdges(pairs, idA, idB)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = Persisted.track(pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val edges = Persisted.track(undirectedEdges(p, idA, idB)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var labels = edges.select(col("src").as("_id")).distinct()
       .withColumn("group_id", col("_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -214,11 +229,12 @@ object Dedup {
       val changed = updated
         .join(labels.withColumnRenamed("group_id", "_old"), Seq("_id"))
         .filter(col("group_id") =!= col("_old")).limit(1).count()
+      labels.unpersist(false) // superseded iteration state
       labels = updated
       converged = changed == 0
       iter += 1
     }
-    labels
+    Persisted.track(labels)
   }
 
   /** End-to-end near-dup removal: MinHash near-dup pairs -> connected

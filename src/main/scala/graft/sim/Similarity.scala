@@ -96,17 +96,9 @@ object Similarity {
     * lists shard by cluster and only nProbe lists are scanned per query.
     */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-      numClusters: Int): DataFrame = {
-    val centroids = ivfCentroids(embeddings, idCol, vecCol, numClusters)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
-    embeddings
-      .join(broadcast(centroids))
-      .withColumn("_csim", cosine(col(vecCol), col("_cvec")))
-      .withColumn("_crn", row_number().over(w))
-      .filter(col("_crn") === 1)
-      .select(col(idCol), col(vecCol), col("_cid").as("cluster"))
-  }
+      numClusters: Int): DataFrame =
+    assignToCentroids(embeddings, idCol, vecCol,
+      ivfCentroids(embeddings, idCol, vecCol, numClusters))
 
   def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       numClusters: Int): DataFrame =
@@ -137,18 +129,124 @@ object Similarity {
       .limit(k)
   }
 
-  /** ANN via sign-LSH: score only candidates sharing the query's bucket
-    * (single probe), then exact-cosine rank. Recall < 1 by construction;
-    * measured against [[bruteForceTopK]] in the spec.
+  /** ANN via sign-LSH: score only candidates sharing one of the probe
+    * buckets, then exact-cosine rank. `probeHamming = 0` is classic
+    * single-probe; `1` (default) is multi-probe — also scan the buckets
+    * whose code differs from the query's by one bit (the most likely
+    * boundary misses), which multiplies recall at (numPlanes+1)x candidate
+    * cost, still a bucket equi-join (no scan of the full collection).
+    * Recall < 1 by construction; measured against [[bruteForceTopK]] in
+    * the spec.
     */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+      queryId: Long, k: Int, numPlanes: Int = 12,
+      probeHamming: Int = 1): DataFrame = {
+    // hyperplane dimensionality comes from the data (first vector), not a
+    // hard-coded constant — a mismatched table must not silently bucket on
+    // truncated dot products
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(dim, numPlanes)
     val bucketed = embeddings.withColumn("_bucket", lshBucket(col(vecCol), planes))
+    val probeCols = col("_bucket") +: (if (probeHamming >= 1)
+      (0 until numPlanes).map(i => col("_bucket").bitwiseXOR(shiftleft(lit(1L), i)))
+      else Seq.empty)
     val query = bucketed.filter(col(idCol) === queryId)
-      .select(col("_bucket").as("_qbucket"), col(vecCol).as("_qvec"))
+      .select(explode(array(probeCols: _*)).as("_qbucket"), col(vecCol).as("_qvec"))
     bucketed
       .join(broadcast(query), col("_bucket") === col("_qbucket"))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("cosine"))
+      .distinct() // a candidate can match several probe buckets? (no — one bucket per row; kept for safety if probeHamming grows)
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact k-nearest-neighbors for EVERY row (all-pairs top-k): score all
+    * pairs, rank per anchor by (cosine desc, neighbor id), keep the top k.
+    *
+    * This is the exact O(n^2) baseline — right for verification scale and
+    * for modest collections (the pair generation broadcasts one side, the
+    * ranking is one hash-partitioned window on the anchor id). At 100 TB,
+    * bucket first (sign-LSH / IVF) so the pair join is an equi-join on
+    * bucket, then run the same window per anchor — same downstream plan,
+    * linear pair count.
+    */
+  def knnJoin(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val a = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("_va"))
+    val b = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(b, col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("_va"), col("_vb")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic distributed k-means for IVF centroid training: init =
+    * the k lowest-id vectors, then `iterations` rounds of (argmax-cosine
+    * assign, per-cluster element-wise mean). Wholly lazy — the loop
+    * unrolls into one plan; each round is a broadcast join (k centroids)
+    * plus two aggregations via posexplode, so it scales like a scan.
+    * Empty clusters keep their previous centroid (left join + coalesce).
+    */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      numClusters: Int, iterations: Int = 3): DataFrame = {
+    var cent = ivfCentroids(embeddings, idCol, vecCol, numClusters)
+    (0 until iterations).foreach { _ =>
+      val assigned = assignToCentroids(embeddings, idCol, vecCol, cent)
+      val means = assigned
+        .select(col("cluster"), posexplode(col(vecCol)))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("_m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("_m")))).as("_pm"))
+        .select(col("cluster").as("_cid"),
+          expr("transform(_pm, x -> CAST(x._m AS FLOAT))").as("_newvec"))
+      cent = cent.join(means, Seq("_cid"), "left")
+        .select(col("_cid"), coalesce(col("_newvec"), col("_cvec")).as("_cvec"))
+    }
+    cent
+  }
+
+  /** Argmax-cosine assignment of every vector to its nearest centroid
+    * (tie-break: lowest centroid id). Broadcast join — centroids are tiny.
+    */
+  private def assignToCentroids(embeddings: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
+    embeddings
+      .join(broadcast(centroids))
+      .withColumn("_csim", cosine(col(vecCol), col("_cvec")))
+      .withColumn("_crn", row_number().over(w))
+      .filter(col("_crn") === 1)
+      .select(col(idCol), col(vecCol), col("_cid").as("cluster"))
+  }
+
+  /** IVF ANN with k-means-trained centroids: same probe mechanics as
+    * [[ivfTopK]], but the coarse quantizer is trained, so inverted lists
+    * are balanced and probes recall more of the true neighborhood.
+    */
+  def ivfTopKTrained(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, numClusters: Int = 16, nProbe: Int = 4,
+      trainIterations: Int = 3): DataFrame = {
+    val cent = kmeansCentroids(embeddings, idCol, vecCol, numClusters, trainIterations)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Persisted.track(cent)
+    val assigned = assignToCentroids(embeddings, idCol, vecCol, cent)
+    val query = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("_qvec"))
+    val probed = cent
+      .join(broadcast(query))
+      .select(col("_cid"), cosine(col("_cvec"), col("_qvec")).as("_qsim"))
+      .orderBy(col("_qsim").desc, col("_cid"))
+      .limit(nProbe)
+      .select(col("_cid").as("cluster"))
+    assigned
+      .join(broadcast(probed), Seq("cluster"), "left_semi")
+      .join(broadcast(query))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))

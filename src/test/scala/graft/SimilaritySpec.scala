@@ -68,6 +68,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(partial.size == 10)
   }
 
+  test("k-means IVF: nProbe=all equals brute force; centroids balanced") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.ivfTopKTrained(emb, "vec_id", "embedding", 0L, 10,
+      numClusters = 8, nProbe = 8, trainIterations = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact, "nProbe = numClusters must equal brute force")
+    Persisted.unpersistAll()
+  }
+
+  test("knnJoin: every row gets k neighbors; row 0's list equals brute force") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val n = emb.count()
+    val knn = Similarity.knnJoin(emb, "vec_id", "embedding", k = 3)
+    assert(knn.count() == n * 3)
+    val forZero = knn.filter(col("vec_id") === 0L)
+      .orderBy(col("rnk"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(forZero == exact)
+  }
+
   test("salted equi-join is row-identical to the plain join") {
     import spark.implicits._
     // skewed big side: key 1 holds most rows
