@@ -474,7 +474,17 @@ object SparkEntry {
     "x_stream_sessionize" -> ((s, dir) =>
       graft.streaming.StreamingOps.sessionize(
         DerivedModel.events(s, dir), gapMillis = 30L * 60 * 1000)
-        .withColumn("session_start", unix_millis(col("session_start"))))
+        .withColumn("session_start", unix_millis(col("session_start")))),
+
+    // interval (range) join: equi on user + bounded time range — the batch
+    // twin of the watermarked stream-stream join
+    "x_interval_join" -> ((s, dir) =>
+      graft.streaming.StreamingOps.clickPurchaseJoinBatch(
+        DerivedModel.events(s, dir))
+        .select(col("click_id"), col("purch_id"), col("user_id"),
+          unix_millis(col("click_ts")).as("click_ts_ms"),
+          unix_millis(col("purch_ts")).as("purch_ts_ms"),
+          col("purch_value")))
   )
 
   def oracleSql: Map[String, String] =
@@ -811,6 +821,15 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+      "x_interval_join" ->
+        """SELECT c.event_id AS click_id, p.event_id AS purch_id, c.user_id,
+          |  epoch_ms(c.ts) AS click_ts_ms, epoch_ms(p.ts) AS purch_ts_ms,
+          |  p.value AS purch_value
+          |FROM events c JOIN events p
+          |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+          | AND c.user_id = p.user_id
+          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
 
       "x_stream_sessionize" ->
         """WITH ordered AS (

@@ -54,9 +54,12 @@ object Similarity {
     */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
       tau: Double): DataFrame = {
-    // precompute each row's norm once (same doubles as computing it per
-    // pair, so the oracle formula dot/(sqrt(na)*sqrt(nb)) is unchanged)
-    val normed = embeddings.select(col(idCol).as("_nid"), col(vecCol).as("_nvec"),
+    // precompute each row's double-cast vector and norm once (same doubles
+    // as computing them per pair, so the oracle formula
+    // dot/(sqrt(na)*sqrt(nb)) is unchanged) — the per-pair work is then a
+    // single codegen'd dot with no per-pair array cast/copy
+    val normed = embeddings.select(col(idCol).as("_nid"),
+      col(vecCol).cast("array<double>").as("_nvec"),
       sqrt(SimExpressions.dot(col(vecCol), col(vecCol))).as("_nnorm"))
     val a = normed.select(col("_nid").as("id_a"), col("_nvec").as("_va"), col("_nnorm").as("_na"))
     val b = normed.select(col("_nid").as("id_b"), col("_nvec").as("_vb"), col("_nnorm").as("_nb"))
@@ -173,13 +176,23 @@ object Similarity {
     */
   def knnJoin(embeddings: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val a = embeddings.select(col(idCol).as("vec_id"), col(vecCol).as("_va"))
-    val b = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vb"))
+    // cast to array<double> and take the norm ONCE per row, not per pair:
+    // the per-pair work drops to a single codegen'd dot product + divide
+    // (dot/(sqrt(aa))*sqrt(bb)) op order is unchanged, so values stay
+    // bit-identical to the per-pair formulation and the oracle)
+    val prepped = embeddings.select(col(idCol).as("_pid"),
+      col(vecCol).cast("array<double>").as("_pvec"))
+      .withColumn("_pnorm", sqrt(SimExpressions.dot(col("_pvec"), col("_pvec"))))
+    val a = prepped.select(col("_pid").as("vec_id"),
+      col("_pvec").as("_va"), col("_pnorm").as("_na"))
+    val b = prepped.select(col("_pid").as("neighbor_id"),
+      col("_pvec").as("_vb"), col("_pnorm").as("_nb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     a.join(b, col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
-        cosine(col("_va"), col("_vb")).as("cosine"))
+        (SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+          .as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }

@@ -122,6 +122,49 @@ object StreamingOps {
       }
   }
 
+  /** Watermarked stream-stream inner join: clicks joined to the purchases
+    * that follow within `horizon`, per user. Both sides carry watermarks
+    * and the join condition bounds the time range in BOTH directions, so
+    * the engine can evict buffered rows once the watermark passes —
+    * bounded state, the requirement for an unbounded 100 TB/day stream
+    * (an unconstrained stream-stream join would buffer forever).
+    */
+  def streamStreamJoin(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, horizon: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    def side(eventType: String, prefix: String) = spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .filter(col("event_type") === eventType)
+      .select(col("event_id").as(s"${prefix}_id"),
+        col("user_id").as(s"${prefix}_user"),
+        col("ts").as(s"${prefix}_ts"),
+        col("value").as(s"${prefix}_value"))
+      .withWatermark(s"${prefix}_ts", watermark)
+    side("click", "click").join(side("purchase", "purch"),
+      expr(s"""click_user = purch_user AND
+              |purch_ts >= click_ts AND
+              |purch_ts <= click_ts + INTERVAL $horizon""".stripMargin))
+      .select(col("click_id"), col("purch_id"), col("click_user").as("user_id"),
+        col("click_ts"), col("purch_ts"), col("purch_value"))
+  }
+
+  /** Batch twin of [[streamStreamJoin]] for equivalence checks. */
+  def clickPurchaseJoinBatch(events: DataFrame, horizon: String = "30 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id").as("purch_user"),
+        col("ts").as("purch_ts"), col("value").as("purch_value"))
+    clicks.join(purchases,
+      expr(s"""user_id = purch_user AND
+              |purch_ts >= click_ts AND
+              |purch_ts <= click_ts + INTERVAL $horizon""".stripMargin))
+      .select(col("click_id"), col("purch_id"), col("user_id"),
+        col("click_ts"), col("purch_ts"), col("purch_value"))
+  }
+
   /** Streaming sessionization shape: `flatMapGroupsWithState` is the
     * general tool, but for gap-based sessions Spark's built-in
     * `session_window` expresses the same semantics declaratively — state

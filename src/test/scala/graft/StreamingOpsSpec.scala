@@ -82,6 +82,24 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val batchDf = spark.read.parquet(eventsMicros)
+    val expected = StreamingOps.clickPurchaseJoinBatch(batchDf)
+      .collect().map(_.toSeq).toSet
+    val sq = StreamingOps.streamStreamJoin(spark, eventsMicros, batchDf)
+      .writeStream
+      .format("memory")
+      .queryName("graft_ssj_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination(120000)
+    val got = spark.table("graft_ssj_test").collect().map(_.toSeq).toSet
+    assert(got == expected,
+      s"stream-stream join (${got.size} rows) != batch join (${expected.size} rows)")
+    assert(got.nonEmpty)
+  }
+
   test("streaming session_window produces sessions consistent with batch gap logic") {
     val batchDf = spark.read.parquet(eventsMicros)
     val sq = StreamingOps.streamingSessionize(spark, eventsMicros, batchDf, gap = "30 minutes")
