@@ -418,12 +418,14 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2)),
 
-    // near-dup components are pairs/stars here (diameter <= 2)
+    // 4 unrolled iterations cover component diameters <= 4 — near-dup
+    // components are cliques/stars in this data (diameter <= 2), checked
+    // exactly against the recursive-CTE components oracle
     "x_dedup_groups" -> ((s, dir) =>
       graft.dedup.Dedup.duplicateGroups(
         graft.dedup.Dedup.minhashNearDuplicates(
           DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-          n = 3, tau = 0.8), iterations = 2)),
+          n = 3, tau = 0.8), iterations = 4)),
 
     "x_dedup_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash64(
@@ -744,20 +746,38 @@ object SparkEntry {
   )
 
   /** Shared CTEs for the n-gram Jaccard oracle (exact pairwise similarity
-    * in DuckDB — also the truth set the MinHash+LSH query must reproduce).
+    * in DuckDB — also the truth set the MinHash+LSH query must reproduce,
+    * and the edge set for the duplicate-groups components oracle).
     */
-  private val ngramJaccardOracle: String = {
-    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+  private val ngramJaccardCtes: String =
+    """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
       |ng AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
       |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
       |cnt AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
       |          FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
-      |          GROUP BY a.doc_id, b.doc_id)
-      |SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-      |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
-      |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8""".stripMargin
-  }
+      |          GROUP BY a.doc_id, b.doc_id),
+      |simpairs AS (
+      |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+      |  FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)""".stripMargin
+
+  private val ngramJaccardOracle: String =
+    s"WITH $ngramJaccardCtes\nSELECT id_a, id_b, jaccard FROM simpairs"
+
+  /** Exact connected components of the near-dup pair graph (transitive
+    * closure via recursive CTE, min reachable id = group id) — the truth
+    * the label-propagation operator must reproduce.
+    */
+  private val dedupGroupsOracle: String =
+    s"""WITH RECURSIVE $ngramJaccardCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM simpairs
+       |          UNION SELECT id_b, id_a FROM simpairs),
+       |reach(a, b) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       |SELECT a AS _id, min(b) AS group_id FROM reach GROUP BY a""".stripMargin
 
   private def extensionOracleSql: Map[String, String] = {
     import graft.text.TextFunctions._
@@ -786,6 +806,23 @@ object SparkEntry {
           |FROM documents GROUP BY md5(text)""".stripMargin,
 
       "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+      "x_dedup_groups" -> dedupGroupsOracle,
+
+      // mod-2^64 polynomial hash replayed in HUGEINT; codepoints == bytes
+      // because this corpus is ASCII (checked) — the engine hashes bytes
+      "x_text_rolling_hash" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    list_reduce(
+          |      list_prepend(0::HUGEINT,
+          |        list_transform(range(1, length(text) + 1), i -> unicode(text[i])::HUGEINT)),
+          |      (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT) AS hu
+          |  FROM documents)
+          |SELECT doc_id, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+          |                         THEN hu - 18446744073709551616::HUGEINT
+          |                         ELSE hu END AS BIGINT) AS rhash
+          |FROM h""".stripMargin,
 
       // MinHash+LSH must reproduce the exact-Jaccard truth set: banding at
       // 16 bands x 2 rows misses a tau=0.8 pair with prob (1-0.64)^16 ~ 1e-7
