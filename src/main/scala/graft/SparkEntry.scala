@@ -40,6 +40,13 @@ object SparkEntry {
   private val inzoneCte =
     s"inzone AS (SELECT DISTINCT taxonKey FROM occurrence WHERE countryCode = '$Country')"
 
+  /** Scratch path for sink round-trip queries — per (sf, process) so
+    * concurrent runs (e.g. Verify + Bench) never clobber each other.
+    */
+  private def tmpPath(dir: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      s"${new java.io.File(dir).getName}_${ProcessHandle.current().pid()}"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     referenceQueries ++ analyticsQueries ++ extensionQueries
 
@@ -195,14 +202,35 @@ object SparkEntry {
 
     // ---- K1: CSV sink round-trip (NA semantics) -----------------------
     "k1_csv_roundtrip" -> ((s, dir) => {
-      // path is per-(sf,process): concurrent runs (e.g. Verify + Bench)
-      // must not clobber each other's roundtrip output
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_k1_csv_" +
-        s"${new java.io.File(dir).getName}_${ProcessHandle.current().pid()}"
+      val out = tmpPath(dir, "k1_csv")
       val df = taxa(s, dir).selectExpr("CAST(row_id AS STRING) AS row_id_str",
         "name", "taxid", "rank")
       graft.sources.Sources.writeCsv(df, out, sep = ";")
       graft.sources.Sources.readTaxaCsv(s, out, sep = ";")
+    }),
+
+    // ---- K2/K3: JSON and ORC sink/source round-trips ------------------
+    "k2_json_roundtrip" -> ((s, dir) => {
+      val out = tmpPath(dir, "k2_json")
+      val df = taxa(s, dir)
+      graft.sources.Sources.writeJson(df, out)
+      graft.sources.Sources.readJson(s, out, df.schema)
+    }),
+
+    "k3_orc_roundtrip" -> ((s, dir) => {
+      val out = tmpPath(dir, "k3_orc")
+      graft.sources.Sources.writeOrc(taxa(s, dir), out)
+      graft.sources.Sources.readOrc(s, out)
+    }),
+
+    // ---- K4: hive-partitioned layout + partition-pruned scan ----------
+    "k4_partitioned_prune" -> ((s, dir) => {
+      val out = tmpPath(dir, "k4_part")
+      graft.sources.Sources.writePartitioned(occurrence(s, dir), out, "countryCode")
+      graft.sources.Sources.readPartitioned(s, out)
+        .filter(col("countryCode") === Country)
+        .select(col("taxonKey"), col("decimalLatitude"),
+          col("decimalLongitude"), col("countryCode"))
     }),
 
     // ---- L1: prefixed taxid parse/format ------------------------------
@@ -461,6 +489,12 @@ object SparkEntry {
       graft.sim.Similarity.knnJoin(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)),
 
+    // same result via the top-k UDAF (map-side combine) — benched head-to-
+    // head against the window formulation; shares the window query's oracle
+    "x_knn_topk_agg" -> ((s, dir) =>
+      graft.sim.Similarity.knnJoinAgg(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)),
+
     // ---- multimodal plumbing ------------------------------------------
     "x_multimodal_features" -> ((s, dir) =>
       graft.multimodal.Multimodal.decodeFeatures(
@@ -621,6 +655,16 @@ object SparkEntry {
 
     "k1_csv_roundtrip" -> withCtes(DerivedSql.taxa)(
       "SELECT CAST(row_id AS VARCHAR) AS row_id_str, name, taxid, rank FROM taxa"),
+
+    "k2_json_roundtrip" -> withCtes(DerivedSql.taxa)(
+      "SELECT row_id, name, taxid, rank FROM taxa"),
+
+    "k3_orc_roundtrip" -> withCtes(DerivedSql.taxa)(
+      "SELECT row_id, name, taxid, rank FROM taxa"),
+
+    "k4_partitioned_prune" -> withCtes(DerivedSql.occurrence)(
+      s"""SELECT taxonKey, decimalLatitude, decimalLongitude, countryCode
+         |FROM occurrence WHERE countryCode = '$Country'""".stripMargin),
 
     "l1_taxid_parse" -> withCtes(DerivedSql.backbone)(
       """SELECT 'GBIF:' || CAST(key AS VARCHAR) AS prefixed,
@@ -839,6 +883,14 @@ object SparkEntry {
            |ORDER BY cosine DESC, b.vec_id LIMIT 10""".stripMargin,
 
       "x_knn_topk" ->
+        s"""SELECT vec_id, neighbor_id, cosine, rnk FROM (
+           |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cos AS cosine,
+           |    CAST(row_number() OVER (PARTITION BY a.vec_id
+           |      ORDER BY $cos DESC, b.vec_id) AS INTEGER) AS rnk
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+           |WHERE rnk <= 5""".stripMargin,
+
+      "x_knn_topk_agg" ->
         s"""SELECT vec_id, neighbor_id, cosine, rnk FROM (
            |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cos AS cosine,
            |    CAST(row_number() OVER (PARTITION BY a.vec_id

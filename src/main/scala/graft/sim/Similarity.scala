@@ -197,6 +197,37 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** [[knnJoin]] with the ranking done by the [[graft.functions.TopKAggregator]]
+    * UDAF instead of a window: map-side partial aggregation keeps only each
+    * partition's local top-k per anchor, so the shuffle carries
+    * O(partitions x n x k) rows instead of ALL n^2 scored pairs — the
+    * shape to prefer once the pair count explodes. Output is identical to
+    * [[knnJoin]] (same total order: cosine desc, neighbor id asc).
+    */
+  def knnJoinAgg(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val prepped = embeddings.select(col(idCol).as("_pid"),
+      col(vecCol).cast("array<double>").as("_pvec"))
+      .withColumn("_pnorm", sqrt(SimExpressions.dot(col("_pvec"), col("_pvec"))))
+    val a = prepped.select(col("_pid").as("vec_id"),
+      col("_pvec").as("_va"), col("_pnorm").as("_na"))
+    val b = prepped.select(col("_pid").as("neighbor_id"),
+      col("_pvec").as("_vb"), col("_pnorm").as("_nb"))
+    val scored = a.join(b, col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id").as("_1"),
+        struct(col("neighbor_id").as("id"),
+          (SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+            .as("score")).as("_2"))
+      .as[(Long, graft.functions.ScoredId)]
+    scored.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.TopKAggregator.column(k).name("topk"))
+      .toDF("vec_id", "topk")
+      .select(col("vec_id"), posexplode(col("topk")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Deterministic distributed k-means for IVF centroid training: init =
     * the k lowest-id vectors, then `iterations` rounds of (argmax-cosine
     * assign, per-cluster element-wise mean). Wholly lazy — the loop

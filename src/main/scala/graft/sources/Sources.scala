@@ -70,4 +70,34 @@ object Sources {
       .option("emptyValue", "")
       .csv(path)
   }
+
+  /** JSON-lines sink/source pair. Reading back with an explicit schema —
+    * never inference — keeps the roundtrip exact (inference would widen
+    * absent-on-every-line null columns to string and reorder fields).
+    */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC sink/source pair (types survive natively, like parquet). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partitionCols`. An equality filter on a partition column prunes at
+    * the FILE level (the scan's `PartitionFilters`, no data read at all
+    * for other partitions) — at 100 TB this is the difference between
+    * scanning a country and scanning the planet.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

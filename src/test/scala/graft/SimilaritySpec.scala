@@ -92,6 +92,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(forZero == exact)
   }
 
+  test("knnJoinAgg (top-k UDAF) is row-identical to the window knnJoin") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val win = canon(Similarity.knnJoin(emb, "vec_id", "embedding", k = 4))
+    val agg = canon(Similarity.knnJoinAgg(emb, "vec_id", "embedding", k = 4))
+    assert(agg == win)
+  }
+
   test("salted equi-join is row-identical to the plain join") {
     import spark.implicits._
     // skewed big side: key 1 holds most rows
