@@ -21,15 +21,18 @@ object DerivedModel {
   /** Zone used by derived-model queries (G2). */
   val Country = "NATION_7"
 
-  /** Diamond |lon-20.05| + |lat-10.05| <= 30.001, vertices chosen so no
-    * derived grid point (one-decimal lat/lon) lies within 5e-4 of an edge —
-    * Spark's ray-cast and DuckDB's arithmetic predicate can't disagree on
-    * any point (SURVEY.md §7.5.3 determinism note).
+  /** Diamond |lon+90.05| + |lat-10.05| <= 30.001, centered where the
+    * derived lon grid actually has data (the raw grid never wraps past
+    * lon -18 at small SFs), so G1 selects thousands of rows at every SF.
+    * Vertices chosen so no derived grid point (one-decimal lat/lon) lies
+    * within 1e-3 of an edge — Spark's ray-cast and DuckDB's arithmetic
+    * predicate can't disagree on any point (SURVEY.md §7.5.3 determinism
+    * note).
     */
   val DiamondWkt: String =
-    "POLYGON ((50.051 10.05, 20.05 40.051, -9.951 10.05, 20.05 -19.951, 50.051 10.05))"
+    "POLYGON ((-60.049 10.05, -90.05 40.051, -120.051 10.05, -90.05 -19.951, -60.049 10.05))"
   val DiamondSqlPred: String =
-    "abs(decimalLongitude - 20.05) + abs(decimalLatitude - 10.05) <= 30.001"
+    "abs(decimalLongitude + 90.05) + abs(decimalLatitude - 10.05) <= 30.001"
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
