@@ -446,14 +446,16 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2)),
 
-    // 4 unrolled iterations cover component diameters <= 4 — near-dup
-    // components are cliques/stars in this data (diameter <= 2), checked
-    // exactly against the recursive-CTE components oracle
+    // 3 unrolled iterations cover component diameters <= 3 — near-dup
+    // components here are cliques/stars (diameter <= 2, they are clusters
+    // of mutually-similar clones); the recursive-CTE components oracle
+    // checks exactness every round, so a hypothetical deeper component
+    // fails loudly rather than silently
     "x_dedup_groups" -> ((s, dir) =>
       graft.dedup.Dedup.duplicateGroups(
         graft.dedup.Dedup.minhashNearDuplicates(
           DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-          n = 3, tau = 0.8), iterations = 4)),
+          n = 3, tau = 0.8), iterations = 3)),
 
     "x_dedup_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash64(

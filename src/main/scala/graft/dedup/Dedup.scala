@@ -171,14 +171,16 @@ object Dedup {
       .distinct()
 
   private def propagateOnce(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val neighborMin = edges
+    // min over {self} ∪ neighbors as ONE aggregation: the neighbor labels
+    // (dst's label keyed by src) union the node's own row, then a single
+    // min-groupBy — two shuffles per iteration instead of the three a
+    // join + groupBy + left-join-back shape costs (iteration count times
+    // stage latency is what label propagation pays at any scale)
+    val nbr = edges
       .join(labels, edges("dst") === labels("_id"))
-      .groupBy(col("src")).agg(min(col("group_id")).as("_nbr_min"))
-    labels
-      .join(neighborMin, labels("_id") === neighborMin("src"), "left")
-      .select(col("_id"),
-        least(col("group_id"), coalesce(col("_nbr_min"), col("group_id")))
-          .as("group_id"))
+      .select(col("src").as("_id"), col("group_id"))
+    nbr.unionByName(labels)
+      .groupBy(col("_id")).agg(min(col("group_id")).as("group_id"))
   }
 
   /** Resolve near-dup *pairs* into duplicate *groups*: connected
@@ -197,9 +199,13 @@ object Dedup {
   def duplicateGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       iterations: Int = 6): DataFrame = {
     // pairs may be an expensive upstream plan (e.g. the full MinHash
-    // pipeline); undirectedEdges references it twice, so persist it first
+    // pipeline); undirectedEdges references it twice, and a lazy persist
+    // would let the two union branches RACE to populate the cache —
+    // computing the upstream twice concurrently. Materialize once, then
+    // fan out from the cache.
     val p = Persisted.track(pairs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    p.count()
     val edges = Persisted.track(undirectedEdges(p, idA, idB)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var labels = edges.select(col("src").as("_id")).distinct()
