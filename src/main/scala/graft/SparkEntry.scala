@@ -58,6 +58,27 @@ object SparkEntry {
         .filter(col("l_quantity") < 5)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
 
+    // ---- S4: global sort (RangePartitioning exchange + full Sort) -----
+    "s4_global_sort" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .filter(col("l_quantity") < 3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // ---- J7: big-big sort-merge join (hinted; no broadcast side) ------
+    "j7_sort_merge" -> ((s, dir) => {
+      val li = DerivedModel.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = DerivedModel.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      li.hint("merge")
+        .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5))
+            .as("revenue_cents"))
+    }),
+
     // ---- S3: occurrence source with server-side-style predicates ------
     "s3_occurrence_source" -> ((s, dir) =>
       occurrence(s, dir)
@@ -300,6 +321,20 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(median(floor(col("l_extendedprice") * 100 + 0.5)).as("median_price_cents"))),
 
+    // sketch aggregates — the 100 TB answer to COUNT(DISTINCT)/percentile.
+    // rows-only (HLL/KLL implementations differ across engines by design);
+    // ApproxAggSpec bounds their error against the exact values
+    "agg_approx_distinct" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    "agg_approx_percentile" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(floor(col("l_extendedprice") * 100 + 0.5),
+          lit(0.95), lit(10000)).as("p95_price_cents"))),
+
     "f_date_extract" -> ((s, dir) =>
       DerivedModel.table(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("o_year"),
@@ -462,6 +497,15 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text")
         .select(col("_id").as("doc_id"), col("simhash"))),
 
+    // byte-block banding over the simhashes: candidate pairs within 3 bits
+    // (rows-only: DuckDB lacks xxhash64, so the fingerprints themselves
+    // aren't reproducible there; DedupSpec checks hamming properties)
+    "x_dedup_simhash_pairs" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashPairs(
+        graft.dedup.Dedup.simhash64(
+          DerivedModel.table(s, dir, "documents"), "doc_id", "text"),
+        maxHamming = 3)),
+
     "x_dedup_embed_cosine" -> ((s, dir) =>
       graft.sim.Similarity.cosineNearDupPairs(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.4)),
@@ -531,6 +575,16 @@ object SparkEntry {
   private def referenceOracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity < 5",
+
+    "s4_global_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity < 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "j7_sort_merge" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n_items,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "s3_occurrence_source" -> withCtes(DerivedSql.occurrence)(
       s"""SELECT taxonKey, decimalLatitude, decimalLongitude FROM occurrence
