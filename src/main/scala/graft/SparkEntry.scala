@@ -510,6 +510,14 @@ object SparkEntry {
       graft.sim.Similarity.cosineNearDupPairs(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.4)),
 
+    // the end-to-end near-dedup a training pipeline actually runs:
+    // MinHash pairs -> components -> keep each group's minimum id
+    "x_dedup_near_dedup" -> ((s, dir) =>
+      graft.dedup.Dedup.nearDedup(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.8, iterations = 3)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
     // ---- similarity search --------------------------------------------
     "x_ann_bruteforce" -> ((s, dir) =>
       graft.sim.Similarity.bruteForceTopK(
@@ -908,6 +916,18 @@ object SparkEntry {
       "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
 
       "x_dedup_groups" -> dedupGroupsOracle,
+
+      "x_dedup_near_dedup" ->
+        s"""WITH RECURSIVE $ngramJaccardCtes,
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM simpairs
+           |          UNION SELECT id_b, id_a FROM simpairs),
+           |reach(a, b) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+           |comp AS (SELECT a AS _id, min(b) AS group_id FROM reach GROUP BY a)
+           |SELECT doc_id, lang, source, n_chars FROM documents
+           |WHERE doc_id NOT IN (SELECT _id FROM comp WHERE _id <> group_id)""".stripMargin,
 
       // mod-2^64 polynomial hash replayed in HUGEINT; codepoints == bytes
       // because this corpus is ASCII (checked) — the engine hashes bytes

@@ -248,9 +248,9 @@ object Dedup {
     * rows of `df`.
     */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tau: Double = 0.8): DataFrame = {
+      n: Int = 3, tau: Double = 0.8, iterations: Int = 6): DataFrame = {
     val pairs = minhashNearDuplicates(df, idCol, textCol, n, tau)
-    val groups = duplicateGroups(pairs)
+    val groups = duplicateGroups(pairs, iterations = iterations)
     val losers = groups.filter(col("_id") =!= col("group_id"))
       .select(col("_id").as("_graft_loser"))
     df.join(losers, df(idCol) === col("_graft_loser"), "left_anti")
