@@ -2,10 +2,10 @@ package graft
 
 import graft.geo.PointInPolygonExpr
 import graft.sim.DotProductExpr
-import graft.text.RollingHashExpr
+import graft.text.{RollingHashExpr, ShingleGenerator}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
 
 /** Session-extension entry point: registers the engine's custom Catalyst
   * expressions so any session — including pure SQL users — gets them via
@@ -34,5 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hash"),
       exprs => RollingHashExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleGenerator].getName, "graft_shingles"),
+      exprs => exprs(1) match {
+        case Literal(n: Int, _) => ShingleGenerator(exprs(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles: n must be an integer literal, got $other")
+      }))
   }
 }

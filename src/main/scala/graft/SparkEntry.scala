@@ -399,6 +399,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(floor(col("l_quantity") * 100 + 0.5)).as("qty_cents"))),
 
+    "set3_union" -> ((s, dir) => {
+      val big = DerivedModel.table(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+      val early = DerivedModel.table(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1992).select(col("o_custkey"))
+      big.union(early).distinct()
+    }),
+
+    "f_math_funcs" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod"))),
+
+    "f_map_funcs" -> ((s, dir) =>
+      DerivedModel.events(s, dir).select(col("event_id"),
+        element_at(from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)),
+          "k").as("k_val"),
+        size(map_keys(from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))))
+          .cast("long").as("n_keys"))),
+
     "set2_intersect" -> ((s, dir) => {
       val big = DerivedModel.table(s, dir, "orders")
         .filter(col("o_totalprice") > 200000).select(col("o_custkey")).distinct()
@@ -462,10 +488,16 @@ object SparkEntry {
       DerivedModel.table(s, dir, "documents").select(col("doc_id"),
         graft.text.TextFunctions.bpeishTokenCount(col("text")).as("n_bpe_tokens"))),
 
-    // rolling hash: custom codegen'd expression; rows-only (no SQL loop)
+    // rolling hash: custom codegen'd expression; oracle replays the
+    // mod-2^64 loop in HUGEINT
     "x_text_rolling_hash" -> ((s, dir) =>
       DerivedModel.table(s, dir, "documents").select(col("doc_id"),
         graft.text.TextExpressions.rollingHash(col("text")).as("rhash"))),
+
+    // UDTF: custom Catalyst Generator streaming distinct shingles directly
+    "x_text_shingles" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "documents").select(col("doc_id"),
+        graft.text.ShingleGenerator.shingles(col("text"), 3).as("ngram"))),
 
     // ---- dedup --------------------------------------------------------
     "x_dedup_exact" -> ((s, dir) =>
@@ -832,6 +864,26 @@ object SparkEntry {
         |INTERSECT
         |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995""".stripMargin,
 
+    "set3_union" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |UNION
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1992""".stripMargin,
+
+    "f_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  l_orderkey % 7 AS key_mod
+        |FROM lineitem""".stripMargin,
+
+    "f_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        |FROM events""".stripMargin,
+
     "w3_lag_lead" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  lag(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER (
@@ -928,6 +980,11 @@ object SparkEntry {
            |comp AS (SELECT a AS _id, min(b) AS group_id FROM reach GROUP BY a)
            |SELECT doc_id, lang, source, n_chars FROM documents
            |WHERE doc_id NOT IN (SELECT _id FROM comp WHERE _id <> group_id)""".stripMargin,
+
+      "x_text_shingles" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+          |SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+          |FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)""".stripMargin,
 
       // mod-2^64 polynomial hash replayed in HUGEINT; codepoints == bytes
       // because this corpus is ASCII (checked) — the engine hashes bytes

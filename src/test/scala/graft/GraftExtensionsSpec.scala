@@ -20,4 +20,26 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(row.getDouble(2) == 11.0)
     assert(row.getLong(3) == graft.text.RollingHashExpr.hashBytes("abc".getBytes("UTF-8")))
   }
+
+  test("graft_shingles generator usable from SQL via extensions") {
+    val rows = spark.sql(
+      "SELECT graft_shingles('a b c d a b c d', 3) AS ngram")
+      .collect().map(_.getString(0)).toSeq
+    // distinct shingles, insertion order: the repeated tail dedups
+    assert(rows == Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("shingle generator is row-identical to the array+explode formulation") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    import org.apache.spark.sql.functions.col
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaGenerator = canon(docs.select(col("doc_id"),
+      graft.text.ShingleGenerator.shingles(col("text"), 3).as("ngram")))
+    val viaExplode = canon(
+      graft.dedup.Dedup.shingles(docs, "doc_id", "text", 3)
+        .select(col("_id"), col("ngram")))
+    assert(viaGenerator == viaExplode)
+    assert(viaGenerator.nonEmpty)
+  }
 }
