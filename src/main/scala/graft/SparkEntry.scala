@@ -508,6 +508,15 @@ object SparkEntry {
       graft.dedup.Dedup.ngramJaccardPairs(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.8)),
 
+    // stop-shingle guard: shingles in more than maxDf docs are dropped on
+    // BOTH sides of the Jaccard (numerator and denominator use the same
+    // filtered universe) — the knob that bounds the self-join blowup on
+    // boilerplate at 100 TB. Oracle mirrors the df filter.
+    "x_dedup_ngram_jaccard_maxdf" -> ((s, dir) =>
+      graft.dedup.Dedup.ngramJaccardPairs(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.8, maxDf = Some(10))),
+
     "x_dedup_minhash" -> ((s, dir) =>
       graft.dedup.Dedup.minhashNearDuplicates(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
@@ -966,6 +975,20 @@ object SparkEntry {
           |FROM documents GROUP BY md5(text)""".stripMargin,
 
       "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+      "x_dedup_ngram_jaccard_maxdf" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+          |ng0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+          |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+          |keep AS (SELECT ngram FROM ng0 GROUP BY ngram HAVING count(*) <= 10),
+          |ng AS (SELECT ng0.doc_id, ng0.ngram FROM ng0 JOIN keep USING (ngram)),
+          |cnt AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          |          FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+          |          GROUP BY a.doc_id, b.doc_id)
+          |SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+          |FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+          |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8""".stripMargin,
 
       "x_dedup_groups" -> dedupGroupsOracle,
 
