@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Per-user running totals carried as explicit state (see
   * [[StreamingOps.statefulUserTotals]]). */
@@ -120,6 +121,54 @@ object StreamingOps {
           state.update(next)
           Iterator(next)
       }
+  }
+
+  /** The per-user totals logic of [[StreamingOps.statefulUserTotals]] on
+    * Spark 4's `transformWithState` API: explicit named state slots
+    * ([[ValueState]]) with optional TTL, timers, and multiple state
+    * variables per key — the successor to `flatMapGroupsWithState` for
+    * custom streaming state. Requires the RocksDB state store provider.
+    */
+  class UserTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Double), UserRunningTotal] {
+    @transient private var totals: ValueState[UserRunningTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserRunningTotal]("totals",
+        Encoders.product[UserRunningTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[UserRunningTotal] = {
+      val prev = if (totals.exists()) totals.get() else UserRunningTotal(key, 0L, 0L)
+      var n = prev.n_events
+      var cents = prev.value_cents
+      rows.foreach { case (_, v) =>
+        n += 1
+        cents += math.floor(v * 100 + 0.5).toLong
+      }
+      val next = UserRunningTotal(key, n, cents)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[statefulUserTotals]] rebuilt on `transformWithState` (see
+    * [[UserTotalsProcessor]]). The caller must run with
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider` — the new state API only supports the
+    * RocksDB store (which is also the store a 100 TB deployment wants:
+    * state spills off-heap and snapshots to the checkpoint location).
+    */
+  def transformWithStateTotals(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame): Dataset[UserRunningTotal] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Watermarked stream-stream inner join: clicks joined to the purchases

@@ -82,6 +82,39 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("transformWithState running totals equal batch aggregation") {
+    val batchDf = spark.read.parquet(eventsMicros)
+    // the new state API only runs on the RocksDB store; scope the provider
+    // to this query and restore afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sq = StreamingOps.transformWithStateTotals(spark, eventsMicros, batchDf)
+        .writeStream
+        .format("memory")
+        .queryName("graft_tws_test")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination(120000)
+      val got = spark.sql(
+        """SELECT user_id, max(n_events) AS n, max(value_cents) AS cents
+          |FROM graft_tws_test GROUP BY user_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      val expected = batchDf.groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum(
+            StreamingOps.valueCents(org.apache.spark.sql.functions.col("value"))).as("cents"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join equals the batch join") {
     val batchDf = spark.read.parquet(eventsMicros)
     val expected = StreamingOps.clickPurchaseJoinBatch(batchDf)
