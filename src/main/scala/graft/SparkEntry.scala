@@ -79,6 +79,18 @@ object SparkEntry {
             .as("revenue_cents"))
     }),
 
+    // ---- J8: salted skew join (hot-key spreading; == plain join) ------
+    "j8_salted_skew" -> ((s, dir) => {
+      // occurrence.taxonKey is the skew-prone key (common-species problem)
+      val occ = occurrence(s, dir).select(col("taxonKey"), col("countryCode"))
+      val dim = backbone(s, dir)
+        .filter(col("rank") === "SPECIES")
+        .select(col("key").as("taxonKey"), col("canonicalName"))
+      graft.ops.SkewJoin.saltedEquiJoin(occ, dim, "taxonKey", saltBuckets = 8)
+        .groupBy(col("canonicalName"))
+        .agg(count(lit(1)).as("n_occ"))
+    }),
+
     // ---- S3: occurrence source with server-side-style predicates ------
     "s3_occurrence_source" -> ((s, dir) =>
       occurrence(s, dir)
@@ -634,6 +646,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "j8_salted_skew" -> withCtes(DerivedSql.occurrence, DerivedSql.backbone)(
+      """SELECT b.canonicalName, count(*) AS n_occ
+        |FROM occurrence o JOIN backbone b ON o.taxonKey = b.key
+        |WHERE b.rank = 'SPECIES'
+        |GROUP BY b.canonicalName""".stripMargin),
 
     "s3_occurrence_source" -> withCtes(DerivedSql.occurrence)(
       s"""SELECT taxonKey, decimalLatitude, decimalLongitude FROM occurrence
