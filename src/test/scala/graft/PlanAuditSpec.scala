@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guard over the WHOLE gated query surface:
+  * the scale properties §4 of the survey promises (pushdown reaches the
+  * scan, no unplanned cartesian products) must hold for every query, not
+  * just the ones a human re-explains after a refactor.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("no query plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin with a 1-row broadcast side is intentional
+    // (ANN query vectors, all-pairs baselines); an unkeyed CartesianProduct
+    // never is — both sides would shuffle everything everywhere at scale
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      planOf(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
+  test("filters and projection push into the parquet scan") {
+    val s1 = planOf("s1_scan_project")
+    assert(s1.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)]"),
+      s"s1 scan lost its pushed filters:\n$s1")
+    assert(s1.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"s1 scan reads more columns than the projection needs:\n$s1")
+  }
+
+  test("partition-pruned scan prunes at the partition level") {
+    val k4 = planOf("k4_partitioned_prune")
+    assert(k4.contains("PartitionFilters: [isnotnull(countryCode"),
+      s"k4 scan does not prune partitions:\n$k4")
+    Persisted.unpersistAll()
+  }
+
+  test("dimension joins broadcast; existence joins are semi-joins") {
+    val j1 = planOf("j1_name_resolution")
+    assert(j1.contains("BroadcastHashJoin"), s"j1 lost its broadcast:\n$j1")
+    val j2 = planOf("j2_occurrence_exists")
+    assert(j2.contains("LeftSemi"), s"j2 is not a semi-join:\n$j2")
+  }
+}
