@@ -619,6 +619,19 @@ object SparkEntry {
         DerivedModel.events(s, dir), gapMillis = 30L * 60 * 1000)
         .withColumn("session_start", unix_millis(col("session_start")))),
 
+    // ---- reproducible sampling ----------------------------------------
+    // membership is a pure function of the content hash, so any engine
+    // (and the oracle) reproduces the exact subset — df.sample() cannot
+    "x_sample_hash" -> ((s, dir) =>
+      graft.ops.Sampling.hashSample(
+        DerivedModel.table(s, dir, "documents"), "doc_id", sixteenths = 2)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
+    "x_sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+        DerivedModel.table(s, dir, "documents"), "lang", "doc_id", quota = 20)
+        .select(col("doc_id"), col("lang"))),
+
     // interval (range) join: equi on user + bounded time range — the batch
     // twin of the watermarked stream-stream join
     "x_interval_join" -> ((s, dir) =>
@@ -1084,6 +1097,15 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+      "x_sample_hash" ->
+        """SELECT doc_id, lang, n_chars FROM documents
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')""".stripMargin,
+
+      "x_sample_stratified" ->
+        """SELECT doc_id, lang FROM documents
+          |QUALIFY row_number() OVER (PARTITION BY lang
+          |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""".stripMargin,
 
       "x_interval_join" ->
         """SELECT c.event_id AS click_id, p.event_id AS purch_id, c.user_id,
