@@ -506,6 +506,17 @@ object SparkEntry {
       DerivedModel.table(s, dir, "documents").select(col("doc_id"),
         graft.text.TextExpressions.rollingHash(col("text")).as("rhash"))),
 
+    "x_text_normalize" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.normalize(col("text")).as("norm_text"))),
+
+    // exact dedup over NORMALIZED text — the canonical pipeline composition
+    "x_dedup_exact_normalized" -> ((s, dir) =>
+      graft.dedup.Dedup.exactDuplicateGroups(
+        DerivedModel.table(s, dir, "documents")
+          .withColumn("text", graft.text.TextFunctions.normalize(col("text"))),
+        "doc_id", "text")),
+
     // UDTF: custom Catalyst Generator streaming distinct shingles directly
     "x_text_shingles" -> ((s, dir) =>
       DerivedModel.table(s, dir, "documents").select(col("doc_id"),
@@ -1097,6 +1108,14 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+      "x_text_normalize" ->
+        s"SELECT doc_id, ${normalizeSql("text")} AS norm_text FROM documents",
+
+      "x_dedup_exact_normalized" ->
+        s"""SELECT md5(${normalizeSql("text")}) AS text_hash, min(doc_id) AS keep_id,
+           |  count(*) AS n_copies
+           |FROM documents GROUP BY md5(${normalizeSql("text")})""".stripMargin,
 
       "x_sample_hash" ->
         """SELECT doc_id, lang, n_chars FROM documents

@@ -93,6 +93,17 @@ object TextFunctions {
   def fingerprintSql(c: String): String =
     s"md5(array_to_string(list_sort(string_split(trim($c), ' ')), ' '))"
 
+  /** Canonical pre-dedup text normalization: lowercase, strip every
+    * character outside [a-z0-9 ], collapse whitespace runs, trim. The
+    * regexes use only constructs with identical semantics in Java regex
+    * (Spark) and RE2 (DuckDB), so the oracle replays them exactly.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+  def normalizeSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** BPE-ish subword token count: the classic GPT-2-style pre-tokenizer
     * shape restricted to constructs whose semantics are identical in Java
     * regex (Spark) and RE2 (DuckDB): optional leading space + letter run /
