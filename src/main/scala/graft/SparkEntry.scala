@@ -545,16 +545,14 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2)),
 
-    // 3 unrolled iterations cover component diameters <= 3 — near-dup
-    // components here are cliques/stars (diameter <= 2, they are clusters
-    // of mutually-similar clones); the recursive-CTE components oracle
-    // checks exactness every round, so a hypothetical deeper component
-    // fails loudly rather than silently
+    // adaptive components: pair set fits the driver -> exact in-memory
+    // union-find (no iteration bound); larger -> distributed label
+    // propagation. Checked against the recursive-CTE components oracle.
     "x_dedup_groups" -> ((s, dir) =>
-      graft.dedup.Dedup.duplicateGroups(
+      graft.dedup.Dedup.duplicateGroupsAuto(
         graft.dedup.Dedup.minhashNearDuplicates(
           DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-          n = 3, tau = 0.8), iterations = 3)),
+          n = 3, tau = 0.8))),
 
     "x_dedup_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash64(
@@ -579,7 +577,7 @@ object SparkEntry {
     "x_dedup_near_dedup" -> ((s, dir) =>
       graft.dedup.Dedup.nearDedup(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, tau = 0.8, iterations = 3)
+        n = 3, tau = 0.8)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
     // ---- similarity search --------------------------------------------

@@ -243,16 +243,58 @@ object Dedup {
     Persisted.track(labels)
   }
 
+  /** Adaptive connected components: the near-dup pair set is orders of
+    * magnitude smaller than the corpus (it is the duplicates, not the
+    * data), so when its materialized count fits comfortably on the driver
+    * we solve components EXACTLY with an in-memory union-find and ship the
+    * result back as a broadcastable relation — no iteration count to
+    * tune, no per-iteration shuffle latency. Pair sets above the threshold
+    * fall back to distributed label propagation. Both paths return
+    * (_id, group_id = component minimum).
+    */
+  def duplicateGroupsAuto(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxDriverPairs: Long = 4L * 1000 * 1000,
+      fallbackIterations: Int = 6): DataFrame = {
+    val p = Persisted.track(pairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (p.count() <= maxDriverPairs) {
+      val edges = p.select(col(idA).cast("long"), col(idB).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != root) {
+          val next = parent(cur); parent(cur) = root; cur = next
+        }
+        root
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN root: group id = component minimum
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      nodes.map(x => (x, find(x))).toDF("_id", "group_id")
+    } else duplicateGroups(p, idA, idB, fallbackIterations)
+  }
+
   /** End-to-end near-dup removal: MinHash near-dup pairs -> connected
     * components -> keep each group's minimum id. Returns the surviving
     * rows of `df`.
     */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tau: Double = 0.8, iterations: Int = 6): DataFrame = {
+      n: Int = 3, tau: Double = 0.8): DataFrame = {
     val pairs = minhashNearDuplicates(df, idCol, textCol, n, tau)
-    val groups = duplicateGroups(pairs, iterations = iterations)
+    val groups = duplicateGroupsAuto(pairs)
     val losers = groups.filter(col("_id") =!= col("group_id"))
       .select(col("_id").as("_graft_loser"))
+    // no broadcast hint: the loser set is the duplicate population, which
+    // at scale can be a large fraction of the corpus — let AQE pick
     df.join(losers, df(idCol) === col("_graft_loser"), "left_anti")
   }
 

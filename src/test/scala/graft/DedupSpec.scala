@@ -58,6 +58,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("duplicateGroupsAuto: driver union-find and label-prop fallback agree") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 9L))
+      .toDF("id_a", "id_b") // a 5-chain: deeper than cliques, exercises depth
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = canon(Dedup.duplicateGroupsAuto(pairs))
+    // maxDriverPairs = 0 forces the distributed label-propagation path
+    val viaLabelProp = canon(Dedup.duplicateGroupsAuto(pairs,
+      maxDriverPairs = 0, fallbackIterations = 6))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      7L -> 7L, 9L -> 7L)
+    assert(viaDriver == expected)
+    assert(viaLabelProp == expected)
+    Persisted.unpersistAll()
+  }
+
   test("nearDedup keeps one representative per near-dup component") {
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", n = 3, tau = 0.8)
