@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hash"),
       exprs => RollingHashExpr(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.dedup.SimHashExpr].getName, "graft_simhash"),
+      exprs => graft.dedup.SimHashExpr(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleGenerator].getName, "graft_shingles"),
       exprs => exprs(1) match {

@@ -554,17 +554,17 @@ object SparkEntry {
           DerivedModel.table(s, dir, "documents"), "doc_id", "text",
           n = 3, tau = 0.8))),
 
+    // scan-speed SimHash expression (bit-identical to the relational form,
+    // which DedupSpec cross-checks; rows-only — DuckDB lacks xxhash64)
     "x_dedup_simhash" -> ((s, dir) =>
-      graft.dedup.Dedup.simhash64(
+      graft.dedup.Dedup.simhash64Fast(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text")
         .select(col("_id").as("doc_id"), col("simhash"))),
 
     // byte-block banding over the simhashes: candidate pairs within 3 bits
-    // (rows-only: DuckDB lacks xxhash64, so the fingerprints themselves
-    // aren't reproducible there; DedupSpec checks hamming properties)
     "x_dedup_simhash_pairs" -> ((s, dir) =>
       graft.dedup.Dedup.simhashPairs(
-        graft.dedup.Dedup.simhash64(
+        graft.dedup.Dedup.simhash64Fast(
           DerivedModel.table(s, dir, "documents"), "doc_id", "text"),
         maxHamming = 3)),
 

@@ -318,6 +318,13 @@ object Dedup {
       .select(col("_id"), fingerprint.as("simhash"))
   }
 
+  /** [[simhash64]] as a single codegen'd scan-speed expression (see
+    * [[SimHashExpr]]) — bit-identical output, no token shuffle.
+    */
+  def simhash64Fast(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
+      SimHashExpr.simhashCol(col(textCol)).as("simhash"))
+
   /** SimHash near-dup candidates: pairs within `maxHamming` bits. Pair
     * generation via byte-block banding (split the 64-bit hash into 8
     * bytes; pigeonhole: any pair within k bits shares >= 8-k exact byte

@@ -98,6 +98,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(losers.forall(!keptIds.contains(_)))
   }
 
+  test("scan-speed SimHash expression is bit-identical to the relational form") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relational = canon(Dedup.simhash64(docs, "doc_id", "text"))
+    val expr = canon(Dedup.simhash64Fast(docs, "doc_id", "text"))
+    assert(expr == relational)
+    assert(expr.nonEmpty)
+  }
+
   test("simhash: near-dups within small hamming distance, unrelated far") {
     val hashes = Dedup.simhash64(corpus, "doc_id", "text")
     val pairs = Dedup.simhashPairs(hashes, maxHamming = 10)
