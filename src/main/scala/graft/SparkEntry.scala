@@ -617,6 +617,14 @@ object SparkEntry {
         graft.multimodal.Multimodal.toMediaRecords(
           DerivedModel.table(s, dir, "documents"))).toDF()),
 
+    "x_multimodal_resize" -> ((s, dir) =>
+      graft.multimodal.Multimodal.resizeMeta(
+        graft.multimodal.Multimodal.decodeFeatures(
+          graft.multimodal.Multimodal.toMediaRecords(
+            DerivedModel.table(s, dir, "documents"))), maxDim = 256)
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+          col("out_width"), col("out_height"))),
+
     // ---- streaming-shaped (batch form for the oracle) -----------------
     "x_stream_window" -> ((s, dir) =>
       graft.streaming.StreamingOps.windowedEventStats(
@@ -1100,6 +1108,17 @@ object SparkEntry {
           |  CAST(240 + (octet_length(encode(text)) % 9) * 8 AS INTEGER) AS height,
           |  CAST(1 + doc_id % 3 AS INTEGER) AS channels
           |FROM documents""".stripMargin,
+
+      "x_multimodal_resize" ->
+        """WITH f AS (
+          |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+          |    CAST(320 + (octet_length(encode(text)) % 16) * 8 AS INTEGER) AS width,
+          |    CAST(240 + (octet_length(encode(text)) % 9) * 8 AS INTEGER) AS height
+          |  FROM documents)
+          |SELECT doc_id, byte_len, width, height,
+          |  CAST(floor(width * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) AS out_width,
+          |  CAST(floor(height * least(1.0, 256.0 / greatest(width, height))) AS INTEGER) AS out_height
+          |FROM f""".stripMargin,
 
       "x_stream_window" ->
         """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type,
