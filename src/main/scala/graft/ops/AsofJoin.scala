@@ -40,6 +40,15 @@ object AsofJoin {
       leftTime: String, rightTime: String, payload: Seq[String],
       strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(keys.forall(leftCols.contains) && leftCols.contains(leftTime),
+      s"left side must contain $keys and $leftTime (has $leftCols)")
+    require((keys :+ rightTime).forall(right.columns.contains) &&
+      payload.forall(right.columns.contains),
+      s"right side must contain $keys, $rightTime and $payload (has ${right.columns.toSeq})")
+    val reserved = Seq("_graft_ts", "_graft_side") ++ payload.map(c => s"_graft_p_$c")
+    require(!leftCols.exists(reserved.contains),
+      s"left column names collide with as-of working columns: " +
+        leftCols.filter(reserved.contains).mkString(", "))
     // at equal ts the window must see the right row first (inclusive) or
     // not at all (strict): side ordering flips accordingly
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
