@@ -27,7 +27,21 @@ class TopKAggregator(k: Int)
     xs.sortBy(s => (-s.score, s.id)).take(k)
 
   override def zero: Seq[ScoredId] = Nil
-  override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = best(b :+ a)
+
+  /** The buffer invariant is "sorted by (score desc, id asc), size <= k",
+    * so a candidate that doesn't beat the current worst is rejected in
+    * O(1) — the hot path for all-pairs inputs where almost every row
+    * loses. Only genuine improvements pay the re-sort.
+    */
+  override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+    if (b.size < k) best(b :+ a)
+    else {
+      val worst = b.last
+      val beats = a.score > worst.score ||
+        (a.score == worst.score && a.id < worst.id)
+      if (beats) best(b :+ a) else b
+    }
+
   override def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] = best(x ++ y)
   override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
   override def bufferEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
