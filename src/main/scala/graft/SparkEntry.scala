@@ -527,9 +527,12 @@ object SparkEntry {
       graft.dedup.Dedup.exactDuplicateGroups(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
 
+    // exact UNGUARDED baseline (maxDfFraction = None): the truth set the
+    // guarded/MinHash variants are measured against
     "x_dedup_ngram_jaccard" -> ((s, dir) =>
       graft.dedup.Dedup.ngramJaccardPairs(
-        DerivedModel.table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.8)),
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.8,
+        maxDfFraction = None)),
 
     // stop-shingle guard: shingles in more than maxDf docs are dropped on
     // BOTH sides of the Jaccard (numerator and denominator use the same
@@ -543,7 +546,8 @@ object SparkEntry {
     "x_dedup_minhash" -> ((s, dir) =>
       graft.dedup.Dedup.minhashNearDuplicates(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2)),
+        n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2,
+        maxDfFraction = None)), // unguarded: must equal the exact truth set
 
     // adaptive components: pair set fits the driver -> exact in-memory
     // union-find (no iteration bound); larger -> distributed label
@@ -552,7 +556,7 @@ object SparkEntry {
       graft.dedup.Dedup.duplicateGroupsAuto(
         graft.dedup.Dedup.minhashNearDuplicates(
           DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-          n = 3, tau = 0.8))),
+          n = 3, tau = 0.8, maxDfFraction = None))),
 
     // scan-speed SimHash expression (bit-identical to the relational form,
     // which DedupSpec cross-checks; rows-only — DuckDB lacks xxhash64)
@@ -573,7 +577,9 @@ object SparkEntry {
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.4)),
 
     // the end-to-end near-dedup a training pipeline actually runs:
-    // MinHash pairs -> components -> keep each group's minimum id
+    // MinHash pairs -> components -> keep each group's minimum id.
+    // Runs with the DEFAULT stop-shingle guard (maxDfFraction = 0.5) —
+    // the library-recommended scale-safe path; oracle mirrors the guard.
     "x_dedup_near_dedup" -> ((s, dir) =>
       graft.dedup.Dedup.nearDedup(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
@@ -982,6 +988,27 @@ object SparkEntry {
   private val ngramJaccardOracle: String =
     s"WITH $ngramJaccardCtes\nSELECT id_a, id_b, jaccard FROM simpairs"
 
+  /** [[ngramJaccardCtes]] with the DEFAULT corpus-fraction stop-shingle
+    * guard applied (Dedup.DefaultMaxDfFraction = 0.5): `ng` keeps only
+    * shingles whose document frequency is <= ceil(0.5 x distinct docs).
+    */
+  private val ngramJaccardGuardedCtes: String =
+    """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |ng0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+      |keep AS (SELECT ngram FROM ng0 GROUP BY ngram
+      |         HAVING count(*) <= greatest(1, CAST(ceil(
+      |           0.5 * (SELECT count(DISTINCT doc_id) FROM ng0)) AS BIGINT))),
+      |ng AS (SELECT ng0.doc_id, ng0.ngram FROM ng0 JOIN keep USING (ngram)),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |simpairs AS (
+      |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+      |  FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)""".stripMargin
+
   /** Exact connected components of the near-dup pair graph (transitive
     * closure via recursive CTE, min reachable id = group id) — the truth
     * the label-propagation operator must reproduce.
@@ -1040,8 +1067,11 @@ object SparkEntry {
 
       "x_dedup_groups" -> dedupGroupsOracle,
 
+      // mirrors nearDedup's DEFAULT maxDfFraction = 0.5 guard: the shingle
+      // universe drops ngrams present in more than ceil(0.5 x distinct
+      // docs) documents before Jaccard/components
       "x_dedup_near_dedup" ->
-        s"""WITH RECURSIVE $ngramJaccardCtes,
+        s"""WITH RECURSIVE $ngramJaccardGuardedCtes,
            |edges AS (SELECT id_a AS src, id_b AS dst FROM simpairs
            |          UNION SELECT id_b, id_a FROM simpairs),
            |reach(a, b) AS (

@@ -49,27 +49,62 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("_id"), explode(wordNgrams(col(textCol), n)).as("ngram"))
 
+  /** Default stop-shingle guard: drop shingles present in more than half
+    * the corpus. A shingle in >50% of documents is boilerplate by
+    * definition (headers, licenses, templates); true near-dup pairs at
+    * tau >= 0.8 share almost their whole shingle sets, so removing
+    * universally-common shingles barely moves their Jaccard — while the
+    * unguarded self-join is QUADRATIC in each shingle's document
+    * frequency, which at corpus scale is the difference between a bounded
+    * equi-join and a broken job. ON by default; pass
+    * `maxDfFraction = None` for the exact unguarded form.
+    */
+  val DefaultMaxDfFraction: Double = 0.5
+
+  /** Apply the stop-shingle guard to an (_id, ngram) relation. An explicit
+    * absolute `maxDf` wins; otherwise `maxDfFraction` sets a LAZY
+    * corpus-fraction threshold (ceil(fraction x distinct docs), computed
+    * inside the plan via a broadcast 1-row subquery — no eager action in
+    * the query builder).
+    */
+  private def applyMaxDf(ng: DataFrame, maxDf: Option[Int],
+      maxDfFraction: Option[Double]): DataFrame = (maxDf, maxDfFraction) match {
+    case (Some(m), _) =>
+      val keep = ng.groupBy(col("ngram")).count().filter(col("count") <= m)
+        .select(col("ngram"))
+      ng.join(keep, Seq("ngram"), "left_semi")
+    case (None, Some(f)) =>
+      val thresh = ng.select(
+        greatest(ceil(count_distinct(col("_id")) * f), lit(1L)).as("_graft_max_df"))
+      val keep = ng.groupBy(col("ngram")).count()
+        .join(broadcast(thresh))
+        .filter(col("count") <= col("_graft_max_df"))
+        .select(col("ngram"))
+      ng.join(keep, Seq("ngram"), "left_semi")
+    case (None, None) => ng
+  }
+
   /** Exact n-gram Jaccard similarity join: all pairs with
     * jaccard >= tau. The join key is the shingle (content), so co-occurring
-    * documents meet without any all-pairs scan; `maxDf` optionally drops
-    * shingles present in more than that many documents (stop-shingle guard
-    * against quadratic blowup on boilerplate at scale).
+    * documents meet without any all-pairs scan; the stop-shingle guard
+    * (`maxDf` absolute / `maxDfFraction` corpus-fraction, ON by default —
+    * see [[DefaultMaxDfFraction]]) drops boilerplate shingles whose
+    * posting-list self-join would otherwise blow up quadratically at scale.
+    * Jaccard is computed over the FILTERED shingle universe on both the
+    * numerator and denominator, so it stays exact over that universe.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, tau: Double, maxDf: Option[Int] = None): DataFrame = {
+      n: Int, tau: Double, maxDf: Option[Int] = None,
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
     // the shingle relation feeds both join sides and the per-doc counts —
     // without persist Spark recomputes the explode 4x (no exchange reuse
     // across mixed broadcast/shuffle strategies)
     val ng = Persisted.track(shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val ngFiltered = maxDf match {
-      case Some(m) =>
-        val keep = ng.groupBy(col("ngram")).count().filter(col("count") <= m)
-          .select(col("ngram"))
-        Persisted.track(ng.join(keep, Seq("ngram"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      case None => ng
-    }
+    val ngFiltered =
+      if (maxDf.isEmpty && maxDfFraction.isEmpty) ng
+      else Persisted.track(applyMaxDf(ng, maxDf, maxDfFraction)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // per-doc counts over the SAME (filtered) shingle universe as the
     // intersection, so Jaccard is exact over that universe — mixing the
     // unfiltered denominator with a filtered numerator would systematically
@@ -134,9 +169,19 @@ object Dedup {
     */
   def minhashNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.8,
-      numHashes: Int = 32, rowsPerBand: Int = 2): DataFrame = {
-    val ng = Persisted.track(shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      numHashes: Int = 32, rowsPerBand: Int = 2,
+      maxDf: Option[Int] = None,
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
+    val ngRaw = shingles(df, idCol, textCol, n)
+    // guard BEFORE signatures: the filtered universe feeds the MinHash,
+    // the candidate verify and the per-doc counts alike, so Jaccard stays
+    // exact over the guarded universe
+    val ng = Persisted.track(
+      (if (maxDf.isEmpty && maxDfFraction.isEmpty) ngRaw
+       else applyMaxDf(Persisted.track(ngRaw
+         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
+         maxDf, maxDfFraction))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("ngram"))).as(s"_h$i"))
     val sigs = ng.groupBy(col("_id"))
@@ -214,31 +259,65 @@ object Dedup {
     labels
   }
 
-  /** Convergence-checked label propagation for graphs of unknown diameter:
-    * iterates until a fixpoint (checked with a limit-1 existence probe, no
-    * data collected), up to `maxIterations`.
+  /** Convergence-checked connected components for graphs of unknown
+    * diameter. Each round runs (a) one-hop min-label propagation and (b) a
+    * path-halving pointer jump — every node adopts the CURRENT label of
+    * its label. Propagation alone moves the component minimum one hop per
+    * round (linear in the diameter — a 10M-link duplicate chain would need
+    * 10M rounds); the jump halves label-path depth each round, making
+    * convergence LOGARITHMIC in the diameter, so `maxIterations = 24`
+    * covers any component a physical corpus can produce (diameter up to
+    * ~2^24 after the combined step).
+    *
+    * Convergence is a fixpoint check (limit-1 existence probe, no data
+    * collected). At the fixpoint every node's label equals its component
+    * minimum (labels only decrease, the minimum is stable, and a fixpoint
+    * of one-hop min-propagation forces equal labels across each
+    * component). If `maxIterations` is exhausted before the fixpoint this
+    * THROWS rather than silently returning a partial labeling — wrong
+    * `group_id`s at scale are a data-corruption bug, not a tuning knob.
     */
   def duplicateGroupsConverged(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIterations: Int = 20): DataFrame = {
-    val p = Persisted.track(pairs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val edges = Persisted.track(undirectedEdges(p, idA, idB)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      idB: String = "id_b", maxIterations: Int = 24): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = Persisted.track(pairs.persist(lvl))
+    p.count() // materialize before fan-out (see duplicateGroups)
+    val edges = Persisted.track(undirectedEdges(p, idA, idB).persist(lvl))
+    // iteration state is localCheckpoint'ed (eager), not persist'ed: each
+    // round references the previous labels three times, so without lineage
+    // TRUNCATION the logical plan grows 3^k — by round ~10 the plan tree
+    // itself (not the data) overwhelms the driver. Checkpointing cuts the
+    // plan at materialized state, the standard shape for iterative Spark.
     var labels = edges.select(col("src").as("_id")).distinct()
       .withColumn("group_id", col("_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val updated = propagateOnce(labels, edges)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated
+      val propagated = propagateOnce(labels, edges).localCheckpoint(true)
+      // path-halving: group_id := label(group_id). Labels are always node
+      // ids of the same component, so the self-join always matches (left +
+      // coalesce only guards the invariant).
+      val jumped = propagated
+        .join(propagated.select(col("_id").as("_lid"), col("group_id").as("_lgid")),
+          col("group_id") === col("_lid"), "left")
+        .select(col("_id"),
+          coalesce(col("_lgid"), col("group_id")).as("group_id"))
+        .localCheckpoint(true)
+      val changed = jumped
         .join(labels.withColumnRenamed("group_id", "_old"), Seq("_id"))
         .filter(col("group_id") =!= col("_old")).limit(1).count()
+      propagated.unpersist(false) // folded into jumped's checkpoint
       labels.unpersist(false) // superseded iteration state
-      labels = updated
+      labels = jumped
       converged = changed == 0
       iter += 1
+    }
+    if (!converged) {
+      labels.unpersist(false)
+      throw new IllegalStateException(
+        s"duplicateGroupsConverged: no fixpoint after $maxIterations rounds " +
+          "(component diameter beyond ~2^24?) — raise maxIterations")
     }
     Persisted.track(labels)
   }
@@ -249,17 +328,24 @@ object Dedup {
     * we solve components EXACTLY with an in-memory union-find and ship the
     * result back as a broadcastable relation — no iteration count to
     * tune, no per-iteration shuffle latency. Pair sets above the threshold
-    * fall back to distributed label propagation. Both paths return
+    * fall back to [[duplicateGroupsConverged]] — convergence-checked, NOT
+    * a fixed iteration count: huge pair sets are exactly where long
+    * duplicate chains (large component diameter) appear, so a fixed
+    * unroll would silently mislabel at scale. Both paths return
     * (_id, group_id = component minimum).
     */
   def duplicateGroupsAuto(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxDriverPairs: Long = 4L * 1000 * 1000,
-      fallbackIterations: Int = 6): DataFrame = {
+      idB: String = "id_b", maxDriverPairs: Long = 2L * 1000 * 1000,
+      fallbackMaxIterations: Int = 24): DataFrame = {
     val p = Persisted.track(pairs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     if (p.count() <= maxDriverPairs) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // collect as Dataset[(Long, Long)] — Tuple2 is @specialized on Long,
+      // so this lands as unboxed pairs, not driver-heavy boxed Rows
       val edges = p.select(col(idA).cast("long"), col(idB).cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .as[(Long, Long)].collect()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var root = x
@@ -276,11 +362,11 @@ object Dedup {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      nodes.map(x => (x, find(x))).toDF("_id", "group_id")
-    } else duplicateGroups(p, idA, idB, fallbackIterations)
+      // primitive-keyed node set (no boxed Seq.distinct over 2x the edges)
+      val nodeSet = scala.collection.mutable.LongMap.empty[Unit]
+      edges.foreach { case (a, b) => nodeSet(a) = (); nodeSet(b) = () }
+      nodeSet.keysIterator.map(x => (x, find(x))).toSeq.toDF("_id", "group_id")
+    } else duplicateGroupsConverged(p, idA, idB, fallbackMaxIterations)
   }
 
   /** End-to-end near-dup removal: MinHash near-dup pairs -> connected
@@ -288,8 +374,11 @@ object Dedup {
     * rows of `df`.
     */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, tau: Double = 0.8): DataFrame = {
-    val pairs = minhashNearDuplicates(df, idCol, textCol, n, tau)
+      n: Int = 3, tau: Double = 0.8,
+      maxDf: Option[Int] = None,
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
+    val pairs = minhashNearDuplicates(df, idCol, textCol, n, tau,
+      maxDf = maxDf, maxDfFraction = maxDfFraction)
     val groups = duplicateGroupsAuto(pairs)
     val losers = groups.filter(col("_id") =!= col("group_id"))
       .select(col("_id").as("_graft_loser"))
@@ -326,14 +415,31 @@ object Dedup {
       SimHashExpr.simhashCol(col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates: pairs within `maxHamming` bits. Pair
-    * generation via byte-block banding (split the 64-bit hash into 8
-    * bytes; pigeonhole: any pair within k bits shares >= 8-k exact byte
-    * blocks) — an equi-join on (block index, block value), no all-pairs.
+    * generation via block banding (split the 64-bit hash into
+    * `maxHamming + 1` equal blocks; pigeonhole: a pair within `maxHamming`
+    * differing bits has at least one block with zero differences, i.e.
+    * shares at least one exact block) — an equi-join on (block index,
+    * block value), no all-pairs.
+    *
+    * Block width is derived from `maxHamming`, as WIDE as the pigeonhole
+    * argument allows: for the default `maxHamming = 3` that is 4 x 16-bit
+    * blocks, giving 2^16 distinct values per block — expected bucket size
+    * n/65536, 256x smaller than the 8-bit-block alternative, which at
+    * corpus scale is the difference between bounded buckets and
+    * quadratic-within-bucket blowup.
     */
   def simhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val blocks = (0 until 8).map(i =>
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val numBlocks = maxHamming + 1
+    // equal split; when 64 % numBlocks != 0 the last block takes the
+    // remainder (pigeonhole only needs >= numBlocks blocks in total)
+    val width = 64 / numBlocks
+    val blocks = (0 until numBlocks).map { i =>
+      val hi = if (i == numBlocks - 1) 64 else (i + 1) * width
+      val mask = if (hi - i * width == 64) -1L else (1L << (hi - i * width)) - 1L
       struct(lit(i).as("blk"),
-        shiftright(col("simhash"), i * 8).bitwiseAND(0xFF).as("blkval")))
+        shiftright(col("simhash"), i * width).bitwiseAND(mask).as("blkval"))
+    }
     val exploded = hashes.select(col("_id"), col("simhash"),
       explode(array(blocks: _*)).as("bb"))
       .select(col("_id"), col("simhash"), col("bb.blk").as("blk"), col("bb.blkval").as("blkval"))

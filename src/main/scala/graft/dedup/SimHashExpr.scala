@@ -69,8 +69,11 @@ object SimHashExpr {
       .sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_simhash", exprs => SimHashExpr(exprs.head), "scala_udf")
 
-  def simhashCol(c: Column): Column = {
-    register(SparkSession.active)
-    call_function("graft_simhash", c.cast("string"))
-  }
+  /** Direct expression construction — no session-registry mutation, no
+    * dependence on `SparkSession.active` (SQL-text use goes through
+    * [[register]] / `GraftExtensions`).
+    */
+  def simhashCol(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(SimHashExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(c.cast("string"))))
 }

@@ -60,10 +60,18 @@ object GeoFunctions {
         exprs => PointInPolygonExpr(exprs(0), exprs(1), exprs(2)),
         "scala_udf")
 
-  /** Codegen'd point-in-polygon predicate (lat/lon columns, WKT literal). */
+  /** Codegen'd point-in-polygon predicate (lat/lon columns, WKT literal).
+    * Direct expression construction — no session-registry mutation, no
+    * dependence on `SparkSession.active` (SQL-text use goes through
+    * [[register]] / `GraftExtensions`).
+    */
   def pointInPolygon(lat: Column, lon: Column, wkt: String): Column = {
-    register(SparkSession.active)
-    call_function("point_in_polygon", lat.cast("double"), lon.cast("double"), lit(wkt))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(PointInPolygonExpr(expression(lat.cast("double")),
+      expression(lon.cast("double")),
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(wkt),
+        org.apache.spark.sql.types.StringType)))
   }
 
   /** Sargable bbox pre-filter: `lat BETWEEN ... AND lon BETWEEN ...`.

@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   *
   *  1. union both sides, tagged, in one relation;
   *  2. one shuffle on the key, one per-partition sort by (ts, side);
-  *  3. `last(payload, ignoreNulls)` running window carries the latest
-  *     right payload forward onto each left row.
+  *  3. ONE `last(payload_struct, ignoreNulls)` running window carries the
+  *     latest right row's payload forward onto each left row. All payload
+  *     columns travel together inside a single never-null STRUCT (a
+  *     struct of null fields is itself non-null), so the window always
+  *     selects the MATCHED right row — a NULL payload column in the
+  *     latest qualifying right row stays NULL in the output instead of
+  *     being silently substituted by an older right row's value, and the
+  *     output can never mix columns from different right rows.
   *
   * Cost: ONE shuffle + sort of |L| + |R| rows — no join blowup, AQE-
   * compatible, skew bounded by per-key sort. This is the plan a 100 TB
@@ -25,8 +31,7 @@ import org.apache.spark.sql.functions._
   * intermediate would not).
   *
   * Requirements: `right` must be unique per (keys, rightTime) — dedupe
-  * first (all payload columns then come from the same right row, since
-  * `last(_, ignoreNulls)` per column picks the same final position).
+  * first.
   */
 object AsofJoin {
 
@@ -40,12 +45,13 @@ object AsofJoin {
       leftTime: String, rightTime: String, payload: Seq[String],
       strict: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(payload.nonEmpty, "as-of join needs at least one payload column")
     require(keys.forall(leftCols.contains) && leftCols.contains(leftTime),
       s"left side must contain $keys and $leftTime (has $leftCols)")
     require((keys :+ rightTime).forall(right.columns.contains) &&
       payload.forall(right.columns.contains),
       s"right side must contain $keys, $rightTime and $payload (has ${right.columns.toSeq})")
-    val reserved = Seq("_graft_ts", "_graft_side") ++ payload.map(c => s"_graft_p_$c")
+    val reserved = Seq("_graft_ts", "_graft_side", "_graft_p")
     require(!leftCols.exists(reserved.contains),
       s"left column names collide with as-of working columns: " +
         leftCols.filter(reserved.contains).mkString(", "))
@@ -53,30 +59,32 @@ object AsofJoin {
     // not at all (strict): side ordering flips accordingly
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
 
+    // the whole right payload as ONE struct: non-null on right rows even
+    // when every payload FIELD is null, null on left rows — so a single
+    // last(ignoreNulls) picks the matched right row atomically
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(right.schema.fieldIndex(c)).copy(name = c)))
     val taggedRight = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("_graft_ts"), lit(rightSide).as("_graft_side")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)) ++
-        payload.map(c => col(c).as(s"_graft_p_$c")): _*)
+        Seq(struct(payload.map(c => col(c).as(c)): _*).as("_graft_p")): _*)
     val taggedLeft = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("_graft_ts"), lit(leftSide).as("_graft_side")) ++
         leftCols.filterNot(keys.contains).map(col) ++
-        payload.map(c => lit(null).as(s"_graft_p_$c")): _*)
+        Seq(lit(null).cast(payloadType).as("_graft_p")): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_graft_ts"), col("_graft_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // strict mode: at equal ts left sorts first, so `currentRow` upper
     // bound already excludes same-ts right rows
-    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) => df.withColumn(s"_graft_p_$c",
-        last(col(s"_graft_p_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("_graft_p", last(col("_graft_p"), ignoreNulls = true).over(w))
       .filter(col("_graft_side") === leftSide)
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(col) ++
-        payload.map(c => col(s"_graft_p_$c").as(s"asof_$c")): _*)
+        payload.map(c => col(s"_graft_p.$c").as(s"asof_$c")): _*)
   }
 }

@@ -62,9 +62,13 @@ object SimExpressions {
       .sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
 
-  /** Codegen'd dot product; casts inputs to `array<double>`. */
-  def dot(a: Column, b: Column): Column = {
-    register(SparkSession.active)
-    call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
-  }
+  /** Codegen'd dot product; casts inputs to `array<double>`. Constructs
+    * the expression directly — no session-registry mutation at Column-
+    * build time, no binding to whichever session happens to be active
+    * (SQL-text use goes through [[register]] / `GraftExtensions`).
+    */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(DotProductExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(a.cast("array<double>")),
+      org.apache.spark.sql.GraftColumnBridge.expression(b.cast("array<double>"))))
 }

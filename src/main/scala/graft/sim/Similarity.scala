@@ -146,8 +146,12 @@ object Similarity {
       probeHamming: Int = 1): DataFrame = {
     // hyperplane dimensionality comes from the data (first vector), not a
     // hard-coded constant — a mismatched table must not silently bucket on
-    // truncated dot products
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    // truncated dot products. NB this is an eager one-row job at query-
+    // construction time (documented trade-off: correctness of the bucket
+    // geometry over full laziness).
+    val dim = embeddings.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+        s"lshTopK: embeddings table is empty — cannot derive the vector dimensionality"))
     val planes = hyperplanes(dim, numPlanes)
     val bucketed = embeddings.withColumn("_bucket", lshBucket(col(vecCol), planes))
     val probeCols = col("_bucket") +: (if (probeHamming >= 1)
@@ -159,7 +163,11 @@ object Similarity {
       .join(broadcast(query), col("_bucket") === col("_qbucket"))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("cosine"))
-      .distinct() // a candidate can match several probe buckets? (no — one bucket per row; kept for safety if probeHamming grows)
+      // at probeHamming <= 1 every probe bucket is distinct, so a candidate
+      // (one bucket per row) matches at most once and this distinct is a
+      // no-op; it future-proofs probeHamming > 1, where multi-bit probes
+      // could enumerate the same bucket twice
+      .distinct()
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }

@@ -73,9 +73,11 @@ object ShingleGenerator {
         },
         "scala_udf")
 
-  def shingles(c: Column, n: Int): Column = {
-    register(SparkSession.active)
-    org.apache.spark.sql.functions.call_function(
-      "graft_shingles", c, org.apache.spark.sql.functions.lit(n))
-  }
+  /** Direct expression construction — no session-registry mutation, no
+    * dependence on `SparkSession.active` (SQL-text use goes through
+    * [[register]] / `GraftExtensions`).
+    */
+  def shingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(ShingleGenerator(
+      org.apache.spark.sql.GraftColumnBridge.expression(c), n))
 }

@@ -50,8 +50,11 @@ object TextExpressions {
       .sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_rolling_hash", exprs => RollingHashExpr(exprs.head), "scala_udf")
 
-  def rollingHash(c: Column): Column = {
-    register(SparkSession.active)
-    call_function("graft_rolling_hash", c.cast("string"))
-  }
+  /** Direct expression construction — no session-registry mutation, no
+    * dependence on `SparkSession.active` (SQL-text use goes through
+    * [[register]] / `GraftExtensions`).
+    */
+  def rollingHash(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(RollingHashExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(c.cast("string"))))
 }

@@ -47,6 +47,34 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == Some(3.0))
   }
 
+  test("NULL payload in the matched right row stays NULL (no substitution)") {
+    import spark.implicits._
+    // latest qualifying right row (ts=200) has v = NULL, w = "w2": the
+    // output must carry (NULL, "w2") from THAT row — not v=1.0 from the
+    // older ts=90 row (per-column last(ignoreNulls) would mix rows)
+    val l = Seq((1L, 10L, 300L)).toDF("id", "k", "ts")
+    val r = Seq(
+      (10L, 90L, Some(1.0), Some("w1")),
+      (10L, 200L, None: Option[Double], Some("w2"))
+    ).toDF("k", "ts", "v", "w")
+    val row = AsofJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("v", "w"))
+      .select(col("asof_v"), col("asof_w")).collect().head
+    assert(row.isNullAt(0), "NULL payload must not be replaced by an older right row's value")
+    assert(row.getString(1) == "w2")
+  }
+
+  test("all-NULL payload right row still matches (struct is non-null)") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 300L)).toDF("id", "k", "ts")
+    val r = Seq(
+      (10L, 90L, Some(1.0)),
+      (10L, 200L, None: Option[Double])
+    ).toDF("k", "ts", "v")
+    val row = AsofJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("v"))
+      .select(col("asof_v")).collect().head
+    assert(row.isNullAt(0))
+  }
+
   test("matches the quadratic theta-join formulation on events data") {
     val ev = DerivedModel.events(spark, "/root/testdata/sf0.001")
     val clicks = ev.filter(col("event_type") === "click")

@@ -67,11 +67,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val viaDriver = canon(Dedup.duplicateGroupsAuto(pairs))
     // maxDriverPairs = 0 forces the distributed label-propagation path
     val viaLabelProp = canon(Dedup.duplicateGroupsAuto(pairs,
-      maxDriverPairs = 0, fallbackIterations = 6))
+      maxDriverPairs = 0))
     val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       7L -> 7L, 9L -> 7L)
     assert(viaDriver == expected)
     assert(viaLabelProp == expected)
+    Persisted.unpersistAll()
+  }
+
+  test("duplicateGroupsAuto fallback is exact on a chain deeper than any fixed unroll") {
+    import spark.implicits._
+    // a 30-node path (diameter 29): far deeper than a fixed 6-round unroll
+    // reaches, so this pins the fallback to the convergence-checked
+    // propagate+pointer-jump path. maxDriverPairs = 0 forces the fallback.
+    val chain = (0L until 29L).map(i => (i, i + 1))
+    val groups = Dedup.duplicateGroupsAuto(chain.toDF("id_a", "id_b"),
+      maxDriverPairs = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == (0L to 29L).map(_ -> 0L).toMap,
+      "convergence-checked fallback must label the full chain with its minimum id")
     Persisted.unpersistAll()
   }
 
