@@ -53,6 +53,35 @@ object DerivedModel {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** The embeddings table augmented with deterministically planted
+    * near-duplicates: every 10th vector gets a copy (id + 1,000,000)
+    * perturbed by at most 3e-3 per component. The raw table's pairs at
+    * cosine >= 0.4 are just the tail of the random-pair distribution
+    * (measured: min in-set 0.40002, max out-of-set 0.39989 — NO
+    * similarity gap), which makes bucketed LSH information-theoretically
+    * useless there: recall 1.0 at a no-gap threshold needs more
+    * candidates than the exact join. Real embedding dedup runs at
+    * tau >= 0.9 against corpora with true near-identical vectors — this
+    * derivation reproduces that regime (planted pairs at cosine
+    * >= 0.9998, background <= 0.61) so the LSH pair path can be gated
+    * against the exact pair-set oracle, the same pattern as
+    * MinHash ≡ exact Jaccard.
+    *
+    * Every arithmetic step (int modular arithmetic, exact small-integer
+    * subtraction, one IEEE multiply, one IEEE add) is bit-reproducible in
+    * DuckDB, so the oracle replays the augmentation exactly.
+    */
+  def embeddingsAugmented(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "x + (CAST((vec_id * 31 + CAST(i AS BIGINT)) % 7 AS DOUBLE) - 3.0) * 0.001)")
+          .as("embedding"))
+    base.unionByName(planted)
+  }
+
   def occurrence(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .join(broadcast(table(spark, dir, "nation")),

@@ -576,6 +576,15 @@ object SparkEntry {
       graft.sim.Similarity.cosineNearDupPairs(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.4)),
 
+    // bucketed sign-LSH near-dup over the augmented (planted near-dup)
+    // embeddings: equi-join candidates from 8 independent bucketings,
+    // exact-cosine verify — must reproduce the exact O(n^2) pair set
+    // (the oracle replays the augmentation and the full pair join), the
+    // same gate pattern as x_dedup_minhash ≡ exact Jaccard
+    "x_dedup_embed_cosine_lsh" -> ((s, dir) =>
+      graft.sim.Similarity.lshCosinePairs(
+        DerivedModel.embeddingsAugmented(s, dir), "vec_id", "embedding", tau = 0.95)),
+
     // the end-to-end near-dedup a training pipeline actually runs:
     // MinHash pairs -> components -> keep each group's minimum id.
     // Runs with the DEFAULT stop-shingle guard (maxDfFraction = 0.5) —
@@ -616,6 +625,15 @@ object SparkEntry {
     "x_knn_topk_agg" -> ((s, dir) =>
       graft.sim.Similarity.knnJoinAgg(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)),
+
+    // bucketed (IVF) kNN: candidates only from each anchor's 4 nearest of
+    // 16 clusters — the pair join is an equi-join on the cluster id, never
+    // n^2. Every step is deterministic, so the oracle replays the ENTIRE
+    // approximate algorithm (centroids, assignment, probes, top-k)
+    "x_knn_topk_bucketed" -> ((s, dir) =>
+      graft.sim.Similarity.knnJoinBucketed(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, numClusters = 16, nProbe = 4)),
 
     // ---- multimodal plumbing ------------------------------------------
     "x_multimodal_features" -> ((s, dir) =>
@@ -1111,6 +1129,21 @@ object SparkEntry {
            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
            |WHERE $cos >= 0.4""".stripMargin,
 
+      // exact all-pairs truth set over the deterministically augmented
+      // table (DerivedModel.embeddingsAugmented replayed in SQL) — the
+      // LSH candidates-then-verify path must reproduce it bit-for-bit
+      "x_dedup_embed_cosine_lsh" ->
+        s"""WITH aug AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000,
+           |    list_transform(range(64), i -> embedding[i+1]::DOUBLE +
+           |      (CAST((vec_id * 31 + i) % 7 AS DOUBLE) - 3.0) * 0.001)
+           |  FROM embeddings WHERE vec_id % 10 = 0)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
+           |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+           |WHERE $cos >= 0.95""".stripMargin,
+
       "x_ann_bruteforce" ->
         s"""SELECT b.vec_id, $cos AS cosine
            |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
@@ -1131,6 +1164,29 @@ object SparkEntry {
            |      ORDER BY $cos DESC, b.vec_id) AS INTEGER) AS rnk
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
            |WHERE rnk <= 5""".stripMargin,
+
+      "x_knn_topk_bucketed" -> {
+        val cosEC = graft.sim.Similarity.cosineSql("e.embedding", "c.cvec", 64)
+        val cosPA = graft.sim.Similarity.cosineSql("p.embedding", "a.embedding", 64)
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT 16),
+           |ranked AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY $cosEC DESC, c.cid) AS crn
+           |  FROM e CROSS JOIN cent c),
+           |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM ranked WHERE crn = 1),
+           |probes AS (SELECT vec_id, embedding, cid AS cluster FROM ranked WHERE crn <= 4),
+           |scored AS (
+           |  SELECT p.vec_id AS vec_id, a.vec_id AS neighbor_id, $cosPA AS cosine
+           |  FROM probes p JOIN assigned a ON p.cluster = a.cluster AND p.vec_id <> a.vec_id)
+           |SELECT vec_id, neighbor_id, cosine, rnk FROM (
+           |  SELECT vec_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+           |  FROM scored)
+           |WHERE rnk <= 5""".stripMargin
+      },
 
       "x_multimodal_features" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -91,6 +91,64 @@ object Similarity {
       when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
 
+  /** Bucketed cosine near-duplicate pairs — the 100 TB path that replaces
+    * [[cosineNearDupPairs]]'s exact O(n^2) nested-loop join with a
+    * candidates-then-verify plan, the same shape as MinHash+LSH for text:
+    *
+    *  1. candidates: `numTables` independent sign-LSH bucketings of
+    *     `planesPerTable` hyperplanes each; vectors sharing a (table,
+    *     bucket) cell become candidates via a plain EQUI-join — pair
+    *     count is bounded by bucket occupancy, never n^2;
+    *  2. verify: exact cosine (codegen'd [[DotProductExpr]], identical op
+    *     order to the oracle) filters candidates to true pairs, so
+    *     precision is exact.
+    *
+    * Recall is the banding guarantee: a pair at angle theta shares one
+    * table's bucket with p = (1 - theta/pi)^planesPerTable, so the miss
+    * probability is (1 - p)^numTables — e.g. a near-identical pair at
+    * cosine 0.9998 is missed with prob ~2e-10 at the defaults, while a
+    * pair exactly AT a low threshold has materially lower recall. This is
+    * the inherent LSH trade: the method needs a similarity GAP between
+    * duplicates and background (real embedding near-dup corpora have
+    * one); thresholds inside the background distribution (e.g. tau 0.4 on
+    * random unit vectors) admit no sub-quadratic exact method — see
+    * [[graft.DerivedModel.embeddingsAugmented]].
+    */
+  def lshCosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      tau: Double, numTables: Int = 8, planesPerTable: Int = 12,
+      seed: Long = 42L): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+        "lshCosinePairs: embeddings table is empty — cannot derive the vector dimensionality"))
+    // vectors + norms computed once per row (same doubles as per-pair, so
+    // the verify cosine is bit-identical to the exact formulation); the
+    // relation feeds the bucketing AND both verify sides -> persist
+    val normed = graft.Persisted.track(embeddings.select(col(idCol).as("_nid"),
+      col(vecCol).cast("array<double>").as("_nvec"),
+      sqrt(SimExpressions.dot(col(vecCol), col(vecCol))).as("_nnorm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tables = (0 until numTables).map { t =>
+      val planes = hyperplanes(dim, planesPerTable, seed + t)
+      struct(lit(t).as("tbl"), lshBucket(col("_nvec"), planes).as("bucket"))
+    }
+    val bucketed = normed
+      .select(col("_nid"), explode(array(tables: _*)).as("tb"))
+      .select(col("_nid"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = bucketed.as("x").join(bucketed.as("y"), Seq("tbl", "bucket"))
+      .select(col("x._nid").as("id_a"), col("y._nid").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    cand
+      .join(normed.select(col("_nid").as("id_a"), col("_nvec").as("_va"),
+        col("_nnorm").as("_na")), Seq("id_a"))
+      .join(normed.select(col("_nid").as("id_b"), col("_nvec").as("_vb"),
+        col("_nnorm").as("_nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+          .as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** IVF coarse quantizer: centroids are the k lowest-id vectors
     * (deterministic seeds — a real index would train them, e.g. k-means;
     * the partition/probe mechanics are identical), assignment is argmax
@@ -223,6 +281,77 @@ object Similarity {
     val b = prepped.select(col("_pid").as("neighbor_id"),
       col("_pvec").as("_vb"), col("_pnorm").as("_nb"))
     val scored = a.join(b, col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id").as("_1"),
+        struct(col("neighbor_id").as("id"),
+          (SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+            .as("score")).as("_2"))
+      .as[(Long, graft.functions.ScoredId)]
+    scored.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.TopKAggregator.column(k).name("topk"))
+      .toDF("vec_id", "topk")
+      .select(col("vec_id"), posexplode(col("topk")))
+      .select(col("vec_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** The library-recommended all-rows kNN: the UDAF formulation
+    * ([[knnJoinAgg]]) — map-side partial top-k keeps the shuffle at
+    * O(partitions x n x k) rows. [[knnJoin]] (window) remains the
+    * documented exact baseline it is benched against; [[knnJoinBucketed]]
+    * is the approximate path once even the UDAF's pair generation is too
+    * large.
+    */
+  def knn(embeddings: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    knnJoinAgg(embeddings, idCol, vecCol, k)
+
+  /** Bucketed (IVF) kNN join — the 100 TB path for all-rows top-k: score
+    * each anchor only against the vectors assigned to its `nProbe`
+    * nearest clusters, instead of all n.
+    *
+    *  - centroids: the `numClusters` lowest-id vectors (deterministic;
+    *    swap in [[kmeansCentroids]] for trained ones);
+    *  - assignment + probe ranking: argmax cosine with (sim desc, id)
+    *    tie-breaks — fully deterministic, so the WHOLE approximate
+    *    algorithm replays bit-for-bit in the SQL oracle (the gate checks
+    *    the algorithm, not just "some top-k");
+    *  - candidates: probes ⋈ assignments on the cluster id — an
+    *    EQUI-join whose size is n x (nProbe/numClusters) x n, tunable,
+    *    never the full n^2;
+    *  - ranking: per-anchor top-k via the map-side-combining UDAF.
+    *
+    * With `nProbe = numClusters` the candidate set is the full collection
+    * and the output equals [[knnJoin]] exactly (spec-checked, like
+    * `x_ann_ivf`); with partial probes recall follows IVF geometry.
+    * Anchors whose probed clusters hold fewer than k other vectors
+    * return fewer than k neighbors.
+    */
+  def knnJoinBucketed(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, numClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val cent = ivfCentroids(embeddings, idCol, vecCol, numClusters)
+    val prepped = graft.Persisted.track(embeddings.select(col(idCol).as("_pid"),
+      col(vecCol).cast("array<double>").as("_pvec"))
+      .withColumn("_pnorm", sqrt(SimExpressions.dot(col("_pvec"), col("_pvec"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // rank every (vector, centroid) cosine once; rn = 1 is the assignment,
+    // rn <= nProbe are the anchor's probe clusters — one broadcast join
+    // feeds both relations
+    val ranked = graft.Persisted.track(prepped
+      .join(broadcast(cent))
+      .select(col("_pid"), col("_pvec"), col("_pnorm"), col("_cid"),
+        cosine(col("_pvec"), col("_cvec")).as("_csim"))
+      .withColumn("_crn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid")).orderBy(col("_csim").desc, col("_cid"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val assigned = ranked.filter(col("_crn") === 1)
+      .select(col("_pid").as("neighbor_id"), col("_pvec").as("_vb"),
+        col("_pnorm").as("_nb"), col("_cid").as("cluster"))
+    val probes = ranked.filter(col("_crn") <= nProbe)
+      .select(col("_pid").as("vec_id"), col("_pvec").as("_va"),
+        col("_pnorm").as("_na"), col("_cid").as("cluster"))
+    val scored = probes.join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id").as("_1"),
         struct(col("neighbor_id").as("id"),
           (SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))

@@ -115,6 +115,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(salted == plain)
   }
 
+  test("bucketed kNN: nProbe = numClusters is row-identical to the exact kNN") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val exact = canon(Similarity.knnJoin(emb, "vec_id", "embedding", k = 4))
+    val bucketed = canon(Similarity.knnJoinBucketed(emb, "vec_id", "embedding",
+      k = 4, numClusters = 8, nProbe = 8))
+    assert(bucketed == exact, "probing every cluster must reproduce the exact kNN")
+    Persisted.unpersistAll()
+  }
+
+  test("lshCosinePairs reproduces the exact pair set on planted near-dups") {
+    val aug = DerivedModel.embeddingsAugmented(spark, dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val exact = canon(Similarity.cosineNearDupPairs(aug, "vec_id", "embedding", tau = 0.95))
+    val lsh = canon(Similarity.lshCosinePairs(aug, "vec_id", "embedding", tau = 0.95))
+    assert(exact.nonEmpty, "augmented table must contain planted near-dup pairs")
+    assert(lsh == exact,
+      s"LSH pair set (${lsh.size}) must equal the exact pair set (${exact.size}), bit-for-bit")
+    Persisted.unpersistAll()
+  }
+
+  test("planted near-dups sit far above background similarity") {
+    val aug = DerivedModel.embeddingsAugmented(spark, dir)
+    val pairs = Similarity.cosineNearDupPairs(aug, "vec_id", "embedding", tau = 0.95)
+      .collect()
+    // every planted pair links an original to its +1000000 copy
+    assert(pairs.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
+    assert(pairs.forall(_.getDouble(2) > 0.999))
+    Persisted.unpersistAll()
+  }
+
   test("hyperplanes are deterministic across invocations") {
     val a = Similarity.hyperplanes(8, 4)
     val b = Similarity.hyperplanes(8, 4)
