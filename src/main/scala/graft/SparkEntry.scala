@@ -256,6 +256,12 @@ object SparkEntry {
       graft.sources.Sources.readOrc(s, out)
     }),
 
+    "k5_avro_roundtrip" -> ((s, dir) => {
+      val out = tmpPath(dir, "k5_avro")
+      graft.sources.Sources.writeAvro(taxa(s, dir), out)
+      graft.sources.Sources.readAvro(s, out)
+    }),
+
     // ---- K4: hive-partitioned layout + partition-pruned scan ----------
     "k4_partitioned_prune" -> ((s, dir) => {
       val out = tmpPath(dir, "k4_part")
@@ -559,7 +565,8 @@ object SparkEntry {
           n = 3, tau = 0.8, maxDfFraction = None))),
 
     // scan-speed SimHash expression (bit-identical to the relational form,
-    // which DedupSpec cross-checks; rows-only — DuckDB lacks xxhash64)
+    // which DedupSpec cross-checks); hash-matched against the DuckDB
+    // XXH64 bit-replay oracle (SimHashOracle)
     "x_dedup_simhash" -> ((s, dir) =>
       graft.dedup.Dedup.simhash64Fast(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text")
@@ -839,6 +846,9 @@ object SparkEntry {
     "k3_orc_roundtrip" -> withCtes(DerivedSql.taxa)(
       "SELECT row_id, name, taxid, rank FROM taxa"),
 
+    "k5_avro_roundtrip" -> withCtes(DerivedSql.taxa)(
+      "SELECT row_id, name, taxid, rank FROM taxa"),
+
     "k4_partitioned_prune" -> withCtes(DerivedSql.occurrence)(
       s"""SELECT taxonKey, decimalLatitude, decimalLongitude, countryCode
          |FROM occurrence WHERE countryCode = '$Country'""".stripMargin),
@@ -1084,6 +1094,11 @@ object SparkEntry {
           |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8""".stripMargin,
 
       "x_dedup_groups" -> dedupGroupsOracle,
+
+      // XXH64(seed 42) + SimHash replayed bit-for-bit in HUGEINT CTEs —
+      // converts the two SimHash queries from rows-only to hash-matched
+      "x_dedup_simhash" -> graft.dedup.SimHashOracle.simhashSql,
+      "x_dedup_simhash_pairs" -> graft.dedup.SimHashOracle.pairsSql(3),
 
       // mirrors nearDedup's DEFAULT maxDfFraction = 0.5 guard: the shingle
       // universe drops ngrams present in more than ceil(0.5 x distinct

@@ -89,6 +89,20 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Avro sink/source pair (row-oriented container). Spark 4 ships the
+    * Avro FileFormat classes inside spark-sql but does NOT register the
+    * "avro" shortname in DataSourceRegister, so the format is addressed
+    * by its implementation class. Schema survives via the embedded Avro
+    * schema, nullable unions included.
+    */
+  private val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def writeAvro(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").format(AvroFormat).save(path)
+
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroFormat).load(path)
+
   /** Hive-style partitioned parquet layout: one directory per value of
     * `partitionCols`. An equality filter on a partition column prunes at
     * the FILE level (the scan's `PartitionFilters`, no data read at all
