@@ -18,10 +18,14 @@ object Bench {
     // optional subset for local investigation: SPARK_GRAFT_BENCH_ONLY=a,b
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
+    // deterministic name order: Map iteration order is hash-order, which
+    // reshuffles neighbors between code changes and makes round-over-round
+    // per-query timings incomparable (a query's time includes its
+    // predecessor's GC debt)
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter(q => names.contains(q._1))
       case None => SparkEntry.queries
-    }
+    }).toSeq.sortBy(_._1)
     // untimed warmup: spin up executors/codegen and touch table footers so
     // the first timed query isn't charged for session initialization
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -38,11 +42,15 @@ object Bench {
       // drop them so queries are timed independently
       Persisted.unpersistAll()
       spark.catalog.clearCache()
+      // settle the heap between queries so one query's garbage isn't
+      // collected on the next query's clock (isolated-vs-in-suite timings
+      // differed up to 12x before this; the gc itself is untimed)
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
