@@ -41,6 +41,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
   }
 
+  test("LSH cosine pair generation is pure equi-join (no nested loops at all)") {
+    val p = planOf("x_dedup_embed_cosine_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lshCosinePairs must generate candidates via (table,bucket) equi-joins only:\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
+  test("bucketed kNN joins candidates on the cluster id, not all pairs") {
+    val p = planOf("x_knn_topk_bucketed")
+    // the only nested-loop join allowed is attaching the broadcast
+    // 16-row centroid relation; the anchor x candidate join must key on
+    // the cluster column
+    assert(p.contains("Join [cluster") || p.contains("Join cluster") ||
+      p.split("\n").exists(l => l.contains("Join") && l.contains("cluster#")),
+      s"bucketed kNN lost its cluster equi-join:\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
   test("dimension joins broadcast; existence joins are semi-joins") {
     val j1 = planOf("j1_name_resolution")
     assert(j1.contains("BroadcastHashJoin"), s"j1 lost its broadcast:\n$j1")
