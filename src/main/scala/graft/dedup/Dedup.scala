@@ -182,14 +182,22 @@ object Dedup {
          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
          maxDf, maxDfFraction))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // ONE aggregation pass computes the signature minima AND the per-doc
+    // shingle count — the count is a free extra column in the same
+    // map-side combine, where a separate groupBy would re-shuffle the
+    // whole shingle relation
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("ngram"))).as(s"_h$i"))
-    val sigs = ng.groupBy(col("_id"))
+      min(xxhash64(lit(i), col("ngram"))).as(s"_h$i")) :+
+      count(lit(1)).as("n_shingles")
+    val sigsCnt = Persisted.track(ng.groupBy(col("_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("_id"),
-        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"))
-    val cand = lshCandidatePairs(sigs, numHashes, rowsPerBand)
-    val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("signature"),
+        col("n_shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = lshCandidatePairs(
+      sigsCnt.select(col("_id"), col("signature")), numHashes, rowsPerBand)
+    val cnt = sigsCnt.select(col("_id"), col("n_shingles"))
     // intersection sizes via an equi-join on (id, ngram): the second join
     // keys on BOTH the doc id and the shingle, so per candidate pair we
     // stream |shingles(a)| probe rows — never the |a| x |b| cross product a

@@ -75,6 +75,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
   }
 
+  test("corpus-fraction stop-shingle guard drops boilerplate from the Jaccard universe") {
+    import spark.implicits._
+    // four docs: unique 2-token prefixes + an identical 8-token boilerplate
+    // tail. Every pure-boilerplate shingle has df = 4 > ceil(0.5 x 4) = 2,
+    // so the DEFAULT guard drops them; the docs then share nothing
+    val boiler = "standard legal footer applies to all documents here"
+    val docs = Seq(
+      (1L, s"alpha one $boiler"), (2L, s"beta two $boiler"),
+      (3L, s"gamma three $boiler"), (4L, s"delta four $boiler")
+    ).toDF("doc_id", "text")
+    val unguarded = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, tau = 0.5, maxDfFraction = None).count()
+    val guarded = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, tau = 0.5).count()
+    assert(unguarded == 6, "unguarded: boilerplate makes every doc pair a near-dup")
+    assert(guarded == 0, "guarded: dropping df > 50% shingles removes boilerplate-only pairs")
+    Persisted.unpersistAll()
+  }
+
   test("duplicateGroupsAuto fallback is exact on a chain deeper than any fixed unroll") {
     import spark.implicits._
     // a 30-node path (diameter 29): far deeper than a fixed 6-round unroll
