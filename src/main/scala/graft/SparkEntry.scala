@@ -1180,6 +1180,12 @@ object SparkEntry {
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
            |WHERE rnk <= 5""".stripMargin,
 
+      // approximate-by-construction yet bit-reproducible: the oracles
+      // replay the full deterministic ANN algorithms (seeded hyperplanes
+      // as exact double literals; lowest-id IVF centroids + argmax ranks)
+      "x_ann_ivf" -> graft.sim.Similarity.ivfTopKSql(64, 0L, 10, 16, 4),
+      "x_ann_lsh" -> graft.sim.Similarity.lshTopKSql(64, 0L, 10),
+
       "x_knn_topk_bucketed" -> {
         val cosEC = graft.sim.Similarity.cosineSql("e.embedding", "c.cvec", 64)
         val cosPA = graft.sim.Similarity.cosineSql("p.embedding", "a.embedding", 64)

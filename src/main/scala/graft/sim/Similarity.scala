@@ -30,6 +30,66 @@ object Similarity {
     s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** DuckDB replay of [[ivfTopK]] — the algorithm is deterministic end to
+    * end (lowest-id centroids, argmax-cosine assignment and probe ranking
+    * with id tie-breaks, (cosine desc, id) top-k), so the ORACLE can state
+    * the whole approximate computation, not just "some k rows".
+    */
+  def ivfTopKSql(dim: Int, queryId: Long, k: Int, numClusters: Int,
+      nProbe: Int): String = {
+    val cosEC = cosineSql("e.embedding", "c.cvec", dim)
+    val cosCQ = cosineSql("c.cvec", "q.qvec", dim)
+    val cosAQ = cosineSql("a.embedding", "q.qvec", dim)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT $numClusters),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.cid) AS crn
+       |    FROM e CROSS JOIN cent c) WHERE crn = 1),
+       |q AS (SELECT embedding AS qvec FROM e WHERE vec_id = $queryId),
+       |probed AS (
+       |  SELECT cid AS cluster FROM (
+       |    SELECT c.cid, row_number() OVER (ORDER BY $cosCQ DESC, c.cid) AS qrn
+       |    FROM cent c CROSS JOIN q) WHERE qrn <= $nProbe)
+       |SELECT a.vec_id, $cosAQ AS cosine
+       |FROM assigned a JOIN probed USING (cluster) CROSS JOIN q
+       |WHERE a.vec_id <> $queryId
+       |ORDER BY cosine DESC, a.vec_id LIMIT $k""".stripMargin
+  }
+
+  /** DuckDB replay of [[lshTopK]]: the seeded hyperplanes are embedded as
+    * exact double literals (Double.toString round-trips, DuckDB parses
+    * decimal to the nearest — identical — double), the sign-bucket packing
+    * and hamming-1 multi-probe as integer CASE/xor arithmetic, scoring as
+    * [[cosineSql]]. The query is approximate by construction yet
+    * bit-reproducible, so it hash-matches.
+    */
+  def lshTopKSql(dim: Int, queryId: Long, k: Int, numPlanes: Int = 12,
+      seed: Long = 42L): String = {
+    val planes = hyperplanes(dim, numPlanes, seed)
+    def planeDot(vec: String, p: Array[Double]): String =
+      p.zipWithIndex.map { case (w, j) =>
+        s"CAST($vec[${j + 1}] AS DOUBLE) * ($w)" }.mkString(" + ")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN (${planeDot("embedding", p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeUnion = (s"SELECT qb AS pb, qvec FROM qb" +:
+      (0 until numPlanes).map(i =>
+        s"SELECT xor(qb, ${1L << i}) AS pb, qvec FROM qb")).mkString(" UNION ALL ")
+    val cosBQ = cosineSql("b.embedding", "b.qvec", dim)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |buck AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM e),
+       |qb AS (SELECT bucket AS qb, embedding AS qvec FROM buck WHERE vec_id = $queryId),
+       |probes AS ($probeUnion),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id, b.embedding, p.qvec
+       |  FROM buck b JOIN probes p ON b.bucket = p.pb
+       |  WHERE b.vec_id <> $queryId)
+       |SELECT b.vec_id, $cosBQ AS cosine FROM cand b
+       |ORDER BY cosine DESC, b.vec_id LIMIT $k""".stripMargin
+  }
+
   /** Exact top-k nearest neighbors of one query row (by id) against the
     * whole collection: broadcast the single query vector, scan-and-score,
     * total-order by (cosine desc, id) for determinism. The baseline every
