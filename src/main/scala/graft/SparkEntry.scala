@@ -262,6 +262,13 @@ object SparkEntry {
       graft.sources.Sources.readAvro(s, out)
     }),
 
+    "k6_xml_roundtrip" -> ((s, dir) => {
+      val out = tmpPath(dir, "k6_xml")
+      val df = taxa(s, dir)
+      graft.sources.Sources.writeXml(df, out)
+      graft.sources.Sources.readXml(s, out, df.schema)
+    }),
+
     // ---- K4: hive-partitioned layout + partition-pruned scan ----------
     "k4_partitioned_prune" -> ((s, dir) => {
       val out = tmpPath(dir, "k4_part")
@@ -618,10 +625,13 @@ object SparkEntry {
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10, numClusters = 16, nProbe = 4)),
 
+    // deterministic training (ordered-fold means): bit-reproducible index
+    // builds, and the oracle can replay the full k-means + probe + top-k
     "x_ann_ivf_kmeans" -> ((s, dir) =>
       graft.sim.Similarity.ivfTopKTrained(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10, numClusters = 16, nProbe = 4, trainIterations = 2)),
+        queryId = 0L, k = 10, numClusters = 16, nProbe = 4, trainIterations = 2,
+        deterministicTraining = true)),
 
     "x_knn_topk" -> ((s, dir) =>
       graft.sim.Similarity.knnJoin(
@@ -847,6 +857,9 @@ object SparkEntry {
       "SELECT row_id, name, taxid, rank FROM taxa"),
 
     "k5_avro_roundtrip" -> withCtes(DerivedSql.taxa)(
+      "SELECT row_id, name, taxid, rank FROM taxa"),
+
+    "k6_xml_roundtrip" -> withCtes(DerivedSql.taxa)(
       "SELECT row_id, name, taxid, rank FROM taxa"),
 
     "k4_partitioned_prune" -> withCtes(DerivedSql.occurrence)(
@@ -1185,6 +1198,7 @@ object SparkEntry {
       // as exact double literals; lowest-id IVF centroids + argmax ranks)
       "x_ann_ivf" -> graft.sim.Similarity.ivfTopKSql(64, 0L, 10, 16, 4),
       "x_ann_lsh" -> graft.sim.Similarity.lshTopKSql(64, 0L, 10),
+      "x_ann_ivf_kmeans" -> graft.sim.Similarity.ivfTopKTrainedSql(64, 0L, 10, 16, 4, 2),
 
       "x_knn_topk_bucketed" -> {
         val cosEC = graft.sim.Similarity.cosineSql("e.embedding", "c.cvec", 64)

@@ -58,6 +58,63 @@ object Similarity {
        |ORDER BY cosine DESC, a.vec_id LIMIT $k""".stripMargin
   }
 
+  /** DuckDB replay of [[ivfTopKTrained]] with `deterministicTraining =
+    * true`: every training round (argmax assignment, ordered-fold means,
+    * empty-cluster carry-over) unrolls into rank/assign/mean/cent CTE
+    * stages, then the probe + top-k mirror [[ivfTopKSql]]. Works because
+    * the deterministic trainer folds each mean over members sorted by id
+    * — the exact op order the SQL `list(... ORDER BY vec_id)` fold states.
+    */
+  def ivfTopKTrainedSql(dim: Int, queryId: Long, k: Int, numClusters: Int,
+      nProbe: Int, trainIterations: Int): String = {
+    // every stage is MATERIALIZED: DuckDB inlines plain CTEs, so the
+    // nested centroid expressions would otherwise blow up exponentially
+    // across training rounds (the SQL twin of Spark's plan-lineage growth)
+    def rankCte(name: String, centName: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosineSql("e.embedding", "c.cvec", dim)} DESC, c.cid) AS crn
+         |  FROM e CROSS JOIN $centName c)""".stripMargin
+    val iterCtes = (1 to trainIterations).flatMap { i =>
+      Seq(
+        rankCte(s"rank$i", s"cent${i - 1}"),
+        s"assign$i AS MATERIALIZED (SELECT vec_id, embedding, cid AS cluster FROM rank$i WHERE crn = 1)",
+        s"""mean$i AS MATERIALIZED (
+           |  SELECT cluster, list(mval::REAL ORDER BY pos) AS mvec FROM (
+           |    SELECT cluster, pos,
+           |      list_reduce(list_prepend(0.0::DOUBLE,
+           |        list(embedding[pos+1]::DOUBLE ORDER BY vec_id)),
+           |        (acc, x) -> acc + x) / count(*) AS mval
+           |    FROM assign$i CROSS JOIN range($dim) t(pos)
+           |    GROUP BY cluster, pos)
+           |  GROUP BY cluster)""".stripMargin,
+        s"""cent$i AS MATERIALIZED (
+           |  SELECT p.cid, coalesce(m.mvec, p.cvec) AS cvec
+           |  FROM cent${i - 1} p LEFT JOIN mean$i m ON p.cid = m.cluster)""".stripMargin)
+    }
+    val T = trainIterations
+    val cosCQ = cosineSql("c.cvec", "q.qvec", dim)
+    val cosAQ = cosineSql("a.embedding", "q.qvec", dim)
+    (Seq(
+      "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
+      s"cent0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT $numClusters)") ++
+      iterCtes ++ Seq(
+      rankCte("rankF", s"cent$T"),
+      "assignF AS MATERIALIZED (SELECT vec_id, embedding, cid AS cluster FROM rankF WHERE crn = 1)",
+      s"q AS (SELECT embedding AS qvec FROM e WHERE vec_id = $queryId)",
+      s"""probed AS MATERIALIZED (
+         |  SELECT cid AS cluster FROM (
+         |    SELECT c.cid, row_number() OVER (ORDER BY $cosCQ DESC, c.cid) AS qrn
+         |    FROM cent$T c CROSS JOIN q) WHERE qrn <= $nProbe)""".stripMargin))
+      .mkString(",\n").replaceFirst("WITH e AS", "WITH e AS") +
+      s"""
+         |SELECT a.vec_id, $cosAQ AS cosine
+         |FROM assignF a JOIN probed USING (cluster) CROSS JOIN q
+         |WHERE a.vec_id <> $queryId
+         |ORDER BY cosine DESC, a.vec_id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB replay of [[lshTopK]]: the seeded hyperplanes are embedded as
     * exact double literals (Double.toString round-trips, DuckDB parses
     * decimal to the nearest — identical — double), the sign-bucket packing
@@ -425,22 +482,44 @@ object Similarity {
         col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
   }
 
-  /** Deterministic distributed k-means for IVF centroid training: init =
-    * the k lowest-id vectors, then `iterations` rounds of (argmax-cosine
+  /** Distributed k-means for IVF centroid training: init = the k
+    * lowest-id vectors, then `iterations` rounds of (argmax-cosine
     * assign, per-cluster element-wise mean). Wholly lazy — the loop
     * unrolls into one plan; each round is a broadcast join (k centroids)
     * plus two aggregations via posexplode, so it scales like a scan.
     * Empty clusters keep their previous centroid (left join + coalesce).
+    *
+    * `deterministic = false` (default) computes means with `avg` — the
+    * throughput path, but the double accumulation order follows shuffle
+    * arrival, so two runs can differ in the last ulp. `deterministic =
+    * true` folds each mean over members SORTED BY ID (collect_list +
+    * array_sort + left fold): bit-reproducible index builds (and a SQL-
+    * replayable oracle) at the cost of materializing each (cluster,
+    * dimension) member list — fine for the sampled corpus a coarse
+    * quantizer actually trains on, not for a full 100 TB pass.
     */
   def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-      numClusters: Int, iterations: Int = 3): DataFrame = {
+      numClusters: Int, iterations: Int = 3,
+      deterministic: Boolean = false): DataFrame = {
     var cent = ivfCentroids(embeddings, idCol, vecCol, numClusters)
     (0 until iterations).foreach { _ =>
       val assigned = assignToCentroids(embeddings, idCol, vecCol, cent)
-      val means = assigned
-        .select(col("cluster"), posexplode(col(vecCol)))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("col")).as("_m"))
+      val perDim = assigned
+        .select(col(idCol).as("_mid"), col("cluster"), posexplode(col(vecCol)))
+      val dimMeans =
+        if (deterministic)
+          perDim
+            .groupBy(col("cluster"), col("pos"))
+            .agg(array_sort(collect_list(struct(col("_mid").as("id"),
+              col("col").cast("double").as("v")))).as("_vals"))
+            .select(col("cluster"), col("pos"),
+              (expr("aggregate(_vals, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)") /
+                size(col("_vals"))).as("_m"))
+        else
+          perDim
+            .groupBy(col("cluster"), col("pos"))
+            .agg(avg(col("col")).as("_m"))
+      val means = dimMeans
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("pos"), col("_m")))).as("_pm"))
         .select(col("cluster").as("_cid"),
@@ -472,8 +551,9 @@ object Similarity {
     */
   def ivfTopKTrained(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, numClusters: Int = 16, nProbe: Int = 4,
-      trainIterations: Int = 3): DataFrame = {
-    val cent = kmeansCentroids(embeddings, idCol, vecCol, numClusters, trainIterations)
+      trainIterations: Int = 3, deterministicTraining: Boolean = false): DataFrame = {
+    val cent = kmeansCentroids(embeddings, idCol, vecCol, numClusters,
+      trainIterations, deterministicTraining)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.Persisted.track(cent)
     val assigned = assignToCentroids(embeddings, idCol, vecCol, cent)

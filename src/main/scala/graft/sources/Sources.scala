@@ -103,6 +103,18 @@ object Sources {
   def readAvro(spark: SparkSession, path: String): DataFrame =
     spark.read.format(AvroFormat).load(path)
 
+  /** XML sink/source pair (Spark 4 ships the former spark-xml natively,
+    * shortname registered). Reading back with an explicit schema, like
+    * JSON — inference would widen always-null columns.
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
+  def readXml(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rowTag: String = "row"): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag).xml(path)
+
   /** Hive-style partitioned parquet layout: one directory per value of
     * `partitionCols`. An equality filter on a partition column prunes at
     * the FILE level (the scan's `PartitionFilters`, no data read at all
