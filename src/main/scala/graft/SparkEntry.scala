@@ -535,6 +535,24 @@ object SparkEntry {
       DerivedModel.table(s, dir, "documents").select(col("doc_id"),
         graft.text.ShingleGenerator.shingles(col("text"), 3).as("ngram"))),
 
+    // repetition quality signal (Gopher-style): fraction of repeated
+    // trigram occurrences per document — scan-speed column expression
+    "x_text_repetition" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "documents").select(col("doc_id"),
+        graft.dedup.Dedup.repeatedNgramRatio(col("text"), 3).as("rep_ratio"))),
+
+    // decontamination: training docs sharing >= 4 distinct trigram
+    // shingles with the held-out benchmark slice (doc_id % 97 == 0) —
+    // shingle equi-join, never corpus x benchmark
+    "x_text_contamination" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      graft.dedup.Dedup.benchmarkContamination(
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+        n = 3, minShared = 4)
+        .select(col("_id").as("doc_id"), col("n_matched_benchmarks"), col("max_shared"))
+    }),
+
     // ---- dedup --------------------------------------------------------
     "x_dedup_exact" -> ((s, dir) =>
       graft.dedup.Dedup.exactDuplicateGroups(
@@ -1089,6 +1107,28 @@ object SparkEntry {
       "x_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY md5(text)""".stripMargin,
+
+      "x_text_repetition" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+          |ng AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+          |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+          |cnt AS (SELECT doc_id, count(*) AS u FROM ng GROUP BY doc_id)
+          |SELECT tk.doc_id,
+          |  CASE WHEN len(tk.t) - 2 <= 0 THEN CAST(0.0 AS DOUBLE)
+          |       ELSE CAST(1.0 AS DOUBLE) - CAST(c.u AS DOUBLE) / CAST(len(tk.t) - 2 AS DOUBLE)
+          |  END AS rep_ratio
+          |FROM toks tk LEFT JOIN cnt c ON tk.doc_id = c.doc_id""".stripMargin,
+
+      "x_text_contamination" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+          |ng AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+          |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+          |d AS (SELECT * FROM ng WHERE doc_id % 97 <> 0),
+          |b AS (SELECT doc_id AS bench_id, ngram FROM ng WHERE doc_id % 97 = 0),
+          |sh AS (SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+          |       FROM d JOIN b USING (ngram) GROUP BY d.doc_id, b.bench_id)
+          |SELECT doc_id, count(*) AS n_matched_benchmarks, max(n_shared) AS max_shared
+          |FROM sh WHERE n_shared >= 4 GROUP BY doc_id""".stripMargin,
 
       "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
 

@@ -49,6 +49,45 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("_id"), explode(wordNgrams(col(textCol), n)).as("ngram"))
 
+  /** Repetition quality signal (Gopher-style): the fraction of a
+    * document's n-gram occurrences that are repeats of an earlier n-gram,
+    * `1 - distinct/total`. 0.0 for texts too short to form an n-gram.
+    * A pure per-row column expression — scan-speed, no shuffle.
+    */
+  def repeatedNgramRatio(c: Column, n: Int): Column = {
+    val total = size(TextFunctions.tokens(c)) - (n - 1)
+    val uniq = size(wordNgrams(c, n))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) - uniq.cast("double") / total.cast("double"))
+  }
+
+  /** Benchmark-contamination check (decontamination pipelines: flag
+    * training documents that share long n-gram overlaps with an eval
+    * benchmark, cf. the 13-gram overlap rule of GPT-3's appendix): for
+    * each document sharing at least `minShared` distinct n-gram shingles
+    * with SOME benchmark document, report how many benchmark documents it
+    * collides with and the largest overlap.
+    *
+    * The join key is the shingle — corpus x benchmark meet only where
+    * content actually co-occurs, so cost is bounded by posting-list
+    * lengths, never |corpus| x |benchmark|. At 100 TB the benchmark side
+    * is small: Catalyst broadcasts its shingle relation.
+    */
+  def benchmarkContamination(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 3, minShared: Int = 8): DataFrame = {
+    val d = shingles(df, idCol, textCol, n)
+    val b = shingles(benchmark, benchIdCol, benchTextCol, n)
+      .select(col("_id").as("_bench_id"), col("ngram"))
+    d.join(b, Seq("ngram"))
+      .groupBy(col("_id"), col("_bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_matched_benchmarks"),
+        max(col("n_shared")).as("max_shared"))
+  }
+
   /** Default stop-shingle guard: drop shingles present in more than half
     * the corpus. A shingle in >50% of documents is boilerplate by
     * definition (headers, licenses, templates); true near-dup pairs at

@@ -44,4 +44,29 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(one(TextFunctions.stopwordScore(col("t")), "the a of and")
       .asInstanceOf[Int] > 0)
   }
+
+  test("repeated-ngram ratio: 0 for all-distinct and too-short, high for loops") {
+    import graft.dedup.Dedup.repeatedNgramRatio
+    assert(one(repeatedNgramRatio(col("t"), 3), "a b c d e") == 0.0)
+    assert(one(repeatedNgramRatio(col("t"), 3), "a b") == 0.0) // too short
+    // "a b a b a b a b": 6 trigram occurrences, 2 distinct -> 1 - 2/6
+    val r = one(repeatedNgramRatio(col("t"), 3), "a b a b a b a b")
+      .asInstanceOf[Double]
+    assert(math.abs(r - (1.0 - 2.0 / 6.0)) < 1e-12)
+  }
+
+  test("benchmark contamination flags only docs sharing enough shingles") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // 4 shared trigrams with bench 100
+      (2L, "one two three four five six seven")    // nothing shared
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val hits = graft.dedup.Dedup.benchmarkContamination(
+      corpus, "doc_id", "text", bench, "doc_id", "text", n = 3, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((1L, 1L, 4L)),
+      "doc 1 shares exactly its 4 trigrams with one benchmark doc; doc 2 is clean")
+  }
 }
