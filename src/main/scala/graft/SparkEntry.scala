@@ -467,6 +467,27 @@ object SparkEntry {
           lead(floor(col("l_extendedprice") * 100 + 0.5), 1).over(w).as("next_cents"))
     }),
 
+    // distribution window functions (ntile / percent_rank / cume_dist);
+    // unique tie-break keeps peer groups single-row -> deterministic
+    "w4_ntile_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      DerivedModel.table(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
+
+    // unpivot (wide -> long), the relational melt
+    "agg_unpivot" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("double").as("total_price"),
+          col("o_custkey").cast("double").as("cust_key"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("total_price"), col("cust_key")), "metric", "value")),
+
     // ---- as-of join (union-tag formulation, one shuffle, no join blowup)
     "x_asof_join" -> ((s, dir) => {
       val ev = DerivedModel.events(s, dir)
@@ -1015,6 +1036,20 @@ object SparkEntry {
         |    PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice) AS next_cents
         |FROM lineitem""".stripMargin,
+
+    "w4_ntile_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    // the semantic truth of unpivot, stated engine-neutrally
+    "agg_unpivot" ->
+      """SELECT o_orderkey, 'total_price' AS metric, CAST(o_totalprice AS DOUBLE) AS value FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'cust_key' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders""".stripMargin,
 
     "x_asof_join" ->
       """WITH l AS (

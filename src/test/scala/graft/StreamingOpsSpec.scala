@@ -59,6 +59,34 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
       s"doubled source must dedup back to ${batchDf.count()} events, got $got")
   }
 
+  test("streaming parquet file sink + checkpoint persists the deduped stream") {
+    val batchDf = spark.read.parquet(eventsMicros)
+    val dupPath = s"${System.getProperty("java.io.tmpdir")}/graft_events_dup_sink"
+    batchDf.write.mode("overwrite").parquet(dupPath)
+    batchDf.write.mode("append").parquet(dupPath)
+    // a DURABLE sink: exactly-once via the sink transaction log + the
+    // checkpoint; the read-back must equal the batch dedup of the source
+    val outRoot = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(outRoot))
+    val sq = StreamingOps.streamingDedup(spark, dupPath, batchDf)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outRoot/data")
+      .option("checkpointLocation", s"$outRoot/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination(120000)
+    val got = spark.read.parquet(s"$outRoot/data")
+    assert(got.count() == batchDf.count(),
+      "file sink must hold exactly the deduped event set")
+    assert(got.select("event_id").distinct().count() == batchDf.count())
+  }
+
   test("flatMapGroupsWithState running totals equal batch aggregation") {
     val batchDf = spark.read.parquet(eventsMicros)
     val sq = StreamingOps.statefulUserTotals(spark, eventsMicros, batchDf)
