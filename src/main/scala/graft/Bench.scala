@@ -27,8 +27,18 @@ object Bench {
       case None => SparkEntry.queries
     }).toSeq.sortBy(_._1)
     // untimed warmup: spin up executors/codegen and touch table footers so
-    // the first timed query isn't charged for session initialization
+    // the first timed query isn't charged for session initialization.
+    // Exercise the agg/join/window codegen paths too — queries run in
+    // sorted name order, so whichever query happens to sort first would
+    // otherwise absorb the JIT warmup of the whole engine
     spark.range(1000000).selectExpr("sum(id)").collect()
+    val wdf = spark.range(100000).selectExpr(
+      "id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v")
+    wdf.groupBy("k").agg(org.apache.spark.sql.functions.sum("v")).collect()
+    wdf.join(wdf.groupBy("k").count(), "k").count()
+    wdf.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")))
+      .filter("rn = 1").count()
     Seq("lineitem", "part", "customer", "orders", "nation",
       "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()

@@ -70,15 +70,18 @@ object Dedup {
     *
     * The join key is the shingle — corpus x benchmark meet only where
     * content actually co-occurs, so cost is bounded by posting-list
-    * lengths, never |corpus| x |benchmark|. At 100 TB the benchmark side
-    * is small: Catalyst broadcasts its shingle relation.
+    * lengths, never |corpus| x |benchmark|. The benchmark shingle side is
+    * explicitly broadcast: eval benchmarks are tiny next to a training
+    * corpus, but a Generate (explode) output defeats Catalyst's size
+    * estimation, so without the hint the 100 TB corpus side would be
+    * shuffled on the shingle.
     */
   def benchmarkContamination(df: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int = 3, minShared: Int = 8): DataFrame = {
     val d = shingles(df, idCol, textCol, n)
-    val b = shingles(benchmark, benchIdCol, benchTextCol, n)
-      .select(col("_id").as("_bench_id"), col("ngram"))
+    val b = broadcast(shingles(benchmark, benchIdCol, benchTextCol, n)
+      .select(col("_id").as("_bench_id"), col("ngram")))
     d.join(b, Seq("ngram"))
       .groupBy(col("_id"), col("_bench_id"))
       .agg(count(lit(1)).as("n_shared"))

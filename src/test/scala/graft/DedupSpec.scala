@@ -108,6 +108,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
   }
 
+  test("converged fallback equals driver union-find on the real pair graph") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", maxDfFraction = None)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = canon(Dedup.duplicateGroupsAuto(pairs))
+    val viaConverged = canon(Dedup.duplicateGroupsAuto(pairs, maxDriverPairs = 0))
+    assert(viaDriver.nonEmpty && viaDriver == viaConverged,
+      "both component solvers must agree on the actual near-dup graph")
+    Persisted.unpersistAll()
+  }
+
   test("nearDedup keeps one representative per near-dup component") {
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", n = 3, tau = 0.8)

@@ -61,6 +61,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("contamination check broadcasts the benchmark shingle side") {
+    val p = planOf("x_text_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast (corpus side must not shuffle):\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
   test("dimension joins broadcast; existence joins are semi-joins") {
     val j1 = planOf("j1_name_resolution")
     assert(j1.contains("BroadcastHashJoin"), s"j1 lost its broadcast:\n$j1")
