@@ -1,0 +1,85 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.ops.AsofJoin
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks (raw ScalaCheck generators, fixed seeds — the
+  * scalatest/scalacheck bridge artifact is not on the offline classpath)
+  * for the operators whose correctness arguments are the subtlest:
+  * distributed connected components against a reference union-find on
+  * RANDOM graphs (not just hand-picked chains), and the one-shuffle
+  * as-of join against the quadratic formulation it replaces, on random
+  * event sets including equal timestamps and NULL payloads.
+  */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).getOrElse(
+      sys.error(s"generator failed for seed $seed"))
+
+  private def referenceComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+  }
+
+  test("distributed components equal reference union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 40L); b <- Gen.choose(0L, 40L) if a != b
+    } yield if (a < b) (a, b) else (b, a))
+    (1L to 6L).foreach { seed =>
+      val edges = sample(edgeGen, seed)
+      val expected = referenceComponents(edges)
+      val viaConverged = Dedup.duplicateGroupsAuto(
+        edges.toDF("id_a", "id_b"), maxDriverPairs = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaConverged == expected, s"seed $seed, edges $edges")
+      Persisted.unpersistAll()
+    }
+  }
+
+  test("as-of join equals the quadratic formulation on random event sets") {
+    import spark.implicits._
+    val caseGen = for {
+      left <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(1L, 4L); ts <- Gen.choose(0L, 30L)
+      } yield (k, ts))
+      right <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(1L, 4L); ts <- Gen.choose(0L, 30L)
+        v <- Gen.option(Gen.choose(1, 99))
+      } yield (k, ts, v))
+      strict <- Gen.oneOf(true, false)
+    } yield (left, right, strict)
+    (1L to 6L).foreach { seed =>
+      val (left, right, strict) = sample(caseGen, seed)
+      val l = left.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("id", "k", "ts")
+      // contract: right unique per (key, ts) — keep the max-v row per slot
+      val rRows = right.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val r = rRows.toDF("k", "ts", "v")
+      val fast = AsofJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("v"), strict)
+        .select(col("id"), col("asof_v"))
+        .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+      // reference: latest qualifying right row per left row, driver-side
+      val expected = left.zipWithIndex.map { case ((k, ts), i) =>
+        val q = rRows.filter(rr => rr._1 == k &&
+          (if (strict) rr._2 < ts else rr._2 <= ts))
+        i.toLong -> (if (q.isEmpty) None
+                     else q.maxBy(_._2)._3.map(v => v: Any))
+      }.toMap
+      assert(fast == expected, s"seed $seed strict=$strict")
+    }
+  }
+}
