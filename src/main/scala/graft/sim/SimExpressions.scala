@@ -54,6 +54,63 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
     copy(left = newLeft, right = newRight)
 }
 
+/** One sign-LSH TABLE's bucket id as a single codegen'd expression: bit i
+  * of the result is the sign of `dot(vec, planes(i))`.
+  *
+  * The compositional formulation (`planesPerTable` separate
+  * [[DotProductExpr]]s against constant-folded `array(lit(...))`
+  * literals) is semantically identical but ~50x slower: a folded array
+  * literal is a `GenericArrayData` over BOXED doubles, so every element
+  * access in the generated loop unboxes (measured ~56 ns/multiply,
+  * `ScalePerfHarness`). Here the plane matrix ships as a primitive
+  * `double[][]` reference object — the generated code is two nested
+  * primitive loops. Accumulation stays index-ascending per plane, so
+  * buckets are bit-identical to the compositional form and to the
+  * oracle's explicit sums.
+  */
+case class LshBucketExpr(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.nonEmpty && planes.length <= 63, "1..63 planes per table")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    LshBucketExpr.bucket(v, planes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.sim.LshBucketExpr.bucket($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshBucketExpr {
+  /** Static entry point shared by interpreted eval and generated code. */
+  def bucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
+    var out = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      val n = math.min(v.numElements(), p.length)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += v.getDouble(j) * p(j)
+        j += 1
+      }
+      if (acc >= 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+}
+
 object SimExpressions {
 
   /** Register `graft_dot` (idempotent); also usable from SQL text. */

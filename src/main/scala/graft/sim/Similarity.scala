@@ -4,12 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (north-star extensions): brute-force cosine
-  * top-k as the exact baseline, random-hyperplane LSH bucketing as the
-  * scale path, and cosine near-duplicate pairs.
+  * top-k and all-pairs kNN as the exact baselines, random-hyperplane LSH
+  * and IVF bucketing as the scale paths (single-query and all-pairs), and
+  * cosine near-duplicate pairs (exact + bucketed-LSH).
   *
-  * All math is double-precision with a fixed left-to-right accumulation
-  * order (`zip_with` + `aggregate` higher-order functions), so results are
-  * bit-deterministic and reproducible in the DuckDB oracle.
+  * All math is double-precision with a fixed index-ascending accumulation
+  * order (the codegen'd [[DotProductExpr]]; Spark's own higher-order
+  * functions are CodegenFallback and ~19x slower on pair joins), so
+  * results are bit-deterministic and reproducible in the DuckDB oracle —
+  * including every APPROXIMATE algorithm, whose seeds, tie-breaks and
+  * fold orders are all pinned.
   */
 object Similarity {
 
@@ -201,12 +205,16 @@ object Similarity {
     * Vectors with high cosine land in the same bucket with high
     * probability; bucketing is a plain column, so candidate generation is
     * an equi-join — the scale path for near-neighbor search.
+    *
+    * One codegen'd [[LshBucketExpr]] per table: the plane matrix is a
+    * primitive reference object, not per-plane folded array literals
+    * (whose boxed element accesses made bucketing ~50x slower — see the
+    * expression's scaladoc). Bit-identical to the per-plane composition.
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val d = SimExpressions.dot(vec, array(p.map(lit): _*))
-      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
+    org.apache.spark.sql.GraftColumnBridge.column(LshBucketExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(vec.cast("array<double>")),
+      planes))
 
   /** Bucketed cosine near-duplicate pairs — the 100 TB path that replaces
     * [[cosineNearDupPairs]]'s exact O(n^2) nested-loop join with a
@@ -239,31 +247,48 @@ object Similarity {
         "lshCosinePairs: embeddings table is empty — cannot derive the vector dimensionality"))
     // vectors + norms computed once per row (same doubles as per-pair, so
     // the verify cosine is bit-identical to the exact formulation); the
-    // relation feeds the bucketing AND both verify sides -> persist
+    // relation feeds both sides of the bucket self-join -> persist
     val normed = graft.Persisted.track(embeddings.select(col(idCol).as("_nid"),
       col(vecCol).cast("array<double>").as("_nvec"),
       sqrt(SimExpressions.dot(col(vecCol), col(vecCol))).as("_nnorm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val tables = (0 until numTables).map { t =>
-      val planes = hyperplanes(dim, planesPerTable, seed + t)
-      struct(lit(t).as("tbl"), lshBucket(col("_nvec"), planes).as("bucket"))
-    }
-    val bucketed = normed
-      .select(col("_nid"), explode(array(tables: _*)).as("tb"))
-      .select(col("_nid"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val cand = bucketed.as("x").join(bucketed.as("y"), Seq("tbl", "bucket"))
-      .select(col("x._nid").as("id_a"), col("y._nid").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    // each table's bucket is computed as its OWN projection column before
+    // anything is assembled: whole-stage codegen splits methods per
+    // top-level expression, whereas one explode(array(struct(bucket...)))
+    // containing every table's plane dots is a single oversized
+    // expression that drops to interpreted eval (measured 100x slower on
+    // a 100k-vector corpus, ScalePerfHarness)
+    val withBuckets = normed.select(
+      Seq(col("_nid"), col("_nvec"), col("_nnorm")) ++
+        (0 until numTables).map { t =>
+          val planes = hyperplanes(dim, planesPerTable, seed + t)
+          lshBucket(col("_nvec"), planes).as(s"_b$t")
+        }: _*)
+    // vectors travel THROUGH the bucket self-join (shuffled numTables x,
+    // i.e. |corpus| x tables wide rows) and the cosine threshold sits
+    // INSIDE the join condition — candidates that fail tau are verified
+    // in codegen and never materialized. The alternative (skinny
+    // candidate pairs + two vector lookup joins) shuffles the vector
+    // payload once PER CANDIDATE PAIR, which under bucket collisions is
+    // orders of magnitude more bytes than |corpus| x tables.
+    val bucketed = withBuckets
+      .select(col("_nid"), col("_nvec"), col("_nnorm"),
+        explode(array((0 until numTables).map(t =>
+          struct(lit(t).as("tbl"), col(s"_b$t").as("bucket"))): _*)).as("tb"))
+      .select(col("_nid"), col("_nvec"), col("_nnorm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("_nid").as("id_a"),
+      col("_nvec").as("_va"), col("_nnorm").as("_na"))
+    val b = bucketed.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
+      col("_nid").as("id_b"), col("_nvec").as("_vb"), col("_nnorm").as("_nb"))
+    val cosineExpr =
+      SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))
+    a.join(b, col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&
+        col("id_a") < col("id_b") && cosineExpr >= tau)
+      .select(col("id_a"), col("id_b"), cosineExpr.as("cosine"))
+      // a true pair can meet in several tables; its (ids, cosine) row is
+      // bit-identical each time, so distinct dedups exactly
       .distinct()
-    cand
-      .join(normed.select(col("_nid").as("id_a"), col("_nvec").as("_va"),
-        col("_nnorm").as("_na")), Seq("id_a"))
-      .join(normed.select(col("_nid").as("id_b"), col("_nvec").as("_vb"),
-        col("_nnorm").as("_nb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
-          .as("cosine"))
-      .filter(col("cosine") >= tau)
   }
 
   /** IVF coarse quantizer: centroids are the k lowest-id vectors
