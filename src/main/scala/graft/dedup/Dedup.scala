@@ -140,7 +140,13 @@ object Dedup {
       maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
     // the shingle relation feeds both join sides and the per-doc counts —
     // without persist Spark recomputes the explode 4x (no exchange reuse
-    // across mixed broadcast/shuffle strategies)
+    // across mixed broadcast/shuffle strategies). Deliberately NOT
+    // count()-materialized before the fan-out: concurrent reader stages
+    // do race the lazy cache (bounded recompute), but a count() barrier
+    // measurably REGRESSES wall-clock here — idle cores absorb the raced
+    // recompute, the barrier adds a serial pass (NOTES, r3). The
+    // exception is iterative/driver-bound state (duplicateGroups), where
+    // the raced upstream is a whole pipeline.
     val ng = Persisted.track(shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ngFiltered =
@@ -217,7 +223,8 @@ object Dedup {
     val ngRaw = shingles(df, idCol, textCol, n)
     // guard BEFORE signatures: the filtered universe feeds the MinHash,
     // the candidate verify and the per-doc counts alike, so Jaccard stays
-    // exact over the guarded universe
+    // exact over the guarded universe. (Lazy persist by design — see the
+    // fan-out note in ngramJaccardPairs.)
     val ng = Persisted.track(
       (if (maxDf.isEmpty && maxDfFraction.isEmpty) ngRaw
        else applyMaxDf(Persisted.track(ngRaw

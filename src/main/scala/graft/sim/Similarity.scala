@@ -471,13 +471,12 @@ object Similarity {
       k: Int, numClusters: Int = 16, nProbe: Int = 4): DataFrame = {
     import embeddings.sparkSession.implicits._
     val cent = ivfCentroids(embeddings, idCol, vecCol, numClusters)
-    val prepped = graft.Persisted.track(embeddings.select(col(idCol).as("_pid"),
+    val prepped = embeddings.select(col(idCol).as("_pid"),
       col(vecCol).cast("array<double>").as("_pvec"))
       .withColumn("_pnorm", sqrt(SimExpressions.dot(col("_pvec"), col("_pvec"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // rank every (vector, centroid) cosine once; rn = 1 is the assignment,
     // rn <= nProbe are the anchor's probe clusters — one broadcast join
-    // feeds both relations
+    // feeds both relations.
     val ranked = graft.Persisted.track(prepped
       .join(broadcast(cent))
       .select(col("_pid"), col("_pvec"), col("_pnorm"), col("_cid"),
