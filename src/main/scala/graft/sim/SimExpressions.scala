@@ -68,21 +68,27 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
   * buckets are bit-identical to the compositional form and to the
   * oracle's explicit sums.
   */
-case class LshBucketExpr(child: Expression, planes: Array[Array[Double]])
+case class LshBucketExpr(child: Expression, planes: Seq[Seq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(planes.nonEmpty && planes.length <= 63, "1..63 planes per table")
+
+  // the case-class parameter is a Seq so expression equality (and with it
+  // plan canonicalization / subexpression elimination) is STRUCTURAL —
+  // an Array param would compare by reference; codegen gets primitives
+  @transient private lazy val planeMatrix: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_lsh_bucket"
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    LshBucketExpr.bucket(v, planes)
+    LshBucketExpr.bucket(v, planeMatrix)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    val ref = ctx.addReferenceObj("planes", planeMatrix, "double[][]")
     defineCodeGen(ctx, ev, c => s"graft.sim.LshBucketExpr.bucket($c, $ref)")
   }
 

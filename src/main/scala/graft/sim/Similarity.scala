@@ -214,7 +214,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     org.apache.spark.sql.GraftColumnBridge.column(LshBucketExpr(
       org.apache.spark.sql.GraftColumnBridge.expression(vec.cast("array<double>")),
-      planes))
+      planes.map(_.toSeq).toSeq))
 
   /** Bucketed cosine near-duplicate pairs — the 100 TB path that replaces
     * [[cosineNearDupPairs]]'s exact O(n^2) nested-loop join with a
