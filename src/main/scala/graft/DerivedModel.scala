@@ -82,6 +82,29 @@ object DerivedModel {
     base.unionByName(planted)
   }
 
+  /** Documents with deterministically planted PII-shaped strings (the
+    * synthetic corpus has none — a redaction query over it would be a
+    * no-op masquerading as coverage). Email / US-phone / SSN shapes are
+    * appended from pure integer-mod + lpad + concat arithmetic, so the
+    * DuckDB oracle replays the planting exactly ([[DerivedSql
+    * .documentsPii]]) and the redaction gate checks real rewrites.
+    */
+  def documentsWithPii(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" ssn "),
+            ((col("doc_id") * 7) % 900 + 100).cast("string"), lit("-"),
+            (col("doc_id") % 90 + 10).cast("string"), lit("-"),
+            lpad(((col("doc_id") * 13) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+
   def occurrence(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .join(broadcast(table(spark, dir, "nation")),
@@ -148,6 +171,24 @@ object DerivedSql {
       |         CASE WHEN c_custkey % 7 = 0 THEN CAST((c_custkey * 13) % 500 AS VARCHAR) END AS taxid,
       |         CASE WHEN c_custkey % 3 = 0 THEN (CASE p_partkey % 4 WHEN 0 THEN 'SPECIES' WHEN 1 THEN 'GENUS' WHEN 2 THEN 'FAMILY' ELSE 'ORDER' END) END AS rank
       |  FROM customer LEFT JOIN part ON (c_custkey * 7) % 2000 = p_partkey)""".stripMargin
+
+  /** Twin of [[DerivedModel.documentsWithPii]]. */
+  val documentsPii: String =
+    """documents_pii AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN ' ssn ' || CAST((doc_id * 7) % 900 + 100 AS VARCHAR)
+      |        || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)
+      |        || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END AS text
+      |  FROM documents)""".stripMargin
 
   /** Strict name resolution (J1 semantics, TaxonomyResolver scaladoc):
     * unique-candidate match with rank constraint, synonym chase, taxid

@@ -360,6 +360,36 @@ object SparkEntry {
         .agg(percentile_approx(floor(col("l_extendedprice") * 100 + 0.5),
           lit(0.95), lit(10000)).as("p95_price_cents"))),
 
+    // HASH-MATCHED graduations of the two sketch queries: the sketch value
+    // itself is engine-specific (not replayable), so the gated output is
+    // the replayable EXACT side plus a Spark-computed |approx−exact| bound
+    // check — the oracle states the exact value and `TRUE`. A false bound
+    // (or a drifted exact) breaks the hash, so the sketch path is now
+    // under the driver's hard signal, not just ApproxAggSpec.
+    "agg_approx_distinct_bounded" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_approx"))
+        // 3x the requested rsd — the same slack ApproxAggSpec allows
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("_approx").cast("double") - col("exact_parts").cast("double")) <=
+            lit(0.06) * col("exact_parts").cast("double")).as("within_bound"))),
+
+    // p = 0.5 so the exact side is the integer-cents median, which the
+    // oracle replays bit-exactly (the agg_median pattern); an exact p95
+    // would hang on cross-engine interpolation op-order instead of the
+    // sketch under test
+    "agg_approx_percentile_bounded" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(median(floor(col("l_extendedprice") * 100 + 0.5)).as("median_price_cents"),
+          percentile_approx(floor(col("l_extendedprice") * 100 + 0.5),
+            lit(0.5), lit(10000)).as("_approx"))
+        .select(col("l_returnflag"), col("median_price_cents"),
+          (abs(col("_approx").cast("double") - col("median_price_cents")) <=
+            lit(0.05) * col("median_price_cents")).as("within_bound"))),
+
     "f_date_extract" -> ((s, dir) =>
       DerivedModel.table(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("o_year"),
@@ -544,6 +574,14 @@ object SparkEntry {
       DerivedModel.table(s, dir, "documents").select(col("doc_id"),
         graft.text.TextFunctions.normalize(col("text")).as("norm_text"))),
 
+    // PII redaction over deterministically PLANTED PII — the synthetic
+    // corpus has none, so redacting it raw would be a no-op masquerading
+    // as coverage (DerivedModel.documentsWithPii scaladoc). The oracle
+    // replays both the planting and the redaction regexes.
+    "x_text_redact" -> ((s, dir) =>
+      DerivedModel.documentsWithPii(s, dir).select(col("doc_id"),
+        graft.text.TextFunctions.redact(col("text")).as("clean_text"))),
+
     // exact dedup over NORMALIZED text — the canonical pipeline composition
     "x_dedup_exact_normalized" -> ((s, dir) =>
       graft.dedup.Dedup.exactDuplicateGroups(
@@ -636,7 +674,8 @@ object SparkEntry {
     // same gate pattern as x_dedup_minhash ≡ exact Jaccard
     "x_dedup_embed_cosine_lsh" -> ((s, dir) =>
       graft.sim.Similarity.lshCosinePairs(
-        DerivedModel.embeddingsAugmented(s, dir), "vec_id", "embedding", tau = 0.95)),
+        DerivedModel.embeddingsAugmented(s, dir), "vec_id", "embedding", tau = 0.95,
+        dim = Some(64))),
 
     // the end-to-end near-dedup a training pipeline actually runs:
     // MinHash pairs -> components -> keep each group's minimum id.
@@ -657,7 +696,7 @@ object SparkEntry {
     "x_ann_lsh" -> ((s, dir) =>
       graft.sim.Similarity.lshTopK(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 10)),
+        queryId = 0L, k = 10, dim = Some(64))),
 
     "x_ann_ivf" -> ((s, dir) =>
       graft.sim.Similarity.ivfTopK(
@@ -715,6 +754,58 @@ object SparkEntry {
       graft.streaming.StreamingOps.sessionize(
         DerivedModel.events(s, dir), gapMillis = 30L * 60 * 1000)
         .withColumn("session_start", unix_millis(col("session_start")))),
+
+    // ---- streaming EXECUTION forms: each runs a real StreamingQuery
+    // (readStream -> watermark -> Trigger.AvailableNow -> durable parquet
+    // sink + checkpoint) and returns the sink read back, so the driver's
+    // DuckDB oracle checks the code path a production stream deploys —
+    // not the batch twin. Source staging (single file + far-future
+    // sentinel): StreamingOps.writeFiniteSource scaladoc.
+    "x_stream_window_exec" -> ((s, dir) => {
+      val root = tmpPath(dir, "stream_exec_win")
+      graft.streaming.StreamingOps.writeFiniteSource(
+        DerivedModel.events(s, dir), s"$root/src")
+      val src = s.read.parquet(s"$root/src")
+      graft.streaming.StreamingOps.runToParquetSink(
+        graft.streaming.StreamingOps.streamingWindowedEventStats(
+          s, s"$root/src", src), s"$root/sink")
+        .filter(col("event_type") =!=
+          graft.streaming.StreamingOps.SentinelEventType)
+        .withColumn("window_start", unix_millis(col("window_start")))
+    }),
+
+    // session_window closes a session when the gap REACHES 30 min (windows
+    // [ts, ts+gap) merge only while overlapping), so its oracle uses >= at
+    // microsecond precision — the batch-twin lag form above breaks only
+    // when the gap EXCEEDS the threshold (documented boundary divergence)
+    "x_stream_sessionize_exec" -> ((s, dir) => {
+      val root = tmpPath(dir, "stream_exec_sess")
+      graft.streaming.StreamingOps.writeFiniteSource(
+        DerivedModel.events(s, dir), s"$root/src")
+      val src = s.read.parquet(s"$root/src")
+      graft.streaming.StreamingOps.runToParquetSink(
+        graft.streaming.StreamingOps.streamingSessionize(
+          s, s"$root/src", src), s"$root/sink")
+        .filter(col("user_id") =!= -1L)
+        .withColumn("session_start", unix_millis(col("session_start")))
+    }),
+
+    // at-least-once replay (source written twice) deduped exactly-once by
+    // the watermarked dropDuplicates state — sink must equal the source
+    "x_stream_dedup_exec" -> ((s, dir) => {
+      val root = tmpPath(dir, "stream_exec_dedup")
+      val ev = DerivedModel.events(s, dir)
+      graft.streaming.StreamingOps.writeFiniteSource(
+        ev.unionByName(ev), s"$root/src")
+      val src = s.read.parquet(s"$root/src")
+      graft.streaming.StreamingOps.runToParquetSink(
+        graft.streaming.StreamingOps.streamingDedup(
+          s, s"$root/src", src), s"$root/sink")
+        .filter(col("event_type") =!=
+          graft.streaming.StreamingOps.SentinelEventType)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("user_id"), col("event_type"), col("value"))
+    }),
 
     // ---- reproducible sampling ----------------------------------------
     // membership is a pure function of the content hash, so any engine
@@ -951,6 +1042,17 @@ object SparkEntry {
     "agg_median" ->
       """SELECT l_returnflag,
         |  median(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS median_price_cents
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_approx_distinct_bounded" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_approx_percentile_bounded" ->
+      """SELECT l_returnflag,
+        |  median(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS median_price_cents,
+        |  TRUE AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "f_date_extract" ->
@@ -1322,8 +1424,44 @@ object SparkEntry {
           |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
 
+      // identical aggregation — the Spark side executed it as a real
+      // watermarked StreamingQuery into a file sink (see queries)
+      "x_stream_window_exec" ->
+        """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type,
+          |  count(*) AS n_events,
+          |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+      // session_window semantics: a gap of EXACTLY 30 min starts a new
+      // session ([ts, ts+gap) windows merge only while overlapping), hence
+      // >= at microsecond precision — vs the batch lag form's strict >
+      "x_stream_sessionize_exec" ->
+        """WITH ordered AS (
+          |  SELECT user_id, event_id, ts, value,
+          |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+          |           (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000 THEN 1
+          |         WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+          |         ELSE 0 END AS new_sess
+          |  FROM events),
+          |sessions AS (
+          |  SELECT user_id, ts, value,
+          |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          |  FROM ordered)
+          |SELECT epoch_ms(min(ts)) AS session_start, user_id, count(*) AS n_events,
+          |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM sessions GROUP BY user_id, session_idx""".stripMargin,
+
+      // exactly-once dedup of the doubled source == the source itself
+      "x_stream_dedup_exec" ->
+        """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+          |FROM events""".stripMargin,
+
       "x_text_normalize" ->
         s"SELECT doc_id, ${normalizeSql("text")} AS norm_text FROM documents",
+
+      "x_text_redact" -> withCtes(DerivedSql.documentsPii)(
+        s"SELECT doc_id, ${redactSql("text")} AS clean_text FROM documents_pii"),
 
       "x_dedup_exact_normalized" ->
         s"""SELECT md5(${normalizeSql("text")}) AS text_hash, min(doc_id) AS keep_id,

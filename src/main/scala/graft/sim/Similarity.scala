@@ -34,6 +34,19 @@ object Similarity {
     s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** Vector dimensionality for hyperplane/bucket geometry: the caller's
+    * `dim` wins (zero Spark jobs at query construction — what a 100 TB
+    * deployment should pass, since even a "1-row" probe touches a parquet
+    * footer per file); otherwise fall back to an eager one-row probe of
+    * the data, with a clear error on an empty table.
+    */
+  private def resolveDim(embeddings: DataFrame, vecCol: String,
+      dim: Option[Int], who: String): Int = dim.getOrElse {
+    embeddings.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
+        s"$who: embeddings table is empty — pass dim explicitly or supply data"))
+  }
+
   /** DuckDB replay of [[ivfTopK]] — the algorithm is deterministic end to
     * end (lowest-id centroids, argmax-cosine assignment and probe ranking
     * with id tie-breaks, (cosine desc, id) top-k), so the ORACLE can state
@@ -241,10 +254,8 @@ object Similarity {
     */
   def lshCosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
       tau: Double, numTables: Int = 8, planesPerTable: Int = 12,
-      seed: Long = 42L): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
-        "lshCosinePairs: embeddings table is empty — cannot derive the vector dimensionality"))
+      seed: Long = 42L, dim: Option[Int] = None): DataFrame = {
+    val d = resolveDim(embeddings, vecCol, dim, "lshCosinePairs")
     // vectors + norms computed once per row (same doubles as per-pair, so
     // the verify cosine is bit-identical to the exact formulation); the
     // relation feeds both sides of the bucket self-join -> persist
@@ -261,7 +272,7 @@ object Similarity {
     val withBuckets = normed.select(
       Seq(col("_nid"), col("_nvec"), col("_nnorm")) ++
         (0 until numTables).map { t =>
-          val planes = hyperplanes(dim, planesPerTable, seed + t)
+          val planes = hyperplanes(d, planesPerTable, seed + t)
           lshBucket(col("_nvec"), planes).as(s"_b$t")
         }: _*)
     // vectors travel THROUGH the bucket self-join (shuffled numTables x,
@@ -343,16 +354,8 @@ object Similarity {
     */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, numPlanes: Int = 12,
-      probeHamming: Int = 1): DataFrame = {
-    // hyperplane dimensionality comes from the data (first vector), not a
-    // hard-coded constant — a mismatched table must not silently bucket on
-    // truncated dot products. NB this is an eager one-row job at query-
-    // construction time (documented trade-off: correctness of the bucket
-    // geometry over full laziness).
-    val dim = embeddings.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(throw new IllegalArgumentException(
-        s"lshTopK: embeddings table is empty — cannot derive the vector dimensionality"))
-    val planes = hyperplanes(dim, numPlanes)
+      probeHamming: Int = 1, dim: Option[Int] = None): DataFrame = {
+    val planes = hyperplanes(resolveDim(embeddings, vecCol, dim, "lshTopK"), numPlanes)
     val bucketed = embeddings.withColumn("_bucket", lshBucket(col(vecCol), planes))
     val probeCols = col("_bucket") +: (if (probeHamming >= 1)
       (0 until numPlanes).map(i => col("_bucket").bitwiseXOR(shiftleft(lit(1L), i)))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Per-user running totals carried as explicit state (see
   * [[StreamingOps.statefulUserTotals]]). */
@@ -54,6 +54,75 @@ object StreamingOps {
         sum(valueCents(col("value"))).as("value_cents"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_cents"))
+
+  /** Sentinel marker used by [[writeFiniteSource]]; rows carrying it never
+    * appear in flushed output (their windows stay open past the final
+    * watermark) but callers filter on it anyway, belt and braces.
+    */
+  val SentinelEventType = "_sentinel"
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Stage a finite event set as a streaming file source that FLUSHES:
+    * append-mode sinks only emit windows/sessions the watermark has passed,
+    * and a finite source's watermark stops at (max event time − watermark
+    * delay) — permanently withholding the trailing windows. Planting one
+    * far-future sentinel row (nonexistent user −1, event_type `_sentinel`)
+    * advances the final watermark past every REAL window, so the engine's
+    * closing no-data micro-batch emits all of them.
+    *
+    * The source is written as a SINGLE file (plus the engine's metadata):
+    * one micro-batch ingests everything, so the watermark is still at its
+    * initial value while real data is processed — nothing is dropped as
+    * late, which multi-batch ingestion could not guarantee (a file
+    * containing the sentinel processed early would late-drop everything
+    * after it). One file is not the 100 TB shape — a production stream is
+    * unbounded and ordered by arrival; this staging exists to execute the
+    * real streaming operators on driver-checkable finite data.
+    */
+  def writeFiniteSource(events: DataFrame, srcRoot: String,
+      sentinelAdvanceMillis: Long = 7L * 24 * 3600 * 1000): Unit = {
+    deleteRecursively(new java.io.File(srcRoot))
+    val slim = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val maxTs = slim.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = slim.sparkSession.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_millis(lit(maxTs.getTime + sentinelAdvanceMillis)).as("ts"),
+      lit(-1L).as("user_id"),
+      lit(SentinelEventType).as("event_type"),
+      lit(0.0).as("value"))
+    slim.unionByName(sentinel).coalesce(1)
+      .write.mode("overwrite").parquet(srcRoot)
+  }
+
+  /** Run a (finite) streaming DataFrame end-to-end as a REAL
+    * `StreamingQuery`: `Trigger.AvailableNow`, append mode, durable
+    * parquet sink + checkpoint — the exactly-once file-sink shape a
+    * production pipeline deploys — then return the sink read back.
+    * Throws if the query does not terminate in `timeoutMs` or fails.
+    */
+  def runToParquetSink(streaming: DataFrame, outRoot: String,
+      timeoutMs: Long = 600000L): DataFrame = {
+    val spark = streaming.sparkSession
+    deleteRecursively(new java.io.File(outRoot))
+    val sq = streaming.writeStream
+      .format("parquet")
+      .option("path", s"$outRoot/data")
+      .option("checkpointLocation", s"$outRoot/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!sq.awaitTermination(timeoutMs)) {
+      sq.stop()
+      throw new IllegalStateException(
+        s"streaming query did not terminate within ${timeoutMs} ms")
+    }
+    spark.read.parquet(s"$outRoot/data")
+  }
 
   /** Sessionization (batch form): a new session starts when the gap to the
     * previous event of the same user exceeds `gapMillis`. Classic

@@ -114,4 +114,30 @@ object TextFunctions {
     regexp_count(c, lit(BpeishPattern)).cast("long")
   def bpeishTokenCountSql(c: String): String =
     s"len(regexp_extract_all($c, '$BpeishPattern'))"
+
+  /** PII redaction (email / US-phone / SSN shapes) as a chain of
+    * `regexp_replace` built-ins — codegen'd, scan-speed, no UDF. The
+    * patterns use only the Java-regex (Spark) / RE2 (DuckDB) common
+    * subset — character classes, bounded repetition, `\b` word
+    * boundaries — with identical leftmost-match semantics, so
+    * [[redactSql]] replays byte-identically. Phone (3-3-4) is replaced
+    * before SSN (3-2-4); with the `\b` anchors the two shapes are
+    * disjoint, the ordering is belt and braces.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(EmailRe), lit("[EMAIL]")),
+        lit(PhoneRe), lit("[PHONE]")),
+      lit(SsnRe), lit("[SSN]"))
+
+  def redactSql(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($c, " +
+      s"'$EmailRe', '[EMAIL]', 'g'), " +
+      s"'$PhoneRe', '[PHONE]', 'g'), " +
+      s"'$SsnRe', '[SSN]', 'g')"
 }

@@ -3,15 +3,16 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev harness (test scope, run by hand): measures the exact-O(n^2) vs
-  * bucketed-LSH crossover for embedding near-dup pair generation at
-  * corpus sizes the gated sf0.1 bench cannot reach. The corpus is the
-  * sf0.1 embeddings table replicated `factor` times with deterministic
-  * id offsets and per-copy perturbations large enough that copies are
-  * NOT near-dups of each other (background), plus the usual planted
-  * near-identical pairs (signal).
+/** Dev harness (test scope, run by hand): measures exact vs bucketed
+  * crossovers for the heavy dedup/ANN operators at corpus sizes the gated
+  * sf0.1 bench cannot reach. Results are recorded in TUNING.md next to the
+  * analytical sizing claims.
   *
-  *   sbt "Test/runMain graft.ScalePerfHarness 100000"
+  *   sbt "Test/runMain graft.ScalePerfHarness embed 100000"
+  *   sbt "Test/runMain graft.ScalePerfHarness text 300000"
+  *   sbt "Test/runMain graft.ScalePerfHarness knn 100000"
+  *
+  * (a bare numeric first arg keeps the original embed-mode CLI working)
   */
 object ScalePerfHarness {
 
@@ -28,9 +29,13 @@ object ScalePerfHarness {
   }
 
   def main(args: Array[String]): Unit = {
-    val count = args.headOption.map(_.toLong).getOrElse(100000L)
-    val numTables = args.lift(1).map(_.toInt).getOrElse(8)
-    val planesPerTable = args.lift(2).map(_.toInt).getOrElse(12)
+    // back-compat: a bare number means embed mode
+    val (mode, rest) =
+      if (args.isEmpty || args.head.forall(_.isDigit)) ("embed", args)
+      else (args.head, args.tail)
+    lazy val count = rest.headOption.map(_.toLong).getOrElse(100000L)
+    lazy val numTables = rest.lift(1).map(_.toInt).getOrElse(8)
+    lazy val planesPerTable = rest.lift(2).map(_.toInt).getOrElse(12)
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,14 +50,38 @@ object ScalePerfHarness {
         val secs = (for {s <- i.submissionTime; c <- i.completionTime} yield (c - s) / 1e3)
           .getOrElse(-1.0)
         val m = i.taskMetrics
-        if (secs > 2.0) println(
+        if (secs > 0.5) println(
           f"[stage] ${i.stageId}%4d $secs%7.1f s tasks=${i.numTasks}%4d " +
             f"cpu=${m.executorCpuTime / 1e9}%7.1f run=${m.executorRunTime / 1e3}%7.1f " +
             f"gc=${m.jvmGCTime / 1e3}%5.1f deser=${m.executorDeserializeTime / 1e3}%5.1f " +
             f"swMB=${m.shuffleWriteMetrics.bytesWritten / 1e6}%7.1f " +
-            f"swT=${m.shuffleWriteMetrics.writeTime / 1e9}%5.1f")
+            f"swT=${m.shuffleWriteMetrics.writeTime / 1e9}%5.1f " +
+            s"[${i.name.take(70)}]")
       }
     })
+    mode match {
+      case "embed" => embedMode(spark, count, numTables, planesPerTable)
+      case "text"  => textMode(spark, count)
+      case "knn"   => knnMode(spark, count)
+      case "neardedup" =>
+        nearDedupProfile(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
+      case other => throw new IllegalArgumentException(
+        s"unknown mode '$other' (embed | text | knn)")
+    }
+    spark.stop()
+  }
+
+  private def time(name: String, n: Long)(f: => Long): Double = {
+    val t0 = System.nanoTime()
+    val rows = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[scale-harness] $name n=$n rows=$rows $secs%.1f s")
+    secs
+  }
+
+  /** Exact-O(n^2) vs bucketed-LSH crossover for embedding near-dup pairs. */
+  private def embedMode(spark: SparkSession, count: Long,
+      numTables: Int, planesPerTable: Int): Unit = {
     val docs = corpus(spark, count)
     val augmented = docs.unionByName(
       docs.filter(col("vec_id") % 50 === 0)
@@ -61,12 +90,7 @@ object ScalePerfHarness {
             .as("embedding")))
       .persist()
     val n = augmented.count()
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"[scale-harness] $name n=$n rows=$rows ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    }
-    time(s"bucket-only(t=$numTables,p=$planesPerTable)") {
+    time(s"bucket-only(t=$numTables,p=$planesPerTable)", n) {
       val planes = (0 until numTables).map(t =>
         graft.sim.Similarity.hyperplanes(64, planesPerTable, 42L + t))
       augmented.select(planes.map(p =>
@@ -90,27 +114,153 @@ object ScalePerfHarness {
             struct(lit(t).as("tbl"), col(s"_b$t").as("bucket"))): _*)).as("tb"))
         .select(col("_nid"), col("_nvec"), col("_nnorm"),
           col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      time("probe:bucketed-compute") { bucketed.count() }
-      time("probe:bucketed-shuffle") {
+      time("probe:bucketed-compute", n) { bucketed.count() }
+      time("probe:bucketed-shuffle", n) {
         bucketed.repartition(col("tbl"), col("bucket")).count()
       }
       val a = bucketed.select(col("tbl"), col("bucket"), col("_nid").as("id_a"))
       val bb = bucketed.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
         col("_nid").as("id_b"))
-      time("probe:skinny-pair-join") {
+      time("probe:skinny-pair-join", n) {
         a.join(bb, col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&
           col("id_a") < col("id_b")).count()
       }
     }
-    time(s"lshCosinePairs(t=$numTables,p=$planesPerTable)") {
+    time(s"lshCosinePairs(t=$numTables,p=$planesPerTable)", n) {
       graft.sim.Similarity.lshCosinePairs(augmented, "vec_id", "embedding",
         tau = 0.95, numTables = numTables, planesPerTable = planesPerTable).count()
     }
     Persisted.unpersistAll()
-    time("cosineNearDupPairs(exact)") {
+    time("cosineNearDupPairs(exact)", n) {
       graft.sim.Similarity.cosineNearDupPairs(augmented, "vec_id", "embedding",
         tau = 0.95).count()
     }
-    spark.stop()
+  }
+
+  /** Synthetic text corpus: 40 hash-derived words per doc from a 50k-word
+    * vocabulary. A uniform vocab makes 3-word shingles effectively unique
+    * across unrelated docs, so verified pairs come only from the planted
+    * near-dups while banding/bucketing cost is borne by the whole corpus.
+    * Every 50th doc gets a copy with the last word replaced: 3 of 38
+    * shingles differ, Jaccard = 35/41 ~= 0.85 > the 0.8 default tau.
+    */
+  def textCorpus(spark: SparkSession, count: Long): DataFrame = {
+    def words(idExpr: String) =
+      s"transform(sequence(0, 39), i -> concat('w', CAST(pmod(xxhash64($idExpr, i), 50000) AS STRING)))"
+    val base = spark.range(count).select(col("id").as("doc_id"),
+      expr(s"array_join(${words("id")}, ' ')").as("text"))
+    val copies = spark.range(0, count, 50).select(
+      (col("id") + lit(1000000000L)).as("doc_id"),
+      expr(s"array_join(concat(slice(${words("id")}, 1, 39), array('wdup')), ' ')")
+        .as("text"))
+    base.unionByName(copies)
+  }
+
+  /** simhashPairs / minhashNearDuplicates / ngramJaccardPairs at scale,
+    * plus the posting-list pair-generation alternative (NOTES round-4
+    * candidate) measured head-to-head against the shingle self-join.
+    */
+  private def textMode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    val docs = textCorpus(spark, count).persist()
+    val n = docs.count()
+
+    val hashes = Dedup.simhash64Fast(docs, "doc_id", "text").persist()
+    time("simhash64Fast(hash-only)", n) { hashes.count() }
+    time("simhashPairs(maxHamming=3)", n) {
+      Dedup.simhashPairs(hashes, maxHamming = 3).count()
+    }
+    // block-bucket occupancy: pair-join cost is sum over buckets of c^2,
+    // so maxBucket and candPairs are the stats TUNING.md sizes against
+    (0 until 4).foreach { b =>
+      val v = pmod(shiftrightunsigned(col("simhash"), b * 16), lit(65536L))
+      val r = hashes.groupBy(v.as("v")).agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+        .agg(max(col("c")), sum(expr("c * (c - 1) / 2")), org.apache.spark.sql.functions.count(lit(1))).head()
+      println(s"[occupancy] simhash block $b: buckets=${r.get(2)} " +
+        s"maxBucket=${r.get(0)} candPairs=${r.get(1)}")
+    }
+    hashes.unpersist()
+
+    // candidate volume BEFORE the Jaccard verify — the minhash analogue of
+    // bucket occupancy (bands x rowsPerBand as in the gated defaults)
+    time("probe:minhash-candidates(h=32,r=2)", n) {
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32), 32, 2).count()
+    }
+    Persisted.unpersistAll()
+    time("minhashNearDuplicates(tau=0.8)", n) {
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2,
+        maxDfFraction = None).count()
+    }
+    Persisted.unpersistAll()
+
+    time("ngramJaccardPairs(self-join)", n) {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8,
+        maxDfFraction = None).count()
+    }
+    Persisted.unpersistAll()
+    // posting-list alternative: group each shingle's posting list once,
+    // expand id pairs in-line (no second shuffle of the shingle relation),
+    // then aggregate intersections and verify Jaccard exactly as the
+    // self-join does. Same output on this corpus (per-doc shingles are
+    // distinct under the uniform vocab).
+    time("probe:posting-list-pairs", n) {
+      val ng = Dedup.shingles(docs, "doc_id", "text", 3).persist()
+      val docLen = ng.groupBy(col("_id")).agg(org.apache.spark.sql.functions.count(lit(1)).as("len"))
+      val inter = ng.groupBy(col("ngram"))
+        .agg(collect_list(col("_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), " +
+            "b -> struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))")).as("p"))
+        .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("inter"))
+      val out = inter
+        .join(docLen.select(col("_id").as("id_a"), col("len").as("len_a")), "id_a")
+        .join(docLen.select(col("_id").as("id_b"), col("len").as("len_b")), "id_b")
+        .filter(col("inter") / (col("len_a") + col("len_b") - col("inter")) >= 0.8)
+        .count()
+      ng.unpersist()
+      out
+    }
+  }
+
+  /** Bucketed (IVF) vs exact kNN join. Exact is O(n^2) — run only at
+    * n <= 20000 (the crossover ratio); bucketed scales to the full count.
+    * numClusters ~ sqrt(n * nProbe) balances the n x c assignment cost
+    * against the n x nProbe x n/c candidate cost.
+    */
+  private def knnMode(spark: SparkSession, count: Long): Unit = {
+    import graft.sim.Similarity
+    val vecs = corpus(spark, count).persist()
+    val n = vecs.count()
+    val nProbe = 8
+    val numClusters = math.max(16, math.sqrt(n.toDouble * nProbe).toInt)
+    time(s"knnJoinBucketed(k=5,c=$numClusters,probe=$nProbe)", n) {
+      Similarity.knnJoinBucketed(vecs, "vec_id", "embedding", k = 5,
+        numClusters = numClusters, nProbe = nProbe).count()
+    }
+    Persisted.unpersistAll()
+    if (n <= 20000) {
+      time("knnJoinAgg(exact)", n) {
+        Similarity.knnJoinAgg(vecs, "vec_id", "embedding", k = 5).count()
+      }
+      Persisted.unpersistAll()
+    } else println(s"[scale-harness] knnJoinAgg(exact) skipped at n=$n (O(n^2))")
+  }
+
+  /** Stage-level attribution for the heaviest gated query (verdict r3 #7):
+    * runs `x_dedup_near_dedup` on the given sf dir with the >0.5 s stage
+    * printer active — stage names carry the Dedup.scala callsites, which
+    * attributes wall-clock between the minhash recompute races, the
+    * components job, and the final anti-join.
+    */
+  private def nearDedupProfile(spark: SparkSession, sfDir: String): Unit = {
+    val t0 = System.nanoTime()
+    val rows = SparkEntry.queries("x_dedup_near_dedup")(spark, sfDir).count()
+    println(f"[scale-harness] x_dedup_near_dedup($sfDir) rows=$rows " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s (stage lines above attribute it)")
+    Persisted.unpersistAll()
   }
 }
