@@ -474,24 +474,34 @@ object Similarity {
       k: Int, numClusters: Int = 16, nProbe: Int = 4): DataFrame = {
     import embeddings.sparkSession.implicits._
     val cent = ivfCentroids(embeddings, idCol, vecCol, numClusters)
-    val prepped = embeddings.select(col(idCol).as("_pid"),
+    val prepped = graft.Persisted.track(embeddings.select(col(idCol).as("_pid"),
       col(vecCol).cast("array<double>").as("_pvec"))
       .withColumn("_pnorm", sqrt(SimExpressions.dot(col("_pvec"), col("_pvec"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // rank every (vector, centroid) cosine once; rn = 1 is the assignment,
     // rn <= nProbe are the anchor's probe clusters — one broadcast join
-    // feeds both relations.
+    // feeds both relations. The ranking runs on a SKINNY
+    // (_pid, _cid, _csim) relation: the window shuffles n x numClusters
+    // rows, and carrying the vector payload through it is the scale
+    // killer (measured r4: n=100k, c=894 shuffled ~49 GB and took 704 s;
+    // skinny-ranked + join-back runs the identical algorithm at a ~24 B
+    // row). Vectors rejoin by _pid AFTER the nProbe cut, so the payload
+    // is shuffled n + n x nProbe times, never n x numClusters.
     val ranked = graft.Persisted.track(prepped
       .join(broadcast(cent))
-      .select(col("_pid"), col("_pvec"), col("_pnorm"), col("_cid"),
+      .select(col("_pid"), col("_cid"),
         cosine(col("_pvec"), col("_cvec")).as("_csim"))
       .withColumn("_crn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("_pid")).orderBy(col("_csim").desc, col("_cid"))))
+      .filter(col("_crn") <= math.max(nProbe, 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val assigned = ranked.filter(col("_crn") === 1)
+      .join(prepped, "_pid")
       .select(col("_pid").as("neighbor_id"), col("_pvec").as("_vb"),
         col("_pnorm").as("_nb"), col("_cid").as("cluster"))
     val probes = ranked.filter(col("_crn") <= nProbe)
+      .join(prepped, "_pid")
       .select(col("_pid").as("vec_id"), col("_pvec").as("_va"),
         col("_pnorm").as("_na"), col("_cid").as("cluster"))
     val scored = probes.join(assigned, Seq("cluster"))
@@ -564,12 +574,21 @@ object Similarity {
       vecCol: String, centroids: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
-    embeddings
+    // skinny ranking: project the n x numClusters broadcast-join output to
+    // (id, _cid, _csim) BEFORE the window shuffle and rejoin the vector
+    // payload by id afterwards — carrying vectors through the ranking
+    // shuffle is the scale killer (same r4-measured fix as
+    // [[knnJoinBucketed]]); values and tie-breaks are unchanged.
+    val assignedIds = embeddings
       .join(broadcast(centroids))
-      .withColumn("_csim", cosine(col(vecCol), col("_cvec")))
+      .select(col(idCol), col("_cid"),
+        cosine(col(vecCol), col("_cvec")).as("_csim"))
       .withColumn("_crn", row_number().over(w))
       .filter(col("_crn") === 1)
-      .select(col(idCol), col(vecCol), col("_cid").as("cluster"))
+      .select(col(idCol), col("_cid").as("cluster"))
+    embeddings.select(col(idCol), col(vecCol))
+      .join(assignedIds, Seq(idCol))
+      .select(col(idCol), col(vecCol), col("cluster"))
   }
 
   /** IVF ANN with k-means-trained centroids: same probe mechanics as
