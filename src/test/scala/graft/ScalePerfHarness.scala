@@ -131,10 +131,12 @@ object ScalePerfHarness {
         tau = 0.95, numTables = numTables, planesPerTable = planesPerTable).count()
     }
     Persisted.unpersistAll()
-    time("cosineNearDupPairs(exact)", n) {
-      graft.sim.Similarity.cosineNearDupPairs(augmented, "vec_id", "embedding",
-        tau = 0.95).count()
-    }
+    if (n <= 200000) {
+      time("cosineNearDupPairs(exact)", n) {
+        graft.sim.Similarity.cosineNearDupPairs(augmented, "vec_id", "embedding",
+          tau = 0.95).count()
+      }
+    } else println(s"[scale-harness] cosineNearDupPairs(exact) skipped at n=$n (O(n^2))")
   }
 
   /** Synthetic text corpus: 40 hash-derived words per doc from a 50k-word
