@@ -61,6 +61,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("IVF ranking windows rank skinny rows (no vector payload in the shuffle)") {
+    // r4 fix: carrying the embedding array through the n x numClusters
+    // ranking shuffle measured ~49 GB / 704 s at n=100k — the window's
+    // input must be (id, cluster, sim [, rn]) only, vectors rejoin by id
+    // afterwards. Guards knnJoinBucketed AND assignToCentroids (x_ann_ivf).
+    // checked on the optimized LOGICAL plan (the physical tree hides
+    // behind AdaptiveSparkPlanExec before execution); persisted
+    // intermediates bury their window inside InMemoryRelation.cachedPlan,
+    // so those are expanded too (unwrapping the AQE wrapper)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("x_knn_topk_bucketed", "x_ann_ivf")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      val windowInputs =
+        plan.collect { case w: LWindow => w.child.output } ++
+          plan.collect { case r: InMemoryRelation =>
+            (r.cachedPlan match {
+              case a: AdaptiveSparkPlanExec => a.inputPlan
+              case p => p
+            }).collect { case w: WindowExec => w.child.output }
+          }.flatten
+      assert(windowInputs.nonEmpty, s"$q no longer plans a ranking window")
+      windowInputs.foreach { out =>
+        val arrayCols = out.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrayCols.isEmpty,
+          s"$q ranks with array payload ${arrayCols.map(_.name)} in the window shuffle")
+      }
+      Persisted.unpersistAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("contamination check broadcasts the benchmark shingle side") {
     val p = planOf("x_text_contamination")
     assert(p.contains("BroadcastHashJoin"),
