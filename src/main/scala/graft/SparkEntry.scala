@@ -48,7 +48,7 @@ object SparkEntry {
       s"${new java.io.File(dir).getName}_${ProcessHandle.current().pid()}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    referenceQueries ++ analyticsQueries ++ extensionQueries
+    referenceQueries ++ analyticsQueries ++ extensionQueries ++ extensionQueries2
 
   /** Operators from the reference's own inventory (SURVEY.md §2). */
   private def referenceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -831,6 +831,53 @@ object SparkEntry {
           col("purch_value")))
   )
 
+  private def extensionQueries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the stream-stream join EXECUTED as a real StreamingQuery (both sides
+    // watermarked, time-bounded state) — completes the streaming family's
+    // execution gates; the sentinel row is neither click nor purchase
+    "x_stream_join_exec" -> ((s, dir) => {
+      val root = tmpPath(dir, "stream_exec_join")
+      graft.streaming.StreamingOps.writeFiniteSource(
+        DerivedModel.events(s, dir), s"$root/src")
+      val src = s.read.parquet(s"$root/src")
+      graft.streaming.StreamingOps.runToParquetSink(
+        graft.streaming.StreamingOps.streamStreamJoin(
+          s, s"$root/src", src), s"$root/sink")
+        .select(col("click_id"), col("purch_id"), col("user_id"),
+          unix_millis(col("click_ts")).as("click_ts_ms"),
+          unix_millis(col("purch_ts")).as("purch_ts_ms"),
+          col("purch_value"))
+    }),
+
+    // token-budget chunking (training-data packing): narrow per-row
+    // expansion, no shuffle — scan speed at any scale
+    "x_text_chunks" -> ((s, dir) =>
+      graft.text.Chunking.chunkByTokens(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 20)),
+
+    // paragraph-granularity duplication (CCNet-style): per-doc ratio of
+    // word blocks that recur in other documents
+    "x_dedup_blocks" -> ((s, dir) =>
+      graft.dedup.Dedup.duplicatedBlockRatio(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        blockTokens = 10)),
+
+    // int8-quantized cosine top-k: 4x smaller vectors through every ANN
+    // shuffle; scores are integers-over-sqrt — bit-replayable
+    "x_ann_quantized" -> ((s, dir) =>
+      graft.sim.Similarity.quantizedTopK(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)),
+
+    // reproducible global shuffle + contiguous position (DataFrame-native
+    // zipWithIndex: md5-prefix buckets + per-bucket ranks + broadcast offsets)
+    "x_export_shuffle" -> ((s, dir) =>
+      graft.ops.Sampling.withGlobalPosition(
+        DerivedModel.table(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("position")))
+  )
+
   def oracleSql: Map[String, String] =
     referenceOracleSql ++ analyticsOracleSql ++ extensionOracleSql
 
@@ -1485,6 +1532,42 @@ object SparkEntry {
           |  ON c.event_type = 'click' AND p.event_type = 'purchase'
           | AND c.user_id = p.user_id
           | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+      // identical relation — the Spark side executed it as a real
+      // watermarked stream-stream join StreamingQuery into a file sink
+      "x_stream_join_exec" ->
+        """SELECT c.event_id AS click_id, p.event_id AS purch_id, c.user_id,
+          |  epoch_ms(c.ts) AS click_ts_ms, epoch_ms(p.ts) AS purch_ts_ms,
+          |  p.value AS purch_value
+          |FROM events c JOIN events p
+          |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+          | AND c.user_id = p.user_id
+          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
+
+      "x_text_chunks" ->
+        graft.text.Chunking.chunkSql("documents", "doc_id", "text", 20),
+
+      "x_dedup_blocks" -> {
+        val chunks = graft.text.Chunking.chunkSql("documents", "doc_id", "text", 10)
+        s"""WITH blocks AS (
+           |  SELECT doc_id, md5(chunk_text) AS bh FROM ($chunks)),
+           |per AS (SELECT bh, count(DISTINCT doc_id) AS ndocs
+           |  FROM blocks GROUP BY bh)
+           |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+           |  CAST(SUM(CASE WHEN p.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_blocks,
+           |  CAST(SUM(CASE WHEN p.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS BIGINT) AS shared_ratio
+           |FROM blocks b JOIN per p USING (bh)
+           |GROUP BY b.doc_id""".stripMargin
+      },
+
+      "x_ann_quantized" ->
+        graft.sim.Similarity.quantizedTopKSql(dim = 64, queryId = 0L, k = 10),
+
+      "x_export_shuffle" ->
+        """SELECT doc_id,
+          |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS position
+          |FROM documents""".stripMargin,
 
       "x_stream_sessionize" ->
         """WITH ordered AS (

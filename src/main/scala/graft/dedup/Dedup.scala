@@ -91,6 +91,34 @@ object Dedup {
         max(col("n_shared")).as("max_shared"))
   }
 
+  /** Paragraph-granularity duplication signal (CCNet-style: dedup decides
+    * at the paragraph level, not the document level): split each document
+    * into consecutive `blockTokens`-word blocks ([[graft.text.Chunking]]),
+    * hash each block, and report per document how many of its blocks also
+    * occur in at least one OTHER document. A doc with `shared_ratio` 1.0
+    * is wholly boilerplate/duplicated; a low ratio localizes novelty even
+    * when the document as a whole is not an exact duplicate.
+    *
+    * Scale shape: one hash-partitioned aggregation on the block hash
+    * (the canonical dedup shuffle — content-keyed, bounded buckets), one
+    * equi-join back on the same key, one aggregation on the doc id. No
+    * all-pairs work anywhere; at 100 TB every stage is a plain shuffle.
+    */
+  def duplicatedBlockRatio(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 10): DataFrame = {
+    val blocks = graft.text.Chunking.chunkByTokens(df, idCol, textCol, blockTokens)
+      .select(col(idCol), md5(col("chunk_text").cast("binary")).as("_bh"))
+    // distinct docs per block: >1 means the block text recurs elsewhere
+    val docsPerBlock = blocks.groupBy(col("_bh"))
+      .agg(countDistinct(col(idCol)).as("_ndocs"))
+    blocks.join(docsPerBlock, "_bh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("_ndocs") > 1, 1L).otherwise(0L)).as("n_shared_blocks"))
+      .withColumn("shared_ratio",
+        col("n_shared_blocks").cast("double") / col("n_blocks"))
+  }
+
   /** Default stop-shingle guard: drop shingles present in more than half
     * the corpus. A shingle in >50% of documents is boilerplate by
     * definition (headers, licenses, templates); true near-dup pairs at

@@ -47,4 +47,57 @@ object Sampling {
     val accepted = (0 until sixteenths).map(i => i.toHexString)
     substring(md5(key.cast("string").cast("binary")), 1, 1).isin(accepted: _*)
   }
+
+  /** Content-hash sort key: a reproducible "random" total order. */
+  def shuffleKey(key: Column): Column = md5(key.cast("string").cast("binary"))
+
+  /** Reproducible global shuffle for training-data export: total-order the
+    * rows by (md5(key), key). Epoch-shuffled training data must be
+    * RE-creatable (audits, restarts, ablations) — `orderBy(rand())` is
+    * none of that, while a content-hash order is a pure function of the
+    * data. The sort is a range-partitioned exchange + per-partition sort:
+    * the standard scalable global sort, no single-partition stage.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame =
+    df.orderBy(shuffleKey(col(keyCol)), col(keyCol))
+
+  /** [[deterministicShuffle]] plus an explicit contiguous 0-based
+    * `position` column — the DataFrame-native `zipWithIndex`, for when the
+    * consumer needs addressable sample indices (epoch slicing, resumable
+    * data loaders) rather than just file order.
+    *
+    * A single `row_number()` window over the whole table would funnel
+    * 100 TB through ONE partition. Instead the rows are bucketed by the
+    * first `prefixChars` hex characters of the md5 sort key — buckets that
+    * are (a) a pure function of the data (no sampled range boundaries, so
+    * every recomputation and every plan branch agrees on them, unlike
+    * `spark_partition_id()` after a `repartitionByRange`, whose sampled
+    * boundaries can differ per computation), (b) PREFIX-ALIGNED with the
+    * (md5, key) total order, and (c) uniformly sized (md5 is uniform), so
+    * no bucket skews. Per-bucket ranks come from one windowed pass; bucket
+    * offsets are the cumulative counts of the preceding buckets — a tiny
+    * 16^prefixChars-row relation, broadcast back. Cost: ONE hash exchange
+    * of the data (the window's), one small aggregation, one broadcast
+    * join. position = bucket offset + local rank − 1, which depends only
+    * on the total order — deterministic at any parallelism.
+    */
+  def withGlobalPosition(df: DataFrame, keyCol: String,
+      prefixChars: Int = 2): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 8)
+    val bucket = substring(shuffleKey(col(keyCol)), 1, prefixChars)
+    val bucketed = df.withColumn("_graft_bkt", bucket)
+    val offsets = bucketed.groupBy(col("_graft_bkt"))
+      .agg(count(lit(1)).as("_graft_n"))
+      .withColumn("_graft_offset",
+        coalesce(sum(col("_graft_n")).over(
+          Window.orderBy(col("_graft_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_graft_bkt"), col("_graft_offset"))
+    val localRank = row_number().over(
+      Window.partitionBy(col("_graft_bkt"))
+        .orderBy(shuffleKey(col(keyCol)), col(keyCol)))
+    bucketed.join(broadcast(offsets), "_graft_bkt")
+      .withColumn("position", (col("_graft_offset") + localRank).cast("long") - 1L)
+      .drop("_graft_bkt", "_graft_offset")
+  }
 }

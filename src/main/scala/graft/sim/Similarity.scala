@@ -181,6 +181,70 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------------- int8 scalar quantization ----------------
+
+  /** Symmetric per-vector int8 quantization: `q[i] = floor(x[i] * scale +
+    * 0.5)` with `scale = 127 / max|x|` (1.0 for an all-zero vector), kept
+    * as `array<tinyint>` plus the scale. Stored/shuffled quantized, an
+    * embedding column shrinks 4x (1 byte vs float32) — at 100 TB that is
+    * 4x fewer shuffle bytes through every ANN candidate join, with cosine
+    * preserved to ~1/127 per axis (quantization is per-vector symmetric,
+    * so DIRECTION — which is all cosine sees — survives).
+    *
+    * Every step is floor/abs/max/double-division arithmetic with a pinned
+    * op order, identical in DuckDB — the oracle replays quantization and
+    * the quantized scores exactly ([[quantizedTopKSql]]).
+    */
+  def withQuantizedVec(df: DataFrame, vecCol: String, qvecCol: String = "qvec",
+      scaleCol: String = "qscale"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    df.withColumn(scaleCol,
+        when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(1.0)))
+      .withColumn(qvecCol,
+        transform(v, x => floor(x * col(scaleCol) + lit(0.5)).cast("tinyint")))
+  }
+
+  /** Exact top-k under the QUANTIZED metric: cosine over the int8 vectors
+    * (upcast to double once per row — integer values <= 127 are exact in
+    * double, so the scores are integers-over-sqrt and bit-deterministic).
+    * The measurement query for the quantization path: compare against
+    * [[bruteForceTopK]] to read the recall cost of 4x smaller vectors.
+    */
+  def quantizedTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = withQuantizedVec(embeddings, vecCol)
+      .select(col(idCol), col("qvec").cast("array<double>").as("_qd"))
+    val probe = q.filter(col(idCol) === queryId).select(col("_qd").as("_qq"))
+    q.join(broadcast(probe))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col("_qd"), col("_qq")).as("qcosine"))
+      .orderBy(col("qcosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB replay of [[quantizedTopK]]: quantize with the same
+    * floor(x*scale + 0.5) arithmetic, score with [[cosineSql]] over the
+    * quantized vectors, same (qcosine desc, id) order.
+    */
+  def quantizedTopKSql(dim: Int, queryId: Long, k: Int): String = {
+    val cos = cosineSql("e.qv", "q.qq", dim)
+    s"""WITH m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> floor(CAST(x AS DOUBLE) *
+       |      (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END) + 0.5)) AS qv
+       |  FROM m),
+       |q AS (SELECT qv AS qq FROM qv WHERE vec_id = $queryId)
+       |SELECT e.vec_id, $cos AS qcosine
+       |FROM qv e CROSS JOIN q
+       |WHERE e.vec_id <> $queryId
+       |ORDER BY qcosine DESC, e.vec_id LIMIT $k""".stripMargin
+  }
+
   /** All pairs with cosine >= tau. NB: this is the exact O(n^2) formulation
     * (a cross join with an inequality filter) — correct at verification
     * scale; at 100 TB use [[lshCosinePairs]], which replaces the cross join

@@ -153,4 +153,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val b = Similarity.hyperplanes(8, 4)
     assert(a.flatten.toSeq == b.flatten.toSeq)
   }
+
+  test("int8 quantization: range, scale, extreme-value fidelity, zero guard") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)) // all-zero: scale guard, qvec zeros
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.withQuantizedVec(df, "embedding")
+      .select(col("vec_id"), col("qscale"), col("qvec"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getSeq[Byte](2)))).toMap
+    val (s1, q1) = rows(1L)
+    assert(s1 == 127.0, "scale = 127/max|x| = 127/1.0")
+    assert(q1 == Seq[Byte](64, -127, 32), "floor(x*127 + 0.5)")
+    val (s2, q2) = rows(2L)
+    assert(s2 == 1.0 && q2 == Seq[Byte](0, 0, 0), "zero vector guarded")
+  }
+
+  test("quantized top-k closely tracks the exact ranking") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect()
+    assert(quant.length == 10)
+    assert(!quant.exists(_.getLong(0) == 0L))
+    val qc = quant.map(_.getDouble(1))
+    assert(qc.zip(qc.tail).forall { case (a, b) => a >= b }, "descending")
+    // per-axis error <= 1/127: rankings of a 64-dim cosine barely move
+    val overlap = (exact & quant.map(_.getLong(0)).toSet).size
+    assert(overlap >= 7, s"quantized recall too low: $overlap/10")
+  }
 }

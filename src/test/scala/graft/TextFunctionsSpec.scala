@@ -45,6 +45,49 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
       .asInstanceOf[Int] > 0)
   }
 
+  test("chunking: every token in exactly one chunk, in order, within budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens / 3 -> 3,3,1
+      (2L, "x y z"),         // exactly one budget
+      (3L, "solo")           // shorter than budget
+    ).toDF("doc_id", "text")
+    val out = graft.text.Chunking.chunkByTokens(docs, "doc_id", "text", 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.map(_.getString(2)).toSeq == Seq("a b c", "d e f", "g"))
+    assert(doc1.map(_.getInt(1)).toSeq == Seq(0, 1, 2), "dense 0-based chunk_idx")
+    assert(doc1.map(_.getLong(3)).toSeq == Seq(3L, 3L, 1L))
+    assert(out.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq == Seq("x y z"))
+    assert(out.filter(_.getLong(0) == 3L).map(_.getString(2)).toSeq == Seq("solo"))
+
+    // reassembling the chunks restores the document byte-for-byte
+    val rejoined = graft.text.Chunking.chunkByTokens(docs, "doc_id", "text", 3)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+        .getField("chunk_text")).as("rebuilt"))
+    val back = rejoined.join(docs, "doc_id")
+      .filter(col("rebuilt") =!= col("text")).count()
+    assert(back == 0L)
+  }
+
+  test("duplicated-block ratio: exact dup docs 1.0, unique doc 0.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),          // dup of 2 -> both blocks shared
+      (2L, "a b c d e f"),
+      (3L, "q r s t u v"),          // unique -> 0.0
+      (4L, "a b c z z z")           // shares block "a b c" only -> 0.5
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.duplicatedBlockRatio(docs, "doc_id", "text", blockTokens = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((2L, 2L, 1.0)))
+    assert(r(2L) == ((2L, 2L, 1.0)))
+    assert(r(3L) == ((2L, 0L, 0.0)))
+    assert(r(4L) == ((2L, 1L, 0.5)))
+  }
+
   test("repeated-ngram ratio: 0 for all-distinct and too-short, high for loops") {
     import graft.dedup.Dedup.repeatedNgramRatio
     assert(one(repeatedNgramRatio(col("t"), 3), "a b c d e") == 0.0)
