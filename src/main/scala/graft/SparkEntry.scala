@@ -47,6 +47,25 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       s"${new java.io.File(dir).getName}_${ProcessHandle.current().pid()}"
 
+  /** Stage the finite streaming events source ONCE per (sf, process) and
+    * share it across the streaming execution gates — window, sessionize
+    * and stream-stream join all read the same immutable source, so
+    * re-writing it per query only re-pays the events scan + write
+    * (x_stream_dedup_exec keeps its own staging: its source is doubled).
+    */
+  private val stagedSources = scala.collection.mutable.Set[String]()
+  private def stagedEventsSource(s: SparkSession, dir: String): String = {
+    val root = s"${tmpPath(dir, "stream_src")}/src"
+    stagedSources.synchronized {
+      if (!stagedSources.contains(root)) {
+        graft.streaming.StreamingOps.writeFiniteSource(
+          DerivedModel.events(s, dir), root)
+        stagedSources += root
+      }
+    }
+    root
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     referenceQueries ++ analyticsQueries ++ extensionQueries ++ extensionQueries2
 
@@ -762,13 +781,11 @@ object SparkEntry {
     // not the batch twin. Source staging (single file + far-future
     // sentinel): StreamingOps.writeFiniteSource scaladoc.
     "x_stream_window_exec" -> ((s, dir) => {
-      val root = tmpPath(dir, "stream_exec_win")
-      graft.streaming.StreamingOps.writeFiniteSource(
-        DerivedModel.events(s, dir), s"$root/src")
-      val src = s.read.parquet(s"$root/src")
+      val srcPath = stagedEventsSource(s, dir)
+      val src = s.read.parquet(srcPath)
       graft.streaming.StreamingOps.runToParquetSink(
         graft.streaming.StreamingOps.streamingWindowedEventStats(
-          s, s"$root/src", src), s"$root/sink")
+          s, srcPath, src), s"${tmpPath(dir, "stream_exec_win")}/sink")
         .filter(col("event_type") =!=
           graft.streaming.StreamingOps.SentinelEventType)
         .withColumn("window_start", unix_millis(col("window_start")))
@@ -779,13 +796,11 @@ object SparkEntry {
     // microsecond precision — the batch-twin lag form above breaks only
     // when the gap EXCEEDS the threshold (documented boundary divergence)
     "x_stream_sessionize_exec" -> ((s, dir) => {
-      val root = tmpPath(dir, "stream_exec_sess")
-      graft.streaming.StreamingOps.writeFiniteSource(
-        DerivedModel.events(s, dir), s"$root/src")
-      val src = s.read.parquet(s"$root/src")
+      val srcPath = stagedEventsSource(s, dir)
+      val src = s.read.parquet(srcPath)
       graft.streaming.StreamingOps.runToParquetSink(
         graft.streaming.StreamingOps.streamingSessionize(
-          s, s"$root/src", src), s"$root/sink")
+          s, srcPath, src), s"${tmpPath(dir, "stream_exec_sess")}/sink")
         .filter(col("user_id") =!= -1L)
         .withColumn("session_start", unix_millis(col("session_start")))
     }),
@@ -836,13 +851,11 @@ object SparkEntry {
     // watermarked, time-bounded state) — completes the streaming family's
     // execution gates; the sentinel row is neither click nor purchase
     "x_stream_join_exec" -> ((s, dir) => {
-      val root = tmpPath(dir, "stream_exec_join")
-      graft.streaming.StreamingOps.writeFiniteSource(
-        DerivedModel.events(s, dir), s"$root/src")
-      val src = s.read.parquet(s"$root/src")
+      val srcPath = stagedEventsSource(s, dir)
+      val src = s.read.parquet(srcPath)
       graft.streaming.StreamingOps.runToParquetSink(
         graft.streaming.StreamingOps.streamStreamJoin(
-          s, s"$root/src", src), s"$root/sink")
+          s, srcPath, src), s"${tmpPath(dir, "stream_exec_join")}/sink")
         .select(col("click_id"), col("purch_id"), col("user_id"),
           unix_millis(col("click_ts")).as("click_ts_ms"),
           unix_millis(col("purch_ts")).as("purch_ts_ms"),

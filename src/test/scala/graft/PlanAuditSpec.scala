@@ -104,6 +104,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("export-shuffle ranks inside md5-prefix buckets and broadcasts offsets") {
+    val p = planOf("x_export_shuffle")
+    // the tiny bucket-offsets relation must come back as a broadcast join,
+    // and the row_number window must partition by the bucket column — a
+    // single-partition global rank window would funnel the whole table
+    // through one task
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back onto the data:\n$p")
+    val rankWindows = p.split("\n").filter(l =>
+      l.contains("Window") && l.contains("row_number"))
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("_graft_bkt")),
+      s"the rank window must partition by _graft_bkt, never globally:\n$p")
+  }
+
   test("dimension joins broadcast; existence joins are semi-joins") {
     val j1 = planOf("j1_name_resolution")
     assert(j1.contains("BroadcastHashJoin"), s"j1 lost its broadcast:\n$j1")

@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   *   sbt "Test/runMain graft.ScalePerfHarness embed 100000"
   *   sbt "Test/runMain graft.ScalePerfHarness text 300000"
   *   sbt "Test/runMain graft.ScalePerfHarness knn 100000"
+  *   sbt "Test/runMain graft.ScalePerfHarness quant 100000"
   *
   * (a bare numeric first arg keeps the original embed-mode CLI working)
   */
@@ -63,10 +64,11 @@ object ScalePerfHarness {
       case "embed" => embedMode(spark, count, numTables, planesPerTable)
       case "text"  => textMode(spark, count)
       case "knn"   => knnMode(spark, count)
+      case "quant" => quantMode(spark, count)
       case "neardedup" =>
         nearDedupProfile(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
       case other => throw new IllegalArgumentException(
-        s"unknown mode '$other' (embed | text | knn)")
+        s"unknown mode '$other' (embed | text | knn | quant | neardedup)")
     }
     spark.stop()
   }
@@ -226,6 +228,66 @@ object ScalePerfHarness {
       ng.unpersist()
       out
     }
+  }
+
+  /** int8 quantization at scale: shuffle-byte volume per payload width
+    * (the 100 TB claim — measured through a post-exchange consumer, since
+    * a bare count() would prune the vector out of the shuffle entirely)
+    * and quantized-vs-exact top-10 recall on hash-uniform vectors, the
+    * WORST case for quantized ranking (near-tied cosines everywhere; real
+    * embedding corpora have margins).
+    */
+  private def quantMode(spark: SparkSession, count: Long): Unit = {
+    import graft.sim.Similarity
+    val bytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten): Unit
+    })
+    def shuffled(name: String, n: Long)(f: => Long): Unit = {
+      // listener events drain asynchronously — settle before reading
+      Thread.sleep(1000) // listener bus is async and private — settle by time
+      val b0 = bytes.get()
+      time(name, n)(f)
+      Thread.sleep(1000) // listener bus is async and private — settle by time
+      println(f"[scale-harness] $name shuffleWrite=${(bytes.get() - b0) / 1e6}%.1f MB")
+    }
+    val vecs = corpus(spark, count).persist() // embedding: array<double>
+    val n = vecs.count()
+    val quant = Similarity.withQuantizedVec(vecs, "embedding")
+      .select(col("vec_id"), col("qvec")).persist()
+    quant.count()
+    // a downstream aggregate gets PUSHED BELOW the repartition (the scalar
+    // is computed pre-shuffle and the array pruned — the exchange carried
+    // 0.6 MB for every width when first measured); the noop sink consumes
+    // whole rows, so the exchange genuinely carries the vector payload
+    def throughExchange(df: org.apache.spark.sql.DataFrame): Long = {
+      df.repartition(col("vec_id")).write.mode("overwrite").format("noop").save()
+      0L
+    }
+    shuffled("shuffle:float64-payload", n) {
+      throughExchange(vecs)
+    }
+    shuffled("shuffle:float32-payload", n) {
+      throughExchange(vecs.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("v")))
+    }
+    shuffled("shuffle:int8-payload", n) {
+      throughExchange(quant)
+    }
+    val recalls = (0L until 5L).map { q =>
+      val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.quantizedTopK(vecs, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      (exact & approx).size
+    }
+    println(s"[scale-harness] quantized recall@10 x 5 probes: " +
+      s"${recalls.mkString(",")} (mean ${recalls.sum / 5.0})")
+    vecs.unpersist()
+    quant.unpersist()
+    Persisted.unpersistAll()
   }
 
   /** Bucketed (IVF) vs exact kNN join. Exact is O(n^2) — run only at
