@@ -888,8 +888,25 @@ object SparkEntry {
     "x_export_shuffle" -> ((s, dir) =>
       graft.ops.Sampling.withGlobalPosition(
         DerivedModel.table(s, dir, "documents"), "doc_id")
-        .select(col("doc_id"), col("position")))
+        .select(col("doc_id"), col("position"))),
+
+    // corpus mixing: per-language keep fractions as a pure scan predicate
+    "x_sample_weighted" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "lang",
+        MixWeights, defaultWeight = 0.1)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // paragraph-level DEDUP: every distinct block survives once (first
+    // occurrence); documents rebuilt from their surviving blocks
+    "x_dedup_blocks_clean" -> ((s, dir) =>
+      graft.dedup.Dedup.dedupBlocks(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        blockTokens = 10))
   )
+
+  /** Mixing recipe for `x_sample_weighted` (shared with its oracle). */
+  private val MixWeights = Map("en" -> 0.5, "zh" -> 0.25, "de" -> 1.0)
 
   def oracleSql: Map[String, String] =
     referenceOracleSql ++ analyticsOracleSql ++ extensionOracleSql
@@ -1581,6 +1598,25 @@ object SparkEntry {
         """SELECT doc_id,
           |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS position
           |FROM documents""".stripMargin,
+
+      "x_sample_weighted" ->
+        s"""SELECT doc_id, lang, source FROM documents
+           |WHERE ${graft.ops.Sampling.weightedSampleSql(
+                     "doc_id", "lang", MixWeights, defaultWeight = 0.1)}""".stripMargin,
+
+      "x_dedup_blocks_clean" -> {
+        val chunks = graft.text.Chunking.chunkSql("documents", "doc_id", "text", 10)
+        s"""WITH ranked AS (
+           |  SELECT doc_id, chunk_idx, chunk_text,
+           |    row_number() OVER (PARTITION BY md5(chunk_text)
+           |      ORDER BY doc_id, chunk_idx) AS rn
+           |  FROM ($chunks)),
+           |rebuilt AS (
+           |  SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+           |  FROM ranked WHERE rn = 1 GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+           |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+      },
 
       "x_stream_sessionize" ->
         """WITH ordered AS (

@@ -119,6 +119,35 @@ object Dedup {
         col("n_shared_blocks").cast("double") / col("n_blocks"))
   }
 
+  /** Paragraph-granularity DEDUP (the removal counterpart of
+    * [[duplicatedBlockRatio]], CCNet-style): every distinct block survives
+    * exactly once — at its first occurrence in (doc id, chunk idx) order —
+    * and each document is rebuilt from its surviving blocks in original
+    * order (possibly empty, never dropped). Boilerplate repeated across
+    * documents disappears from all but the first; novel text is untouched.
+    *
+    * One content-keyed shuffle (the keep-first window partitions on the
+    * block hash), one doc-id aggregation to rebuild, one left join to
+    * retain fully-deduplicated documents. Same 100 TB shape as
+    * [[duplicatedBlockRatio]].
+    */
+  def dedupBlocks(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 10): DataFrame = {
+    val chunks = graft.text.Chunking.chunkByTokens(df, idCol, textCol, blockTokens)
+    val firstOccurrence = Window
+      .partitionBy(md5(col("chunk_text").cast("binary")))
+      .orderBy(col(idCol), col("chunk_idx"))
+    val rebuilt = chunks
+      .withColumn("_graft_rn", row_number().over(firstOccurrence))
+      .filter(col("_graft_rn") === 1)
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text"))))
+          .getField("chunk_text")).as("clean_text"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Default stop-shingle guard: drop shingles present in more than half
     * the corpus. A shingle in >50% of documents is boilerplate by
     * definition (headers, licenses, templates); true near-dup pairs at

@@ -51,6 +51,48 @@ object Sampling {
   /** Content-hash sort key: a reproducible "random" total order. */
   def shuffleKey(key: Column): Column = md5(key.cast("string").cast("binary"))
 
+  /** First 8 hex chars of floor(f·2^32), the comparison literal for
+    * [[weightedSample]]: fixed-width lowercase hex compares exactly like
+    * the 32-bit integer it encodes, in every engine, with no hex-to-int
+    * builtin needed.
+    */
+  def weightThresholdHex(f: Double): String =
+    f"${math.floor(f * 4294967296.0).toLong}%08x"
+
+  /** Corpus mixing: deterministic per-group keep fractions (e.g. "50% of
+    * web, 10% of low-quality, all of code") — the data-recipe step of a
+    * training pipeline. A row is kept iff the first 8 hex chars of
+    * md5(key) fall below its group's threshold, so (a) membership is a
+    * pure function of the data (auditable, re-runnable, engine-agnostic),
+    * (b) the sample for weight f is a SUBSET of the sample for f' > f —
+    * recipes can be tightened without resampling everything, and (c) the
+    * filter is a scan-level predicate: no shuffle, no state, any scale.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    def keep(f: Double): Column =
+      if (f >= 1.0) lit(true)
+      else if (f <= 0.0) lit(false)
+      else substring(shuffleKey(col(keyCol)), 1, 8) < lit(weightThresholdHex(f))
+    df.filter(weights.toSeq.sortBy(_._1).foldRight(keep(defaultWeight)) {
+      case ((g, f), els) => when(col(groupCol) === g, keep(f)).otherwise(els)
+    })
+  }
+
+  /** DuckDB twin of [[weightedSample]]'s predicate (same thresholds, same
+    * hex-string comparison) for a WHERE clause — keep formula-identical.
+    */
+  def weightedSampleSql(keyCol: String, groupCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): String = {
+    def keep(f: Double): String =
+      if (f >= 1.0) "TRUE"
+      else if (f <= 0.0) "FALSE"
+      else s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 8) < '${weightThresholdHex(f)}'"
+    val cases = weights.toSeq.sortBy(_._1)
+      .map { case (g, f) => s"WHEN $groupCol = '$g' THEN ${keep(f)}" }
+    s"CASE ${cases.mkString(" ")} ELSE ${keep(defaultWeight)} END"
+  }
+
   /** Reproducible global shuffle for training-data export: total-order the
     * rows by (md5(key), key). Epoch-shuffled training data must be
     * RE-creatable (audits, restarts, ablations) — `orderBy(rand())` is

@@ -36,6 +36,42 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("weightedSample: per-group rates, nested subsets, determinism") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    def ids(w: Map[String, Double], d: Double) =
+      Sampling.weightedSample(df, "id", "grp", w, d)
+        .collect().map(_.getLong(0)).toSet
+
+    val half = ids(Map("a" -> 0.5), 1.0)
+    val quarter = ids(Map("a" -> 0.25), 1.0)
+    val aHalf = half.count(_ % 2 == 0)
+    assert(math.abs(aHalf - 1000) < 100, s"~50% of group a kept, got $aHalf/2000")
+    assert(half.count(_ % 2 == 1) == 2000, "default weight 1.0 keeps all of b")
+    // monotone recipes: the 25% sample is a subset of the 50% sample
+    assert(quarter.filter(_ % 2 == 0).subsetOf(half.filter(_ % 2 == 0)))
+    assert(ids(Map("a" -> 0.5), 1.0) == half, "pure function of the data")
+    assert(ids(Map("a" -> 0.0), 0.0).isEmpty)
+  }
+
+  test("dedupBlocks keeps each block's first occurrence and rebuilds docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),  // blocks: "a b c", "d e f"
+      (2L, "a b c x y z"),  // "a b c" removed (first seen in doc 1)
+      (3L, "a b c d e f"),  // fully deduplicated -> empty
+      (4L, "p q r")         // untouched
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.dedupBlocks(docs, "doc_id", "text", blockTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "a b c d e f",
+      2L -> "x y z",
+      3L -> "",
+      4L -> "p q r"))
+  }
+
   test("deterministicShuffle orders by the content hash") {
     import spark.implicits._
     val df = (0L until 100L).toDF("id")
