@@ -276,6 +276,25 @@ object Dedup {
       n: Int = 3, tau: Double = 0.8,
       numHashes: Int = 32, rowsPerBand: Int = 2,
       maxDf: Option[Int] = None,
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame =
+    minhashScoredCandidates(df, idCol, textCol, n, numHashes, rowsPerBand,
+      maxDf, maxDfFraction)
+      .filter(col("jaccard") >= tau)
+
+  /** The scored LSH candidate relation of [[minhashNearDuplicates]]
+    * WITHOUT the tau cut: (id_a, id_b, jaccard) for every banding
+    * candidate, exact-verified. Callers sweeping several thresholds
+    * (dedup-aggressiveness ablations) should persist THIS relation and
+    * filter per tau — re-running the full pipeline per tau costs ~2x the
+    * fused pass each time (measured, `ScalePerfHarness text`). Candidates
+    * come from the banding, so recall below the banding's designed tau
+    * range degrades: size `numHashes`/`rowsPerBand` for the LOWEST tau
+    * being swept.
+    */
+  def minhashScoredCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3,
+      numHashes: Int = 32, rowsPerBand: Int = 2,
+      maxDf: Option[Int] = None,
       maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
     val ngRaw = shingles(df, idCol, textCol, n)
     // guard BEFORE signatures: the filtered universe feeds the MinHash,
@@ -318,7 +337,6 @@ object Dedup {
       .join(cnt.select(col("_id").as("id_b"), col("n_shingles").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

@@ -49,6 +49,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(exact.nonEmpty, "test data should contain planted near-dups")
   }
 
+  test("scored candidates sweep: filtering per tau equals re-running per tau") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val scored = Dedup.minhashScoredCandidates(docs, "doc_id", "text",
+      n = 3, numHashes = 32, rowsPerBand = 2).persist()
+    try {
+      for (tau <- Seq(0.5, 0.8, 0.95)) {
+        val swept = scored.filter(org.apache.spark.sql.functions.col("jaccard") >= tau)
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val direct = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+          n = 3, tau = tau, numHashes = 32, rowsPerBand = 2)
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(swept == direct, s"tau=$tau: sweep ${swept.size} vs direct ${direct.size}")
+        Persisted.unpersistAll()
+      }
+    } finally {
+      scored.unpersist()
+      Persisted.unpersistAll()
+    }
+  }
+
   test("duplicate groups: connected components match driver-side union-find") {
     import spark.implicits._
     // two components: {1,2,3} via chain 1-2, 2-3; {7,9}; singleton edges only
