@@ -82,4 +82,32 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(fast == expected, s"seed $seed strict=$strict")
     }
   }
+
+  test("chunking partitions tokens exactly on random documents and budgets") {
+    import spark.implicits._
+    val docGen = for {
+      nDocs <- Gen.choose(1, 12)
+      docs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(
+        Gen.oneOf("alpha", "b", "cc", "dddd", "e5")))
+      maxTokens <- Gen.choose(1, 7)
+    } yield (docs, maxTokens)
+    (1L to 6L).foreach { seed =>
+      val (docs, maxTokens) = sample(docGen, seed)
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.text.Chunking.chunkByTokens(df, "doc_id", "text", maxTokens)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      docs.zipWithIndex.foreach { case (ws, i) =>
+        val mine = out.filter(_._1 == i.toLong).sortBy(_._2)
+        assert(mine.map(_._2).toSeq == mine.indices, s"seed $seed: dense chunk_idx")
+        // every token in exactly one chunk, original order, budget respected
+        assert(mine.flatMap(_._3.split(" ")).toSeq == ws, s"seed $seed doc $i")
+        assert(mine.forall(_._4 <= maxTokens), s"seed $seed: budget")
+        assert(mine.init.forall(_._4 == maxTokens.toLong),
+          s"seed $seed: only the last chunk may be short")
+        assert(mine.map(_._4).sum == ws.length.toLong, s"seed $seed: token count")
+      }
+    }
+  }
 }
