@@ -890,6 +890,34 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("position"))),
 
+    // custom streaming STATE executed for real: transformWithState +
+    // ValueState on the RocksDB store (scoped to this query, as a
+    // deployment would set it session-wide), update-mode foreachBatch
+    // parquet sink, last-update-per-key read-back — closes the last
+    // streaming family that was only spec-checked
+    "x_stream_state_exec" -> ((s, dir) => {
+      val srcPath = stagedEventsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sink = try {
+        graft.streaming.StreamingOps.runUpdateToParquetSink(
+          graft.streaming.StreamingOps.transformWithStateTotals(s, srcPath, src)
+            .toDF(),
+          s"${tmpPath(dir, "stream_exec_state")}/sink")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      val lastUpdate = Window.partitionBy(col("user_id"))
+        .orderBy(col("_graft_batch_id").desc)
+      sink.withColumn("_graft_rn", row_number().over(lastUpdate))
+        .filter(col("_graft_rn") === 1 && col("user_id") =!= -1L)
+        .select(col("user_id"), col("n_events"), col("value_cents"))
+    }),
+
     // corpus mixing: per-language keep fractions as a pure scan predicate
     "x_sample_weighted" -> ((s, dir) =>
       graft.ops.Sampling.weightedSample(
@@ -1603,6 +1631,13 @@ object SparkEntry {
         s"""SELECT doc_id, lang, source FROM documents
            |WHERE ${graft.ops.Sampling.weightedSampleSql(
                      "doc_id", "lang", MixWeights, defaultWeight = 0.1)}""".stripMargin,
+
+      // final per-user totals — the Spark side accumulated them in
+      // RocksDB ValueState across a real update-mode StreamingQuery
+      "x_stream_state_exec" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM events GROUP BY user_id""".stripMargin,
 
       "x_dedup_blocks_clean" -> {
         val chunks = graft.text.Chunking.chunkSql("documents", "doc_id", "text", 10)

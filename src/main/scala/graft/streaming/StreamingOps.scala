@@ -124,6 +124,34 @@ object StreamingOps {
     spark.read.parquet(s"$outRoot/data")
   }
 
+  /** [[runToParquetSink]] for UPDATE-mode queries (custom state emits a
+    * refreshed row per key per batch; file sinks only accept append):
+    * `foreachBatch` appends each micro-batch stamped with its batch id —
+    * the idempotent-upsert consumption shape for update output. Readers
+    * take the max-batch row per key ([[runUpdateToParquetSink]]'s caller);
+    * with a single-file finite source there is exactly one update batch.
+    */
+  def runUpdateToParquetSink(streaming: DataFrame, outRoot: String,
+      timeoutMs: Long = 600000L): DataFrame = {
+    val spark = streaming.sparkSession
+    deleteRecursively(new java.io.File(outRoot))
+    val sq = streaming.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("_graft_batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$outRoot/data")
+      }
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$outRoot/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!sq.awaitTermination(timeoutMs)) {
+      sq.stop()
+      throw new IllegalStateException(
+        s"streaming query did not terminate within ${timeoutMs} ms")
+    }
+    spark.read.parquet(s"$outRoot/data")
+  }
+
   /** Sessionization (batch form): a new session starts when the gap to the
     * previous event of the same user exceeds `gapMillis`. Classic
     * lag + cumulative-sum window pair; event_id breaks timestamp ties so
