@@ -930,7 +930,15 @@ object SparkEntry {
     "x_dedup_blocks_clean" -> ((s, dir) =>
       graft.dedup.Dedup.dedupBlocks(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        blockTokens = 10))
+        blockTokens = 10)),
+
+    // sequence packing (concat-then-split pre-training prep): a global
+    // deterministic token stream cut into fixed 128-token examples,
+    // offsets via the prefix-bucket cumulative sum — never a global window
+    "x_text_pack" -> ((s, dir) =>
+      graft.text.Chunking.packSequences(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        seqTokens = 128))
   )
 
   /** Mixing recipe for `x_sample_weighted` (shared with its oracle). */
@@ -1604,6 +1612,9 @@ object SparkEntry {
 
       "x_text_chunks" ->
         graft.text.Chunking.chunkSql("documents", "doc_id", "text", 20),
+
+      "x_text_pack" ->
+        graft.text.Chunking.packSequencesSql("documents", "doc_id", "text", 128),
 
       "x_dedup_blocks" -> {
         val chunks = graft.text.Chunking.chunkSql("documents", "doc_id", "text", 10)

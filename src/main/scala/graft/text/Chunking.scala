@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Token-budget document chunking — the packing step of a training-data
@@ -34,6 +35,105 @@ object Chunking {
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_text")
       .withColumn("n_tokens", TextFunctions.tokenCount(col("chunk_text")).cast("long"))
+  }
+
+  /** Sequence packing — the concat-then-split shape of GPT-style
+    * pre-training data prep: all documents form one deterministic global
+    * token stream (ordered by (md5(id), id), the reproducible shuffle),
+    * which is cut into fixed `seqTokens`-token training examples.
+    * Documents crossing a cut are split across consecutive examples;
+    * nothing is padded or dropped. Output, one row per (document piece ×
+    * example):
+    *
+    *   (example_id, token_start, idCol, piece_text, piece_tokens)
+    *
+    * `token_start` is the piece's offset WITHIN its example, so examples
+    * reassemble by sorting pieces on it — no extra ranking pass needed.
+    *
+    * Scale shape: each document's global token offset is a weighted
+    * cumulative sum over the hash order. A single running-total window
+    * would funnel the corpus through one partition, so the offset is
+    * composed of (a) per-bucket token totals cumulated across the tiny
+    * md5-prefix bucket relation (broadcast back) and (b) a within-bucket
+    * running sum — same deterministic prefix-bucket construction as
+    * `Sampling.withGlobalPosition`, one data shuffle total. The
+    * piece expansion is then a narrow per-row `posexplode`. Everything is
+    * integer arithmetic over the deterministic order — the oracle replays
+    * it exactly.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqTokens: Int, prefixChars: Int = 2): DataFrame = {
+    require(seqTokens >= 1, s"seqTokens must be >= 1, got $seqTokens")
+    val L = lit(seqTokens.toLong)
+    val sk = md5(col(idCol).cast("string").cast("binary"))
+    val toks = df.select(col(idCol), sk.as("_graft_sk"),
+      substring(sk, 1, prefixChars).as("_graft_bkt"),
+      TextFunctions.tokens(col(textCol)).as("_graft_toks"))
+      .withColumn("_graft_n", size(col("_graft_toks")).cast("long"))
+    val bucketTotals = toks.groupBy(col("_graft_bkt"))
+      .agg(sum(col("_graft_n")).as("_graft_bn"))
+      .withColumn("_graft_boff",
+        coalesce(sum(col("_graft_bn")).over(
+          Window.orderBy(col("_graft_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_graft_bkt"), col("_graft_boff"))
+    val within = Window.partitionBy(col("_graft_bkt"))
+      .orderBy(col("_graft_sk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = toks.join(broadcast(bucketTotals), "_graft_bkt")
+      .withColumn("_graft_off",
+        col("_graft_boff") + coalesce(sum(col("_graft_n")).over(within), lit(0L)))
+    // the examples this document intersects: floor(off/L) .. floor((off+n-1)/L)
+    val firstEx = floor(col("_graft_off") / L)
+    val lastEx = floor((col("_graft_off") + col("_graft_n") - 1) / L)
+    placed
+      .select(col(idCol), col("_graft_toks"), col("_graft_n"), col("_graft_off"),
+        explode(sequence(firstEx, lastEx)).as("example_id"))
+      .withColumn("_graft_from", greatest(col("example_id") * L, col("_graft_off")))
+      .withColumn("_graft_until",
+        least((col("example_id") + 1) * L, col("_graft_off") + col("_graft_n")))
+      .select(
+        col("example_id"),
+        (col("_graft_from") - col("example_id") * L).as("token_start"),
+        col(idCol),
+        array_join(slice(col("_graft_toks"),
+          (col("_graft_from") - col("_graft_off") + 1).cast("int"),
+          (col("_graft_until") - col("_graft_from")).cast("int")), " ")
+          .as("piece_text"),
+        (col("_graft_until") - col("_graft_from")).as("piece_tokens"))
+  }
+
+  /** DuckDB twin of [[packSequences]]: a single global running-sum window
+    * states the same offsets the bucket construction computes (identical
+    * because the bucket prefix is order-aligned with the (md5, id) sort),
+    * then the same integer slice arithmetic. Keep formula-identical.
+    */
+  def packSequencesSql(table: String, idCol: String, textCol: String,
+      seqTokens: Int): String = {
+    val L = seqTokens
+    s"""WITH _t AS (
+       |  SELECT $idCol, md5(CAST($idCol AS VARCHAR)) AS sk,
+       |    string_split(trim($textCol), ' ') AS tk,
+       |    CAST(len(string_split(trim($textCol), ' ')) AS BIGINT) AS n
+       |  FROM $table),
+       |_off AS (
+       |  SELECT *, coalesce(SUM(n) OVER (ORDER BY sk, $idCol
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |  FROM _t),
+       |_ex AS (
+       |  SELECT *, unnest(range(CAST(floor(CAST(off AS DOUBLE) / $L) AS BIGINT),
+       |    CAST(floor(CAST(off + n - 1 AS DOUBLE) / $L) AS BIGINT) + 1)) AS example_id
+       |  FROM _off),
+       |_pieces AS (
+       |  SELECT example_id, greatest(example_id * $L, off) AS piece_from,
+       |    least((example_id + 1) * $L, off + n) AS piece_until, $idCol, tk, off
+       |  FROM _ex)
+       |SELECT example_id, CAST(piece_from - example_id * $L AS BIGINT) AS token_start,
+       |  $idCol,
+       |  array_to_string(list_slice(tk, CAST(piece_from - off + 1 AS BIGINT),
+       |    CAST(piece_until - off AS BIGINT)), ' ') AS piece_text,
+       |  CAST(piece_until - piece_from AS BIGINT) AS piece_tokens
+       |FROM _pieces""".stripMargin
   }
 
   /** DuckDB twin of [[chunkByTokens]] — same tokenization, same 1-based

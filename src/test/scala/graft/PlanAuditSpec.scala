@@ -116,6 +116,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       l.contains("Window") && l.contains("row_number"))
     assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("_graft_bkt")),
       s"the rank window must partition by _graft_bkt, never globally:\n$p")
+
+    // sequence packing composes the same construction for its weighted
+    // cumulative sum — its running-total window must be bucket-partitioned
+    val pk = planOf("x_text_pack")
+    val sumWindows = pk.split("\n").filter(l =>
+      l.contains("Window") && l.contains("sum("))
+    assert(sumWindows.nonEmpty && sumWindows.forall(_.contains("_graft_bkt")),
+      s"packing's token-offset window must partition by _graft_bkt:\n$pk")
   }
 
   test("dimension joins broadcast; existence joins are semi-joins") {

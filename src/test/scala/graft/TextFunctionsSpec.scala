@@ -72,6 +72,43 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(back == 0L)
   }
 
+  test("sequence packing: fixed-size examples, stream order preserved, nothing lost") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, (0 until (i % 7 + 1).toInt).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val L = 10
+    val out = graft.text.Chunking.packSequences(docs, "doc_id", "text", L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+
+    val totalTokens = (0L until 40L).map(_ % 7 + 1).sum
+    assert(out.map(_._5).sum == totalTokens, "every token lands in exactly one piece")
+
+    // examples reassemble to exactly L tokens (except the last), with
+    // pieces abutting at their token_start offsets
+    val byExample = out.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(byExample.map(_._1) == (0L until (totalTokens + L - 1) / L), "dense example ids")
+    byExample.foreach { case (ex, pieces) =>
+      val sorted = pieces.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"example $ex starts at 0")
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0)._2 + w(0)._5 == w(1)._2, s"example $ex pieces abut")
+      }
+      val len = sorted.map(_._5).sum
+      if (ex < byExample.size - 1) assert(len == L.toLong, s"example $ex full")
+      else assert(len <= L.toLong && len > 0, s"last example partial")
+    }
+
+    // the global stream equals the documents concatenated in (md5, id) order
+    val want = (0L until 40L)
+      .sortBy(i => (org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString), i))
+      .flatMap(i => (0 until (i % 7 + 1).toInt).map(j => s"d${i}w$j"))
+    val got = out.sortBy(p => (p._1, p._2)).flatMap(_._4.split(" ")).toSeq
+    assert(got == want, "stream order is the deterministic shuffle order")
+  }
+
   test("duplicated-block ratio: exact dup docs 1.0, unique doc 0.0") {
     import spark.implicits._
     val docs = Seq(
