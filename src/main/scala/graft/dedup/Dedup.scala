@@ -106,8 +106,13 @@ object Dedup {
     */
   def duplicatedBlockRatio(df: DataFrame, idCol: String, textCol: String,
       blockTokens: Int = 10): DataFrame = {
-    val blocks = graft.text.Chunking.chunkByTokens(df, idCol, textCol, blockTokens)
-      .select(col(idCol), md5(col("chunk_text").cast("binary")).as("_bh"))
+    // the block relation feeds both the per-block doc counts and the
+    // join-back; without persist the chunk explode is recomputed per
+    // branch (lazy by design — see the fan-out note in ngramJaccardPairs)
+    val blocks = Persisted.track(
+      graft.text.Chunking.chunkByTokens(df, idCol, textCol, blockTokens)
+        .select(col(idCol), md5(col("chunk_text").cast("binary")).as("_bh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // distinct docs per block: >1 means the block text recurs elsewhere
     val docsPerBlock = blocks.groupBy(col("_bh"))
       .agg(countDistinct(col(idCol)).as("_ndocs"))

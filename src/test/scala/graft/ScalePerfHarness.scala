@@ -65,6 +65,7 @@ object ScalePerfHarness {
       case "text"  => textMode(spark, count)
       case "knn"   => knnMode(spark, count)
       case "quant" => quantMode(spark, count)
+      case "blocks" => blocksMode(spark, count)
       case "neardedup" =>
         nearDedupProfile(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
       case other => throw new IllegalArgumentException(
@@ -288,6 +289,37 @@ object ScalePerfHarness {
     vecs.unpersist()
     quant.unpersist()
     Persisted.unpersistAll()
+  }
+
+  /** The block-dedup / packing family at corpus scale: all are
+    * scan + O(1) content-keyed shuffles, so the check is that time grows
+    * ~linearly with the corpus and no stage degenerates.
+    */
+  private def blocksMode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    import graft.text.Chunking
+    // consume through the noop sink: a bare count() prunes the rebuilt
+    // text columns (concat_ws/collect_list never run) and under-reports
+    def consume(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    val docs = textCorpus(spark, count).persist()
+    val n = docs.count()
+    time("duplicatedBlockRatio(b=10)", n) {
+      consume(Dedup.duplicatedBlockRatio(docs, "doc_id", "text", blockTokens = 10))
+    }
+    Persisted.unpersistAll()
+    time("dedupBlocks(b=10)", n) {
+      consume(Dedup.dedupBlocks(docs, "doc_id", "text", blockTokens = 10))
+    }
+    Persisted.unpersistAll()
+    time("packSequences(L=2048)", n) {
+      consume(Chunking.packSequences(docs, "doc_id", "text", seqTokens = 2048))
+    }
+    time("chunkByTokens(b=512)", n) {
+      consume(Chunking.chunkByTokens(docs, "doc_id", "text", maxTokens = 512))
+    }
+    docs.unpersist()
   }
 
   /** Bucketed (IVF) vs exact kNN join. Exact is O(n^2) — run only at
