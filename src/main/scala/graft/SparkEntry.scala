@@ -423,6 +423,35 @@ object SparkEntry {
         upper(col("p_brand")).as("brand_u"),
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))),
 
+    // RANGE frame: peers by VALUE distance on the order key, not row
+    // count — the window-frame family w1 (rows) does not cover
+    "w5_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_orderkey"))
+        .rangeBetween(-100L, 0L)
+      DerivedModel.table(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          count(lit(1)).over(w).as("n_near"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5)).over(w).as("near_cents"))
+    }),
+
+    // array higher-order functions (filter/exists/transform+aggregate)
+    // and set ops — the one scalar-function family without a gated query
+    "f_array_funcs" -> ((s, dir) => {
+      val toks = graft.text.TextFunctions.tokens(col("text"))
+      DerivedModel.table(s, dir, "documents").select(
+        col("doc_id"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(array_intersect(toks, array(lit("the"), lit("a"), lit("of"))))
+          .cast("long").as("n_markers"),
+        size(filter(toks, x => length(x) > 4)).cast("long").as("n_long"),
+        array_contains(toks, "the").as("has_the"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x).cast("long"))
+          .as("sum_len"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",")
+          .as("first3"))
+    }),
+
     "w2_dense_rank_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
       DerivedModel.table(s, dir, "part")
@@ -1136,6 +1165,25 @@ object SparkEntry {
         |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
         |FROM lineitem""".stripMargin,
+
+    "w5_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |  count(*) OVER w AS n_near,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS near_cents
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey
+        |  RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "f_array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_intersect(tk, ['the', 'a', 'of'])) AS BIGINT) AS n_markers,
+        |  CAST(len(list_filter(tk, x -> length(x) > 4)) AS BIGINT) AS n_long,
+        |  list_contains(tk, 'the') AS has_the,
+        |  CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS sum_len,
+        |  array_to_string(list_sort(list_distinct(tk))[1:3], ',') AS first3
+        |FROM t""".stripMargin,
 
     "set1_except" ->
       """SELECT DISTINCT o_custkey FROM orders
