@@ -41,6 +41,7 @@ object ScalePerfHarness {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events table
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -67,7 +68,11 @@ object ScalePerfHarness {
       case "quant" => quantMode(spark, count)
       case "blocks" => blocksMode(spark, count)
       case "neardedup" =>
-        nearDedupProfile(spark, rest.headOption.getOrElse("/root/testdata/sf0.1"))
+        profileQuery(spark, "x_dedup_near_dedup",
+          rest.headOption.getOrElse("/root/testdata/sf0.1"))
+      case "profile" =>
+        profileQuery(spark, rest.headOption.getOrElse("x_dedup_near_dedup"),
+          rest.lift(1).getOrElse("/root/testdata/sf0.1"))
       case other => throw new IllegalArgumentException(
         s"unknown mode '$other' (embed | text | knn | quant | neardedup)")
     }
@@ -346,16 +351,14 @@ object ScalePerfHarness {
     } else println(s"[scale-harness] knnJoinAgg(exact) skipped at n=$n (O(n^2))")
   }
 
-  /** Stage-level attribution for the heaviest gated query (verdict r3 #7):
-    * runs `x_dedup_near_dedup` on the given sf dir with the >0.5 s stage
-    * printer active — stage names carry the Dedup.scala callsites, which
-    * attributes wall-clock between the minhash recompute races, the
-    * components job, and the final anti-join.
+  /** Stage-level attribution for a gated query: runs it on the given sf
+    * dir with the >0.5 s stage printer active — stage names carry source
+    * callsites, which attributes wall-clock between pipeline phases.
     */
-  private def nearDedupProfile(spark: SparkSession, sfDir: String): Unit = {
+  private def profileQuery(spark: SparkSession, name: String, sfDir: String): Unit = {
     val t0 = System.nanoTime()
-    val rows = SparkEntry.queries("x_dedup_near_dedup")(spark, sfDir).count()
-    println(f"[scale-harness] x_dedup_near_dedup($sfDir) rows=$rows " +
+    val rows = SparkEntry.queries(name)(spark, sfDir).count()
+    println(f"[scale-harness] $name($sfDir) rows=$rows " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s (stage lines above attribute it)")
     Persisted.unpersistAll()
   }
