@@ -961,6 +961,15 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         blockTokens = 10)),
 
+    // media near-dup: 64-bit content hash over payload bytes + the
+    // banded hamming join — the multimodal dedup path (hash swaps to
+    // pHash at the codec boundary for real images)
+    "x_multimodal_near_dup" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashPairs(
+        graft.multimodal.Multimodal.contentHash64(
+          graft.multimodal.Multimodal.toMediaRecords(
+            DerivedModel.table(s, dir, "documents"))), maxHamming = 3)),
+
     // sequence packing (concat-then-split pre-training prep): a global
     // deterministic token stream cut into fixed 128-token examples,
     // offsets via the prefix-bucket cumulative sum — never a global window
@@ -1450,6 +1459,10 @@ object SparkEntry {
       // converts the two SimHash queries from rows-only to hash-matched
       "x_dedup_simhash" -> graft.dedup.SimHashOracle.simhashSql,
       "x_dedup_simhash_pairs" -> graft.dedup.SimHashOracle.pairsSql(3),
+
+      // identical relation — the Spark side hashed the PAYLOAD bytes of
+      // the media records (== text bytes for the stand-in payloads)
+      "x_multimodal_near_dup" -> graft.dedup.SimHashOracle.pairsSql(3),
 
       // mirrors nearDedup's DEFAULT maxDfFraction = 0.5 guard: the shingle
       // universe drops ngrams present in more than ceil(0.5 x distinct

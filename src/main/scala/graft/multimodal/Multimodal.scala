@@ -89,6 +89,20 @@ object Multimodal {
       .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
       .drop("scale")
 
+  /** 64-bit content hash over the raw payload bytes for media NEAR-DUP:
+    * feeds [[graft.dedup.Dedup.simhashPairs]]'s banded hamming join, so
+    * the whole media-dedup path — hash at scan speed, block-banded
+    * equi-join, hamming verify — is the text SimHash machinery reused.
+    * The hash here is SimHash over the payload's byte stream (exact for
+    * the text-bytes stand-in payloads); a real image pipeline swaps in a
+    * perceptual hash (pHash/aHash) AT THE CODEC BOUNDARY like decode, and
+    * everything downstream is unchanged.
+    */
+  def contentHash64(records: Dataset[MediaRecord]): DataFrame =
+    records.toDF().select(col("doc_id").as("_id"),
+      graft.dedup.SimHashExpr.simhashCol(col("payload").cast("string"))
+        .as("simhash"))
+
   /** Frame-sampling plumbing demo: every k-th byte of the payload as a
     * "frame" offset list — the partition/batch shape of video frame
     * sampling with the sampler stubbed.

@@ -39,6 +39,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("payload content hash equals the text SimHash for text-bytes payloads") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val viaPayload = graft.multimodal.Multimodal.contentHash64(
+      graft.multimodal.Multimodal.toMediaRecords(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaText = graft.dedup.Dedup.simhash64Fast(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaPayload == viaText,
+      "binary payload round-trips to the same content hash")
+  }
+
   test("frame-offset sampling strides the payload") {
     val docs = DerivedModel.table(spark, dir, "documents").limit(5)
     val offsets = Multimodal.sampleFrameOffsets(Multimodal.toMediaRecords(docs), stride = 100)
