@@ -961,6 +961,24 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         blockTokens = 10)),
 
+    // forward as-of: nearest FUTURE purchase per click (mirror-image
+    // one-shuffle union-tag plan, descending time scan)
+    "x_asof_join_forward" -> ((s, dir) => {
+      val ev = DerivedModel.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purch_event_id"), col("value").as("purch_value"))
+      graft.ops.AsofJoin.forward(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("purch_event_id", "purch_value"), strict = true)
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("asof_purch_event_id").as("purch_event_id"),
+          col("asof_purch_value").as("purch_value"))
+    }),
+
     // media near-dup: 64-bit content hash over payload bytes + the
     // banded hamming join — the multimodal dedup path (hash swaps to
     // pHash at the codec boundary for real images)
@@ -1463,6 +1481,16 @@ object SparkEntry {
       // identical relation — the Spark side hashed the PAYLOAD bytes of
       // the media records (== text bytes for the stand-in payloads)
       "x_multimodal_near_dup" -> graft.dedup.SimHashOracle.pairsSql(3),
+
+      "x_asof_join_forward" ->
+        """WITH l AS (
+          |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+          |r AS (
+          |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+          |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+          |SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ts_ms,
+          |       r.event_id AS purch_event_id, r.value AS purch_value
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts < r.ts""".stripMargin,
 
       // mirrors nearDedup's DEFAULT maxDfFraction = 0.5 guard: the shingle
       // universe drops ngrams present in more than ceil(0.5 x distinct

@@ -43,7 +43,25 @@ object AsofJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false): DataFrame =
+    joinImpl(left, right, keys, leftTime, rightTime, payload, strict,
+      forwardDir = false)
+
+  /** Forward as-of: for each left row, the single EARLIEST right row (per
+    * key) at-or-after (`strict = false`) or strictly after (`strict =
+    * true`) the left timestamp — the mirror image of [[backward]] (same
+    * one-shuffle union-tag plan, scanned in descending time order so the
+    * running window carries the nearest FUTURE right row).
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      strict: Boolean = false): DataFrame =
+    joinImpl(left, right, keys, leftTime, rightTime, payload, strict,
+      forwardDir = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      strict: Boolean, forwardDir: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     require(keys.forall(leftCols.contains) && leftCols.contains(leftTime),
@@ -56,7 +74,9 @@ object AsofJoin {
       s"left column names collide with as-of working columns: " +
         leftCols.filter(reserved.contains).mkString(", "))
     // at equal ts the window must see the right row first (inclusive) or
-    // not at all (strict): side ordering flips accordingly
+    // not at all (strict): side ordering flips accordingly. The same side
+    // assignment serves both directions — the side column always sorts
+    // ascending; only the TIME order reverses for forward.
     val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
 
     // the whole right payload as ONE struct: non-null on right rows even
@@ -75,8 +95,9 @@ object AsofJoin {
         leftCols.filterNot(keys.contains).map(col) ++
         Seq(lit(null).cast(payloadType).as("_graft_p")): _*)
 
+    val tsOrder = if (forwardDir) col("_graft_ts").desc else col("_graft_ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_graft_ts"), col("_graft_side"))
+      .orderBy(tsOrder, col("_graft_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // strict mode: at equal ts left sorts first, so `currentRow` upper
     // bound already excludes same-ts right rows

@@ -80,6 +80,18 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
                      else q.maxBy(_._2)._3.map(v => v: Any))
       }.toMap
       assert(fast == expected, s"seed $seed strict=$strict")
+
+      // forward direction against its own quadratic reference
+      val fastF = AsofJoin.forward(l, r, Seq("k"), "ts", "ts", Seq("v"), strict)
+        .select(col("id"), col("asof_v"))
+        .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+      val expectedF = left.zipWithIndex.map { case ((k, ts), i) =>
+        val q = rRows.filter(rr => rr._1 == k &&
+          (if (strict) rr._2 > ts else rr._2 >= ts))
+        i.toLong -> (if (q.isEmpty) None
+                     else q.minBy(_._2)._3.map(v => v: Any))
+      }.toMap
+      assert(fastF == expectedF, s"seed $seed strict=$strict forward")
     }
   }
 
