@@ -725,6 +725,14 @@ object SparkEntry {
         DerivedModel.embeddingsAugmented(s, dir), "vec_id", "embedding", tau = 0.95,
         dim = Some(64))),
 
+    // the quantized composition: int8 payload through the bucket
+    // self-join (~7x fewer exchange bytes), integer-dot verify; exact
+    // pair set under the quantized metric, fully replayed by the oracle
+    "x_dedup_embed_cosine_lsh_q8" -> ((s, dir) =>
+      graft.sim.Similarity.lshCosinePairsQuantized(
+        DerivedModel.embeddingsAugmented(s, dir), "vec_id", "embedding", tau = 0.95,
+        dim = Some(64))),
+
     // the end-to-end near-dedup a training pipeline actually runs:
     // MinHash pairs -> components -> keep each group's minimum id.
     // Runs with the DEFAULT stop-shingle guard (maxDfFraction = 0.5) —
@@ -1550,6 +1558,31 @@ object SparkEntry {
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
            |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
            |WHERE $cos >= 0.95""".stripMargin,
+
+      // same augmented relation quantized to int8 (floor(x*scale + 0.5),
+      // scale = 127/max|x|), then the exact pair join under the QUANTIZED
+      // cosine — the Spark side generated candidates via the LSH buckets
+      "x_dedup_embed_cosine_lsh_q8" -> {
+        val qcos = graft.sim.Similarity.cosineSql("a.qv", "b.qv", 64)
+        s"""WITH aug AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000,
+           |    list_transform(range(64), i -> embedding[i+1]::DOUBLE +
+           |      (CAST((vec_id * 31 + i) % 7 AS DOUBLE) - 3.0) * 0.001)
+           |  FROM embeddings WHERE vec_id % 10 = 0),
+           |m AS (
+           |  SELECT vec_id, embedding,
+           |    list_max(list_transform(embedding, x -> abs(x))) AS mx
+           |  FROM aug),
+           |qv AS (
+           |  SELECT vec_id, list_transform(embedding, x ->
+           |    floor(x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 1.0 END) + 0.5)) AS qv
+           |  FROM m)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $qcos AS qcosine
+           |FROM qv a JOIN qv b ON a.vec_id < b.vec_id
+           |WHERE $qcos >= 0.95""".stripMargin
+      },
 
       "x_ann_bruteforce" ->
         s"""SELECT b.vec_id, $cos AS cosine

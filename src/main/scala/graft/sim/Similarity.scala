@@ -197,12 +197,15 @@ object Similarity {
     */
   def withQuantizedVec(df: DataFrame, vecCol: String, qvecCol: String = "qvec",
       scaleCol: String = "qscale"): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val maxAbs = array_max(transform(v, x => abs(x)))
-    df.withColumn(scaleCol,
-        when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(1.0)))
-      .withColumn(qvecCol,
-        transform(v, x => floor(x * col(scaleCol) + lit(0.5)).cast("tinyint")))
+    // one codegen'd pass per row (the transform/array_max HOF formulation
+    // is CodegenFallback — interpreted per element)
+    val q = org.apache.spark.sql.GraftColumnBridge.column(QuantizeInt8Expr(
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        col(vecCol).cast("array<double>"))))
+    df.withColumn("_graft_q8", q)
+      .withColumn(scaleCol, col("_graft_q8.qscale"))
+      .withColumn(qvecCol, col("_graft_q8.qvec"))
+      .drop("_graft_q8")
   }
 
   /** Exact top-k under the QUANTIZED metric: cosine over the int8 vectors
@@ -363,6 +366,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosineExpr.as("cosine"))
       // a true pair can meet in several tables; its (ids, cosine) row is
       // bit-identical each time, so distinct dedups exactly
+      .distinct()
+  }
+
+  /** [[lshCosinePairs]] with the int8-quantized payload — the composition
+    * the 100 TB shuffle-byte measurement motivates: the bucket self-join
+    * shuffles |corpus| x numTables rows, and here each row carries a
+    * 1-byte-per-dim `array<tinyint>` instead of the float path's
+    * 8-byte-per-dim doubles (~7x fewer exchange bytes measured,
+    * `ScalePerfHarness quant`). The ENTIRE pipeline sees the quantized
+    * representation: buckets hash the quantized vector (upcast once per
+    * row, dropped before the join) and the verify is the quantized cosine
+    * via the codegen'd [[Int8DotExpr]] — integer dot, no per-pair upcast,
+    * bit-replayable in the oracle. Semantics: exact pair set under the
+    * QUANTIZED metric; per-axis error vs true cosine is <= 1/127, so use
+    * it when tau clears the duplicate/background gap by more than ~1e-2,
+    * or re-rank survivors with full-precision vectors.
+    */
+  def lshCosinePairsQuantized(embeddings: DataFrame, idCol: String, vecCol: String,
+      tau: Double, numTables: Int = 8, planesPerTable: Int = 12,
+      seed: Long = 42L, dim: Option[Int] = None): DataFrame = {
+    val d = resolveDim(embeddings, vecCol, dim, "lshCosinePairsQuantized")
+    // buckets are computed BEFORE the persist (unlike the float path,
+    // whose bucket input is the already-persisted verify vector): the
+    // bucket input here is a per-row upcast the verify never needs, so
+    // persisting buckets (numTables longs) instead of the upcast (dim
+    // doubles) keeps the cache int8-sized and computes the upcast once
+    val withBuckets = graft.Persisted.track(
+      withQuantizedVec(embeddings, vecCol)
+        .select(col(idCol).as("_nid"), col("qvec").as("_nq"),
+          sqrt(SimExpressions.dotI8(col("qvec"), col("qvec")).cast("double"))
+            .as("_nnorm"),
+          col("qvec").cast("array<double>").as("_qd"))
+        .select(
+          Seq(col("_nid"), col("_nq"), col("_nnorm")) ++
+            (0 until numTables).map { t =>
+              val planes = hyperplanes(d, planesPerTable, seed + t)
+              lshBucket(col("_qd"), planes).as(s"_b$t")
+            }: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bucketed = withBuckets
+      .select(col("_nid"), col("_nq"), col("_nnorm"),
+        explode(array((0 until numTables).map(t =>
+          struct(lit(t).as("tbl"), col(s"_b$t").as("bucket"))): _*)).as("tb"))
+      .select(col("_nid"), col("_nq"), col("_nnorm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("_nid").as("id_a"),
+      col("_nq").as("_qa"), col("_nnorm").as("_na"))
+    val b = bucketed.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
+      col("_nid").as("id_b"), col("_nq").as("_qb"), col("_nnorm").as("_nb"))
+    val qcosExpr = SimExpressions.dotI8(col("_qa"), col("_qb")).cast("double") /
+      (col("_na") * col("_nb"))
+    a.join(b, col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&
+        col("id_a") < col("id_b") && qcosExpr >= tau)
+      .select(col("id_a"), col("id_b"), qcosExpr.as("qcosine"))
       .distinct()
   }
 

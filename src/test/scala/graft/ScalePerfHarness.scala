@@ -139,6 +139,11 @@ object ScalePerfHarness {
         tau = 0.95, numTables = numTables, planesPerTable = planesPerTable).count()
     }
     Persisted.unpersistAll()
+    time(s"lshCosinePairsQuantized(t=$numTables,p=$planesPerTable)", n) {
+      graft.sim.Similarity.lshCosinePairsQuantized(augmented, "vec_id", "embedding",
+        tau = 0.95, numTables = numTables, planesPerTable = planesPerTable).count()
+    }
+    Persisted.unpersistAll()
     if (n <= 200000) {
       time("cosineNearDupPairs(exact)", n) {
         graft.sim.Similarity.cosineNearDupPairs(augmented, "vec_id", "embedding",

@@ -171,6 +171,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(s2 == 1.0 && q2 == Seq[Byte](0, 0, 0), "zero vector guarded")
   }
 
+  test("quantized LSH pairs reproduce the exact quantized pair set on planted near-dups") {
+    val aug = DerivedModel.embeddingsAugmented(spark, dir)
+    // exact pair set under the quantized metric: brute-force over the
+    // upcast quantized vectors (cosine of integral doubles == the
+    // integer-dot formulation)
+    val quantized = Similarity.withQuantizedVec(aug, "embedding")
+      .select(col("vec_id"), col("qvec").cast("array<double>").as("qd"))
+    val exact = Similarity.cosineNearDupPairs(quantized, "vec_id", "qd", tau = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLsh = Similarity.lshCosinePairsQuantized(aug, "vec_id", "embedding",
+      tau = 0.95, dim = Some(64))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Persisted.unpersistAll()
+    assert(viaLsh == exact, s"LSH ${viaLsh.size} vs exact ${exact.size}")
+    assert(exact.nonEmpty, "planted near-dups must survive quantization")
+  }
+
   test("quantized top-k closely tracks the exact ranking") {
     val emb = DerivedModel.table(spark, dir, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
