@@ -969,6 +969,14 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         blockTokens = 10)),
 
+    // time-series resample: dense per-user hourly grid (explicit zero
+    // rows on gaps) + forward-filled last observation
+    "x_ts_gapfill" -> ((s, dir) =>
+      graft.ops.Resample.hourlyGapFill(
+        DerivedModel.events(s, dir), "user_id", "ts", "value")
+        .select(col("user_id"), unix_millis(col("bucket_start")).as("bucket_ms"),
+          col("n_events"), col("value_cents"), col("ffill_cents"))),
+
     // forward as-of: nearest FUTURE purchase per click (mirror-image
     // one-shuffle union-tag plan, descending time scan)
     "x_asof_join_forward" -> ((s, dir) => {
@@ -1489,6 +1497,22 @@ object SparkEntry {
       // identical relation — the Spark side hashed the PAYLOAD bytes of
       // the media records (== text bytes for the stand-in payloads)
       "x_multimodal_near_dup" -> graft.dedup.SimHashOracle.pairsSql(3),
+
+      "x_ts_gapfill" ->
+        """WITH hourly AS (
+          |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,
+          |    CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM events GROUP BY 1, 2),
+          |grid AS (
+          |  SELECT user_id,
+          |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+          |  FROM hourly GROUP BY user_id)
+          |SELECT g.user_id, epoch_ms(g.h) AS bucket_ms,
+          |  coalesce(hh.n, 0) AS n_events, hh.cents AS value_cents,
+          |  last_value(hh.cents IGNORE NULLS) OVER (
+          |    PARTITION BY g.user_id ORDER BY g.h
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents
+          |FROM grid g LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h""".stripMargin,
 
       "x_asof_join_forward" ->
         """WITH l AS (

@@ -72,6 +72,29 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       4L -> "p q r"))
   }
 
+  test("hourly gap-fill: dense grid, zero rows on gaps, forward fill") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 00:10:00", 1.00),
+      (1L, "2024-01-01 00:40:00", 2.00),
+      // gap at 01:00
+      (1L, "2024-01-01 02:05:00", 5.00),
+      (2L, "2024-01-01 10:00:00", 7.00)
+    ).toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"), col("value"))
+    val out = graft.ops.Resample.hourlyGapFill(events, "user_id", "ts", "value")
+      .orderBy("user_id", "bucket_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(13), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01 00", 2L, Some(300L), Some(300L)),
+      (1L, "2024-01-01 01", 0L, None, Some(300L)), // gap: zero events, ffill
+      (1L, "2024-01-01 02", 1L, Some(500L), Some(500L)),
+      (2L, "2024-01-01 10", 1L, Some(700L), Some(700L))))
+  }
+
   test("deterministicShuffle orders by the content hash") {
     import spark.implicits._
     val df = (0L until 100L).toDF("id")
