@@ -969,6 +969,14 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         blockTokens = 10)),
 
+    // near-dedup with a survivorship policy: keep the LONGEST text per
+    // component (ties to lowest id) instead of the arbitrary min id
+    "x_dedup_near_dedup_best" -> ((s, dir) =>
+      graft.dedup.Dedup.nearDedupBy(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        keepBy = Seq(length(col("text")).desc))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
     // time-series resample: dense per-user hourly grid (explicit zero
     // rows on gaps) + forward-filled last observation
     "x_ts_gapfill" -> ((s, dir) =>
@@ -1538,6 +1546,25 @@ object SparkEntry {
            |comp AS (SELECT a AS _id, min(b) AS group_id FROM reach GROUP BY a)
            |SELECT doc_id, lang, source, n_chars FROM documents
            |WHERE doc_id NOT IN (SELECT _id FROM comp WHERE _id <> group_id)""".stripMargin,
+
+      // survivorship: same components, survivor = longest text (tie: min
+      // id) — length() not n_chars, mirroring the Spark ordering exactly
+      "x_dedup_near_dedup_best" ->
+        s"""WITH RECURSIVE $ngramJaccardGuardedCtes,
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM simpairs
+           |          UNION SELECT id_b, id_a FROM simpairs),
+           |reach(a, b) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+           |comp AS (SELECT a AS _id, min(b) AS group_id FROM reach GROUP BY a)
+           |SELECT doc_id, lang, source, n_chars FROM (
+           |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           |    row_number() OVER (
+           |      PARTITION BY coalesce(c.group_id, d.doc_id)
+           |      ORDER BY length(d.text) DESC, d.doc_id) AS rn
+           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c._id)
+           |WHERE rn = 1""".stripMargin,
 
       "x_text_shingles" ->
         """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)

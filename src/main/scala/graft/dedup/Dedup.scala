@@ -524,6 +524,32 @@ object Dedup {
     df.join(losers, df(idCol) === col("_graft_loser"), "left_anti")
   }
 
+  /** [[nearDedup]] with a SURVIVORSHIP POLICY: within each near-dup
+    * component keep the single best row under `keepBy` (e.g. longest
+    * text, highest quality score — what production dedup actually wants;
+    * min-id is an arbitrary survivor), ties broken by lowest id.
+    * Documents in no component survive untouched. One extra shuffle vs
+    * [[nearDedup]] (the per-component ranking window keyed on the group
+    * id); everything else shares the pairs → components machinery.
+    */
+  def nearDedupBy(df: DataFrame, idCol: String, textCol: String,
+      keepBy: Seq[Column],
+      n: Int = 3, tau: Double = 0.8,
+      maxDf: Option[Int] = None,
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
+    val pairs = minhashNearDuplicates(df, idCol, textCol, n, tau,
+      maxDf = maxDf, maxDfFraction = maxDfFraction)
+    val groups = duplicateGroupsAuto(pairs)
+    // singletons never appear in pairs: their group is their own id
+    val assigned = df.join(groups, df(idCol) === groups("_id"), "left")
+      .withColumn("_graft_gid", coalesce(col("group_id"), col(idCol)))
+    val w = Window.partitionBy(col("_graft_gid"))
+      .orderBy(keepBy :+ col(idCol).asc: _*)
+    assigned.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1)
+      .drop("_id", "group_id", "_graft_gid", "_graft_rn")
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash over distinct tokens: per bit, the sign of the sum of

@@ -163,6 +163,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(losers.forall(!keptIds.contains(_)))
   }
 
+  test("nearDedupBy keeps the best row per component, not the min id") {
+    import spark.implicits._
+    // docs 1/2/3 near-identical (3 is longest); 4 unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta extra"),
+      (4L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDedupBy(docs, "doc_id", "text",
+      keepBy = Seq(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).desc),
+      tau = 0.5, maxDfFraction = None)
+      .collect().map(_.getLong(0)).toSet
+    Persisted.unpersistAll()
+    assert(kept == Set(3L, 4L), s"longest doc 3 must survive, got $kept")
+  }
+
   test("scan-speed SimHash expression is bit-identical to the relational form") {
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     def canon(df: org.apache.spark.sql.DataFrame) =
