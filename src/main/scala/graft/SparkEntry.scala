@@ -969,6 +969,14 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         blockTokens = 10)),
 
+    // the end-to-end curation pipeline a training-data run executes:
+    // language gate -> quality gates -> exact-dedup survivor, one fused
+    // scan + one content-hash shuffle
+    "x_pipeline_curate" -> ((s, dir) =>
+      graft.text.Curation.basicCuration(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang_id"), col("n_tokens"), col("repetition"))),
+
     // near-dedup with a survivorship policy: keep the LONGEST text per
     // component (ties to lowest id) instead of the arbitrary min id
     "x_dedup_near_dedup_best" -> ((s, dir) =>
@@ -1505,6 +1513,9 @@ object SparkEntry {
       // identical relation — the Spark side hashed the PAYLOAD bytes of
       // the media records (== text bytes for the stand-in payloads)
       "x_multimodal_near_dup" -> graft.dedup.SimHashOracle.pairsSql(3),
+
+      "x_pipeline_curate" ->
+        graft.text.Curation.basicCurationSql("documents", "doc_id", "text"),
 
       "x_ts_gapfill" ->
         """WITH hourly AS (
