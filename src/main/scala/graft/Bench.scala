@@ -44,10 +44,25 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
       catch { case _: Throwable => }
     }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // one short JSON line PER QUERY, printed as each query finishes: any
+    // tail-capture window then holds complete records instead of clipping
+    // a single ~3 kB line mid-timing (BENCH r3 and r4 both parsed: null).
+    // Failures are loud: the exception goes to stderr and the query's
+    // value is the string "err", never a plausible-looking number.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e}")
+          e.printStackTrace()
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
+      val v = if (ok) fmt(dt) else "\"err\""
+      println(s"""{"query":"$name","sec":$v}""")
       // operators may persist intermediates (e.g. shingle relations);
       // drop them so queries are timed independently
       Persisted.unpersistAll()
@@ -56,23 +71,24 @@ object Bench {
       // collected on the next query's clock (isolated-vs-in-suite timings
       // differed up to 12x before this; the gc itself is untimed)
       System.gc()
-      name -> dt
+      (name, dt, ok)
     }
-    // 3-decimal rounding keeps the one-line summary short enough for the
-    // driver's log-capture window (r3 truncated 31 of 91 timings), and the
-    // file copy survives even if stdout capture clips the line anyway
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) fmt(v) else "\"err\"")
+    }.mkString("{", ",", "}")
+    val errs = results.count(!_._3)
+    val total = results.collect { case (_, v, true) => v }.sum
+    // full map goes to a file (survives any stdout truncation)...
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      java.nio.file.Paths.get("bench_out.json"), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
+    // ...and the LAST stdout line is a short (<200 char) total-only record
+    // so the driver's tail capture always contains one parseable JSON line
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

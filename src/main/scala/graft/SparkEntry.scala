@@ -365,20 +365,11 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(median(floor(col("l_extendedprice") * 100 + 0.5)).as("median_price_cents"))),
 
-    // sketch aggregates — the 100 TB answer to COUNT(DISTINCT)/percentile.
-    // rows-only (HLL/KLL implementations differ across engines by design);
-    // ApproxAggSpec bounds their error against the exact values
-    "agg_approx_distinct" -> ((s, dir) =>
-      DerivedModel.table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
-
-    "agg_approx_percentile" -> ((s, dir) =>
-      DerivedModel.table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(percentile_approx(floor(col("l_extendedprice") * 100 + 0.5),
-          lit(0.95), lit(10000)).as("p95_price_cents"))),
-
+    // Raw sketch aggregates (approx_count_distinct / percentile_approx)
+    // live in ApproxAggSpec ONLY: the sketch values are engine-specific,
+    // so a DuckDB oracle can never hash-match them and they would sit in
+    // the gated surface as permanent no_oracle rows. The hard signal is
+    // carried by the _bounded twins below.
     // HASH-MATCHED graduations of the two sketch queries: the sketch value
     // itself is engine-specific (not replayable), so the gated output is
     // the replayable EXACT side plus a Spark-computed |approx−exact| bound
