@@ -807,13 +807,19 @@ object SparkEntry {
     // sink + checkpoint) and returns the sink read back, so the driver's
     // DuckDB oracle checks the code path a production stream deploys —
     // not the batch twin. Source staging (single file + far-future
-    // sentinel): StreamingOps.writeFiniteSource scaladoc.
+    // sentinel): StreamingOps.writeFiniteSource scaladoc. Each gate runs
+    // its StreamingQuery under withShufflePartitions(4): the state-store
+    // commit floor is per-partition per-batch, and toy-state queries at
+    // 32 partitions paid ~22 s of pure commit overhead (r4 measurement;
+    // rationale at StreamingOps.withShufflePartitions).
     "x_stream_window_exec" -> ((s, dir) => {
       val srcPath = stagedEventsSource(s, dir)
       val src = s.read.parquet(srcPath)
-      graft.streaming.StreamingOps.runToParquetSink(
-        graft.streaming.StreamingOps.streamingWindowedEventStats(
-          s, srcPath, src), s"${tmpPath(dir, "stream_exec_win")}/sink")
+      graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingOps.runToParquetSink(
+          graft.streaming.StreamingOps.streamingWindowedEventStats(
+            s, srcPath, src), s"${tmpPath(dir, "stream_exec_win")}/sink")
+      }
         .filter(col("event_type") =!=
           graft.streaming.StreamingOps.SentinelEventType)
         .withColumn("window_start", unix_millis(col("window_start")))
@@ -826,9 +832,11 @@ object SparkEntry {
     "x_stream_sessionize_exec" -> ((s, dir) => {
       val srcPath = stagedEventsSource(s, dir)
       val src = s.read.parquet(srcPath)
-      graft.streaming.StreamingOps.runToParquetSink(
-        graft.streaming.StreamingOps.streamingSessionize(
-          s, srcPath, src), s"${tmpPath(dir, "stream_exec_sess")}/sink")
+      graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingOps.runToParquetSink(
+          graft.streaming.StreamingOps.streamingSessionize(
+            s, srcPath, src), s"${tmpPath(dir, "stream_exec_sess")}/sink")
+      }
         .filter(col("user_id") =!= -1L)
         .withColumn("session_start", unix_millis(col("session_start")))
     }),
@@ -841,9 +849,11 @@ object SparkEntry {
       graft.streaming.StreamingOps.writeFiniteSource(
         ev.unionByName(ev), s"$root/src")
       val src = s.read.parquet(s"$root/src")
-      graft.streaming.StreamingOps.runToParquetSink(
-        graft.streaming.StreamingOps.streamingDedup(
-          s, s"$root/src", src), s"$root/sink")
+      graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingOps.runToParquetSink(
+          graft.streaming.StreamingOps.streamingDedup(
+            s, s"$root/src", src), s"$root/sink")
+      }
         .filter(col("event_type") =!=
           graft.streaming.StreamingOps.SentinelEventType)
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
@@ -881,9 +891,11 @@ object SparkEntry {
     "x_stream_join_exec" -> ((s, dir) => {
       val srcPath = stagedEventsSource(s, dir)
       val src = s.read.parquet(srcPath)
-      graft.streaming.StreamingOps.runToParquetSink(
-        graft.streaming.StreamingOps.streamStreamJoin(
-          s, srcPath, src), s"${tmpPath(dir, "stream_exec_join")}/sink")
+      graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingOps.runToParquetSink(
+          graft.streaming.StreamingOps.streamStreamJoin(
+            s, srcPath, src), s"${tmpPath(dir, "stream_exec_join")}/sink")
+      }
         .select(col("click_id"), col("purch_id"), col("user_id"),
           unix_millis(col("click_ts")).as("click_ts_ms"),
           unix_millis(col("purch_ts")).as("purch_ts_ms"),
@@ -931,10 +943,12 @@ object SparkEntry {
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val sink = try {
-        graft.streaming.StreamingOps.runUpdateToParquetSink(
-          graft.streaming.StreamingOps.transformWithStateTotals(s, srcPath, src)
-            .toDF(),
-          s"${tmpPath(dir, "stream_exec_state")}/sink")
+        graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+          graft.streaming.StreamingOps.runUpdateToParquetSink(
+            graft.streaming.StreamingOps.transformWithStateTotals(s, srcPath, src)
+              .toDF(),
+            s"${tmpPath(dir, "stream_exec_state")}/sink")
+        }
       } finally prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)

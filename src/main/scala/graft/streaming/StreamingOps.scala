@@ -99,6 +99,27 @@ object StreamingOps {
       .write.mode("overwrite").parquet(srcRoot)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the prior value after (set-and-restore — never a
+    * silent session mutation). Why: every micro-batch commits one state
+    * store PER shuffle partition regardless of data volume, so a
+    * stateful streaming query's floor cost is partitions x
+    * per-store-commit. The gated finite-source queries carry toy state;
+    * at 32 partitions the commit floor dominated their wall time
+    * (~22 s across the five `_exec` gates, measured r4). A production
+    * deployment sizes this to real key cardinality instead.
+    */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run a (finite) streaming DataFrame end-to-end as a REAL
     * `StreamingQuery`: `Trigger.AvailableNow`, append mode, durable
     * parquet sink + checkpoint — the exactly-once file-sink shape a
