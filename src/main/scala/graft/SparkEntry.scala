@@ -783,6 +783,17 @@ object SparkEntry {
         graft.multimodal.Multimodal.toMediaRecords(
           DerivedModel.table(s, dir, "documents"))).toDF()),
 
+    // REAL pixel decode: payloads are actual PNG/JPEG bytes (built
+    // distributed with BufferedImage+ImageIO at planted doc_id-arithmetic
+    // dimensions), width/height/channels come from ImageIO.read, and the
+    // oracle replays the planted dimensions arithmetically; wav rows take
+    // the stub branch in the same query, covering the codec dispatch
+    "x_multimodal_decode_real" -> ((s, dir) =>
+      graft.multimodal.Multimodal.decodeFeatures(
+        graft.multimodal.Multimodal.syntheticImages(
+          DerivedModel.table(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"))),
+
     "x_multimodal_resize" -> ((s, dir) =>
       graft.multimodal.Multimodal.resizeMeta(
         graft.multimodal.Multimodal.decodeFeatures(
@@ -1707,6 +1718,21 @@ object SparkEntry {
           |  CAST(320 + (octet_length(encode(text)) % 16) * 8 AS INTEGER) AS width,
           |  CAST(240 + (octet_length(encode(text)) % 9) * 8 AS INTEGER) AS height,
           |  CAST(1 + doc_id % 3 AS INTEGER) AS channels
+          |FROM documents""".stripMargin,
+
+      // png/jpeg rows (doc_id%3 in {0,1}): planted dimensions the Spark
+      // side recovered by actually decoding pixels; wav rows (doc_id%3=2):
+      // the stub's byte-length formula over the text payload
+      "x_multimodal_decode_real" ->
+        """SELECT doc_id,
+          |  CAST(CASE WHEN doc_id % 3 = 2
+          |    THEN 320 + (octet_length(encode(text)) % 16) * 8
+          |    ELSE 8 + doc_id % 16 END AS INTEGER) AS width,
+          |  CAST(CASE WHEN doc_id % 3 = 2
+          |    THEN 240 + (octet_length(encode(text)) % 9) * 8
+          |    ELSE 8 + doc_id % 9 END AS INTEGER) AS height,
+          |  CAST(CASE WHEN doc_id % 3 = 2
+          |    THEN 1 + doc_id % 3 ELSE 3 END AS INTEGER) AS channels
           |FROM documents""".stripMargin,
 
       "x_multimodal_resize" ->

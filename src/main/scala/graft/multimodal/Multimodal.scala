@@ -17,12 +17,12 @@ final case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
   * opaque `binary` columns with typed metadata; run decode/feature-extract
   * as a partition-batched typed transform.
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment): [[StubCodec.decode]] derives deterministic fake dimensions
-  * from the byte length. Everything around it — the binary schema, the
-  * `Dataset[MediaRecord]` encoder, per-partition codec initialization, the
-  * batch shape — is real and tested; swapping in a real decoder changes
-  * only the stub body.
+  * The codec boundary ([[Codec]]) dispatches on the format tag: png/jpeg
+  * payloads get a REAL pixel decode via `javax.imageio` (JDK built-in, no
+  * new dependency); audio (`wav`) and opaque (`bin`) payloads fall to a
+  * deterministic stub (no audio codec in this environment). The plumbing
+  * — binary schema, `Dataset[MediaRecord]` encoder, per-partition codec
+  * initialization, batch shape — is identical either way.
   *
   * Scale notes: decode is a narrow per-partition map (no shuffle); codec
   * init cost is amortized per partition, not per row — the pattern that
@@ -30,28 +30,46 @@ final case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
   */
 object Multimodal {
 
-  /** STUB decoder boundary. A real implementation would dispatch on
-    * `format` to an image/audio codec; this derives deterministic fake
-    * dimensions so the plumbing is testable end-to-end.
+  /** Decoder boundary. png/jpeg → real `ImageIO` pixel decode; anything
+    * else (wav, bin) → deterministic stub features derived from the byte
+    * length, so non-image plumbing stays testable end-to-end without an
+    * audio codec.
     */
-  object StubCodec {
+  object Codec {
     /** Per-partition initialization hook (real codecs allocate native
-      * contexts here). Returns a decode function for reuse across the
-      * partition's rows.
+      * contexts here; `ImageIO` needs none). Returns a decode function
+      * for reuse across the partition's rows.
       */
     def open(): MediaRecord => MediaFeatures = { rec =>
-      val len = rec.payload.length.toLong
-      MediaFeatures(
-        doc_id = rec.doc_id,
-        byte_len = len,
-        width = (320 + (len % 16) * 8).toInt,
-        height = (240 + (len % 9) * 8).toInt,
-        channels = (1 + rec.doc_id % 3).toInt)
+      rec.format match {
+        case "png" | "jpeg" =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(rec.payload))
+          if (img == null)
+            throw new IllegalArgumentException(
+              s"doc ${rec.doc_id}: payload is not a decodable ${rec.format}")
+          MediaFeatures(
+            doc_id = rec.doc_id,
+            byte_len = rec.payload.length.toLong,
+            width = img.getWidth,
+            height = img.getHeight,
+            channels = img.getColorModel.getNumComponents)
+        case _ =>
+          val len = rec.payload.length.toLong
+          MediaFeatures(
+            doc_id = rec.doc_id,
+            byte_len = len,
+            width = (320 + (len % 16) * 8).toInt,
+            height = (240 + (len % 9) * 8).toInt,
+            channels = (1 + rec.doc_id % 3).toInt)
+      }
     }
   }
 
   /** Wrap a text table as media records: payload = utf-8 bytes (the
-    * deterministic stand-in for real image/audio bytes), format from id.
+    * deterministic stand-in for real media bytes), honestly tagged `bin`
+    * so the codec takes the stub path — for real image payloads see
+    * [[syntheticImages]].
     */
   def toMediaRecords(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
@@ -59,9 +77,58 @@ object Multimodal {
     documents.select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),
-      element_at(array(lit("jpeg"), lit("png"), lit("wav")),
-        (col("doc_id") % 3 + 1).cast("int")).as("format"))
+      lit("bin").as("format"))
       .as[MediaRecord]
+  }
+
+  /** Planted image dimensions for [[syntheticImages]]: pure doc_id
+    * arithmetic, so an external oracle can replay width/height without
+    * decoding anything.
+    */
+  def plantedWidth(docId: Long): Int = (8 + docId % 16).toInt
+  def plantedHeight(docId: Long): Int = (8 + docId % 9).toInt
+
+  /** Media records with REAL image payloads: each png/jpeg row carries an
+    * actual encoded image of planted (doc_id-arithmetic) dimensions with
+    * deterministic pixel content, built distributed (narrow map, no
+    * shuffle) with `BufferedImage` + `ImageIO` — test-data synthesis for
+    * the real decode path. Every third row stays a `wav`-tagged text
+    * payload so one query exercises both codec branches. JPEG is lossy
+    * but dimensions survive exactly — which is what the decode contract
+    * asserts.
+    */
+  def syntheticImages(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (docId, text) =>
+        val format = (docId % 3) match {
+          case 0 => "jpeg"
+          case 1 => "png"
+          case _ => "wav"
+        }
+        if (format == "wav") MediaRecord(docId, text.getBytes("UTF-8"), format)
+        else {
+          val w = plantedWidth(docId)
+          val h = plantedHeight(docId)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              // deterministic pixels; value is irrelevant to the decode
+              // contract (dimensions), but keeps the bytes reproducible
+              img.setRGB(x, y, ((docId * 31 + x * 7 + y) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, format, bos)
+          MediaRecord(docId, bos.toByteArray, format)
+        }
+    }
   }
 
   /** Partition-batched decode: codec opened once per partition, applied
@@ -72,7 +139,7 @@ object Multimodal {
     val spark = records.sparkSession
     import spark.implicits._
     records.mapPartitions { it =>
-      val decode = StubCodec.open()
+      val decode = Codec.open()
       it.map(decode)
     }
   }

@@ -24,6 +24,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("real png/jpeg payloads decode to planted dimensions via ImageIO") {
+    val docs = DerivedModel.table(spark, dir, "documents")
+    val records = Multimodal.syntheticImages(docs)
+    // the png/jpeg payloads are real encoded images, not text bytes
+    val sample = records.filter(_.format != "wav").take(5)
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      assert(img != null, s"doc ${r.doc_id}: payload must be a real image")
+    }
+    val feats = Multimodal.decodeFeatures(records).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      if (f.doc_id % 3 != 2) {
+        assert(f.width == Multimodal.plantedWidth(f.doc_id),
+          s"doc ${f.doc_id}: decoded width")
+        assert(f.height == Multimodal.plantedHeight(f.doc_id),
+          s"doc ${f.doc_id}: decoded height")
+        assert(f.channels == 3)
+      } else {
+        // wav rows ride the stub branch in the same pass
+        assert(f.width == 320 + (f.byte_len % 16) * 8)
+        assert(f.channels == 1 + f.doc_id % 3)
+      }
+    }
+  }
+
+  test("codec rejects an undecodable payload tagged as an image") {
+    val bad = Multimodal.Codec.open()
+    val e = intercept[IllegalArgumentException] {
+      bad(graft.multimodal.MediaRecord(42L, "not a png".getBytes, "png"))
+    }
+    assert(e.getMessage.contains("42"))
+  }
+
   test("resize preserves aspect ratio, never upscales") {
     val docs = DerivedModel.table(spark, dir, "documents")
     val resized = Multimodal.resizeMeta(
