@@ -702,6 +702,16 @@ object SparkEntry {
           DerivedModel.table(s, dir, "documents"), "doc_id", "text"),
         maxHamming = 3)),
 
+    // banding with the second-key bucket split FORCED (bucketLimit=2, so
+    // nearly every bucket takes the sub-split path at this scale): the
+    // recursive-pigeonhole split is lossless, so the oracle is the same
+    // pair set as x_dedup_simhash_pairs — equivalence under the hash gate
+    "x_dedup_simhash_split" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashPairsSplit(
+        graft.dedup.Dedup.simhash64Fast(
+          DerivedModel.table(s, dir, "documents"), "doc_id", "text"),
+        maxHamming = 3, bucketLimit = 2)),
+
     "x_dedup_embed_cosine" -> ((s, dir) =>
       graft.sim.Similarity.cosineNearDupPairs(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.4)),
@@ -1525,6 +1535,9 @@ object SparkEntry {
       // converts the two SimHash queries from rows-only to hash-matched
       "x_dedup_simhash" -> graft.dedup.SimHashOracle.simhashSql,
       "x_dedup_simhash_pairs" -> graft.dedup.SimHashOracle.pairsSql(3),
+      // the split variant is lossless by the recursive pigeonhole
+      // argument, so the oracle is identical to the flat banding
+      "x_dedup_simhash_split" -> graft.dedup.SimHashOracle.pairsSql(3),
 
       // identical relation — the Spark side hashed the PAYLOAD bytes of
       // the media records (== text bytes for the stand-in payloads)

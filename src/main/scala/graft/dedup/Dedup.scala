@@ -591,6 +591,99 @@ object Dedup {
     * corpus scale is the difference between bounded buckets and
     * quadratic-within-bucket blowup.
     */
+  /** [[simhashPairs]] with a SECOND-KEY SPLIT of oversized buckets — the
+    * 100 TB guard for the n²/65536 candidate growth (TUNING: at n=10M the
+    * flat banding yields ~4B candidates). Buckets at or under
+    * `bucketLimit` pair exactly as [[simhashPairs]]; a bucket OVER the
+    * limit is re-split by a secondary key before pairing.
+    *
+    * The secondary key applies the pigeonhole argument RECURSIVELY
+    * instead of hashing a different field: members of bucket (i, v)
+    * already agree exactly on block i, so a true pair (≤ `maxHamming`
+    * differing bits total) has all its differing bits in the REMAINING
+    * 64 − width bits — re-splitting those into `maxHamming + 1`
+    * sub-blocks guarantees at least one shared sub-block. Unlike a
+    * second simhash over another field (which bounds nothing for pairs
+    * whose secondary hamming distance exceeds the band tolerance), this
+    * split is LOSSLESS: the pair set is provably identical to the flat
+    * banding, which the driver oracle checks. Expected quadratic unit
+    * drops from m² per oversized bucket to ~m²/2^(subWidth) · (h+1) —
+    * for the default 3-bit tolerance, 12-bit sub-blocks cut a bucket's
+    * candidates ~1000×.
+    */
+  def simhashPairsSplit(hashes: DataFrame, maxHamming: Int = 3,
+      bucketLimit: Long = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val numBlocks = maxHamming + 1
+    val width = 64 / numBlocks
+    val subWidth = (64 - width) / numBlocks
+    if (subWidth < 1) return simhashPairs(hashes, maxHamming)
+    def bounds(i: Int): (Int, Int) =
+      (i * width, if (i == numBlocks - 1) 64 else (i + 1) * width)
+    val blocks = (0 until numBlocks).map { i =>
+      val (lo, hi) = bounds(i)
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      struct(lit(i).as("blk"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("blkval"))
+    }
+    val exploded = hashes.select(col("_id"), col("simhash"),
+      explode(array(blocks: _*)).as("bb"))
+      .select(col("_id"), col("simhash"), col("bb.blk").as("blk"),
+        col("bb.blkval").as("blkval"))
+    // bucket occupancy: map-side-combined count per (blk, blkval) — at
+    // most 4 x 65536 groups regardless of n — then ONLY the oversized
+    // keys (≤ numBlocks·n/bucketLimit of them by definition) are kept and
+    // broadcast, so routing rows to the small/big path is a broadcast
+    // semi/anti join that never shuffles the exploded relation
+    val bigKeys = broadcast(
+      exploded.groupBy(col("blk"), col("blkval"))
+        .agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") > bucketLimit)
+        .select(col("blk"), col("blkval")))
+    val small = exploded.join(bigKeys, Seq("blk", "blkval"), "left_anti")
+    val smallPairs = small.as("x").join(small.as("y"), Seq("blk", "blkval"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .filter(col("id_a") < col("id_b"))
+    // the bits OUTSIDE block blk, packed contiguously: low bits [0, lo)
+    // stay, high bits [hi, 64) shift down next to them. shiftrightunsigned
+    // (not shiftright): Java's >> sign-extends and >>/>>> by 64 are no-ops,
+    // so hi == 64 must yield an explicit 0
+    val remCol = (0 until numBlocks).map { i =>
+      val (lo, hi) = bounds(i)
+      val lowBits = if (lo == 0) lit(0L)
+        else col("simhash").bitwiseAND(lit((1L << lo) - 1))
+      val highBits = if (hi == 64) lit(0L)
+        else shiftleft(shiftrightunsigned(col("simhash"), hi), lo)
+      (i, lowBits.bitwiseOR(highBits))
+    }.foldLeft(lit(0L)) { case (acc, (i, e)) =>
+      when(col("blk") === i, e).otherwise(acc)
+    }
+    val subBlocks = (0 until numBlocks).map { j =>
+      val lo = j * subWidth
+      val hi = if (j == numBlocks - 1) 64 else (j + 1) * subWidth
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      struct(lit(j).as("sub"),
+        shiftrightunsigned(col("_rem"), lo).bitwiseAND(lit(mask)).as("subval"))
+    }
+    val bigExploded = exploded.join(bigKeys, Seq("blk", "blkval"), "left_semi")
+      .withColumn("_rem", remCol)
+      .select(col("_id"), col("simhash"), col("blk"), col("blkval"),
+        explode(array(subBlocks: _*)).as("sb"))
+      .select(col("_id"), col("simhash"), col("blk"), col("blkval"),
+        col("sb.sub").as("sub"), col("sb.subval").as("subval"))
+    val bigPairs = bigExploded.as("x")
+      .join(bigExploded.as("y"), Seq("blk", "blkval", "sub", "subval"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"),
+        col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .filter(col("id_a") < col("id_b"))
+    smallPairs.unionByName(bigPairs)
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   def simhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
     val numBlocks = maxHamming + 1

@@ -199,4 +199,22 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.contains((1L, 3L)), "1-token-edit text within hamming 10")
     assert(!pairs.contains((4L, 5L)), "unrelated texts should be far apart")
   }
+
+  test("second-key bucket split finds exactly the flat banding's pairs") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val hashes = Dedup.simhash64Fast(docs, "doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val flat = canon(Dedup.simhashPairs(hashes, maxHamming = 3))
+    // limit 0 forces EVERY bucket through the sub-split path; limit 1
+    // mixes paths (singleton buckets pair trivially, the rest split);
+    // a huge limit must reduce to the flat plan exactly
+    for (limit <- Seq(0L, 1L, 1000000L)) {
+      assert(canon(Dedup.simhashPairsSplit(hashes, 3, limit)) == flat,
+        s"bucketLimit=$limit must be lossless")
+    }
+    // wider tolerance exercises the non-divisible block widths (64/5)
+    val flat7 = canon(Dedup.simhashPairs(hashes, maxHamming = 4))
+    assert(canon(Dedup.simhashPairsSplit(hashes, 4, 0L)) == flat7)
+  }
 }

@@ -185,6 +185,41 @@ object ScalePerfHarness {
     time("simhashPairs(maxHamming=3)", n) {
       Dedup.simhashPairs(hashes, maxHamming = 3).count()
     }
+    // second-key split: same pair set (lossless recursive pigeonhole),
+    // candidate volume cut for buckets over the limit — the n=10M guard
+    time("simhashPairsSplit(limit=64)", n) {
+      Dedup.simhashPairsSplit(hashes, maxHamming = 3, bucketLimit = 64).count()
+    }
+    time("simhashPairsSplit(limit=16)", n) {
+      Dedup.simhashPairsSplit(hashes, maxHamming = 3, bucketLimit = 16).count()
+    }
+    // sub-bucket occupancy: candidate volume of the split path = 4 x sum
+    // over (bucket, sub-bucket) of c^2 — compare against candPairs below
+    locally {
+      val splitCand = hashes.select(col("simhash"),
+        expr("explode(sequence(0, 3))").as("blk"))
+        .select(col("simhash"), col("blk"),
+          expr("pmod(shiftrightunsigned(simhash, blk * 16), 65536)").as("blkval"))
+        .withColumn("rem",
+          // bits outside the 16-bit block, packed (same layout as
+          // Dedup.simhashPairsSplit's remCol)
+          expr("""CASE blk
+                 |  WHEN 0 THEN CAST(shiftrightunsigned(simhash, 16) AS BIGINT)
+                 |  WHEN 1 THEN simhash % 65536 + shiftleft(shiftrightunsigned(simhash, 32), 16)
+                 |  WHEN 2 THEN simhash % 4294967296 + shiftleft(shiftrightunsigned(simhash, 48), 32)
+                 |  ELSE simhash % 281474976710656 END""".stripMargin))
+        .select(col("blk"), col("blkval"), col("rem"),
+          expr("explode(sequence(0, 3))").as("sub"))
+        // subWidth = 48/4 = 12 bits; last sub-block takes the remainder
+        .withColumn("subval",
+          expr("pmod(shiftrightunsigned(rem, sub * 12), " +
+            "CASE WHEN sub = 3 THEN 268435456 ELSE 4096 END)"))
+        .groupBy(col("blk"), col("blkval"), col("sub"), col("subval"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+        .agg(sum(expr("c * (c - 1) / 2")), max(col("c"))).head()
+      println(s"[occupancy] split(all buckets) sub-buckets: " +
+        s"candPairs=${splitCand.get(0)} maxBucket=${splitCand.get(1)}")
+    }
     // block-bucket occupancy: pair-join cost is sum over buckets of c^2,
     // so maxBucket and candPairs are the stats TUNING.md sizes against
     (0 until 4).foreach { b =>
