@@ -787,6 +787,15 @@ object SparkEntry {
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         k = 5, numClusters = 16, nProbe = 4)),
 
+    // bucketed kNN with int8 candidate scoring + full-precision re-rank
+    // of the top-2k survivors — quantize-before-shuffle applied to the
+    // IVF candidate join; the whole algorithm (quantization arithmetic,
+    // integer dot, both tie-broken rankings) replays in the oracle
+    "x_knn_topk_bucketed_q8" -> ((s, dir) =>
+      graft.sim.Similarity.knnJoinBucketedQuantized(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5, numClusters = 16, nProbe = 4, rerank = 10)),
+
     // ---- multimodal plumbing ------------------------------------------
     "x_multimodal_features" -> ((s, dir) =>
       graft.multimodal.Multimodal.decodeFeatures(
@@ -1723,6 +1732,53 @@ object SparkEntry {
            |    CAST(row_number() OVER (PARTITION BY vec_id
            |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
            |  FROM scored)
+           |WHERE rnk <= 5""".stripMargin
+      },
+
+      // same IVF skeleton as x_knn_topk_bucketed, with candidate scoring
+      // under the quantized metric (integer-valued doubles sum exactly, so
+      // the left-associated SQL dot equals Spark's Long integer dot), a
+      // top-10 quantized cut per anchor, and exact-cosine re-rank
+      "x_knn_topk_bucketed_q8" -> {
+        val cosEC = graft.sim.Similarity.cosineSql("e.embedding", "c.cvec", 64)
+        val cosQQ = graft.sim.Similarity.cosineSql("p.qv", "a.qv", 64)
+        val cosPA = graft.sim.Similarity.cosineSql("p.embedding", "a.embedding", 64)
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT 16),
+           |m AS (SELECT vec_id,
+           |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx FROM e),
+           |qvt AS (SELECT e.vec_id,
+           |  list_transform(e.embedding, x -> floor(CAST(x AS DOUBLE) *
+           |    (CASE WHEN m.mx > 0 THEN 127.0 / m.mx ELSE 1.0 END) + 0.5)) AS qv
+           |  FROM e JOIN m ON e.vec_id = m.vec_id),
+           |ranked AS (
+           |  SELECT e.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY $cosEC DESC, c.cid) AS crn
+           |  FROM e CROSS JOIN cent c),
+           |assigned AS (SELECT r.vec_id, q.qv, r.cid AS cluster
+           |  FROM ranked r JOIN qvt q ON r.vec_id = q.vec_id WHERE r.crn = 1),
+           |probes AS (SELECT r.vec_id, q.qv, r.cid AS cluster
+           |  FROM ranked r JOIN qvt q ON r.vec_id = q.vec_id WHERE r.crn <= 4),
+           |qscored AS (
+           |  SELECT p.vec_id AS vec_id, a.vec_id AS neighbor_id, $cosQQ AS qcos
+           |  FROM probes p JOIN assigned a
+           |    ON p.cluster = a.cluster AND p.vec_id <> a.vec_id),
+           |topr AS (SELECT vec_id, neighbor_id FROM (
+           |    SELECT vec_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY qcos DESC, neighbor_id) AS qrn
+           |    FROM qscored) WHERE qrn <= 10),
+           |rer AS (
+           |  SELECT t.vec_id, t.neighbor_id, $cosPA AS cosine
+           |  FROM topr t
+           |  JOIN e p ON t.vec_id = p.vec_id
+           |  JOIN e a ON t.neighbor_id = a.vec_id)
+           |SELECT vec_id, neighbor_id, cosine, rnk FROM (
+           |  SELECT vec_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+           |  FROM rer)
            |WHERE rnk <= 5""".stripMargin
       },
 

@@ -640,6 +640,93 @@ object Similarity {
         col("col.score").as("cosine"), (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** [[knnJoinBucketed]] with int8-quantized candidate scoring and
+    * full-precision re-rank — the recommended form at scale. The IVF
+    * structure (centroids, assignment, probes) is IDENTICAL to the float
+    * path, so the candidate set is unchanged; what changes is the payload
+    * through the n x (nProbe/numClusters) x n candidate join: int8
+    * vectors (4x smaller shuffle — the `lshCosinePairsQuantized` rule:
+    * quantize BEFORE the shuffle) scored with the codegen'd integer dot.
+    * Each anchor keeps its top-`rerank` candidates under the quantized
+    * metric (default 2k), then ONLY those n x rerank skinny (anchor,
+    * neighbor) rows rejoin the full-precision vectors for the exact
+    * cosine and final (cosine desc, id) top-k.
+    *
+    * Recall: quantized cosine is within ~1/127 per axis of true cosine,
+    * so the true top-k survives the top-2k quantized cut unless the
+    * (k..2k) score band is narrower than the quantization error —
+    * SimilaritySpec checks probe recall against [[bruteForceTopK]].
+    * Every stage (quantization arithmetic, integer dot, both tie-broken
+    * rankings) is bit-replayable in SQL, so the gated query hash-matches
+    * a full-algorithm oracle.
+    */
+  def knnJoinBucketedQuantized(embeddings: DataFrame, idCol: String,
+      vecCol: String, k: Int, numClusters: Int = 16, nProbe: Int = 4,
+      rerank: Int = 0): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val r = if (rerank > 0) rerank else 2 * k
+    val cent = ivfCentroids(embeddings, idCol, vecCol, numClusters)
+    val prepped = graft.Persisted.track(embeddings.select(col(idCol).as("_pid"),
+      col(vecCol).cast("array<double>").as("_pvec"))
+      .withColumn("_pnorm", sqrt(SimExpressions.dot(col("_pvec"), col("_pvec"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // int8 twin, built once: the only relation the candidate join carries
+    val qprepped = graft.Persisted.track(
+      withQuantizedVec(embeddings.select(col(idCol).as("_pid"),
+        col(vecCol).as("_v")), "_v")
+        .select(col("_pid"), col("qvec").as("_q"),
+          sqrt(SimExpressions.dotI8(col("qvec"), col("qvec")).cast("double"))
+            .as("_qn"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // skinny assignment ranking — same shape (and same scale rationale)
+    // as knnJoinBucketed
+    val ranked = graft.Persisted.track(prepped
+      .join(broadcast(cent))
+      .select(col("_pid"), col("_cid"),
+        cosine(col("_pvec"), col("_cvec")).as("_csim"))
+      .withColumn("_crn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_pid")).orderBy(col("_csim").desc, col("_cid"))))
+      .filter(col("_crn") <= math.max(nProbe, 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val assigned = ranked.filter(col("_crn") === 1)
+      .join(qprepped, "_pid")
+      .select(col("_pid").as("neighbor_id"), col("_q").as("_qb"),
+        col("_qn").as("_nb"), col("_cid").as("cluster"))
+    val probes = ranked.filter(col("_crn") <= nProbe)
+      .join(qprepped, "_pid")
+      .select(col("_pid").as("vec_id"), col("_q").as("_qa"),
+        col("_qn").as("_na"), col("_cid").as("cluster"))
+    val qscored = probes.join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id").as("_1"),
+        struct(col("neighbor_id").as("id"),
+          (SimExpressions.dotI8(col("_qa"), col("_qb")).cast("double") /
+            (col("_na") * col("_nb"))).as("score")).as("_2"))
+      .as[(Long, graft.functions.ScoredId)]
+    val topR = qscored.groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.TopKAggregator.column(r).name("topk"))
+      .toDF("vec_id", "topk")
+      .select(col("vec_id"), explode(col("topk")).as("cand"))
+      .select(col("vec_id"), col("cand.id").as("neighbor_id"))
+    // full-precision re-rank: n x rerank skinny rows rejoin the double
+    // vectors by id — the payload never rides the candidate shuffle
+    topR
+      .join(prepped.select(col("_pid").as("vec_id"), col("_pvec").as("_va"),
+        col("_pnorm").as("_ra")), "vec_id")
+      .join(prepped.select(col("_pid").as("neighbor_id"), col("_pvec").as("_vb"),
+        col("_pnorm").as("_rb")), "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        (SimExpressions.dot(col("_va"), col("_vb")) /
+          (col("_ra") * col("_rb"))).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
   /** Distributed k-means for IVF centroid training: init = the k
     * lowest-id vectors, then `iterations` rounds of (argmax-cosine
     * assign, per-cluster element-wise mean). Wholly lazy — the loop

@@ -378,10 +378,29 @@ object ScalePerfHarness {
     val n = vecs.count()
     val nProbe = 8
     val numClusters = math.max(16, math.sqrt(n.toDouble * nProbe).toInt)
-    time(s"knnJoinBucketed(k=5,c=$numClusters,probe=$nProbe)", n) {
-      Similarity.knnJoinBucketed(vecs, "vec_id", "embedding", k = 5,
-        numClusters = numClusters, nProbe = nProbe).count()
+    val fl = Similarity.knnJoinBucketed(vecs, "vec_id", "embedding", k = 5,
+      numClusters = numClusters, nProbe = nProbe).persist()
+    time(s"knnJoinBucketed(k=5,c=$numClusters,probe=$nProbe)", n) { fl.count() }
+    // int8 candidate scoring + exact re-rank of the top-10: same IVF
+    // skeleton, 4x smaller candidate shuffle
+    val q8 = Similarity.knnJoinBucketedQuantized(vecs, "vec_id", "embedding",
+      k = 5, numClusters = numClusters, nProbe = nProbe).persist()
+    time(s"knnJoinBucketedQuantized(k=5,c=$numClusters,probe=$nProbe)", n) {
+      q8.count()
     }
+    // recall: quantized+re-rank top-5 vs the float path on 10 probe anchors
+    locally {
+      val probeIds = (0L until 10L).map(_ * (n / 10))
+      def tops(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("vec_id").isin(probeIds: _*)).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val (ft, qt) = (tops(fl), tops(q8))
+      val agree = probeIds.count(id => ft.get(id) == qt.get(id))
+      println(s"[recall] quantized top-5 set equals float top-5 on " +
+        s"$agree/${probeIds.size} probe anchors")
+    }
+    fl.unpersist(); q8.unpersist()
     Persisted.unpersistAll()
     if (n <= 20000) {
       time("knnJoinAgg(exact)", n) {

@@ -126,6 +126,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
   }
 
+  test("quantized bucketed kNN: same neighbor sets as the float path") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    // neighbor SETS (not scores): candidate sets are identical by
+    // construction (same IVF skeleton); the quantized top-2k cut then the
+    // exact re-rank must recover the float path's top-k whenever the
+    // k..2k quantized band isn't tighter than the ~1/127-per-axis error —
+    // on this corpus that holds for every anchor
+    def neighbors(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val float = neighbors(Similarity.knnJoinBucketed(
+      emb, "vec_id", "embedding", k = 4, numClusters = 8, nProbe = 4))
+    Persisted.unpersistAll()
+    val q8 = neighbors(Similarity.knnJoinBucketedQuantized(
+      emb, "vec_id", "embedding", k = 4, numClusters = 8, nProbe = 4))
+    Persisted.unpersistAll()
+    assert(q8.keySet == float.keySet)
+    val agree = q8.keys.count(id => q8(id) == float(id))
+    assert(agree == q8.size,
+      s"quantized+re-rank must recover the float top-k: $agree/${q8.size}")
+  }
+
   test("lshCosinePairs reproduces the exact pair set on planted near-dups") {
     val aug = DerivedModel.embeddingsAugmented(spark, dir)
     def canon(df: org.apache.spark.sql.DataFrame) =
