@@ -44,8 +44,10 @@ object StreamingOps {
     */
   def streamingWindowedEventStats(spark: SparkSession, sourcePath: String,
       schemaFrom: DataFrame, windowDuration: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours",
+      sourceOptions: Map[String, String] = Map.empty): DataFrame =
     spark.readStream
+      .options(sourceOptions)
       .schema(schemaFrom.schema)
       .parquet(sourcePath)
       .withWatermark("ts", watermark)
@@ -339,8 +341,10 @@ object StreamingOps {
     */
   def streamingSessionize(spark: SparkSession, sourcePath: String,
       schemaFrom: DataFrame, gap: String = "30 minutes",
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours",
+      sourceOptions: Map[String, String] = Map.empty): DataFrame =
     spark.readStream
+      .options(sourceOptions)
       .schema(schemaFrom.schema)
       .parquet(sourcePath)
       .withWatermark("ts", watermark)

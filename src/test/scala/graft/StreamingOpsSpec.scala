@@ -143,6 +143,123 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Multi-batch ingestion — the production arrival regime the gated
+    * single-file staging deliberately avoids. Events arrive as K
+    * time-ordered files, `maxFilesPerTrigger = 1` makes each file one
+    * micro-batch, and the asserted contract is Spark's documented
+    * watermark semantics: after batch i the watermark is max(event time
+    * through batch i) − delay, applied from batch i+1; append mode emits
+    * exactly the windows whose end the watermark has passed. The
+    * late-drop contract is ONE-SIDED (verified empirically here): a row
+    * older than the watermark is guaranteed dropped only once its
+    * window's state has been EVICTED — a late row landing in the same
+    * micro-batch that evicts its window is still absorbed ("data delayed
+    * beyond the threshold may or may not be dropped", the docs' wording).
+    * These tests therefore deliver the late row one batch AFTER the
+    * eviction batch and assert both the drop (via the state operator's
+    * numRowsDroppedByWatermark metric) and the emit sets.
+    */
+  private def stageBatches(name: String,
+      batches: Seq[Seq[(Long, String, Long, Double)]]): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_multibatch_$name"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    val tmp = s"$root/_stage"
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      import spark.implicits._
+      rows.toDF("event_id", "_ts", "user_id", "value")
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.to_timestamp(
+            org.apache.spark.sql.functions.col("_ts")).as("ts"),
+          org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.lit("click").as("event_type"),
+          org.apache.spark.sql.functions.col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(root, f"b$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // FileStreamSource orders by modification time: pin increasing
+      // mod times so file order == intended batch order
+      assert(dst.setLastModified(1700000000000L + i * 10000L))
+    }
+    rm(new java.io.File(tmp))
+    root
+  }
+
+  test("multi-batch windowed agg: late rows dropped, closed windows emitted") {
+    val t = "2024-05-01 "
+    val src = stageBatches("win", Seq(
+      Seq((1L, t + "10:00:00", 1L, 1.0), (2L, t + "10:10:00", 1L, 1.0)),
+      Seq((3L, t + "12:00:00", 1L, 1.0)),  // after b1: wm 11:30
+      Seq((4L, t + "13:00:00", 1L, 1.0)),  // b2 runs at wm 11:30: EVICTS window 10:00 (n=2)
+      Seq((5L, t + "10:15:00", 1L, 1.0)),  // b3 at wm 12:30: state gone -> DROPPED
+      Seq((6L, t + "15:00:00", 9L, 1.0)))) // after b4: wm 14:30 -> final batch closes 12:00, 13:00
+    val schemaFrom = spark.read.parquet(s"$src/b00.parquet")
+    val sq = StreamingOps.streamingWindowedEventStats(spark, src, schemaFrom,
+      watermark = "30 minutes",
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName("graft_mb_win")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(120000), "query must terminate")
+    val batches = sq.recentProgress.map(_.batchId).distinct
+    assert(batches.length >= 5, s"expected >=5 micro-batches, got ${batches.toSeq}")
+    val dropped = sq.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped == 1L,
+      s"exactly the one late row must be counted dropped, got $dropped")
+    val got = spark.table("graft_mb_win")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getLong(3)))
+      .toSet
+    // window 10:00 was evicted in b2 with n=2; the late 10:15 row in b3
+    // (behind the 12:30 watermark, state evicted) is dropped — were it
+    // admitted, 10:00 would re-emit or show n=3. Windows 12:00 and 13:00
+    // close under the final 14:30 watermark; 15:00 is withheld by append
+    assert(got == Set(
+      (t + "10:00:00.0", 2L, 200L),
+      (t + "12:00:00.0", 1L, 100L),
+      (t + "13:00:00.0", 1L, 100L)), s"got $got")
+  }
+
+  test("multi-batch sessionize: late rows dropped, closed sessions emitted") {
+    val t = "2024-05-01 "
+    val src = stageBatches("sess", Seq(
+      Seq((1L, t + "10:00:00", 1L, 1.0), (2L, t + "10:10:00", 1L, 1.0)),
+      Seq((3L, t + "12:00:00", 1L, 1.0)),  // after b1: wm 11:30
+      Seq((4L, t + "13:00:00", 1L, 1.0)),  // b2 at wm 11:30: EVICTS session [10:00,10:40) n=2
+      Seq((5L, t + "10:05:00", 1L, 1.0),   // b3 at wm 12:30: state gone -> DROPPED
+        (7L, t + "13:10:00", 1L, 1.0)),    // merges into the 13:00 session
+      Seq((6L, t + "15:00:00", 9L, 1.0)))) // final wm 14:30 closes [12:00,12:30), [13:00,13:40)
+    val schemaFrom = spark.read.parquet(s"$src/b00.parquet")
+    val sq = StreamingOps.streamingSessionize(spark, src, schemaFrom,
+      gap = "30 minutes", watermark = "30 minutes",
+      sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName("graft_mb_sess")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(sq.awaitTermination(120000), "query must terminate")
+    assert(sq.recentProgress.map(_.batchId).distinct.length >= 5)
+    val dropped = sq.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    assert(dropped == 1L,
+      s"exactly the one late row must be counted dropped, got $dropped")
+    val got = spark.table("graft_mb_sess")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the late 10:05 row (behind the 12:30 watermark, session state
+    // already evicted) is dropped — admitted it would have merged into
+    // [10:00,10:40) and re-emitted n=3; 13:00+13:10 merge into one
+    // session; user 9's 15:00 session is withheld by append mode
+    assert(got == Set(
+      (t + "10:00:00.0", 1L, 2L, 200L),
+      (t + "12:00:00.0", 1L, 1L, 100L),
+      (t + "13:00:00.0", 1L, 2L, 200L)), s"got $got")
+  }
+
   test("stream-stream interval join equals the batch join") {
     val batchDf = spark.read.parquet(eventsMicros)
     val expected = StreamingOps.clickPurchaseJoinBatch(batchDf)
