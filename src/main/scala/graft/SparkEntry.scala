@@ -802,14 +802,14 @@ object SparkEntry {
         graft.multimodal.Multimodal.toMediaRecords(
           DerivedModel.table(s, dir, "documents"))).toDF()),
 
-    // REAL pixel decode: payloads are actual PNG/JPEG bytes (built
-    // distributed with BufferedImage+ImageIO at planted doc_id-arithmetic
-    // dimensions), width/height/channels come from ImageIO.read, and the
-    // oracle replays the planted dimensions arithmetically; wav rows take
-    // the stub branch in the same query, covering the codec dispatch
+    // REAL decode for every media format: payloads are actual PNG/JPEG
+    // bytes (BufferedImage+ImageIO) and actual 16-bit PCM WAVE bytes
+    // (javax.sound.sampled), generated distributed at planted
+    // doc_id-arithmetic parameters; features come from real header/pixel
+    // decode and the oracle replays the planted values arithmetically
     "x_multimodal_decode_real" -> ((s, dir) =>
       graft.multimodal.Multimodal.decodeFeatures(
-        graft.multimodal.Multimodal.syntheticImages(
+        graft.multimodal.Multimodal.syntheticMedia(
           DerivedModel.table(s, dir, "documents"))).toDF()
         .select(col("doc_id"), col("width"), col("height"), col("channels"))),
 
@@ -1789,19 +1789,20 @@ object SparkEntry {
           |  CAST(1 + doc_id % 3 AS INTEGER) AS channels
           |FROM documents""".stripMargin,
 
-      // png/jpeg rows (doc_id%3 in {0,1}): planted dimensions the Spark
-      // side recovered by actually decoding pixels; wav rows (doc_id%3=2):
-      // the stub's byte-length formula over the text payload
+      // png/jpeg rows (doc_id%3 in {0,1}): planted pixel dimensions the
+      // Spark side recovered by actually decoding images; wav rows
+      // (doc_id%3=2): planted frame count / 8 kHz rate / channel count
+      // recovered by actually decoding the WAVE header
       "x_multimodal_decode_real" ->
         """SELECT doc_id,
           |  CAST(CASE WHEN doc_id % 3 = 2
-          |    THEN 320 + (octet_length(encode(text)) % 16) * 8
+          |    THEN 100 + doc_id % 50
           |    ELSE 8 + doc_id % 16 END AS INTEGER) AS width,
           |  CAST(CASE WHEN doc_id % 3 = 2
-          |    THEN 240 + (octet_length(encode(text)) % 9) * 8
+          |    THEN 8000
           |    ELSE 8 + doc_id % 9 END AS INTEGER) AS height,
           |  CAST(CASE WHEN doc_id % 3 = 2
-          |    THEN 1 + doc_id % 3 ELSE 3 END AS INTEGER) AS channels
+          |    THEN 1 + doc_id % 2 ELSE 3 END AS INTEGER) AS channels
           |FROM documents""".stripMargin,
 
       "x_multimodal_resize" ->

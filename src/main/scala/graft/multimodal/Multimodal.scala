@@ -9,7 +9,13 @@ import org.apache.spark.sql.functions._
   */
 final case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String)
 
-/** Features extracted from a decoded payload. */
+/** Features extracted from a decoded payload. For images the fields are
+  * literal; for audio they map to the same typed slots: `width` = frame
+  * count, `height` = sample rate (Hz), `channels` = audio channels — one
+  * fixed feature schema per media batch keeps the column layout stable
+  * across formats (the Spark-side requirement; a richer pipeline would
+  * carry a per-format struct).
+  */
 final case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
     height: Int, channels: Int)
 
@@ -18,11 +24,12 @@ final case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
   * as a partition-batched typed transform.
   *
   * The codec boundary ([[Codec]]) dispatches on the format tag: png/jpeg
-  * payloads get a REAL pixel decode via `javax.imageio` (JDK built-in, no
-  * new dependency); audio (`wav`) and opaque (`bin`) payloads fall to a
-  * deterministic stub (no audio codec in this environment). The plumbing
-  * — binary schema, `Dataset[MediaRecord]` encoder, per-partition codec
-  * initialization, batch shape — is identical either way.
+  * payloads get a REAL pixel decode via `javax.imageio`, wav payloads a
+  * REAL PCM header+frame decode via `javax.sound.sampled` (both JDK
+  * built-ins, no new dependency); only opaque (`bin`) payloads fall to a
+  * deterministic stub. The plumbing — binary schema,
+  * `Dataset[MediaRecord]` encoder, per-partition codec initialization,
+  * batch shape — is identical either way.
   *
   * Scale notes: decode is a narrow per-partition map (no shuffle); codec
   * init cost is amortized per partition, not per row — the pattern that
@@ -30,15 +37,16 @@ final case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
   */
 object Multimodal {
 
-  /** Decoder boundary. png/jpeg → real `ImageIO` pixel decode; anything
-    * else (wav, bin) → deterministic stub features derived from the byte
-    * length, so non-image plumbing stays testable end-to-end without an
-    * audio codec.
+  /** Decoder boundary. png/jpeg → real `ImageIO` pixel decode; wav →
+    * real `AudioSystem` WAVE decode (frame count / sample rate /
+    * channels); anything else (`bin`) → deterministic stub features
+    * derived from the byte length, keeping opaque-payload plumbing
+    * testable end-to-end.
     */
   object Codec {
     /** Per-partition initialization hook (real codecs allocate native
-      * contexts here; `ImageIO` needs none). Returns a decode function
-      * for reuse across the partition's rows.
+      * contexts here; the JDK codecs need none). Returns a decode
+      * function for reuse across the partition's rows.
       */
     def open(): MediaRecord => MediaFeatures = { rec =>
       rec.format match {
@@ -54,6 +62,22 @@ object Multimodal {
             width = img.getWidth,
             height = img.getHeight,
             channels = img.getColorModel.getNumComponents)
+        case "wav" =>
+          val ais = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(rec.payload))
+          catch { case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"doc ${rec.doc_id}: payload is not a decodable wav", e)
+          }
+          try {
+            val f = ais.getFormat
+            MediaFeatures(
+              doc_id = rec.doc_id,
+              byte_len = rec.payload.length.toLong,
+              width = ais.getFrameLength.toInt,  // frames
+              height = f.getSampleRate.toInt,    // Hz
+              channels = f.getChannels)
+          } finally ais.close()
         case _ =>
           val len = rec.payload.length.toLong
           MediaFeatures(
@@ -69,7 +93,7 @@ object Multimodal {
   /** Wrap a text table as media records: payload = utf-8 bytes (the
     * deterministic stand-in for real media bytes), honestly tagged `bin`
     * so the codec takes the stub path — for real image payloads see
-    * [[syntheticImages]].
+    * [[syntheticMedia]].
     */
   def toMediaRecords(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
@@ -81,34 +105,54 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Planted image dimensions for [[syntheticImages]]: pure doc_id
-    * arithmetic, so an external oracle can replay width/height without
-    * decoding anything.
+  /** Planted media parameters for [[syntheticMedia]]: pure doc_id
+    * arithmetic, so an external oracle can replay every decoded feature
+    * without decoding anything.
     */
   def plantedWidth(docId: Long): Int = (8 + docId % 16).toInt
   def plantedHeight(docId: Long): Int = (8 + docId % 9).toInt
+  def plantedFrames(docId: Long): Int = (100 + docId % 50).toInt
+  def plantedChannels(docId: Long): Int = (1 + docId % 2).toInt
+  val PlantedSampleRate = 8000
 
-  /** Media records with REAL image payloads: each png/jpeg row carries an
-    * actual encoded image of planted (doc_id-arithmetic) dimensions with
-    * deterministic pixel content, built distributed (narrow map, no
-    * shuffle) with `BufferedImage` + `ImageIO` — test-data synthesis for
-    * the real decode path. Every third row stays a `wav`-tagged text
-    * payload so one query exercises both codec branches. JPEG is lossy
-    * but dimensions survive exactly — which is what the decode contract
-    * asserts.
+  /** Media records with REAL payloads for every media format: png/jpeg
+    * rows carry an actual encoded image of planted (doc_id-arithmetic)
+    * dimensions (`BufferedImage` + `ImageIO`), wav rows an actual 16-bit
+    * PCM WAVE of planted frame count and channel count
+    * (`javax.sound.sampled`) — built distributed (narrow map, no
+    * shuffle). Pixel/sample contents are deterministic; the decode
+    * contract asserts the header-derived features, which survive JPEG's
+    * lossy pixels exactly.
     */
-  def syntheticImages(documents: DataFrame): Dataset[MediaRecord] = {
+  def syntheticMedia(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
-      case (docId, text) =>
+      case (docId, _) =>
         val format = (docId % 3) match {
           case 0 => "jpeg"
           case 1 => "png"
           case _ => "wav"
         }
-        if (format == "wav") MediaRecord(docId, text.getBytes("UTF-8"), format)
-        else {
+        if (format == "wav") {
+          val frames = plantedFrames(docId)
+          val ch = plantedChannels(docId)
+          val data = new Array[Byte](frames * ch * 2)
+          var i = 0
+          while (i < data.length) {
+            // deterministic samples; irrelevant to the header contract
+            data(i) = ((docId * 17 + i * 3) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            PlantedSampleRate.toFloat, 16, ch, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRecord(docId, bos.toByteArray, format)
+        } else {
           val w = plantedWidth(docId)
           val h = plantedHeight(docId)
           val img = new java.awt.image.BufferedImage(

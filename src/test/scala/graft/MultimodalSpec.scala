@@ -24,16 +24,23 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("real png/jpeg payloads decode to planted dimensions via ImageIO") {
+  test("real png/jpeg/wav payloads decode to planted features") {
     val docs = DerivedModel.table(spark, dir, "documents")
-    val records = Multimodal.syntheticImages(docs)
-    // the png/jpeg payloads are real encoded images, not text bytes
+    val records = Multimodal.syntheticMedia(docs)
+    // the image payloads are real encoded images, not text bytes
     val sample = records.filter(_.format != "wav").take(5)
     assert(sample.nonEmpty)
     sample.foreach { r =>
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.payload))
       assert(img != null, s"doc ${r.doc_id}: payload must be a real image")
+    }
+    // the wav payloads carry a real RIFF/WAVE header
+    val wavs = records.filter(_.format == "wav").take(3)
+    assert(wavs.nonEmpty)
+    wavs.foreach { r =>
+      assert(new String(r.payload.take(4), "US-ASCII") == "RIFF",
+        s"doc ${r.doc_id}: payload must be a real WAVE file")
     }
     val feats = Multimodal.decodeFeatures(records).collect()
     assert(feats.length == docs.count())
@@ -45,11 +52,20 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
           s"doc ${f.doc_id}: decoded height")
         assert(f.channels == 3)
       } else {
-        // wav rows ride the stub branch in the same pass
-        assert(f.width == 320 + (f.byte_len % 16) * 8)
-        assert(f.channels == 1 + f.doc_id % 3)
+        assert(f.width == Multimodal.plantedFrames(f.doc_id),
+          s"doc ${f.doc_id}: decoded frame count")
+        assert(f.height == Multimodal.PlantedSampleRate)
+        assert(f.channels == Multimodal.plantedChannels(f.doc_id))
       }
     }
+  }
+
+  test("codec rejects an undecodable payload tagged as wav") {
+    val decode = Multimodal.Codec.open()
+    val e = intercept[IllegalArgumentException] {
+      decode(graft.multimodal.MediaRecord(7L, "not audio".getBytes, "wav"))
+    }
+    assert(e.getMessage.contains("7"))
   }
 
   test("codec rejects an undecodable payload tagged as an image") {
