@@ -953,6 +953,15 @@ object SparkEntry {
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10)),
 
+    // sign-bit (1-bit/dim) quantization: hamming-on-sign-pattern scan as
+    // the candidate filter (64x smaller than float32, broadcast probe, no
+    // shuffle), exact-cosine re-rank of the 32 closest — the whole
+    // algorithm (packing, hamming, both tie-broken cuts) replays in SQL
+    "x_ann_signbit" -> ((s, dir) =>
+      graft.sim.Similarity.signBitTopK(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, rerank = 32, dim = Some(64))),
+
     // reproducible global shuffle + contiguous position (DataFrame-native
     // zipWithIndex: md5-prefix buckets + per-bucket ranks + broadcast offsets)
     "x_export_shuffle" -> ((s, dir) =>
@@ -1917,6 +1926,10 @@ object SparkEntry {
 
       "x_ann_quantized" ->
         graft.sim.Similarity.quantizedTopKSql(dim = 64, queryId = 0L, k = 10),
+
+      "x_ann_signbit" ->
+        graft.sim.Similarity.signBitTopKSql(dim = 64, queryId = 0L, k = 10,
+          rerank = 32),
 
       "x_export_shuffle" ->
         """SELECT doc_id,

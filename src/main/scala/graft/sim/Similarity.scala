@@ -248,6 +248,92 @@ object Similarity {
        |ORDER BY qcosine DESC, e.vec_id LIMIT $k""".stripMargin
   }
 
+  /** Sign bits of dimensions [from, until) packed into one long (bit
+    * i−from = 1 iff v[i] > 0) — a chain of when/bitwiseOR terms, fully
+    * whole-stage-codegen.
+    */
+  private def signBitsCol(vec: Column, from: Int, until: Int): Column =
+    (from until until).map { i =>
+      when(element_at(vec, i + 1).cast("double") > 0.0,
+        lit(1L << (i - from))).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** BINARY (sign-bit) quantization top-k — the extreme end of the
+    * quantization family: 1 bit per dimension (64x smaller than float32),
+    * candidate metric = hamming distance on the sign pattern, exact
+    * cosine re-rank of the `rerank` closest. For random-hyperplane
+    * geometry P[sign differs] = angle/pi, so hamming tracks angular
+    * distance; re-rank absorbs the coarseness.
+    *
+    * Scale shape: the probe's bits broadcast, so candidate scoring is a
+    * SCAN (8 bytes + bit_count per row, no shuffle, no index); top-R =
+    * ordered limit. At 100 TB this is the first-pass filter that avoids
+    * touching float payloads for 99.99% of rows.
+    *
+    * Bits pack as two 32-dim halves (`bits_lo`/`bits_hi`): every value
+    * stays under 2^32, so the SQL replay never left-shifts into the
+    * BIGINT sign bit — portable, and the oracle replays sign extraction,
+    * hamming, the (ham, id) cut, and the re-rank bit-exactly.
+    */
+  def signBitTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, rerank: Int = 0, dim: Option[Int] = None): DataFrame = {
+    val d = resolveDim(embeddings, vecCol, dim, "signBitTopK")
+    require(d <= 64, s"signBitTopK packs <= 64 dims, got $d")
+    val r = if (rerank > 0) rerank else math.max(4 * k, 32)
+    val mid = math.min(32, d)
+    val bits = embeddings.select(col(idCol).as("_bid"),
+      col(vecCol).cast("array<double>").as("_bvec"))
+      .withColumn("bits_lo", signBitsCol(col("_bvec"), 0, mid))
+      .withColumn("bits_hi",
+        if (d > 32) signBitsCol(col("_bvec"), 32, d) else lit(0L))
+    val probe = bits.filter(col("_bid") === queryId)
+      .select(col("bits_lo").as("_qlo"), col("bits_hi").as("_qhi"),
+        col("_bvec").as("_qvec"))
+    val ham = bit_count(col("bits_lo").bitwiseXOR(col("_qlo"))) +
+      bit_count(col("bits_hi").bitwiseXOR(col("_qhi")))
+    val topR = bits.join(broadcast(probe))
+      .filter(col("_bid") =!= queryId)
+      .select(col("_bid"), col("_bvec"), col("_qvec"), ham.as("hamming"))
+      .orderBy(col("hamming"), col("_bid"))
+      .limit(r)
+    topR
+      .select(col("_bid").as(idCol), col("hamming"),
+        cosine(col("_bvec"), col("_qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB replay of [[signBitTopK]]: unrolled CASE sums per 32-dim
+    * half, `bit_count(xor(...))` hamming, the same (ham, id) top-R cut
+    * and (cosine desc, id) re-rank.
+    */
+  def signBitTopKSql(dim: Int, queryId: Long, k: Int, rerank: Int): String = {
+    require(dim <= 64)
+    def half(from: Int, until: Int): String =
+      if (from >= until) "0::BIGINT"
+      else (from until until).map { i =>
+        s"(CASE WHEN CAST(embedding[${i + 1}] AS DOUBLE) > 0 " +
+          s"THEN ${1L << (i - from)}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString("(", " + ", ")")
+    val cos = cosineSql("e.embedding", "q.embedding", dim)
+    s"""WITH b AS (
+       |  SELECT vec_id, ${half(0, math.min(32, dim))} AS bits_lo,
+       |    ${half(32, dim)} AS bits_hi
+       |  FROM embeddings),
+       |qb AS (SELECT bits_lo AS qlo, bits_hi AS qhi FROM b WHERE vec_id = $queryId),
+       |topr AS (
+       |  SELECT b.vec_id,
+       |    bit_count(xor(b.bits_lo, qb.qlo)) + bit_count(xor(b.bits_hi, qb.qhi)) AS hamming
+       |  FROM b CROSS JOIN qb
+       |  WHERE b.vec_id <> $queryId
+       |  ORDER BY hamming, b.vec_id LIMIT $rerank)
+       |SELECT t.vec_id, t.hamming, $cos AS cosine
+       |FROM topr t
+       |JOIN embeddings e ON t.vec_id = e.vec_id
+       |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = $queryId) q
+       |ORDER BY cosine DESC, t.vec_id LIMIT $k""".stripMargin
+  }
+
   /** All pairs with cosine >= tau. NB: this is the exact O(n^2) formulation
     * (a cross join with an inequality filter) — correct at verification
     * scale; at 100 TB use [[lshCosinePairs]], which replaces the cross join

@@ -331,6 +331,32 @@ object ScalePerfHarness {
     }
     println(s"[scale-harness] quantized recall@10 x 5 probes: " +
       s"${recalls.mkString(",")} (mean ${recalls.sum / 5.0})")
+    // sign-bit scan: 8 bytes + bit_count per row, broadcast probe, no
+    // shuffle — time it against the float brute-force probe
+    time("signBitTopK(k=10,rerank=64)", n) {
+      Similarity.signBitTopK(vecs, "vec_id", "embedding", 0L, 10,
+        rerank = 64, dim = Some(64)).count()
+    }
+    time("bruteForceTopK(k=10)", n) {
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 10).count()
+    }
+    // recall curve over the re-rank depth: 64 bits cannot RANK
+    // weakly-similar (near-orthogonal) vectors — hamming distributions of
+    // the background and the "top"-10 overlap — so recall on THIS
+    // unstructured corpus only recovers with a deep re-rank; the operator's
+    // regime is high-similarity retrieval (near-dup candidates), where the
+    // hamming gap is wide
+    Seq(64, 1024, 8192).foreach { rr =>
+      val sbRecalls = (0L until 5L).map { q =>
+        val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
+          .collect().map(_.getLong(0)).toSet
+        val approx = Similarity.signBitTopK(vecs, "vec_id", "embedding", q, 10,
+          rerank = rr, dim = Some(64)).collect().map(_.getLong(0)).toSet
+        (exact & approx).size
+      }
+      println(s"[scale-harness] sign-bit(rerank=$rr) recall@10 x 5 probes: " +
+        s"${sbRecalls.mkString(",")} (mean ${sbRecalls.sum / 5.0})")
+    }
     vecs.unpersist()
     quant.unpersist()
     Persisted.unpersistAll()
