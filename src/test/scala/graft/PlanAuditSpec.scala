@@ -74,7 +74,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("x_knn_topk_bucketed", "x_ann_ivf")) {
+    for (q <- Seq("x_knn_topk_bucketed", "x_ann_ivf", "x_knn_topk_bucketed_q8")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val windowInputs =
         plan.collect { case w: LWindow => w.child.output } ++
@@ -94,6 +94,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       Persisted.unpersistAll()
       spark.catalog.clearCache()
     }
+  }
+
+  test("simhash bucket-split routes oversized keys via broadcast joins") {
+    // the oversized-key set is tiny by definition (<= 4n/bucketLimit);
+    // routing rows to the small/big path must be broadcast semi/anti
+    // joins — a shuffled routing join would move the whole exploded
+    // relation twice before any pairing happens
+    val p = planOf("x_dedup_simhash_split")
+    val routing = p.split("\n").filter(l =>
+      l.contains("LeftAnti") || l.contains("LeftSemi"))
+    assert(routing.nonEmpty, s"split plan lost its routing joins:\n$p")
+    routing.foreach { l =>
+      assert(l.contains("Broadcast"),
+        s"oversized-key routing must broadcast, got: $l")
+    }
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
+  test("sign-bit candidate scan never hash-shuffles the corpus") {
+    // the probe is a 1-row broadcast and top-R/top-k are ordered limits
+    // (TakeOrderedAndProject): the candidate pass must stay a scan —
+    // any hashpartitioning exchange means the 8-byte-per-row promise broke
+    val p = planOf("x_ann_signbit")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"sign-bit scan plans a hash shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-R / top-k must be ordered limits:\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
   }
 
   test("contamination check broadcasts the benchmark shingle side") {
