@@ -999,6 +999,23 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"), col("value_cents"))
     }),
 
+    // tokenizer-prep: corpus token frequencies -> deterministic top-N
+    // vocab (map-side-combined count, ordered limit, id window over the
+    // <=N-row cut only)
+    "x_vocab_top" -> ((s, dir) =>
+      graft.text.Vocabulary.buildVocab(
+        DerivedModel.table(s, dir, "documents"), "text",
+        size = 200, minCount = 2L)),
+
+    // documents encoded as token-id sequences under the vocab (broadcast
+    // lookup, order preserved, OOV -> -1)
+    "x_vocab_encode" -> ((s, dir) =>
+      graft.text.Vocabulary.encode(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        graft.text.Vocabulary.buildVocab(
+          DerivedModel.table(s, dir, "documents"), "text",
+          size = 200, minCount = 2L))),
+
     // corpus mixing: per-language keep fractions as a pure scan predicate
     "x_sample_weighted" -> ((s, dir) =>
       graft.ops.Sampling.weightedSample(
@@ -1930,6 +1947,12 @@ object SparkEntry {
       "x_ann_signbit" ->
         graft.sim.Similarity.signBitTopKSql(dim = 64, queryId = 0L, k = 10,
           rerank = 32),
+
+      "x_vocab_top" ->
+        graft.text.Vocabulary.buildVocabSql(size = 200, minCount = 2L),
+
+      "x_vocab_encode" ->
+        graft.text.Vocabulary.encodeSql(size = 200, minCount = 2L),
 
       "x_export_shuffle" ->
         """SELECT doc_id,

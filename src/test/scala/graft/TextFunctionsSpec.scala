@@ -135,6 +135,27 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r - (1.0 - 2.0 / 6.0)) < 1e-12)
   }
 
+  test("vocabulary: rank-deterministic ids, min-count cut, OOV encoding") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the dog ran"),
+      (4L, "a rare token")).toDF("doc_id", "text")
+    val vocab = graft.text.Vocabulary.buildVocab(docs, "text", size = 3,
+      minCount = 2L)
+    val v = vocab.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // freq: the=3, cat=2, ran=2 (>=2); ties broken by token asc
+    assert(v.toSeq == Seq(("the", 3L, 0L), ("cat", 2L, 1L), ("ran", 2L, 2L)),
+      s"got ${v.toSeq}")
+    val enc = graft.text.Vocabulary.encode(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc(1L) == Seq(0L, 1L, -1L), "the cat sat -> [the, cat, OOV]")
+    assert(enc(2L) == Seq(0L, 1L, 2L))
+    assert(enc(3L) == Seq(0L, -1L, 2L))
+    assert(enc(4L) == Seq(-1L, -1L, -1L), "all-OOV doc still encodes")
+  }
+
   test("benchmark contamination flags only docs sharing enough shingles") {
     import spark.implicits._
     val corpus = Seq(
