@@ -1016,6 +1016,22 @@ object SparkEntry {
           DerivedModel.table(s, dir, "documents"), "text",
           size = 200, minCount = 2L))),
 
+    // tokenizer-aware quality signal: per-doc OOV counts under the vocab
+    // (integer-only, broadcast lookup)
+    "x_vocab_oov" -> ((s, dir) =>
+      graft.text.Vocabulary.oovStats(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        graft.text.Vocabulary.buildVocab(
+          DerivedModel.table(s, dir, "documents"), "text",
+          size = 20, minCount = 2L))),
+
+    // keyword search: integer-scored (distinct terms, matches, id) top-k
+    // — IN-filtered scan, map-side-combined agg, ordered limit
+    "x_search_keywords" -> ((s, dir) =>
+      graft.text.Vocabulary.searchByTokens(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        query = Seq("join", "hash", "scan"), k = 25)),
+
     // corpus mixing: per-language keep fractions as a pure scan predicate
     "x_sample_weighted" -> ((s, dir) =>
       graft.ops.Sampling.weightedSample(
@@ -1953,6 +1969,14 @@ object SparkEntry {
 
       "x_vocab_encode" ->
         graft.text.Vocabulary.encodeSql(size = 200, minCount = 2L),
+
+      // vocab size 20 so a meaningful OOV fraction exists at sf0.01
+      "x_vocab_oov" ->
+        graft.text.Vocabulary.oovStatsSql(size = 20, minCount = 2L),
+
+      "x_search_keywords" ->
+        graft.text.Vocabulary.searchByTokensSql(
+          query = Seq("join", "hash", "scan"), k = 25),
 
       "x_export_shuffle" ->
         """SELECT doc_id,

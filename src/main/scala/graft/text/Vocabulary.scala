@@ -65,6 +65,69 @@ object Vocabulary {
       .agg(array_sort(collect_list(struct(col("pos"), col("tid")))).as("_pt"))
       .select(col(idCol), expr("transform(_pt, x -> x.tid)").as("token_ids"))
 
+  /** Per-document out-of-vocabulary stats under `vocab` — the quality
+    * signal a tokenizer-aware curation gate filters on (high OOV ⇒ the
+    * vocab doesn't model the doc). Integer counts only, so the result is
+    * exactly replayable; compute the ratio downstream. Broadcast lookup,
+    * one per-doc aggregation.
+    */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("token_id").isNull, 1)).as("n_oov"))
+
+  /** DuckDB twin of [[oovStats]] over `documents`. */
+  def oovStatsSql(size: Int, minCount: Long = 1L): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+       |  FROM documents),
+       |tcnt AS (
+       |  SELECT token, count(*) AS freq FROM tok GROUP BY token
+       |  HAVING count(*) >= $minCount),
+       |v AS (
+       |  SELECT token FROM tcnt ORDER BY freq DESC, token LIMIT $size)
+       |SELECT t.doc_id, count(*) AS n_tokens,
+       |  count(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov
+       |FROM tok t LEFT JOIN v ON t.token = v.token
+       |GROUP BY t.doc_id""".stripMargin
+
+  /** Integer-scored keyword search: rank documents by (distinct query
+    * terms matched, total matches, id). The query-term set is a literal
+    * broadcast into the scan predicate (an `IN` filter — pushdown-
+    * friendly), scoring is a map-side-combined per-doc aggregation, and
+    * the top-k is an ordered limit. Deliberately integer-only scoring
+    * (no tf-idf floats) so the ranking replays exactly; a BM25-style
+    * score would slot into the same plan with the same shape.
+    */
+  def searchByTokens(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int): DataFrame =
+    df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(query: _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("token")).as("distinct_terms"),
+        count(lit(1)).as("matches"))
+      .orderBy(col("distinct_terms").desc, col("matches").desc, col(idCol))
+      .limit(k)
+
+  /** DuckDB twin of [[searchByTokens]] over `documents`. */
+  def searchByTokensSql(query: Seq[String], k: Int): String = {
+    val inList = query.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+       |  FROM documents)
+       |SELECT doc_id, count(DISTINCT token) AS distinct_terms,
+       |  count(*) AS matches
+       |FROM tok WHERE token IN ($inList)
+       |GROUP BY doc_id
+       |ORDER BY distinct_terms DESC, matches DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** DuckDB twin of [[encode]] over `documents` with the [[buildVocabSql]]
     * vocab inlined. Parallel `unnest`s zip, giving (token, pos) rows.
     */

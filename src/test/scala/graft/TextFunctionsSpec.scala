@@ -156,6 +156,26 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(enc(4L) == Seq(-1L, -1L, -1L), "all-OOV doc still encodes")
   }
 
+  test("OOV stats and keyword search score with pure integers") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the dog ran"),
+      (4L, "a rare token")).toDF("doc_id", "text")
+    val vocab = graft.text.Vocabulary.buildVocab(docs, "text", 3, minCount = 2L)
+    val oov = graft.text.Vocabulary.oovStats(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(oov(1L) == ((3L, 1L)) && oov(2L) == ((3L, 0L)) &&
+      oov(4L) == ((3L, 3L)), s"got $oov")
+    val hits = graft.text.Vocabulary.searchByTokens(docs, "doc_id", "text",
+      query = Seq("cat", "ran"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 2 (cat+ran) > 1,3 (one term each, tie -> id); doc 4 matches nothing
+    assert(hits.toSeq == Seq((2L, 2L, 2L), (1L, 1L, 1L), (3L, 1L, 1L)),
+      s"got ${hits.toSeq}")
+  }
+
   test("benchmark contamination flags only docs sharing enough shingles") {
     import spark.implicits._
     val corpus = Seq(
