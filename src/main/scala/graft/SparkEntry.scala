@@ -962,6 +962,23 @@ object SparkEntry {
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10, rerank = 32, dim = Some(64))),
 
+    // product quantization: m=8 codes/vector (~9 bytes through the
+    // ranking vs 256 float bytes), ADC reconstruct-dot vs broadcast
+    // probe, exact re-rank of the 40 best — deterministic codebook from
+    // the 16 lowest-id vectors so the oracle replays end to end
+    "x_ann_pq" -> ((s, dir) =>
+      graft.sim.Similarity.pqTopK(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, m = 8, ksub = 16, rerank = 40, dim = Some(64))),
+
+    // IVF-PQ: coarse cluster pruning (nProbe inverted lists) composed
+    // with PQ candidate ranking — completes the quantized-ANN family
+    "x_ann_ivf_pq" -> ((s, dir) =>
+      graft.sim.Similarity.ivfPqTopK(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10, numClusters = 16, nProbe = 4, m = 8,
+        ksub = 16, rerank = 40, dim = Some(64))),
+
     // reproducible global shuffle + contiguous position (DataFrame-native
     // zipWithIndex: md5-prefix buckets + per-bucket ranks + broadcast offsets)
     "x_export_shuffle" -> ((s, dir) =>
@@ -1963,6 +1980,14 @@ object SparkEntry {
       "x_ann_signbit" ->
         graft.sim.Similarity.signBitTopKSql(dim = 64, queryId = 0L, k = 10,
           rerank = 32),
+
+      "x_ann_pq" ->
+        graft.sim.Similarity.pqTopKSql(dim = 64, queryId = 0L, k = 10,
+          m = 8, ksub = 16, rerank = 40),
+
+      "x_ann_ivf_pq" ->
+        graft.sim.Similarity.ivfPqTopKSql(dim = 64, queryId = 0L, k = 10,
+          numClusters = 16, nProbe = 4, m = 8, ksub = 16, rerank = 40),
 
       "x_vocab_top" ->
         graft.text.Vocabulary.buildVocabSql(size = 200, minCount = 2L),

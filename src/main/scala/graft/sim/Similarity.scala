@@ -334,6 +334,213 @@ object Similarity {
        |ORDER BY cosine DESC, t.vec_id LIMIT $k""".stripMargin
   }
 
+  /** Product-quantization codebook: for each of `m` subspaces, the
+    * sub-vectors (dims `[s*dsub, (s+1)*dsub)`) of the `ksub` lowest-id
+    * vectors, in id order. Codebook construction is an OFFLINE index-build
+    * step in a real deployment (k-means per subspace over a sample); here
+    * it is seeded deterministically from the data — the same idiom as
+    * [[ivfCentroids]] — so the DuckDB oracle can re-derive it from the
+    * table and replay the whole algorithm. The collect touches `ksub`
+    * rows (the codebook is `m * ksub * dsub` doubles — KBs); pass a
+    * pre-trained codebook to skip the job entirely.
+    */
+  def pqCodebook(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val dsub = dim / m
+    val rows = embeddings.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    Array.tabulate(m)(s => rows.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** ANN via product quantization (PQ): each vector is encoded as `m`
+    * small codes (argmin-L2 sub-vector centroid per subspace, ties to the
+    * lower index), candidates are scored by cosine against the
+    * RECONSTRUCTED vector (codebook lookup — algebraically the ADC
+    * table-lookup score), the best `rerank` are re-scored with exact
+    * cosine, and the top `k` of those are returned as
+    * `(id, adc, cosine)`.
+    *
+    * Scale shape: encoding is a pure scan-side codegen projection over
+    * codebook literals (at 100 TB it runs once at ingest and the codes
+    * persist); the candidate ranking carries ONLY `(id, m codes)` — for
+    * dim=64 float32 that is 256 bytes -> ~9 bytes of payload, 28x fewer
+    * bytes than shipping vectors, 8x fewer than int8 — the skinny-ranking
+    * rule the IVF path established; the reconstruct-dot runs against a
+    * broadcast probe (no shuffle); top-R is an ordered limit; only R rows
+    * ever touch float payload again (broadcast id-join for re-rank).
+    *
+    * Every step is double arithmetic with pinned order + id tie-breaks,
+    * so the approximate result is bit-reproducible ([[pqTopKSql]]).
+    */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 0,
+      dim: Option[Int] = None,
+      codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val d = resolveDim(embeddings, vecCol, dim, "pqTopK")
+    require(d % m == 0, s"pqTopK: dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    val cb = codebook.getOrElse(pqCodebook(embeddings, idCol, vecCol, m, ksub, d))
+    val r = if (rerank > 0) rerank else math.max(4 * k, 32)
+    val coded = pqCodes(embeddings, idCol, vecCol, cb, m, dsub, ksub)
+    val probe = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("_qvec"))
+    val topR = coded.join(broadcast(probe))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(pqReconCol(cb, m), col("_qvec")).as("adc"))
+      .orderBy(col("adc").desc, col(idCol))
+      .limit(r)
+    embeddings.select(col(idCol), col(vecCol))
+      .join(broadcast(topR), Seq(idCol))
+      .join(broadcast(probe))
+      .select(col(idCol), col("adc"),
+        cosine(col(vecCol), col("_qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-PQ: the coarse quantizer ([[ivfAssign]] — nProbe nearest
+    * clusters) prunes the candidate set, PQ codes rank the survivors,
+    * exact cosine re-ranks the top R. The composition that completes the
+    * quantized-ANN family: at 100 TB the inverted lists shard by cluster
+    * (only nProbe lists are read), and within a list only codes travel.
+    */
+  def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, numClusters: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 0, dim: Option[Int] = None,
+      codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val d = resolveDim(embeddings, vecCol, dim, "ivfPqTopK")
+    require(d % m == 0, s"ivfPqTopK: dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    val cb = codebook.getOrElse(pqCodebook(embeddings, idCol, vecCol, m, ksub, d))
+    val r = if (rerank > 0) rerank else math.max(4 * k, 32)
+    val query = embeddings.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("_qvec"))
+    val probed = ivfCentroids(embeddings, idCol, vecCol, numClusters)
+      .join(broadcast(query))
+      .select(col("_cid"), cosine(col("_cvec"), col("_qvec")).as("_qsim"))
+      .orderBy(col("_qsim").desc, col("_cid"))
+      .limit(nProbe)
+      .select(col("_cid").as("cluster"))
+    val cand = ivfAssign(embeddings, idCol, vecCol, numClusters)
+      .join(broadcast(probed), Seq("cluster"), "left_semi")
+    val topR = pqCodes(cand, idCol, vecCol, cb, m, dsub, ksub)
+      .join(broadcast(query))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(pqReconCol(cb, m), col("_qvec")).as("adc"))
+      .orderBy(col("adc").desc, col(idCol))
+      .limit(r)
+    embeddings.select(col(idCol), col(vecCol))
+      .join(broadcast(topR), Seq(idCol))
+      .join(broadcast(query))
+      .select(col(idCol), col("adc"),
+        cosine(col(vecCol), col("_qvec")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** `(id, _code0.._code{m-1})` — the skinny encoded relation. Argmin is
+    * `array_min` over `(distance, index)` structs (struct ordering =
+    * lexicographic, so ties break to the lower index), distances are
+    * index-ascending left-folded sums — the op order [[pqTopKSql]]
+    * states. The double-cast is hoisted once per row (the knn lesson:
+    * per-expression casts re-allocate per use).
+    */
+  private def pqCodes(embeddings: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Array[Double]]], m: Int, dsub: Int, ksub: Int): DataFrame = {
+    def dist(s: Int, j: Int): Column = (0 until dsub).map { i =>
+      val d = element_at(col("_vd"), s * dsub + i + 1) - lit(cb(s)(j)(i))
+      d * d
+    }.reduce(_ + _)
+    def codeCol(s: Int): Column =
+      array_min(array((0 until ksub).map(j =>
+        struct(dist(s, j).as("d"), lit(j).as("c"))): _*)).getField("c")
+    embeddings
+      .withColumn("_vd", col(vecCol).cast("array<double>"))
+      .select(col(idCol) +: (0 until m).map(s => codeCol(s).as(s"_code$s")): _*)
+  }
+
+  /** Reconstructed vector from `_code*` columns: per-subspace centroid
+    * lookup in the literal codebook, concatenated in subspace order.
+    */
+  private def pqReconCol(cb: Array[Array[Array[Double]]], m: Int): Column =
+    concat((0 until m).map { s =>
+      element_at(typedLit(cb(s).map(_.toSeq).toSeq), col(s"_code$s") + 1)
+    }: _*)
+
+  /** DuckDB replay of [[pqTopK]]: codebook re-derived from the `ksub`
+    * lowest-id vectors, codes via windowed argmin with the same
+    * left-associated `(a-b)*(a-b)` distance sums and `(dist, cidx)`
+    * tie-break, reconstruction via codebook join + ordered flatten, the
+    * same (adc desc, id) top-R cut and (cosine desc, id) re-rank.
+    */
+  def pqTopKSql(dim: Int, queryId: Long, k: Int, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 40): String =
+    pqSqlCore(dim, queryId, k, m, ksub, rerank, candidateCtes = None)
+
+  /** DuckDB replay of [[ivfPqTopK]]: [[ivfTopKSql]]'s coarse
+    * cent/assigned/probed stages bound the candidate set, then the PQ
+    * stages of [[pqTopKSql]] run over the survivors.
+    */
+  def ivfPqTopKSql(dim: Int, queryId: Long, k: Int, numClusters: Int = 16,
+      nProbe: Int = 4, m: Int = 8, ksub: Int = 16, rerank: Int = 40): String = {
+    val cosEC = cosineSql("e.embedding", "c.cvec", dim)
+    val cosCQ = cosineSql("c.cvec", "q0.qvec", dim)
+    val coarse =
+      s"""ccent AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT $numClusters),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, cid AS cluster FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.cid) AS crn
+         |    FROM e CROSS JOIN ccent c) WHERE crn = 1),
+         |q0 AS (SELECT embedding AS qvec FROM e WHERE vec_id = $queryId),
+         |probed AS (
+         |  SELECT cid AS cluster FROM (
+         |    SELECT c.cid, row_number() OVER (ORDER BY $cosCQ DESC, c.cid) AS qrn
+         |    FROM ccent c CROSS JOIN q0) WHERE qrn <= $nProbe),
+         |cand AS (SELECT a.vec_id FROM assigned a JOIN probed USING (cluster))""".stripMargin
+    pqSqlCore(dim, queryId, k, m, ksub, rerank, candidateCtes = Some(coarse))
+  }
+
+  private def pqSqlCore(dim: Int, queryId: Long, k: Int, m: Int, ksub: Int,
+      rerank: Int, candidateCtes: Option[String]): String = {
+    val dsub = dim / m
+    val dist = (0 until dsub).map { i =>
+      val a = s"CAST(e.embedding[t.s*$dsub + ${i + 1}] AS DOUBLE)"
+      val b = s"CAST(c.cvec[t.s*$dsub + ${i + 1}] AS DOUBLE)"
+      s"($a - $b) * ($a - $b)"
+    }.mkString("(", " + ", ")")
+    val sub = (0 until dsub).map(i =>
+      s"CAST(c.cvec[cd.s*$dsub + ${i + 1}] AS DOUBLE)").mkString("[", ", ", "]")
+    val candFilter = candidateCtes
+      .map(_ => "AND r.vec_id IN (SELECT vec_id FROM cand)").getOrElse("")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |${candidateCtes.map(c => c + ",\n").getOrElse("")}cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cvec
+       |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $ksub)),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, s, cidx AS code FROM (
+       |    SELECT e.vec_id, t.s, c.cidx,
+       |      row_number() OVER (PARTITION BY e.vec_id, t.s
+       |        ORDER BY $dist, c.cidx) AS rn
+       |    FROM e CROSS JOIN range($m) t(s) CROSS JOIN cent c) WHERE rn = 1),
+       |recon AS MATERIALIZED (
+       |  SELECT vec_id, flatten(list(sub ORDER BY s)) AS rvec FROM (
+       |    SELECT cd.vec_id, cd.s, $sub AS sub
+       |    FROM codes cd JOIN cent c ON c.cidx = cd.code) GROUP BY vec_id),
+       |q AS (SELECT embedding AS qvec FROM e WHERE vec_id = $queryId),
+       |topr AS (
+       |  SELECT r.vec_id, ${cosineSql("r.rvec", "q.qvec", dim)} AS adc
+       |  FROM recon r CROSS JOIN q
+       |  WHERE r.vec_id <> $queryId $candFilter
+       |  ORDER BY adc DESC, r.vec_id LIMIT $rerank)
+       |SELECT t.vec_id, t.adc, ${cosineSql("e.embedding", "q.qvec", dim)} AS cosine
+       |FROM topr t JOIN e ON e.vec_id = t.vec_id CROSS JOIN q
+       |ORDER BY cosine DESC, t.vec_id LIMIT $k""".stripMargin
+  }
+
   /** All pairs with cosine >= tau. NB: this is the exact O(n^2) formulation
     * (a cross join with an inequality filter) — correct at verification
     * scale; at 100 TB use [[lshCosinePairs]], which replaces the cross join

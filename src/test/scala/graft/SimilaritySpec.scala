@@ -160,6 +160,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 5, s"sign-bit recall@10 too low: $recall/10")
   }
 
+  test("PQ top-k: full re-rank equals brute force; ADC recall is sane") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // re-ranking EVERY candidate makes PQ exact regardless of code quality
+    val full = Similarity.pqTopK(emb, "vec_id", "embedding", queryId = 0L,
+      k = 10, m = 8, ksub = 16, rerank = 499, dim = Some(64))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(full == exact, "rerank >= n-1 must equal brute force")
+    // default-ish rerank: the ADC cut should still recover most of top-10
+    val approx = Similarity.pqTopK(emb, "vec_id", "embedding", queryId = 0L,
+      k = 10, m = 8, ksub = 16, rerank = 40, dim = Some(64))
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact.map(_._1).toSet & approx).size
+    info(s"PQ recall@10 with rerank=40: $recall/10")
+    assert(recall >= 5, s"PQ recall@10 too low: $recall/10")
+    // IVF-PQ with all clusters probed + full re-rank is exact too
+    val ivfFull = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, numClusters = 8, nProbe = 8, m = 8, ksub = 16,
+      rerank = 499, dim = Some(64))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(ivfFull == exact, "nProbe = numClusters + full re-rank must be exact")
+  }
+
   test("quantized bucketed kNN: same neighbor sets as the float path") {
     val emb = DerivedModel.table(spark, dir, "embeddings")
     // neighbor SETS (not scores): candidate sets are identical by
