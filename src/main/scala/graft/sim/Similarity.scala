@@ -443,23 +443,29 @@ object Similarity {
 
   /** `(id, _code0.._code{m-1})` — the skinny encoded relation. Argmin is
     * `array_min` over `(distance, index)` structs (struct ordering =
-    * lexicographic, so ties break to the lower index), distances are
-    * index-ascending left-folded sums — the op order [[pqTopKSql]]
-    * states. The double-cast is hoisted once per row (the knn lesson:
-    * per-expression casts re-allocate per use).
+    * lexicographic, so ties break to the lower index). The distance uses
+    * the `||c_j||^2 - 2<v_s, c_j>` decomposition (the row term
+    * `||v_s||^2` is constant across j so argmin ignores it): the dot runs
+    * in the LOOPED codegen [[DotProductExpr]] over a once-hoisted slice,
+    * keeping generated code compact — the fully-unrolled `(a-b)^2` form
+    * tripped the codegen size limit and fell back to interpreted.
+    * [[pqSqlCore]] states the identical formula and fold order.
     */
   private def pqCodes(embeddings: DataFrame, idCol: String, vecCol: String,
       cb: Array[Array[Array[Double]]], m: Int, dsub: Int, ksub: Int): DataFrame = {
-    def dist(s: Int, j: Int): Column = (0 until dsub).map { i =>
-      val d = element_at(col("_vd"), s * dsub + i + 1) - lit(cb(s)(j)(i))
-      d * d
-    }.reduce(_ + _)
+    val sliced = embeddings
+      .withColumn("_vd", col(vecCol).cast("array<double>"))
+      .select(col(idCol) +: (0 until m).map(s =>
+        slice(col("_vd"), s * dsub + 1, dsub).as(s"_sub$s")): _*)
+    def scoreCol(s: Int, j: Int): Column = {
+      val cj = cb(s)(j)
+      val norm = cj.foldLeft(0.0)((a, x) => a + x * x)
+      lit(norm) - lit(2.0) * SimExpressions.dot(col(s"_sub$s"), typedLit(cj.toSeq))
+    }
     def codeCol(s: Int): Column =
       array_min(array((0 until ksub).map(j =>
-        struct(dist(s, j).as("d"), lit(j).as("c"))): _*)).getField("c")
-    embeddings
-      .withColumn("_vd", col(vecCol).cast("array<double>"))
-      .select(col(idCol) +: (0 until m).map(s => codeCol(s).as(s"_code$s")): _*)
+        struct(scoreCol(s, j).as("d"), lit(j).as("c"))): _*)).getField("c")
+    sliced.select(col(idCol) +: (0 until m).map(s => codeCol(s).as(s"_code$s")): _*)
   }
 
   /** Reconstructed vector from `_code*` columns: per-subspace centroid
@@ -507,11 +513,19 @@ object Similarity {
   private def pqSqlCore(dim: Int, queryId: Long, k: Int, m: Int, ksub: Int,
       rerank: Int, candidateCtes: Option[String]): String = {
     val dsub = dim / m
-    val dist = (0 until dsub).map { i =>
-      val a = s"CAST(e.embedding[t.s*$dsub + ${i + 1}] AS DOUBLE)"
-      val b = s"CAST(c.cvec[t.s*$dsub + ${i + 1}] AS DOUBLE)"
-      s"($a - $b) * ($a - $b)"
-    }.mkString("(", " + ", ")")
+    // ||c_j||^2 - 2<v_s, c_j> with index-ascending left-assoc sums — the
+    // exact arithmetic of pqCodes (driver-folded norm, DotProductExpr dot)
+    val dist = {
+      val norm = (0 until dsub).map { i =>
+        val c = s"CAST(c.cvec[t.s*$dsub + ${i + 1}] AS DOUBLE)"
+        s"$c * $c"
+      }.mkString(" + ")
+      val dotq = (0 until dsub).map { i =>
+        s"CAST(e.embedding[t.s*$dsub + ${i + 1}] AS DOUBLE) * " +
+          s"CAST(c.cvec[t.s*$dsub + ${i + 1}] AS DOUBLE)"
+      }.mkString(" + ")
+      s"(($norm) - 2 * ($dotq))"
+    }
     val sub = (0 until dsub).map(i =>
       s"CAST(c.cvec[cd.s*$dsub + ${i + 1}] AS DOUBLE)").mkString("[", ", ", "]")
     val candFilter = candidateCtes
