@@ -1056,6 +1056,14 @@ object SparkEntry {
         MixWeights, defaultWeight = 0.1)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // deterministic train/val/test assignment: hash-band label as a pure
+    // scan expression — stable under re-runs, ablation splits nest
+    "x_sample_split" -> ((s, dir) =>
+      graft.ops.Sampling.datasetSplit(
+        DerivedModel.table(s, dir, "documents"), "doc_id",
+        trainFrac = 0.8, valFrac = 0.1)
+        .select(col("doc_id"), col("lang"), col("split"))),
+
     // paragraph-level DEDUP: every distinct block survives once (first
     // occurrence); documents rebuilt from their surviving blocks
     "x_dedup_blocks_clean" -> ((s, dir) =>
@@ -1078,6 +1086,18 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         keepBy = Seq(length(col("text")).desc))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
+    // incremental dedup: the arriving batch (doc_id % 5 == 0) cleaned
+    // against the existing corpus (the rest) — exact hash anti-join +
+    // banded minhash probe of the corpus index, never a corpus self-join
+    "x_dedup_incremental" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      graft.dedup.Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 3, tau = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
 
     // time-series resample: dense per-user hourly grid (explicit zero
     // rows on gaps) + forward-filled last observation
@@ -1674,6 +1694,29 @@ object SparkEntry {
            |  FROM documents d LEFT JOIN comp c ON d.doc_id = c._id)
            |WHERE rn = 1""".stripMargin,
 
+      // exact cross-side jaccard as truth (banding recall covers tau=0.8,
+      // the x_dedup_minhash setting); exact branch = md5 NOT IN corpus
+      "x_dedup_incremental" ->
+        """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+          |batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+          |bclean AS (
+          |  SELECT * FROM batch WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+          |btoks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM bclean),
+          |bng AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+          |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM btoks)),
+          |ctoks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM corpus),
+          |cng AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+          |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM ctoks)),
+          |bcnt AS (SELECT doc_id, count(*) AS n FROM bng GROUP BY doc_id),
+          |ccnt AS (SELECT doc_id, count(*) AS n FROM cng GROUP BY doc_id),
+          |inter AS (SELECT b.doc_id AS id_b, c.doc_id AS id_c, count(*) AS i
+          |          FROM bng b JOIN cng c ON b.ngram = c.ngram GROUP BY 1, 2),
+          |drops AS (SELECT DISTINCT id_b FROM inter
+          |          JOIN bcnt ON id_b = bcnt.doc_id JOIN ccnt ON id_c = ccnt.doc_id
+          |          WHERE CAST(i AS DOUBLE) / (bcnt.n + ccnt.n - i) >= 0.8)
+          |SELECT doc_id, lang, source, n_chars FROM bclean
+          |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
+
       "x_text_shingles" ->
         """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
           |SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
@@ -2012,6 +2055,11 @@ object SparkEntry {
         s"""SELECT doc_id, lang, source FROM documents
            |WHERE ${graft.ops.Sampling.weightedSampleSql(
                      "doc_id", "lang", MixWeights, defaultWeight = 0.1)}""".stripMargin,
+
+      "x_sample_split" ->
+        s"""SELECT doc_id, lang, ${graft.ops.Sampling.datasetSplitSql(
+              "doc_id", trainFrac = 0.8, valFrac = 0.1)} AS split
+           |FROM documents""".stripMargin,
 
       // final per-user totals — the Spark side accumulated them in
       // RocksDB ValueState across a real update-mode StreamingQuery

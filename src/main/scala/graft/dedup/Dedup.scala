@@ -257,19 +257,27 @@ object Dedup {
     * The pair join is an equi-join on (band, bucket) — no all-pairs work.
     */
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = bandBuckets(signatures, numHashes, rowsPerBand)
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** `(_id, band, bucket)` — the exploded LSH banding relation. Shared by
+    * the self-join pair generator above and the batch-vs-corpus probe of
+    * [[incrementalDedup]] (where the corpus side is the persisted index).
+    */
+  def bandBuckets(signatures: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandEntries = (0 until numBands).map { bIdx =>
       struct(lit(bIdx).as("band"),
         xxhash64(lit(bIdx), slice(col("signature"), bIdx * rowsPerBand + 1, rowsPerBand))
           .as("bucket"))
     }
-    val buckets = signatures
+    signatures
       .select(col("_id"), explode(array(bandEntries: _*)).as("bb"))
       .select(col("_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
-      .select(col("x._id").as("id_a"), col("y._id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
   }
 
   /** Near-duplicate pairs: LSH candidates verified with *exact* n-gram
@@ -548,6 +556,67 @@ object Dedup {
     assigned.withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") === 1)
       .drop("_id", "group_id", "_graft_gid", "_graft_rn")
+  }
+
+  /** Incremental (batch-vs-corpus) dedup — the production regime for a
+    * continuously-ingesting pipeline: clean the arriving `batch` against
+    * the EXISTING `corpus` without re-deduplicating the corpus. A batch
+    * row is dropped iff
+    *   (1) exact: its md5 content hash exists in the corpus, or
+    *   (2) near: it shares an LSH band bucket with a corpus doc AND the
+    *       exact n-gram Jaccard of that (batch, corpus) pair is >= tau.
+    * Survivors are returned unchanged (batch-internal duplicates are out
+    * of contract — compose [[nearDedup]] over the batch first).
+    *
+    * Scale shape: every corpus-side relation here (content-hash set, band
+    * buckets, shingle lists + counts) is a pure function of the corpus
+    * that an incremental deployment PERSISTS once and appends each
+    * accepted batch to — so per-batch cost is O(batch) hash/bucket probe
+    * work against those indexes (equi-joins all), never O(corpus) rescans
+    * and never any self-join. Jaccard is verified over the UNGUARDED
+    * shingle universe (the [[minhashNearDuplicates]] truth-set setting).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, tau: Double = 0.8,
+      numHashes: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    // (1) exact content probe: anti-join against the distinct corpus hash set
+    val corpusHashes = corpus
+      .select(md5(col(textCol).cast("binary")).as("_chash")).distinct()
+    val exactClean = Persisted.track(batch
+      .withColumn("_chash", md5(col(textCol).cast("binary")))
+      .join(corpusHashes, Seq("_chash"), "left_anti")
+      .drop("_chash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // (2) near probe: batch band buckets against the corpus bucket index
+    val bBuckets = bandBuckets(
+      minhashSignatures(exactClean, idCol, textCol, n, numHashes),
+      numHashes, rowsPerBand)
+    val cBuckets = bandBuckets(
+      minhashSignatures(corpus, idCol, textCol, n, numHashes),
+      numHashes, rowsPerBand)
+    val cand = bBuckets.as("b").join(cBuckets.as("c"), Seq("band", "bucket"))
+      .select(col("b._id").as("id_b"), col("c._id").as("id_c"))
+      .distinct()
+    // exact cross-side Jaccard for the candidates: shingle equi-joins keyed
+    // on (id, ngram) — per pair we stream |shingles(batch doc)| probe rows
+    val bNg = Persisted.track(shingles(exactClean, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cNg = Persisted.track(shingles(corpus, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bCnt = bNg.groupBy(col("_id")).agg(count(lit(1)).as("n_b"))
+    val cCnt = cNg.groupBy(col("_id")).agg(count(lit(1)).as("n_c"))
+    val drops = cand
+      .join(bNg.select(col("_id").as("id_b"), col("ngram")), Seq("id_b"))
+      .join(cNg.select(col("_id").as("id_c"), col("ngram")), Seq("id_c", "ngram"))
+      .groupBy(col("id_b"), col("id_c"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(bCnt.select(col("_id").as("id_b"), col("n_b")), Seq("id_b"))
+      .join(cCnt.select(col("_id").as("id_c"), col("n_c")), Seq("id_c"))
+      .filter(col("n_inter").cast("double") /
+        (col("n_b") + col("n_c") - col("n_inter")) >= tau)
+      .select(col("id_b").as("_graft_drop"))
+      .distinct()
+    exactClean.join(drops, exactClean(idCol) === col("_graft_drop"), "left_anti")
   }
 
   // ---------------- SimHash ----------------

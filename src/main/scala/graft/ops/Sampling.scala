@@ -93,6 +93,35 @@ object Sampling {
     s"CASE ${cases.mkString(" ")} ELSE ${keep(defaultWeight)} END"
   }
 
+  /** Deterministic train/val/test split: assign each row a split label by
+    * where the first 8 hex chars of md5(key) fall in `[0, 2^32)` —
+    * `[0, train)` / `[train, train+val)` / the rest. Membership is a pure
+    * function of the key (auditable, engine-agnostic, stable under
+    * re-partitioning and re-runs — everything `randomSplit` is not), the
+    * assignment is a scan-level expression (no shuffle, no state), and
+    * growing `trainFrac` only MOVES the band edges: the train set for a
+    * smaller fraction is a subset of the train set for a larger one, so
+    * scaling-law ablations nest.
+    */
+  def datasetSplit(df: DataFrame, keyCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1,
+      splitCol: String = "split"): DataFrame = {
+    require(trainFrac >= 0.0 && valFrac >= 0.0 && trainFrac + valFrac <= 1.0,
+      s"datasetSplit: bad fractions train=$trainFrac val=$valFrac")
+    val h = substring(shuffleKey(col(keyCol)), 1, 8)
+    df.withColumn(splitCol,
+      when(h < lit(weightThresholdHex(trainFrac)), "train")
+        .when(h < lit(weightThresholdHex(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
+
+  /** DuckDB twin of [[datasetSplit]]'s label expression. */
+  def datasetSplitSql(keyCol: String, trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): String =
+    s"""CASE WHEN substr(md5(CAST($keyCol AS VARCHAR)), 1, 8) < '${weightThresholdHex(trainFrac)}' THEN 'train'
+       |     WHEN substr(md5(CAST($keyCol AS VARCHAR)), 1, 8) < '${weightThresholdHex(trainFrac + valFrac)}' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+
   /** Reproducible global shuffle for training-data export: total-order the
     * rows by (md5(key), key). Epoch-shuffled training data must be
     * RE-creatable (audits, restarts, ablations) — `orderBy(rand())` is

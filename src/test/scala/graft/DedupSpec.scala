@@ -181,6 +181,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(3L, 4L), s"longest doc 3 must survive, got $kept")
   }
 
+  test("incremental dedup drops exact and near corpus matches, keeps the rest") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),        // exact dup of 1
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota"),   // near dup of 1
+      (12L, "nine ten eleven twelve thirteen fourteen fifteen"),     // clean
+      (13L, "hi")                                                    // too short to shingle
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+      n = 3, tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    Persisted.unpersistAll()
+    assert(kept == Set(12L, 13L), s"expected clean batch docs only, got $kept")
+  }
+
   test("scan-speed SimHash expression is bit-identical to the relational form") {
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     def canon(df: org.apache.spark.sql.DataFrame) =

@@ -55,6 +55,23 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(ids(Map("a" -> 0.0), 0.0).isEmpty)
   }
 
+  test("datasetSplit: full coverage, stable labels, nested train bands") {
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("id")
+    def splits(train: Double, v: Double) =
+      Sampling.datasetSplit(df, "id", train, v)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s = splits(0.8, 0.1)
+    assert(s.size == 4000 && s.values.toSet == Set("train", "val", "test"))
+    val n = s.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(n("train") - 3200) < 150, s"~80% train, got ${n("train")}")
+    assert(math.abs(n("val") - 400) < 100, s"~10% val, got ${n("val")}")
+    assert(splits(0.8, 0.1) == s, "pure function of the key")
+    // scaling-law nesting: a smaller train band is a subset of a larger one
+    val small = splits(0.5, 0.1).filter(_._2 == "train").keySet
+    assert(small.subsetOf(s.filter(_._2 == "train").keySet))
+  }
+
   test("dedupBlocks keeps each block's first occurrence and rebuilds docs") {
     import spark.implicits._
     val docs = Seq(
