@@ -162,4 +162,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val j2 = planOf("j2_occurrence_exists")
     assert(j2.contains("LeftSemi"), s"j2 is not a semi-join:\n$j2")
   }
+
+  test("PQ ranking is an ordered limit over skinny codes, probe broadcast") {
+    // the ADC ranking must be a TakeOrderedAndProject whose sort input
+    // carries no vector payload — codes + the broadcast probe only; the
+    // float vectors may only reappear in the post-limit re-rank join
+    val p = planOf("x_ann_pq")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"PQ top-R must be an ordered limit:\n$p")
+    val adcLimit = p.split("\n").find(l =>
+      l.contains("TakeOrderedAndProject") && l.contains("adc"))
+    assert(adcLimit.exists(!_.contains("embedding")),
+      s"the ADC ranking limit must not carry the embedding payload:\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
+  test("incremental dedup probes corpus indexes: anti-join + band equi-join") {
+    val p = planOf("x_dedup_incremental")
+    assert(p.split("\n").exists(_.contains("LeftAnti")),
+      s"the exact content probe must be an anti-join:\n$p")
+    assert(p.split("\n").exists(l => l.contains("Join") &&
+      l.contains("band#") && l.contains("bucket#")),
+      s"the near probe must equi-join on (band, bucket):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup must never scan all pairs:\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
+  test("dataset split is a pure scan expression — no exchange at all") {
+    val p = planOf("x_sample_split")
+    assert(!p.contains("Exchange"),
+      s"datasetSplit must not shuffle (scan-level label expression):\n$p")
+  }
 }

@@ -67,6 +67,7 @@ object ScalePerfHarness {
       case "knn"   => knnMode(spark, count)
       case "quant" => quantMode(spark, count)
       case "blocks" => blocksMode(spark, count)
+      case "round5" => round5Mode(spark, count)
       case "neardedup" =>
         profileQuery(spark, "x_dedup_near_dedup",
           rest.headOption.getOrElse("/root/testdata/sf0.1"))
@@ -434,6 +435,86 @@ object ScalePerfHarness {
       }
       Persisted.unpersistAll()
     } else println(s"[scale-harness] knnJoinAgg(exact) skipped at n=$n (O(n^2))")
+  }
+
+  /** The round-5 operator families at corpus scale: vocabulary build /
+    * encode / OOV / search (one-shuffle token aggregations + broadcast
+    * lookups), dataset split (pure scan), incremental batch-vs-corpus
+    * dedup (probe joins against a large corpus), and the PQ ANN paths.
+    */
+  private def round5Mode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    import graft.sim.Similarity
+    import graft.text.Vocabulary
+    def consume(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    val docs = textCorpus(spark, count).persist()
+    val n = docs.count()
+    val vocab = Vocabulary.buildVocab(docs, "text", size = 50000, minCount = 2L)
+      .persist()
+    time("buildVocab(size=50k)", n) { vocab.count() }
+    time("encode(token-ids)", n) {
+      consume(Vocabulary.encode(docs, "doc_id", "text", vocab))
+    }
+    time("oovStats", n) {
+      consume(Vocabulary.oovStats(docs, "doc_id", "text", vocab))
+    }
+    time("searchByTokens(k=25)", n) {
+      Vocabulary.searchByTokens(docs, "doc_id", "text",
+        query = Seq("w17", "w4242", "w33333"), k = 25).count()
+    }
+    vocab.unpersist()
+    time("datasetSplit(80/10/10)", n) {
+      consume(graft.ops.Sampling.datasetSplit(docs, "doc_id"))
+    }
+    docs.unpersist()
+    // incremental dedup: corpus = the base docs; batch = the planted
+    // near-dup copies (must all drop) + as many fresh clean docs
+    locally {
+      val corpusDocs = textCorpus(spark, count)
+        .filter(col("doc_id") < 1000000000L).persist()
+      def fresh(idExpr: String) =
+        s"transform(sequence(0, 39), i -> concat('w', CAST(pmod(xxhash64($idExpr, i), 50000) AS STRING)))"
+      val batch = textCorpus(spark, count)
+        .filter(col("doc_id") >= 1000000000L)
+        .unionByName(spark.range(count / 50).select(
+          (col("id") + lit(2000000000L)).as("doc_id"),
+          expr(s"array_join(${fresh("id + 777000000")}, ' ')").as("text")))
+        .persist()
+      val nc = corpusDocs.count(); val nb = batch.count()
+      time(s"incrementalDedup(corpus=$nc,batch=$nb)", nc) {
+        Dedup.incrementalDedup(corpusDocs, batch, "doc_id", "text").count()
+      }
+      corpusDocs.unpersist(); batch.unpersist()
+      Persisted.unpersistAll()
+    }
+    // PQ ANN on hash-uniform vectors (the worst case for approximate
+    // ranking — see quantMode); brute force beside it as the exact anchor
+    val vecs = corpus(spark, count).persist()
+    vecs.count()
+    time("pqTopK(k=10,rerank=40)", n) {
+      Similarity.pqTopK(vecs, "vec_id", "embedding", 0L, 10,
+        rerank = 40, dim = Some(64)).count()
+    }
+    time("ivfPqTopK(k=10,c=256,probe=16)", n) {
+      Similarity.ivfPqTopK(vecs, "vec_id", "embedding", 0L, 10,
+        numClusters = 256, nProbe = 16, rerank = 40, dim = Some(64)).count()
+    }
+    time("bruteForceTopK(k=10)", n) {
+      Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 10).count()
+    }
+    val recalls = (0L until 5L).map { q =>
+      val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.pqTopK(vecs, "vec_id", "embedding", q, 10,
+        rerank = 40, dim = Some(64)).collect().map(_.getLong(0)).toSet
+      (exact & approx).size
+    }
+    println(s"[scale-harness] PQ(rerank=40) recall@10 x 5 probes: " +
+      s"${recalls.mkString(",")} (mean ${recalls.sum / 5.0})")
+    vecs.unpersist()
+    Persisted.unpersistAll()
   }
 
   /** Stage-level attribution for a gated query: runs it on the given sf
