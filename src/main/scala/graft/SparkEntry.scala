@@ -871,6 +871,24 @@ object SparkEntry {
         .withColumn("session_start", unix_millis(col("session_start")))
     }),
 
+    // stream-static enrichment: stateless broadcast join to the customer
+    // dim per micro-batch + watermarked windowed agg; the sentinel row
+    // (user -1) has no dim match, so the inner join drops it while its
+    // event time still flushes every real window
+    "x_stream_static_join_exec" -> ((s, dir) => {
+      val srcPath = stagedEventsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val dim = DerivedModel.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingOps.runToParquetSink(
+          graft.streaming.StreamingOps.streamStaticEnriched(
+            s, srcPath, src, dim, "c_custkey", "c_mktsegment"),
+          s"${tmpPath(dir, "stream_exec_static")}/sink")
+      }
+        .withColumn("window_start", unix_millis(col("window_start")))
+    }),
+
     // at-least-once replay (source written twice) deduped exactly-once by
     // the watermarked dropDuplicates state — sink must equal the source
     "x_stream_dedup_exec" -> ((s, dir) => {
@@ -1931,6 +1949,14 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+      // the Spark side ran this as a real stream-static-join StreamingQuery
+      "x_stream_static_join_exec" ->
+        """SELECT epoch_ms(date_trunc('hour', e.ts)) AS window_start,
+          |  c.c_mktsegment, count(*) AS n_events,
+          |  CAST(SUM(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          |GROUP BY 1, 2""".stripMargin,
 
       // session_window semantics: a gap of EXACTLY 30 min starts a new
       // session ([ts, ts+gap) windows merge only while overlapping), hence

@@ -63,6 +63,35 @@ object StreamingOps {
     */
   val SentinelEventType = "_sentinel"
 
+  /** Stream-static enrichment: the event stream inner-joined to a STATIC
+    * dimension, then window-aggregated per dimension attribute. The
+    * stream-static join is STATELESS — Spark re-plans the static side
+    * per micro-batch (broadcast here: a dim table belongs on every
+    * executor), so only the windowed agg carries state, still bounded by
+    * the watermark. This is the production shape for enriching a stream
+    * with a slowly-changing dimension: the dim can be swapped between
+    * micro-batches without touching the query's state.
+    *
+    * The staged source's far-future sentinel row (user −1) matches no
+    * dimension row, so the inner join drops it while its event time still
+    * advances the watermark (watermarks track the SOURCE, before the
+    * join) — exactly the flush behavior the finite staging needs.
+    */
+  def streamStaticEnriched(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, dim: DataFrame, dimKey: String, dimAttr: String,
+      windowDuration: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col("user_id") === col(dimKey))
+      .groupBy(window(col("ts"), windowDuration), col(dimAttr))
+      .agg(count(lit(1)).as("n_events"),
+        sum(valueCents(col("value"))).as("value_cents"))
+      .select(col("window.start").as("window_start"), col(dimAttr),
+        col("n_events"), col("value_cents"))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
