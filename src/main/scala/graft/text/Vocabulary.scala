@@ -115,6 +115,47 @@ object Vocabulary {
       .orderBy(col("distinct_terms").desc, col("matches").desc, col(idCol))
       .limit(k)
 
+  /** BM25-ranked keyword search — the float upgrade of [[searchByTokens]]
+    * on the SAME plan shape: IN-filtered token scan → per-(doc, term) tf
+    * agg → broadcast term/corpus statistics → per-doc score sum → ordered
+    * limit. `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf(t) = ln(1 + (N−df+0.5)/(df+0.5))`.
+    *
+    * Spec-checked against an independent driver-side computation, but NOT
+    * gated: `ln` is not guaranteed bit-identical across engines (JVM
+    * `Math.log` vs DuckDB's libm are each ≤1 ulp, not equal), so a
+    * hash-matching oracle would be a coin flip — [[searchByTokens]]'s
+    * integer ranking is the gated form.
+    *
+    * Scale shape: corpus stats (N, avgdl) are a 1-row broadcast; per-term
+    * df is a ≤|query|-row broadcast; the only wide ops are the tf agg and
+    * the final per-doc sum, both map-side combined on doc id.
+    */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docLens = df.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("double").as("_dl"))
+    val stats = docLens.agg(count(lit(1)).cast("double").as("_n"),
+      (sum(col("_dl")) / count(lit(1))).as("_avgdl"))
+    val tf = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("_term"))
+      .filter(col("_term").isin(query: _*))
+      .groupBy(col(idCol), col("_term"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val dft = tf.groupBy(col("_term")).agg(count(lit(1)).cast("double").as("_df"))
+    val idf = log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) /
+      (col("_df") + lit(0.5)))
+    val termScore = idf * (col("_tf") * lit(k1 + 1.0)) /
+      (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    tf.join(docLens, Seq(idCol))
+      .join(broadcast(dft), Seq("_term"))
+      .join(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(sum(termScore).as("bm25"), count(lit(1)).as("distinct_terms"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** DuckDB twin of [[searchByTokens]] over `documents`. */
   def searchByTokensSql(query: Seq[String], k: Int): String = {
     val inList = query.map(t => s"'${t.replace("'", "''")}'").mkString(", ")

@@ -176,6 +176,49 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
       s"got ${hits.toSeq}")
   }
 
+  test("bm25 search matches an independent driver-side computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "spark spark spark is a spark engine"),
+      (3L, "data moves through a data pipeline with data"),
+      (4L, "nothing relevant here at all today")).toDF("doc_id", "text")
+    val query = Seq("spark", "data")
+    val (k1, b) = (1.2, 0.75)
+    // independent reference implementation
+    val corpus = Map(
+      1L -> "spark shuffles data between stages",
+      2L -> "spark spark spark is a spark engine",
+      3L -> "data moves through a data pipeline with data",
+      4L -> "nothing relevant here at all today")
+      .view.mapValues(_.trim.split("\\s+").toSeq).toMap
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    def score(id: Long): Double = {
+      val toks = corpus(id)
+      query.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else {
+          val df = corpus.values.count(_.contains(t)).toDouble
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          idf * tf * (k1 + 1.0) /
+            (tf + k1 * (1.0 - b + b * toks.size / avgdl))
+        }
+      }.sum
+    }
+    val got = graft.text.Vocabulary.bm25Search(docs, "doc_id", "text", query, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"doc 4 matches nothing: $got")
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - score(id)) < 1e-9, s"doc $id: got $s want ${score(id)}")
+    }
+    // and the ranking follows the scores
+    val order = graft.text.Vocabulary.bm25Search(docs, "doc_id", "text", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(order == order.sortBy(id => (-got(id), id)), s"ranking order: $order")
+  }
+
   test("benchmark contamination flags only docs sharing enough shingles") {
     import spark.implicits._
     val corpus = Seq(
