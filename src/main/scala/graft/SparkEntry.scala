@@ -84,6 +84,15 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
 
+    // Z-order (Morton) clustering key: the write-time layout step that
+    // makes parquet min/max stats selective for 2-D range predicates;
+    // pure shift/and/or scan expression, engine-reproducible
+    "x_layout_zorder" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.sources.Layout.zorderKey(
+            col("l_orderkey"), col("l_partkey")).as("zkey"))),
+
     // ---- J7: big-big sort-merge join (hinted; no broadcast side) ------
     "j7_sort_merge" -> ((s, dir) => {
       val li = DerivedModel.table(s, dir, "lineitem")
@@ -1174,6 +1183,11 @@ object SparkEntry {
     "s4_global_sort" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity < 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "x_layout_zorder" ->
+      s"""SELECT l_orderkey, l_partkey,
+         |  ${graft.sources.Layout.zorderKeySql("l_orderkey", "l_partkey")} AS zkey
+         |FROM lineitem""".stripMargin,
 
     "j7_sort_merge" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n_items,

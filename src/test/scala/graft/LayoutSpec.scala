@@ -39,4 +39,28 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     // and results are identical to the unbucketed relation
     assert(bucketed.count() == occ.count())
   }
+
+  test("zorder key interleaves bits; zorderBy sorts by it") {
+    import spark.implicits._
+    def morton(x: Long, y: Long): Long =
+      (0 until 31).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val grid = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val df = grid.toDF("x", "y")
+    val keys = df.select(col("x"), col("y"),
+      Layout.zorderKey(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) =>
+      assert(keys((x, y)) == morton(x, y), s"($x,$y)")
+    }
+    // quadrant locality: every key in the (0..3, 0..3) quadrant sorts
+    // before any key in the (4..7, 4..7) quadrant
+    val loQ = grid.filter(p => p._1 < 4 && p._2 < 4).map(keys).max
+    val hiQ = grid.filter(p => p._1 >= 4 && p._2 >= 4).map(keys).min
+    assert(loQ < hiQ, "z-curve must keep quadrants contiguous")
+    val sorted = Layout.zorderBy(df, col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sorted.toSeq == grid.sortBy(p => keys(p)).toSeq,
+      "zorderBy must order rows by the morton key")
+  }
 }
