@@ -441,15 +441,21 @@ object Similarity {
       .limit(k)
   }
 
-  /** `(id, _code0.._code{m-1})` — the skinny encoded relation. Argmin is
-    * `array_min` over `(distance, index)` structs (struct ordering =
-    * lexicographic, so ties break to the lower index). The distance uses
-    * the `||c_j||^2 - 2<v_s, c_j>` decomposition (the row term
-    * `||v_s||^2` is constant across j so argmin ignores it): the dot runs
-    * in the LOOPED codegen [[DotProductExpr]] over a once-hoisted slice,
-    * keeping generated code compact — the fully-unrolled `(a-b)^2` form
-    * tripped the codegen size limit and fell back to interpreted.
-    * [[pqSqlCore]] states the identical formula and fold order.
+  /** `(id, _code0.._code{m-1})` — the skinny encoded relation. The
+    * distance uses the `||c_j||^2 - 2<v_s, c_j>` decomposition (the row
+    * term `||v_s||^2` is constant across j so argmin ignores it): the dot
+    * runs in the LOOPED codegen [[DotProductExpr]] over a once-hoisted
+    * slice, keeping generated code compact — the fully-unrolled `(a-b)^2`
+    * form tripped the codegen size limit and ran interpreted (2.2x,
+    * measured). Argmin is `least` + a first-match `when` chain over the
+    * PRE-MATERIALIZED distance columns — all primitive-double codegen.
+    * Measured at 1M rows (round5/pq harness): `array_min` over
+    * (dist, idx) structs ran the interpreted struct comparator at 97.7 s;
+    * the when-chain with INLINE dists still re-evaluated each dot per
+    * branch (conditionals defer subexpression elimination) at 59.9 s;
+    * materializing the dists first runs the full query in 5.0 s (~20x).
+    * First-match-on-min == ties to the lower index, the order
+    * [[pqSqlCore]]'s `(dist, cidx)` ranking states.
     */
   private def pqCodes(embeddings: DataFrame, idCol: String, vecCol: String,
       cb: Array[Array[Array[Double]]], m: Int, dsub: Int, ksub: Int): DataFrame = {
@@ -462,10 +468,23 @@ object Similarity {
       val norm = cj.foldLeft(0.0)((a, x) => a + x * x)
       lit(norm) - lit(2.0) * SimExpressions.dot(col(s"_sub$s"), typedLit(cj.toSeq))
     }
-    def codeCol(s: Int): Column =
-      array_min(array((0 until ksub).map(j =>
-        struct(scoreCol(s, j).as("d"), lit(j).as("c"))): _*)).getField("c")
-    sliced.select(col(idCol) +: (0 until m).map(s => codeCol(s).as(s"_code$s")): _*)
+    // materialize every distance in its OWN projection: conditional
+    // branches defer subexpression elimination, so an inline when-chain
+    // re-evaluated each dot up to (ksub+1) times (measured: the 1M encode
+    // stage burned 1,778 CPU-s); as separate non-cheap aliases used
+    // multiple times, CollapseProject keeps them materialized and each
+    // dot runs once
+    val withDists = sliced.select(
+      col(idCol) +: (for (s <- 0 until m; j <- 0 until ksub)
+        yield scoreCol(s, j).as(s"_d${s}_$j")): _*)
+    def codeCol(s: Int): Column = {
+      val dists = (0 until ksub).map(j => col(s"_d${s}_$j"))
+      val dmin = least(dists: _*)
+      (1 until ksub).foldLeft(when(dists(0) === dmin, lit(0))) {
+        (acc, j) => acc.when(dists(j) === dmin, lit(j))
+      }.otherwise(lit(ksub - 1))
+    }
+    withDists.select(col(idCol) +: (0 until m).map(s => codeCol(s).as(s"_code$s")): _*)
   }
 
   /** Reconstructed vector from `_code*` columns: per-subspace centroid

@@ -68,6 +68,7 @@ object ScalePerfHarness {
       case "quant" => quantMode(spark, count)
       case "blocks" => blocksMode(spark, count)
       case "round5" => round5Mode(spark, count)
+      case "pq" => pqMode(spark, count)
       case "neardedup" =>
         profileQuery(spark, "x_dedup_near_dedup",
           rest.headOption.getOrElse("/root/testdata/sf0.1"))
@@ -513,6 +514,23 @@ object ScalePerfHarness {
     }
     println(s"[scale-harness] PQ(rerank=40) recall@10 x 5 probes: " +
       s"${recalls.mkString(",")} (mean ${recalls.sum / 5.0})")
+    vecs.unpersist()
+    Persisted.unpersistAll()
+  }
+
+  /** Focused PQ timing (fast iteration on the encode/ADC path). */
+  private def pqMode(spark: SparkSession, count: Long): Unit = {
+    import graft.sim.Similarity
+    val vecs = corpus(spark, count).persist()
+    val n = vecs.count()
+    time("pqTopK(k=10,rerank=40)", n) {
+      Similarity.pqTopK(vecs, "vec_id", "embedding", 0L, 10,
+        rerank = 40, dim = Some(64)).count()
+    }
+    time("ivfPqTopK(k=10,c=256,probe=16)", n) {
+      Similarity.ivfPqTopK(vecs, "vec_id", "embedding", 0L, 10,
+        numClusters = 256, nProbe = 16, rerank = 40, dim = Some(64)).count()
+    }
     vecs.unpersist()
     Persisted.unpersistAll()
   }
