@@ -989,6 +989,22 @@ object SparkEntry {
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10, rerank = 32, dim = Some(64))),
 
+    // bloom-filter join pruning (semi-join reduction): the fact side is
+    // pre-filtered by a 1 MB bloom of the dim keys BEFORE the join's
+    // exchange — false positives are dropped by the exact equi-condition,
+    // so the result (and the oracle) is the plain inner join
+    "x_bloom_join" -> ((s, dir) => {
+      val li = DerivedModel.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val urgent = DerivedModel.table(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+      graft.ops.BloomJoin.bloomPrunedJoin(li, urgent, "l_orderkey")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+    }),
+
     // product quantization: m=8 codes/vector (~9 bytes through the
     // ranking vs 256 float bytes), ADC reconstruct-dot vs broadcast
     // probe, exact re-rank of the 40 best — deterministic codebook from
@@ -1606,6 +1622,13 @@ object SparkEntry {
 
       "x_text_tokens_bpeish" ->
         s"SELECT doc_id, ${bpeishTokenCountSql("text")} AS n_bpe_tokens FROM documents",
+
+      "x_bloom_join" ->
+        """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n_items,
+          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY 1""".stripMargin,
 
       "x_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies

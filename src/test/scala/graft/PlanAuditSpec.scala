@@ -196,4 +196,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange"),
       s"datasetSplit must not shuffle (scan-level label expression):\n$p")
   }
+
+  test("bloom join prunes the fact side BELOW the join") {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val plan = SparkEntry.queries("x_bloom_join")(spark, dir)
+      .queryExecution.optimizedPlan
+    val pruningFilters = plan.collect {
+      case f: LFilter if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }
+    assert(pruningFilters.nonEmpty, s"no might_contain filter in plan:\n$plan")
+    // the filter must sit on the scan side — no join beneath it, so the
+    // pruning happens before any exchange the join needs
+    assert(pruningFilters.exists(_.collect { case j: LJoin => j }.isEmpty),
+      s"might_contain filter is not below the join:\n$plan")
+  }
 }
