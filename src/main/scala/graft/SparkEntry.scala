@@ -777,6 +777,16 @@ object SparkEntry {
         queryId = 0L, k = 10, numClusters = 16, nProbe = 4, trainIterations = 2,
         deterministicTraining = true)),
 
+    // SemDeDup-style semantic dedup: k-means clusters bound the pair
+    // join's candidate volume (equi-join on the cluster id, never n^2);
+    // survivors = no smaller-id same-cluster neighbor at cosine >= tau.
+    // Deterministic training, so the oracle replays the whole pipeline
+    "x_dedup_semantic" -> ((s, dir) =>
+      graft.sim.Similarity.semanticDedup(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.4, numClusters = 16, trainIterations = 2,
+        deterministicTraining = true)),
+
     "x_knn_topk" -> ((s, dir) =>
       graft.sim.Similarity.knnJoin(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)),
@@ -1868,6 +1878,8 @@ object SparkEntry {
       "x_ann_ivf" -> graft.sim.Similarity.ivfTopKSql(64, 0L, 10, 16, 4),
       "x_ann_lsh" -> graft.sim.Similarity.lshTopKSql(64, 0L, 10),
       "x_ann_ivf_kmeans" -> graft.sim.Similarity.ivfTopKTrainedSql(64, 0L, 10, 16, 4, 2),
+
+      "x_dedup_semantic" -> graft.sim.Similarity.semanticDedupSql(64, 0.4, 16, 2),
 
       "x_knn_topk_bucketed" -> {
         val cosEC = graft.sim.Similarity.cosineSql("e.embedding", "c.cvec", 64)

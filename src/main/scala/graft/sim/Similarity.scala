@@ -84,9 +84,32 @@ object Similarity {
     */
   def ivfTopKTrainedSql(dim: Int, queryId: Long, k: Int, numClusters: Int,
       nProbe: Int, trainIterations: Int): String = {
-    // every stage is MATERIALIZED: DuckDB inlines plain CTEs, so the
-    // nested centroid expressions would otherwise blow up exponentially
-    // across training rounds (the SQL twin of Spark's plan-lineage growth)
+    val T = trainIterations
+    val cosCQ = cosineSql("c.cvec", "q.qvec", dim)
+    val cosAQ = cosineSql("a.embedding", "q.qvec", dim)
+    (trainedAssignSqlCtes(dim, numClusters, trainIterations) ++ Seq(
+      s"q AS (SELECT embedding AS qvec FROM e WHERE vec_id = $queryId)",
+      s"""probed AS MATERIALIZED (
+         |  SELECT cid AS cluster FROM (
+         |    SELECT c.cid, row_number() OVER (ORDER BY $cosCQ DESC, c.cid) AS qrn
+         |    FROM cent$T c CROSS JOIN q) WHERE qrn <= $nProbe)""".stripMargin))
+      .mkString(",\n") +
+      s"""
+         |SELECT a.vec_id, $cosAQ AS cosine
+         |FROM assignF a JOIN probed USING (cluster) CROSS JOIN q
+         |WHERE a.vec_id <> $queryId
+         |ORDER BY cosine DESC, a.vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Shared replay prefix for deterministic k-means training: CTEs `e`
+    * (the embeddings), `cent0..cent{T}` (per-round centroids), and the
+    * final argmax assignment `assignF (vec_id, embedding, cluster)`.
+    * Every stage is MATERIALIZED: DuckDB inlines plain CTEs, so the
+    * nested centroid expressions would otherwise blow up exponentially
+    * across training rounds (the SQL twin of Spark's plan-lineage growth).
+    */
+  private def trainedAssignSqlCtes(dim: Int, numClusters: Int,
+      trainIterations: Int): Seq[String] = {
     def rankCte(name: String, centName: String): String =
       s"""$name AS MATERIALIZED (
          |  SELECT e.vec_id, e.embedding, c.cid,
@@ -110,26 +133,29 @@ object Similarity {
            |  SELECT p.cid, coalesce(m.mvec, p.cvec) AS cvec
            |  FROM cent${i - 1} p LEFT JOIN mean$i m ON p.cid = m.cluster)""".stripMargin)
     }
-    val T = trainIterations
-    val cosCQ = cosineSql("c.cvec", "q.qvec", dim)
-    val cosAQ = cosineSql("a.embedding", "q.qvec", dim)
-    (Seq(
+    Seq(
       "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
       s"cent0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT $numClusters)") ++
       iterCtes ++ Seq(
-      rankCte("rankF", s"cent$T"),
-      "assignF AS MATERIALIZED (SELECT vec_id, embedding, cid AS cluster FROM rankF WHERE crn = 1)",
-      s"q AS (SELECT embedding AS qvec FROM e WHERE vec_id = $queryId)",
-      s"""probed AS MATERIALIZED (
-         |  SELECT cid AS cluster FROM (
-         |    SELECT c.cid, row_number() OVER (ORDER BY $cosCQ DESC, c.cid) AS qrn
-         |    FROM cent$T c CROSS JOIN q) WHERE qrn <= $nProbe)""".stripMargin))
-      .mkString(",\n").replaceFirst("WITH e AS", "WITH e AS") +
+      rankCte("rankF", s"cent$trainIterations"),
+      "assignF AS MATERIALIZED (SELECT vec_id, embedding, cid AS cluster FROM rankF WHERE crn = 1)")
+  }
+
+  /** DuckDB replay of [[semanticDedup]] with `deterministicTraining =
+    * true`: the training + assignment prefix is [[trainedAssignSqlCtes]],
+    * then a survivor is any vector with NO smaller-id same-cluster
+    * neighbor at cosine >= tau — the same anti-join the Spark plan runs.
+    */
+  def semanticDedupSql(dim: Int, tau: Double, numClusters: Int,
+      trainIterations: Int): String = {
+    val cosAB = cosineSql("a.embedding", "b.embedding", dim)
+    trainedAssignSqlCtes(dim, numClusters, trainIterations).mkString(",\n") +
       s"""
-         |SELECT a.vec_id, $cosAQ AS cosine
-         |FROM assignF a JOIN probed USING (cluster) CROSS JOIN q
-         |WHERE a.vec_id <> $queryId
-         |ORDER BY cosine DESC, a.vec_id LIMIT $k""".stripMargin
+         |SELECT a.vec_id, a.cluster FROM assignF a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM assignF b
+         |  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+         |    AND $cosAB >= $tau)""".stripMargin
   }
 
   /** DuckDB replay of [[lshTopK]]: the seeded hyperplanes are embedded as
@@ -1152,5 +1178,64 @@ object Similarity {
       .select(col(idCol), cosine(col(vecCol), col("_qvec")).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023: cluster
+    * the embedding space, prune within clusters): k-means-assign every
+    * vector to a cluster, then drop any vector that has a smaller-id
+    * neighbor at cosine >= `tau` in the SAME cluster. Returns the
+    * survivors as `(idCol, cluster)`.
+    *
+    * The scale contract is the SemDeDup trade: the pair join is an
+    * EQUI-join on the cluster id, so candidate volume is bounded by
+    * cluster occupancy (~ (n/numClusters)^2 per cluster), never n^2 —
+    * size `numClusters` ~ sqrt(n) like IVF. The accepted miss is a
+    * near-dup pair that straddles a cluster boundary; raise
+    * `trainIterations` (tighter clusters) or run the [[lshCosinePairs]]
+    * family when cross-cluster recall matters more than the clustering.
+    *
+    * Survivorship is keep-lowest-id — deterministic and replayable (the
+    * oracle states it as a NOT EXISTS anti-join). Unlike
+    * [[graft.dedup.Dedup.duplicateGroups]] components, pruning is
+    * pairwise-greedy: A~B and B~C with A!~C still drops both B and C
+    * (B via A, C via B) — the SemDeDup paper's own policy space; the
+    * components treatment is available by feeding these clusters' pairs
+    * into the dedup group machinery.
+    *
+    * `deterministicTraining = true` makes the whole pipeline
+    * bit-reproducible (auditable dedup decisions — at 100 TB you want to
+    * be able to answer "why was this document dropped"); the default
+    * `avg`-trainer is the throughput path.
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+      tau: Double, numClusters: Int = 16, trainIterations: Int = 2,
+      deterministicTraining: Boolean = false): DataFrame = {
+    val cent = kmeansCentroids(embeddings, idCol, vecCol, numClusters,
+      trainIterations, deterministicTraining)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Persisted.track(cent)
+    // vectors + norms computed once per row (identical doubles to the
+    // per-pair formulation — the oracle's cosine formula is unchanged);
+    // persisted because the relation feeds both sides of the cluster
+    // self-join
+    val normed = assignToCentroids(embeddings, idCol, vecCol, cent)
+      .select(col("cluster"), col(idCol),
+        col(vecCol).cast("array<double>").as("_nvec"),
+        sqrt(SimExpressions.dot(col(vecCol), col(vecCol))).as("_nnorm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Persisted.track(normed)
+    val a = normed.select(col("cluster").as("_ca"), col(idCol).as("_ida"),
+      col("_nvec").as("_va"), col("_nnorm").as("_na"))
+    val b = normed.select(col("cluster").as("_cb"), col(idCol).as("_idb"),
+      col("_nvec").as("_vb"), col("_nnorm").as("_nb"))
+    val cosineExpr =
+      SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))
+    val dropped = a.join(b,
+        col("_ca") === col("_cb") && col("_ida") < col("_idb") &&
+          cosineExpr >= tau)
+      .select(col("_idb").as(idCol))
+      .distinct()
+    normed.select(col(idCol), col("cluster"))
+      .join(dropped, Seq(idCol), "left_anti")
   }
 }

@@ -282,4 +282,49 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val overlap = (exact & quant.map(_.getLong(0)).toSet).size
     assert(overlap >= 7, s"quantized recall too low: $overlap/10")
   }
+
+  test("semanticDedup matches the driver-side reference on its clusters") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val survivors = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        tau = 0.4, numClusters = 8, trainIterations = 1,
+        deterministicTraining = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Persisted.unpersistAll()
+
+    // the trained assignment of dropped rows is internal to the operator,
+    // so the reference checks the two survivor invariants directly
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = rows.toMap
+    // group survivors+dropped by the operator's own clusters is not
+    // visible for dropped rows; instead assert the survivor invariant in
+    // both directions over the operator's output:
+    // (1) no two survivors in the same cluster are tau-similar with
+    //     distinct ids unless the smaller one dropped the larger — i.e.
+    //     for survivors a < b in one cluster, cos < tau
+    val byCluster = survivors.toSeq.groupBy(_._2)
+    for ((_, members) <- byCluster; ids = members.map(_._1).sorted) {
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        val c = cos(byId(ids(i)), byId(ids(j)))
+        assert(c < 0.4,
+          s"survivors ${ids(i)},${ids(j)} share a cluster at cosine $c >= tau")
+      }
+    }
+    // (2) every non-survivor has SOME smaller-id tau-neighbor (cluster
+    //     membership of dropped rows is internal, so check the weaker
+    //     global form — a dropped row must at least have a candidate)
+    val all = rows.map(_._1).toSet
+    val droppedIds = all -- survivors.keySet
+    assert(droppedIds.forall { d =>
+      rows.exists { case (o, v) => o < d && cos(v, byId(d)) >= 0.4 }
+    }, "a dropped row has no smaller-id tau-neighbor at all")
+    assert(survivors.nonEmpty && droppedIds.nonEmpty,
+      "the sf0.001 corpus should both keep and drop rows at tau=0.4")
+  }
 }
