@@ -1032,6 +1032,31 @@ object SparkEntry {
         queryId = 0L, k = 10, numClusters = 16, nProbe = 4, m = 8,
         ksub = 16, rerank = 40, dim = Some(64))),
 
+    // PQ with a TRAINED codebook: per-subspace deterministic k-means
+    // (offline index build — the collect ships KBs of centroid literals
+    // with the query) cuts ADC error vs the lowest-id seeds; the oracle
+    // replays every training round, the encode, and the re-rank
+    "x_ann_pq_trained" -> ((s, dir) => {
+      val emb = DerivedModel.table(s, dir, "embeddings")
+      graft.sim.Similarity.pqTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, m = 8, ksub = 16, rerank = 40, dim = Some(64),
+        codebook = Some(graft.sim.Similarity.pqCodebookTrained(
+          emb, "vec_id", "embedding", m = 8, ksub = 16, dim = 64,
+          iterations = 2, deterministic = true)))
+    }),
+
+    // IVF-PQ with the trained codebook: seeded coarse inverted lists
+    // (as x_ann_ivf_pq) + TRAINED sub-quantizers ranking the survivors
+    "x_ann_ivf_pq_trained" -> ((s, dir) => {
+      val emb = DerivedModel.table(s, dir, "embeddings")
+      graft.sim.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, numClusters = 16, nProbe = 4, m = 8,
+        ksub = 16, rerank = 40, dim = Some(64),
+        codebook = Some(graft.sim.Similarity.pqCodebookTrained(
+          emb, "vec_id", "embedding", m = 8, ksub = 16, dim = 64,
+          iterations = 2, deterministic = true)))
+    }),
+
     // reproducible global shuffle + contiguous position (DataFrame-native
     // zipWithIndex: md5-prefix buckets + per-bucket ranks + broadcast offsets)
     "x_export_shuffle" -> ((s, dir) =>
@@ -2106,6 +2131,15 @@ object SparkEntry {
       "x_ann_ivf_pq" ->
         graft.sim.Similarity.ivfPqTopKSql(dim = 64, queryId = 0L, k = 10,
           numClusters = 16, nProbe = 4, m = 8, ksub = 16, rerank = 40),
+
+      "x_ann_pq_trained" ->
+        graft.sim.Similarity.pqTopKTrainedSql(dim = 64, queryId = 0L, k = 10,
+          m = 8, ksub = 16, rerank = 40, trainIterations = 2),
+
+      "x_ann_ivf_pq_trained" ->
+        graft.sim.Similarity.ivfPqTopKTrainedSql(dim = 64, queryId = 0L,
+          k = 10, numClusters = 16, nProbe = 4, m = 8, ksub = 16,
+          rerank = 40, trainIterations = 2),
 
       "x_vocab_top" ->
         graft.text.Vocabulary.buildVocabSql(size = 200, minCount = 2L),

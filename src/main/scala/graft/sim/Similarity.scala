@@ -381,6 +381,83 @@ object Similarity {
     Array.tabulate(m)(s => rows.map(_.slice(s * dsub, (s + 1) * dsub)))
   }
 
+  /** Trained PQ codebook: per-subspace k-means (L2 metric — the PQ
+    * objective) over the sub-vectors, all `m` subspaces trained in ONE
+    * unrolled lazy plan (the subspace id is just another grouping
+    * column). Init mirrors [[pqCodebook]] (the `ksub` lowest-id rows per
+    * subspace); each round is an argmin-L2 assignment (broadcast
+    * centroids, skinny `(id, s, j, dist)` ranking — vectors never ride
+    * the window shuffle) and a per-(subspace, code, dim) mean; empty
+    * cells keep their previous centroid. `deterministic = true` folds
+    * each mean over members SORTED BY ID (the [[kmeansCentroids]]
+    * idiom), so the DuckDB oracle replays every training round
+    * ([[pqTopKTrainedSql]]).
+    *
+    * The final `.collect()` materializes `m * ksub * dsub` doubles (KBs)
+    * — codebook training is an OFFLINE index-build step (run once over a
+    * sample at ingest, ship the codebook as literals with the query),
+    * exactly like [[pqCodebook]]'s seeded variant; a trained codebook
+    * cuts ADC quantization error where the data is far from the seeds.
+    */
+  def pqCodebookTrained(embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, dim: Int, iterations: Int = 2,
+      deterministic: Boolean = true): Array[Array[Array[Double]]] = {
+    val dsub = dim / m
+    val subs = embeddings
+      .withColumn("_vd", col(vecCol).cast("array<double>"))
+      .select(col(idCol).cast("long").as("_sid"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("_vd"), s * dsub + 1, dsub)): _*)).as(Seq("_s", "_svec")))
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_s")).orderBy(col("_sid"))
+    var cent = subs
+      .join(broadcast(embeddings.orderBy(col(idCol)).limit(ksub)
+        .select(col(idCol).cast("long").as("_sid"))), Seq("_sid"))
+      .withColumn("_j", row_number().over(seedW) - 1)
+      .select(col("_s"), col("_j"), col("_svec").as("_cvec"))
+    (0 until iterations).foreach { _ =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_sid"), col("_s")).orderBy(col("_dist"), col("_j"))
+      val assigned = subs.join(broadcast(cent), Seq("_s"))
+        // ||c||^2 - 2<v,c>: the row term is constant across j, argmin
+        // ignores it — the same decomposition (and double op order) the
+        // encode stage and the SQL twin state
+        .select(col("_sid"), col("_s"), col("_j"),
+          (SimExpressions.dot(col("_cvec"), col("_cvec")) -
+            lit(2.0) * SimExpressions.dot(col("_svec"), col("_cvec"))).as("_dist"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("_sid"), col("_s"), col("_j"))
+      val perDim = assigned.join(subs, Seq("_sid", "_s"))
+        .select(col("_sid"), col("_s"), col("_j"),
+          posexplode(col("_svec")).as(Seq("_pos", "_v")))
+      val dimMeans =
+        if (deterministic)
+          perDim.groupBy(col("_s"), col("_j"), col("_pos"))
+            .agg(array_sort(collect_list(struct(col("_sid").as("id"),
+              col("_v").cast("double").as("v")))).as("_vals"))
+            .select(col("_s"), col("_j"), col("_pos"),
+              (expr("aggregate(_vals, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)") /
+                size(col("_vals"))).as("_m"))
+        else
+          perDim.groupBy(col("_s"), col("_j"), col("_pos"))
+            .agg(avg(col("_v")).as("_m"))
+      val means = dimMeans
+        .groupBy(col("_s"), col("_j"))
+        .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pm"))
+        .select(col("_s"), col("_j"),
+          expr("transform(_pm, x -> x._m)").as("_newvec"))
+      cent = cent.join(means, Seq("_s", "_j"), "left")
+        .select(col("_s"), col("_j"),
+          coalesce(col("_newvec"), col("_cvec")).as("_cvec"))
+    }
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    cent.collect().foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    cb
+  }
+
   /** ANN via product quantization (PQ): each vector is encoded as `m`
     * small codes (argmin-L2 sub-vector centroid per subspace, ties to the
     * lower index), candidates are scored by cosine against the
@@ -536,23 +613,129 @@ object Similarity {
     * stages of [[pqTopKSql]] run over the survivors.
     */
   def ivfPqTopKSql(dim: Int, queryId: Long, k: Int, numClusters: Int = 16,
-      nProbe: Int = 4, m: Int = 8, ksub: Int = 16, rerank: Int = 40): String = {
+      nProbe: Int = 4, m: Int = 8, ksub: Int = 16, rerank: Int = 40): String =
+    pqSqlCore(dim, queryId, k, m, ksub, rerank,
+      candidateCtes = Some(ivfCoarseCtes(dim, queryId, numClusters, nProbe)))
+
+  /** Coarse-quantizer CTE prefix shared by the IVF-PQ replays: lowest-id
+    * centroids, argmax-cosine assignment, probe ranking → `cand(vec_id)`.
+    */
+  private def ivfCoarseCtes(dim: Int, queryId: Long, numClusters: Int,
+      nProbe: Int): String = {
     val cosEC = cosineSql("e.embedding", "c.cvec", dim)
     val cosCQ = cosineSql("c.cvec", "q0.qvec", dim)
-    val coarse =
-      s"""ccent AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT $numClusters),
-         |assigned AS MATERIALIZED (
-         |  SELECT vec_id, cid AS cluster FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.cid) AS crn
-         |    FROM e CROSS JOIN ccent c) WHERE crn = 1),
-         |q0 AS (SELECT embedding AS qvec FROM e WHERE vec_id = $queryId),
-         |probed AS (
-         |  SELECT cid AS cluster FROM (
-         |    SELECT c.cid, row_number() OVER (ORDER BY $cosCQ DESC, c.cid) AS qrn
-         |    FROM ccent c CROSS JOIN q0) WHERE qrn <= $nProbe),
-         |cand AS (SELECT a.vec_id FROM assigned a JOIN probed USING (cluster))""".stripMargin
-    pqSqlCore(dim, queryId, k, m, ksub, rerank, candidateCtes = Some(coarse))
+    s"""ccent AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT $numClusters),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.cid) AS crn
+       |    FROM e CROSS JOIN ccent c) WHERE crn = 1),
+       |q0 AS (SELECT embedding AS qvec FROM e WHERE vec_id = $queryId),
+       |probed AS (
+       |  SELECT cid AS cluster FROM (
+       |    SELECT c.cid, row_number() OVER (ORDER BY $cosCQ DESC, c.cid) AS qrn
+       |    FROM ccent c CROSS JOIN q0) WHERE qrn <= $nProbe),
+       |cand AS (SELECT a.vec_id FROM assigned a JOIN probed USING (cluster))""".stripMargin
+  }
+
+  /** DuckDB replay of [[pqTopK]] with a [[pqCodebookTrained]] codebook
+    * (`deterministic = true`): the per-subspace training unrolls into
+    * seed/rank/assign/mean/cent CTE stages — the [[ivfTopKTrainedSql]]
+    * machinery generalized with the subspace id as an extra grouping
+    * column and argmin-L2 in place of argmax-cosine — then encode,
+    * reconstruct, ADC top-R and exact re-rank mirror [[pqTopKSql]].
+    */
+  def pqTopKTrainedSql(dim: Int, queryId: Long, k: Int, m: Int = 8,
+      ksub: Int = 16, rerank: Int = 40, trainIterations: Int = 2): String =
+    pqTrainedSqlCore(dim, queryId, k, m, ksub, rerank, trainIterations,
+      candidateCtes = None)
+
+  /** DuckDB replay of [[ivfPqTopK]] with a trained codebook: coarse
+    * pruning ([[ivfCoarseCtes]]) + trained-PQ ranking.
+    */
+  def ivfPqTopKTrainedSql(dim: Int, queryId: Long, k: Int,
+      numClusters: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 40, trainIterations: Int = 2): String =
+    pqTrainedSqlCore(dim, queryId, k, m, ksub, rerank, trainIterations,
+      candidateCtes = Some(ivfCoarseCtes(dim, queryId, numClusters, nProbe)))
+
+  private def pqTrainedSqlCore(dim: Int, queryId: Long, k: Int, m: Int,
+      ksub: Int, rerank: Int, trainIterations: Int,
+      candidateCtes: Option[String]): String = {
+    val dsub = dim / m
+    // ||c_j||^2 - 2<v_s, c_j> over the ALREADY-SLICED subvector relation:
+    // left-assoc index-ascending sums, the exact double op order of the
+    // Spark trainer's DotProductExpr decomposition
+    def dist(vecRef: String): String = {
+      val norm = (1 to dsub).map { i =>
+        val c = s"CAST(c.cvec[$i] AS DOUBLE)"
+        s"$c * $c"
+      }.mkString(" + ")
+      val dotq = (1 to dsub).map(i =>
+        s"CAST($vecRef[$i] AS DOUBLE) * CAST(c.cvec[$i] AS DOUBLE)")
+        .mkString(" + ")
+      s"(($norm) - 2 * ($dotq))"
+    }
+    val trainCtes = (1 to trainIterations).flatMap { i =>
+      Seq(
+        s"""prank$i AS MATERIALIZED (
+           |  SELECT b.vec_id, b.s, c.j,
+           |    row_number() OVER (PARTITION BY b.vec_id, b.s
+           |      ORDER BY ${dist("b.svec")}, c.j) AS rn
+           |  FROM sub b JOIN pcent${i - 1} c ON b.s = c.s)""".stripMargin,
+        s"passign$i AS MATERIALIZED (SELECT vec_id, s, j FROM prank$i WHERE rn = 1)",
+        s"""pmean$i AS MATERIALIZED (
+           |  SELECT s, j, list(mval ORDER BY pos) AS mvec FROM (
+           |    SELECT a.s, a.j, t.pos,
+           |      list_reduce(list_prepend(0.0::DOUBLE,
+           |        list(b.svec[t.pos+1]::DOUBLE ORDER BY b.vec_id)),
+           |        (acc, x) -> acc + x) / count(*) AS mval
+           |    FROM passign$i a JOIN sub b ON a.vec_id = b.vec_id AND a.s = b.s
+           |    CROSS JOIN range($dsub) t(pos)
+           |    GROUP BY a.s, a.j, t.pos)
+           |  GROUP BY s, j)""".stripMargin,
+        s"""pcent$i AS MATERIALIZED (
+           |  SELECT p.s, p.j, coalesce(m.mvec, p.cvec) AS cvec
+           |  FROM pcent${i - 1} p LEFT JOIN pmean$i m ON p.s = m.s AND p.j = m.j)""".stripMargin)
+    }
+    val T = trainIterations
+    val candFilter = candidateCtes
+      .map(_ => "AND r.vec_id IN (SELECT vec_id FROM cand)").getOrElse("")
+    (Seq(
+      "WITH e AS (SELECT vec_id, embedding FROM embeddings)") ++
+      candidateCtes.toSeq ++ Seq(
+      s"""sub AS MATERIALIZED (
+         |  SELECT e.vec_id, t.s,
+         |    e.embedding[(t.s*$dsub + 1):(t.s*$dsub + $dsub)] AS svec
+         |  FROM e CROSS JOIN range($m) t(s))""".stripMargin,
+      s"""pcent0 AS MATERIALIZED (
+         |  SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS j,
+         |    list_transform(svec, x -> x::DOUBLE) AS cvec
+         |  FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $ksub))""".stripMargin) ++
+      trainCtes ++ Seq(
+      s"""codes AS MATERIALIZED (
+         |  SELECT vec_id, s, j AS code FROM (
+         |    SELECT b.vec_id, b.s, c.j,
+         |      row_number() OVER (PARTITION BY b.vec_id, b.s
+         |        ORDER BY ${dist("b.svec")}, c.j) AS rn
+         |    FROM sub b JOIN pcent$T c ON b.s = c.s) WHERE rn = 1)""".stripMargin,
+      s"""recon AS MATERIALIZED (
+         |  SELECT vec_id, flatten(list(cvec ORDER BY s)) AS rvec FROM (
+         |    SELECT cd.vec_id, cd.s, c.cvec
+         |    FROM codes cd JOIN pcent$T c ON c.s = cd.s AND c.j = cd.code)
+         |  GROUP BY vec_id)""".stripMargin,
+      s"q AS (SELECT embedding AS qvec FROM e WHERE vec_id = $queryId)",
+      s"""topr AS (
+         |  SELECT r.vec_id, ${cosineSql("r.rvec", "q.qvec", dim)} AS adc
+         |  FROM recon r CROSS JOIN q
+         |  WHERE r.vec_id <> $queryId $candFilter
+         |  ORDER BY adc DESC, r.vec_id LIMIT $rerank)""".stripMargin))
+      .mkString(",\n") +
+      s"""
+         |SELECT t.vec_id, t.adc, ${cosineSql("e.embedding", "q.qvec", dim)} AS cosine
+         |FROM topr t JOIN e ON e.vec_id = t.vec_id CROSS JOIN q
+         |ORDER BY cosine DESC, t.vec_id LIMIT $k""".stripMargin
   }
 
   private def pqSqlCore(dim: Int, queryId: Long, k: Int, m: Int, ksub: Int,
