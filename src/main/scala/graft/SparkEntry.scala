@@ -1127,6 +1127,14 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         query = Seq("join", "hash", "scan"), k = 25)),
 
+    // count-min sketch heavy hitters: fixed-size frequency summary (the
+    // only shuffle carries <= partitions * depth * 2^widthBits combiner
+    // rows regardless of corpus size), estimates beside exact counts
+    "x_sketch_cms_topk" -> ((s, dir) =>
+      graft.sketch.CountMin.heavyHitters(
+        DerivedModel.table(s, dir, "documents"), "text",
+        k = 25, widthBits = 8)),
+
     // corpus mixing: per-language keep fractions as a pure scan predicate
     "x_sample_weighted" -> ((s, dir) =>
       graft.ops.Sampling.weightedSample(
@@ -2154,6 +2162,9 @@ object SparkEntry {
       "x_search_keywords" ->
         graft.text.Vocabulary.searchByTokensSql(
           query = Seq("join", "hash", "scan"), k = 25),
+
+      "x_sketch_cms_topk" ->
+        graft.sketch.CountMinOracle.heavyHittersSql(k = 25, widthBits = 8),
 
       "x_export_shuffle" ->
         """SELECT doc_id,

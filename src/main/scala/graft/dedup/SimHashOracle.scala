@@ -29,11 +29,11 @@ package graft.dedup
   */
 object SimHashOracle {
 
-  private val M = "18446744073709551616::HUGEINT"
-  private val P1 = "11400714785074694791::HUGEINT"
-  private val P2 = "14029467366897019727::HUGEINT"
-  private val P3 = "1609587929392839161::HUGEINT"
-  private val P5 = "2870177450012600261::HUGEINT"
+  private[graft] val M = "18446744073709551616::HUGEINT"
+  private[graft] val P1 = "11400714785074694791::HUGEINT"
+  private[graft] val P2 = "14029467366897019727::HUGEINT"
+  private[graft] val P3 = "1609587929392839161::HUGEINT"
+  private[graft] val P5 = "2870177450012600261::HUGEINT"
   private val P4 = "9650029242287828579::HUGEINT"
   // XXH64 accumulator seeds for seed = 42 (mod 2^64)
   private val V1 = "6983438078262162944::HUGEINT"  // 42 + P1 + P2
@@ -45,7 +45,7 @@ object SimHashOracle {
   /** (a * b) mod 2^64 via 32-bit limbs — a 64x64 product would overflow
     * the signed 128-bit HUGEINT.
     */
-  private def mul(a: String, b: String): String =
+  private[graft] def mul(a: String, b: String): String =
     s"(((($a) % 4294967296) * (($b) % 4294967296) + " +
       s"((((($a) // 4294967296) * (($b) % 4294967296) + " +
       s"(($a) % 4294967296) * (($b) // 4294967296)) % 4294967296) * 4294967296)) % $M)"
@@ -80,13 +80,16 @@ object SimHashOracle {
   private val tailByteStep: String =
     mul(rotl(s"xor(acc, ${mul("x", P5)})", 11), P1)
 
-  /** CTE chain ending in `hashes(doc_id, tok, h)` — h = xxhash64(tok, 42)
-    * as an unsigned HUGEINT in [0, 2^64).
+  /** CTE chain from a caller-supplied `tk` body (any key columns plus a
+    * `tok` string column) to `hashes(<keyProj>tok, h)` — h =
+    * xxhash64(tok, 42) as an unsigned HUGEINT in [0, 2^64). Every
+    * intermediate stage is `SELECT *`, so extra key columns flow through;
+    * `keyProj` is the (comma-terminated, possibly empty) key projection
+    * of the final stage. Reused by [[graft.sketch.CountMinOracle]].
     */
-  private val hashCtes: String =
-    s"""tk AS (SELECT DISTINCT doc_id, tok FROM
-       |        (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents)),
-       |tb AS (SELECT doc_id, tok, length(tok) AS len,
+  private[graft] def hashChain(tkBody: String, keyProj: String): String =
+    s"""tk AS ($tkBody),
+       |tb AS (SELECT *, length(tok) AS len,
        |         list_transform(range(1, length(tok) + 1), i -> unicode(tok[i])::HUGEINT) AS bs FROM tk),
        |tw AS (SELECT *, len // 32 AS ns,
        |         list_transform(range(len // 8), j -> $w8Sum) AS w8 FROM tb),
@@ -105,7 +108,15 @@ object SimHashOracle {
        |tby AS (SELECT *, list_reduce(list_prepend(h4, list_slice(bs, len - (len % 4) + 1, len)), (acc, x) -> $tailByteStep) AS hb FROM t4),
        |ta1 AS (SELECT *, ${mul("xor(hb, hb // 8589934592::HUGEINT)", P2)} AS ha1 FROM tby),
        |ta2 AS (SELECT *, ${mul("xor(ha1, ha1 // 536870912::HUGEINT)", P3)} AS ha2 FROM ta1),
-       |hashes AS (SELECT doc_id, tok, xor(ha2, ha2 // 4294967296::HUGEINT) AS h FROM ta2)""".stripMargin
+       |hashes AS (SELECT ${keyProj}tok, xor(ha2, ha2 // 4294967296::HUGEINT) AS h FROM ta2)""".stripMargin
+
+  /** [[hashChain]] over the distinct (doc_id, token) pairs of `documents`
+    * — the simhash input relation: `hashes(doc_id, tok, h)`.
+    */
+  private val hashCtes: String = hashChain(
+    """SELECT DISTINCT doc_id, tok FROM
+      |        (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents)""".stripMargin,
+    "doc_id, ")
 
   /** SimHash packing on top of [[hashCtes]]: CTE `sh2(doc_id, simhash)`
     * with the fingerprint as a signed BIGINT (Spark's LongType view).

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sketch.{CmsBucketsExpr, CountMin}
+
+/** Count-min sketch semantics (the cross-engine bit-replay lives in the
+  * gated `x_sketch_cms_topk`; these pin the sketch-theoretic properties
+  * that hold at ANY width, including widths the gate doesn't exercise).
+  */
+class SketchSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val docs =
+    DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+
+  test("estimate >= exact for every token (one-sided error)") {
+    val toks = CountMin.tokens(docs, "text")
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    val est = CountMin.estimates(
+      exact.select(col("token")), CountMin.sketch(toks, widthBits = 8), 8)
+    val bad = est.join(exact, Seq("token"))
+      .filter(col("est") < col("exact")).count()
+    assert(bad === 0L)
+  }
+
+  test("narrow sketch forces collisions but stays one-sided") {
+    // 16 buckets << vocab: collisions guaranteed, so some est > exact —
+    // and still none below
+    val toks = CountMin.tokens(docs, "text")
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    val joined = CountMin.estimates(
+        exact.select(col("token")), CountMin.sketch(toks, widthBits = 4), 4)
+      .join(exact, Seq("token"))
+    assert(joined.filter(col("est") < col("exact")).count() === 0L)
+    assert(joined.filter(col("est") > col("exact")).count() > 0L)
+  }
+
+  test("sketch size is depth * width regardless of corpus") {
+    val sk = CountMin.sketch(CountMin.tokens(docs, "text"), widthBits = 4)
+    assert(sk.count() <= CmsBucketsExpr.Depth * 16L)
+    // every counter is positive (zero cells are simply absent)
+    assert(sk.filter(col("cnt") <= 0).count() === 0L)
+  }
+
+  test("bucket expression matches a direct xxhash64 multiply-shift") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val tok = "lineitem"
+    val got = CmsBucketsExpr.buckets(UTF8String.fromString(tok), 8)
+    val h = XxHash64Function.hash(UTF8String.fromString(tok), StringType, 42L)
+    CmsBucketsExpr.Multipliers.zipWithIndex.foreach { case (a, r) =>
+      assert(got.getLong(r) === ((h * a) >>> 56))
+      assert(got.getLong(r) >= 0L && got.getLong(r) < 256L)
+    }
+  }
+}
