@@ -1193,6 +1193,36 @@ object SparkEntry {
         .select(col("user_id"), unix_millis(col("bucket_start")).as("bucket_ms"),
           col("n_events"), col("value_cents"), col("ffill_cents"))),
 
+    // CDC compaction: latest surviving row per key (one key shuffle,
+    // rank window, delete ops drop their key)
+    "x_merge_compact" -> ((s, dir) =>
+      graft.ops.Merge.compact(DerivedModel.events(s, dir),
+        "user_id", "ts", "event_id", col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("event_type"), col("value"))),
+
+    // MERGE INTO snapshot USING batch: pre-split compacted snapshot +
+    // post-split change batch, union-tagged — still one shuffle, no join
+    "x_merge_upsert" -> ((s, dir) => {
+      val ev = DerivedModel.events(s, dir)
+      val split = lit("2024-01-20").cast("timestamp")
+      val snap = graft.ops.Merge.compact(ev.filter(col("ts") < split),
+        "user_id", "ts", "event_id", col("event_type") === "error")
+      graft.ops.Merge.upsert(snap, ev.filter(col("ts") >= split),
+        "user_id", "ts", "event_id", col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("event_type"), col("value"))
+    }),
+
+    // SCD2 history: change-detected intervals [valid_from, valid_to) per
+    // key with the open row flagged current (single sort, two windows)
+    "x_merge_scd2" -> ((s, dir) =>
+      graft.ops.Merge.scd2(DerivedModel.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("valid_from")).as("valid_from_ms"),
+          unix_millis(col("valid_to")).as("valid_to_ms"), col("is_current"))),
+
     // forward as-of: nearest FUTURE purchase per click (mirror-image
     // one-shuffle union-tag plan, descending time scan)
     "x_asof_join_forward" -> ((s, dir) => {
@@ -1747,6 +1777,12 @@ object SparkEntry {
           |    PARTITION BY g.user_id ORDER BY g.h
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents
           |FROM grid g LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h""".stripMargin,
+
+      "x_merge_compact" -> graft.ops.Merge.compactEventsSql(),
+
+      "x_merge_upsert" -> graft.ops.Merge.upsertEventsSql("2024-01-20"),
+
+      "x_merge_scd2" -> graft.ops.Merge.scd2EventsSql,
 
       "x_asof_join_forward" ->
         """WITH l AS (

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Merge
+
+/** CDC merge semantics on hand-built change streams (the cross-engine
+  * check is the gated x_merge_* trio; these pin the corner cases small
+  * data states exactly).
+  */
+class MergeSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // (key, version, tie, state, op)
+  private lazy val stream = Seq(
+    (1L, ts("2024-01-01 00:00:00"), 1L, "a", "up"),
+    (1L, ts("2024-01-02 00:00:00"), 2L, "b", "up"),
+    (2L, ts("2024-01-01 00:00:00"), 3L, "a", "up"),
+    (2L, ts("2024-01-03 00:00:00"), 4L, "x", "del"), // delete wins: key 2 gone
+    (3L, ts("2024-01-01 00:00:00"), 5L, "a", "del"),
+    (3L, ts("2024-01-02 00:00:00"), 6L, "c", "up"),  // re-insert after delete
+    (4L, ts("2024-01-01 00:00:00"), 7L, "a", "up"),
+    (4L, ts("2024-01-01 00:00:00"), 8L, "b", "up")   // same version: tie decides
+  ).toDF("k", "v", "t", "state", "op")
+
+  test("compact keeps latest per key, applies deletes, breaks ties") {
+    val got = Merge.compact(stream, "k", "v", "t", col("op") === "del")
+      .select("k", "state").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "b", 3L -> "c", 4L -> "b"))
+  }
+
+  test("upsert applies a batch over a snapshot: update, insert, delete") {
+    val snap = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a", "up"),
+      (2L, ts("2024-01-01 00:00:00"), 2L, "b", "up")
+    ).toDF("k", "v", "t", "state", "op")
+    val batch = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 10L, "a2", "up"),  // update key 1
+      (2L, ts("2024-01-05 00:00:00"), 11L, "x", "del"),  // delete key 2
+      (9L, ts("2024-01-05 00:00:00"), 12L, "new", "up")  // insert key 9
+    ).toDF("k", "v", "t", "state", "op")
+    val got = Merge.upsert(snap, batch, "k", "v", "t",
+        batchIsDelete = col("op") === "del")
+      .select("k", "state").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a2", 9L -> "new"))
+  }
+
+  test("scd2 collapses unchanged states and closes intervals in order") {
+    val hist = Merge.scd2(
+      Seq(
+        (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+        (1L, ts("2024-01-02 00:00:00"), 2L, "a"), // no change: collapsed
+        (1L, ts("2024-01-03 00:00:00"), 3L, "b"),
+        (1L, ts("2024-01-04 00:00:00"), 4L, "a")  // back to a: NEW interval
+      ).toDF("k", "v", "t", "state"),
+      "k", "v", "t", "state")
+    val rows = hist.orderBy("valid_from")
+      .select("state", "valid_from", "valid_to", "is_current")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b", "a"))
+    // each interval closes exactly where the next opens
+    assert(rows.init.map(_.getTimestamp(2)).toSeq ===
+      rows.tail.map(_.getTimestamp(1)).toSeq)
+    assert(rows.map(_.getBoolean(3)).toSeq === Seq(false, false, true))
+  }
+
+  test("scd2 plans one exchange (filter between the windows is narrow)") {
+    val ev = DerivedModel.events(spark, "/root/testdata/sf0.001")
+    val plan = Merge.scd2(ev, "user_id", "ts", "event_id", "event_type")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"scd2 should shuffle once, planned:\n$plan")
+  }
+}
