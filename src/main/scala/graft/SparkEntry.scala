@@ -1193,6 +1193,29 @@ object SparkEntry {
         .select(col("user_id"), unix_millis(col("bucket_start")).as("bucket_ms"),
           col("n_events"), col("value_cents"), col("ffill_cents"))),
 
+    // data-quality profile: per-column completeness/cardinality/range in
+    // ONE aggregation pass (single global agg + driver-side unpivot);
+    // exact distinct = Expand price, approx form documented for 100 TB
+    "x_quality_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(
+        DerivedModel.table(s, dir, "orders")
+          .withColumn("o_total_cents", floor(col("o_totalprice") * 100 + 0.5)),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_total_cents"))),
+
+    // single-pass audit counters: observe() metrics riding ONE
+    // materialization — how a pipeline counts per-gate drops without
+    // re-scanning the corpus per counter
+    "x_quality_audit" -> ((s, dir) => {
+      val d = DerivedModel.table(s, dir, "documents")
+      graft.ops.Profile.observeAudit(d, Seq(
+        "n_rows" -> count(lit(1)),
+        "n_short" -> count(when(length(col("text")) < lit(200), 1)),
+        "n_en" -> count(when(col("lang") === "en", 1)),
+        "total_tokens" -> sum(graft.text.TextFunctions.tokenCount(col("text"))
+          .cast("long"))))
+    }),
+
     // CDC compaction: latest surviving row per key (one key shuffle,
     // rank window, delete ops drop their key)
     "x_merge_compact" -> ((s, dir) =>
@@ -1777,6 +1800,18 @@ object SparkEntry {
           |    PARTITION BY g.user_id ORDER BY g.h
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents
           |FROM grid g LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h""".stripMargin,
+
+      "x_quality_profile" -> graft.ops.Profile.profileSql(
+        "(SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) " +
+          "AS o_total_cents FROM orders) AS t",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_total_cents")),
+
+      "x_quality_audit" ->
+        s"""SELECT 'n_rows' AS metric, count(*)::BIGINT AS value FROM documents
+           |UNION ALL SELECT 'n_short', count(CASE WHEN length(text) < 200 THEN 1 END)::BIGINT FROM documents
+           |UNION ALL SELECT 'n_en', count(CASE WHEN lang = 'en' THEN 1 END)::BIGINT FROM documents
+           |UNION ALL SELECT 'total_tokens', sum(${graft.text.TextFunctions.tokenCountSql("text")})::BIGINT FROM documents""".stripMargin,
 
       "x_merge_compact" -> graft.ops.Merge.compactEventsSql(),
 

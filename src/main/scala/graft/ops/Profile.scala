@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling: per-column completeness / cardinality / range
+  * summaries and declarative constraint checks — the ingest-time audit a
+  * training-data pipeline runs before trusting a new drop. (No reference
+  * counterpart; north-star surface.)
+  *
+  * Scale shape: [[profile]] is ONE aggregation pass over the table — a
+  * single global agg whose shuffle carries one partial-state row per
+  * task, then a 1-row-to-N-rows `stack` unpivot on the driver-side
+  * result. The exact `count(DISTINCT)` per column makes Catalyst plan an
+  * Expand (input × #profiled-columns before the partial agg) — the
+  * documented price of exact cardinality; at 100 TB swap
+  * `approxDistinct = true` to profile with HLL partial states instead
+  * (no Expand, engine-specific counts — which is why the GATED query
+  * uses the exact form).
+  *
+  * min/max are surfaced as strings so one schema fits every column type;
+  * callers profile numeric-exact columns (ints, strings, cents) — a raw
+  * double's shortest-repr formatting is engine-specific and belongs in
+  * spec-land, not a hash-matched gate.
+  */
+object Profile {
+
+  /** Long-format profile: one row per profiled column —
+    * (col_name, total, non_null, n_distinct, min_val, max_val).
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
+    def nd(c: String): Column =
+      if (approxDistinct) approx_count_distinct(col(c))
+      else countDistinct(col(c))
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"__${c}__nn"),
+      nd(c).as(s"__${c}__nd"),
+      min(col(c)).cast("string").as(s"__${c}__min"),
+      max(col(c)).cast("string").as(s"__${c}__max")))
+    val stacked = cols.map(c =>
+      s"'$c', __total, `__${c}__nn`, `__${c}__nd`, `__${c}__min`, `__${c}__max`")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stacked) AS " +
+        "(col_name, total, non_null, n_distinct, min_val, max_val)"))
+  }
+
+  /** Declarative expectations over a [[profile]] result: each constraint
+    * is (name, predicate over the profile row); returns the violation
+    * rows — empty means the table passed. Runs on the ≤ #columns-row
+    * profile, so it is free.
+    */
+  def violations(profiled: DataFrame,
+      constraints: Seq[(String, Column)]): DataFrame =
+    constraints.map { case (name, pred) =>
+      profiled.filter(!pred)
+        .select(lit(name).as("constraint"), col("col_name"))
+    }.reduce(_.unionByName(_))
+
+  /** Single-pass audit counters via Spark's `observe` API: the metrics
+    * ride the task completion path of ONE materialization of `df` — zero
+    * extra passes, zero extra shuffles, which is how a production
+    * pipeline counts what each gate dropped without re-scanning 100 TB
+    * per counter. The materialization here is a `noop`-format write (all
+    * compute, no I/O); in production it is the pipeline's real sink and
+    * the counters are free. Returns long-format (metric, value); metric
+    * expressions must aggregate to integer values.
+    */
+  def observeAudit(df: DataFrame, metrics: Seq[(String, Column)]): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, metrics.head._2.as(metrics.head._1),
+        metrics.tail.map { case (n, c) => c.as(n) }: _*)
+      .write.format("noop").mode("overwrite").save()
+    val row = obs.get
+    val spark = df.sparkSession
+    import spark.implicits._
+    metrics.map { case (n, _) => (n, row(n).toString.toLong) }
+      .toDF("metric", "value")
+  }
+
+  /** DuckDB twin of [[profile]] (exact-distinct form) over `table`. */
+  def profileSql(table: String, cols: Seq[String]): String =
+    cols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS total,
+         |  count($c)::BIGINT AS non_null,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+         |FROM $table""".stripMargin)
+      .mkString("\nUNION ALL\n")
+}
