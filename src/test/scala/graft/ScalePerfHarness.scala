@@ -67,6 +67,7 @@ object ScalePerfHarness {
       case "knn"   => knnMode(spark, count)
       case "quant" => quantMode(spark, count)
       case "blocks" => blocksMode(spark, count)
+      case "simhash10m" => simhash10mMode(spark, count)
       case "round5" => round5Mode(spark, count)
       case "pq" => pqMode(spark, count)
       case "neardedup" =>
@@ -276,6 +277,37 @@ object ScalePerfHarness {
       ng.unpersist()
       out
     }
+  }
+
+  /** The n=10M simhash cliff measured for real: flat banding vs the
+    * second-key split at the DEFAULT bucket limit (4096), on a corpus
+    * big enough that the limit engages on merit rather than by forcing
+    * it down (TUNING.md's 1M rows used limit 16–64). Split runs first so
+    * its numbers survive if the quadratic flat pass has to be cut short.
+    */
+  private def simhash10mMode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    val docs = textCorpus(spark, count)
+    val hashes = Dedup.simhash64Fast(docs, "doc_id", "text").persist()
+    val n = hashes.count()
+    time("simhash64Fast(hash-only)", n) { hashes.count() }
+    // flat-banding occupancy: the candidate volume the split is cutting
+    (0 until 4).foreach { b =>
+      val v = pmod(shiftrightunsigned(col("simhash"), b * 16), lit(65536L))
+      val r = hashes.groupBy(v.as("v"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+        .agg(max(col("c")), sum(expr("c * (c - 1) / 2")),
+          org.apache.spark.sql.functions.count(lit(1))).head()
+      println(s"[occupancy] simhash block $b: buckets=${r.get(2)} " +
+        s"maxBucket=${r.get(0)} candPairs=${r.get(1)}")
+    }
+    time("simhashPairsSplit(default limit 4096)", n) {
+      Dedup.simhashPairsSplit(hashes, maxHamming = 3).count()
+    }
+    time("simhashPairs(flat)", n) {
+      Dedup.simhashPairs(hashes, maxHamming = 3).count()
+    }
+    hashes.unpersist()
   }
 
   /** int8 quantization at scale: shuffle-byte volume per payload width
