@@ -1094,6 +1094,37 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"), col("value_cents"))
     }),
 
+    // streaming CDC compaction: keep-latest-per-key transformWithState
+    // (one row of state per key; out-of-order-safe max-by-version;
+    // deletes tombstone in state, filtered at read-back) — the streaming
+    // twin of x_merge_compact, same oracle
+    "x_stream_cdc_exec" -> ((s, dir) => {
+      val srcPath = stagedEventsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sink = try {
+        graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+          graft.streaming.StreamingOps.runUpdateToParquetSink(
+            graft.streaming.StreamingOps.streamingCompact(s, srcPath, src)
+              .toDF(),
+            s"${tmpPath(dir, "stream_exec_cdc")}/sink")
+        }
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      val lastUpdate = Window.partitionBy(col("user_id"))
+        .orderBy(col("_graft_batch_id").desc)
+      sink.withColumn("_graft_rn", row_number().over(lastUpdate))
+        .filter(col("_graft_rn") === 1 && col("user_id") =!= -1L &&
+          !col("is_delete"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          col("event_type"), col("value"))
+    }),
+
     // tokenizer-prep: corpus token frequencies -> deterministic top-N
     // vocab (map-side-combined count, ordered limit, id window over the
     // <=N-row cut only)
@@ -1814,6 +1845,9 @@ object SparkEntry {
            |UNION ALL SELECT 'total_tokens', sum(${graft.text.TextFunctions.tokenCountSql("text")})::BIGINT FROM documents""".stripMargin,
 
       "x_merge_compact" -> graft.ops.Merge.compactEventsSql(),
+
+      // the streaming twin materializes the same snapshot
+      "x_stream_cdc_exec" -> graft.ops.Merge.compactEventsSql(),
 
       "x_merge_upsert" -> graft.ops.Merge.upsertEventsSql("2024-01-20"),
 

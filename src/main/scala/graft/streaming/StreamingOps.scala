@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
+/** A CDC change row flowing through [[StreamingOps.streamingCompact]]. */
+final case class ChangeRow(user_id: Long, event_id: Long, ts_ms: Long,
+    event_type: String, value: Double, is_delete: Boolean)
+
 /** Per-user running totals carried as explicit state (see
   * [[StreamingOps.statefulUserTotals]]). */
 final case class UserRunningTotal(user_id: Long, n_events: Long, value_cents: Long)
@@ -318,6 +322,64 @@ object StreamingOps {
       .as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[graft.ops.Merge.compact]] as STREAMING state: keep-latest-per-key
+    * CDC compaction via `transformWithState`. Each key's state is ONE row
+    * (the current latest by (ts_ms, event_id)) — bounded by key
+    * cardinality, not stream length, so an unbounded change stream
+    * maintains a continuously-fresh materialized snapshot. Max-by-version
+    * is order-independent: out-of-order arrival across micro-batches
+    * converges to the same snapshot a batch compaction of the full
+    * stream produces ([[StreamingOpsSpec]] asserts this under
+    * maxFilesPerTrigger=1 with deliberately shuffled arrival).
+    * Delete ops (`is_delete`) stay IN state — a delete must tombstone,
+    * not vacate, or an out-of-order earlier update would resurrect the
+    * key; the read-back filters tombstones out of the final snapshot.
+    */
+  class KeepLatestProcessor
+      extends StatefulProcessor[Long, ChangeRow, ChangeRow] {
+    @transient private var latest: ValueState[ChangeRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[ChangeRow]("latest",
+        Encoders.product[ChangeRow], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[ChangeRow],
+        timerValues: TimerValues): Iterator[ChangeRow] = {
+      var cur = if (latest.exists()) latest.get() else null
+      rows.foreach { r =>
+        if (cur == null || r.ts_ms > cur.ts_ms ||
+            (r.ts_ms == cur.ts_ms && r.event_id > cur.event_id)) cur = r
+      }
+      latest.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** The event stream as CDC changes (key user_id, version ts, tie
+    * event_id, deletes = error events) compacted by
+    * [[KeepLatestProcessor]]. Update-mode emissions; the caller's sink
+    * read-back keeps each key's last update and drops tombstones —
+    * yielding exactly the batch [[graft.ops.Merge.compact]] snapshot.
+    * Requires the RocksDB state store (transformWithState constraint).
+    */
+  def streamingCompact(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame,
+      sourceOptions: Map[String, String] = Map.empty): Dataset[ChangeRow] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .options(sourceOptions)
+      .parquet(sourcePath)
+      .filter(col("event_type") =!= SentinelEventType)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"), col("value"),
+        (col("event_type") === "error").as("is_delete"))
+      .as[ChangeRow]
+      .groupByKey(_.user_id)
+      .transformWithState(new KeepLatestProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Watermarked stream-stream inner join: clicks joined to the purchases

@@ -298,4 +298,74 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b, "sessions per user differ between streaming and batch")
   }
+
+  test("streaming CDC compaction converges under out-of-order multi-batch arrival") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import spark.implicits._
+    val t = "2024-05-01 "
+    // (event_id, ts, user_id, event_type, value) — arrival order is
+    // DELIBERATELY not version order: user 1's delete arrives first and
+    // an older update trails it (must not resurrect the key)
+    val batches = Seq(
+      Seq((3L, t + "12:00:00", 1L, "error", 0.0),
+        (10L, t + "10:00:00", 2L, "click", 1.0)),
+      Seq((1L, t + "10:00:00", 1L, "click", 1.0),
+        (11L, t + "11:00:00", 2L, "view", 2.0)),
+      Seq((2L, t + "11:00:00", 1L, "view", 2.0),
+        (20L, t + "09:00:00", 3L, "purchase", 5.0)))
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_multibatch_cdc"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    val tmp = s"$root/_stage"
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_id", "_ts", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("_ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(root, f"b$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 10000L))
+    }
+    rm(new java.io.File(tmp))
+    val schemaFrom = spark.read.parquet(s"$root/b00.parquet")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sq = StreamingOps.streamingCompact(spark, root, schemaFrom,
+          sourceOptions = Map("maxFilesPerTrigger" -> "1"))
+        .writeStream.format("memory").queryName("graft_cdc_test")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      assert(sq.awaitTermination(120000), "query must terminate")
+      assert(sq.recentProgress.map(_.batchId).distinct.length >= 3,
+        "each staged file must be its own micro-batch")
+      // final state per key = emission with max (ts_ms, event_id) — the
+      // processor's state is monotone in the version order
+      val got = spark.sql(
+        """SELECT user_id, event_type, is_delete FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY ts_ms DESC, event_id DESC) AS rn
+          |  FROM graft_cdc_test) WHERE rn = 1 AND NOT is_delete""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(2L -> "view", 3L -> "purchase"),
+        "delete must tombstone user 1; out-of-order older update must not resurrect it")
+      // and it IS the batch compaction of the same change set
+      val expected = graft.ops.Merge.compact(
+          spark.read.parquet(root), "user_id", "ts", "event_id",
+          col("event_type") === "error")
+        .select(col("user_id"), col("event_type"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
