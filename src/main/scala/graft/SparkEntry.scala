@@ -1196,6 +1196,13 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("lang_id"), col("n_tokens"), col("repetition"))),
 
+    // substring-granularity exact dedup (Lee et al. 2022 ExactSubstr):
+    // every duplicated 8-token span removed from all but its globally
+    // first occurrence, overlaps merged — linear in corpus tokens
+    "x_dedup_spans" -> ((s, dir) =>
+      graft.dedup.Dedup.spanDedup(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text", k = 8)),
+
     // near-dedup with a survivorship policy: keep the LONGEST text per
     // component (ties to lowest id) instead of the arbitrary min id
     "x_dedup_near_dedup_best" -> ((s, dir) =>
@@ -2292,6 +2299,9 @@ object SparkEntry {
         """SELECT user_id, count(*) AS n_events,
           |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY user_id""".stripMargin,
+
+      "x_dedup_spans" ->
+        graft.dedup.Dedup.spanDedupSql("documents", "doc_id", "text", k = 8),
 
       "x_dedup_blocks_clean" -> {
         val chunks = graft.text.Chunking.chunkSql("documents", "doc_id", "text", 10)

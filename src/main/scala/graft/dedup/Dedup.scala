@@ -777,4 +777,142 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  // ---------------- exact duplicated-span removal ----------------
+
+  /** SUBSTRING-granularity exact dedup (the ExactSubstr modality of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): any `k`-token span whose text occurs more than once in the
+    * corpus — across documents OR repeated within one — is removed from
+    * every occurrence except the globally first (ordered by (id, pos)).
+    * Overlapping duplicated spans inside a document merge into maximal
+    * removal intervals, so a long shared passage disappears as one block
+    * even though it was detected k tokens at a time. Documents shorter
+    * than `k` tokens pass through untouched; fully-duplicated documents
+    * survive as empty strings (never dropped — the caller decides).
+    *
+    * Output: (idCol, n_tokens, n_removed, clean_text) with the cleaned
+    * document rebuilt from its surviving tokens in original order.
+    *
+    * Scale shape — strictly LINEAR in corpus token count, unlike every
+    * pairwise dedup in this file: (1) one content-keyed aggregation on
+    * the span hash (count + min-occurrence are both map-side partial, so
+    * the exchange carries one row per distinct span per map partition);
+    * (2) one equi-join back on the same hash key that fans out exactly
+    * one row per duplicated occurrence — never occurrence², because the
+    * keep-first policy needs only the argmin, not the pairs; (3) one
+    * doc-keyed window to merge intervals (per-document row counts are
+    * bounded by doc length). A boilerplate span shared by a million
+    * documents costs a million span rows — linear — where the Jaccard /
+    * minhash self-joins would pay a trillion. At 100 TB the md5 span key
+    * (32 hex chars) is the dominant shuffle payload; swapping it for
+    * xxhash64 halves the exchange at the cost of the replayable oracle —
+    * the plan is otherwise unchanged.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span length must be >= 2 tokens, got $k")
+    // base feeds occurrence generation AND the final rebuild join
+    val base = Persisted.track(df.select(col(idCol),
+        TextFunctions.tokens(col(textCol)).as("_graft_toks"))
+      .withColumn("_graft_n", size(col("_graft_toks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // positional k-gram occurrences: (id, pos, md5(span text)); the span
+    // text itself never leaves the projection
+    val occ = Persisted.track(base.filter(col("_graft_n") >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), (col("_graft_n") - k).cast("int")),
+        i => md5(array_join(slice(col("_graft_toks"), i + 1, lit(k)), " ")
+          .cast("binary")))))
+      .withColumnRenamed("pos", "_graft_pos")
+      .withColumnRenamed("col", "_graft_g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // duplicated spans with their globally-first occurrence: count and
+    // argmin in ONE map-side-combinable aggregation (struct min orders
+    // lexicographically on (id, pos) — exactly the keep-first order)
+    val dups = occ.groupBy(col("_graft_g"))
+      .agg(count(lit(1)).as("_graft_cnt"),
+        min(struct(col(idCol), col("_graft_pos"))).as("_graft_first"))
+      .filter(col("_graft_cnt") > 1)
+      .select(col("_graft_g"),
+        col("_graft_first").getField(idCol).as("_graft_fid"),
+        col("_graft_first").getField("_graft_pos").as("_graft_fpos"))
+    // every non-first occurrence of a duplicated span is a removal interval
+    val spans = occ.join(dups, "_graft_g")
+      .filter(!(col(idCol) === col("_graft_fid") &&
+        col("_graft_pos") === col("_graft_fpos")))
+      .select(col(idCol), col("_graft_pos").cast("long").as("_graft_s"),
+        (col("_graft_pos") + k).cast("long").as("_graft_e"))
+    // gaps-and-islands merge: both windows share one (id)-keyed sort
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_graft_s"), col("_graft_e"))
+    val merged = spans
+      .withColumn("_graft_pm",
+        max(col("_graft_e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_graft_isl", sum(
+        when(col("_graft_pm").isNull || col("_graft_s") > col("_graft_pm"), 1L)
+          .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_graft_isl"))
+      .agg(min(col("_graft_s")).as("_graft_s"), max(col("_graft_e")).as("_graft_e"))
+    val perDoc = merged.groupBy(col(idCol))
+      .agg(collect_list(struct(col("_graft_s"), col("_graft_e"))).as("_graft_spans"),
+        sum(col("_graft_e") - col("_graft_s")).as("_graft_removed"))
+    base.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        col("_graft_n").as("n_tokens"),
+        coalesce(col("_graft_removed"), lit(0L)).as("n_removed"),
+        when(col("_graft_spans").isNull, array_join(col("_graft_toks"), " "))
+          .otherwise(array_join(filter(col("_graft_toks"), (_, i) =>
+            !exists(col("_graft_spans"), sp =>
+              i.cast("long") >= sp.getField("_graft_s") &&
+                i.cast("long") < sp.getField("_graft_e"))), " "))
+          .as("clean_text"))
+  }
+
+  /** DuckDB twin of [[spanDedup]] — same tokenization, same md5 span key,
+    * same keep-first rank, same island merge, tokens rebuilt by position.
+    * Keep formula-identical to the Column version.
+    */
+  def spanDedupSql(table: String, idCol: String, textCol: String,
+      k: Int = 8): String = {
+    s"""WITH _t AS (
+       |  SELECT $idCol, string_split(trim($textCol), ' ') AS tk,
+       |         CAST(len(string_split(trim($textCol), ' ')) AS BIGINT) AS n
+       |  FROM $table),
+       |_occ0 AS (SELECT $idCol, tk, unnest(range(n - ${k - 1})) AS pos
+       |          FROM _t WHERE n >= $k),
+       |_occ AS (SELECT $idCol, CAST(pos AS BIGINT) AS pos,
+       |    md5(array_to_string(list_slice(tk, CAST(pos + 1 AS BIGINT),
+       |      CAST(pos + $k AS BIGINT)), ' ')) AS g
+       |  FROM _occ0),
+       |_ranked AS (
+       |  SELECT $idCol, pos,
+       |    count(*) OVER (PARTITION BY g) AS c,
+       |    row_number() OVER (PARTITION BY g ORDER BY $idCol, pos) AS rn
+       |  FROM _occ),
+       |_spans AS (SELECT $idCol, pos AS s, pos + $k AS e
+       |           FROM _ranked WHERE c > 1 AND rn > 1),
+       |_isl AS (
+       |  SELECT $idCol, s, e,
+       |    SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY $idCol ORDER BY s, e
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM (SELECT $idCol, s, e,
+       |          max(e) OVER (PARTITION BY $idCol ORDER BY s, e
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |        FROM _spans) q),
+       |_merged AS (SELECT $idCol, isl, min(s) AS s, max(e) AS e
+       |            FROM _isl GROUP BY $idCol, isl),
+       |_tok AS (SELECT $idCol, unnest(tk) AS tok, unnest(range(n)) AS pos FROM _t),
+       |_kept AS (
+       |  SELECT t.$idCol, t.tok, t.pos FROM _tok t
+       |  WHERE NOT EXISTS (SELECT 1 FROM _merged m
+       |                    WHERE m.$idCol = t.$idCol AND t.pos >= m.s AND t.pos < m.e)),
+       |_clean AS (SELECT $idCol, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |           FROM _kept GROUP BY $idCol),
+       |_rm AS (SELECT $idCol, SUM(e - s) AS n_removed FROM _merged GROUP BY $idCol)
+       |SELECT t.$idCol, t.n AS n_tokens,
+       |  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       |  coalesce(c.clean_text, '') AS clean_text
+       |FROM _t t LEFT JOIN _rm r USING ($idCol) LEFT JOIN _clean c USING ($idCol)""".stripMargin
+  }
 }

@@ -219,6 +219,47 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.contains((4L, 5L)), "unrelated texts should be far apart")
   }
 
+  test("span dedup: keep-first, island merge, short docs untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1 and 2 share a long passage (>k tokens): 2's copy must merge
+      // into ONE maximal interval and vanish; 1 keeps everything
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "intro words alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu outro"),
+      // within-doc repetition: second occurrence of the repeated span goes
+      (3L, "one two three four one two three four tail words here"),
+      // shorter than k: untouched even though it repeats 3's prefix
+      (4L, "one two three"),
+      (5L, "totally novel text with no duplicated spans at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    assert(out(1L) == ((12L, 0L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")))
+    // doc 2: positions 2..13 duplicated (12 tokens removed as one island)
+    assert(out(2L) == ((15L, 12L, "intro words outro")))
+    // doc 3: "one two three four" repeats at pos 4 -> pos 4..7 removed
+    assert(out(3L) == ((11L, 4L, "one two three four tail words here")))
+    assert(out(4L) == ((3L, 0L, "one two three")))
+    assert(out(5L)._2 == 0L)
+  }
+
+  test("span dedup: exact duplicate document empties completely") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((10L, 0L,
+      "the quick brown fox jumps over the lazy dog tonight")))
+    assert(out(2L) == ((10L, 10L, "")))
+  }
+
   test("second-key bucket split finds exactly the flat banding's pairs") {
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     val hashes = Dedup.simhash64Fast(docs, "doc_id", "text")
