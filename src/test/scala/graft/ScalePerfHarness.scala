@@ -67,6 +67,7 @@ object ScalePerfHarness {
       case "knn"   => knnMode(spark, count)
       case "quant" => quantMode(spark, count)
       case "blocks" => blocksMode(spark, count)
+      case "spans" => spansMode(spark, count)
       case "simhash10m" => simhash10mMode(spark, count)
       case "round5" => round5Mode(spark, count)
       case "pq" => pqMode(spark, count)
@@ -423,6 +424,29 @@ object ScalePerfHarness {
     }
     time("chunkByTokens(b=512)", n) {
       consume(Chunking.chunkByTokens(docs, "doc_id", "text", maxTokens = 512))
+    }
+    docs.unpersist()
+  }
+
+  /** Duplicated-span removal at scale: the occurrence relation is
+    * ~tokens-per-doc x corpus rows through one content-keyed agg + one
+    * join-back — LINEAR, so the interesting numbers are the per-stage
+    * shuffle volumes and how wall time tracks 10x corpus growth.
+    */
+  private def spansMode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    def consume(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    val docs = textCorpus(spark, count).persist()
+    val n = docs.count()
+    for (k <- Seq(8, 16)) {
+      val out = Dedup.spanDedup(docs, "doc_id", "text", k)
+      time(s"spanDedup(k=$k)", n) { consume(out) }
+      val r = out.agg(sum(col("n_removed")),
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L))).head()
+      println(s"[spans] k=$k removedTokens=${r.get(0)} docsTouched=${r.get(1)}")
+      Persisted.unpersistAll()
     }
     docs.unpersist()
   }
