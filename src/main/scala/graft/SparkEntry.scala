@@ -1151,6 +1151,21 @@ object SparkEntry {
           DerivedModel.table(s, dir, "documents"), "text",
           size = 20, minCount = 2L))),
 
+    // BPE merge-pair training: 6 rounds over the corpus's word types —
+    // one corpus pass (token-frequency groupBy), then per-round cost is
+    // bounded by the TYPE table (k-means training idiom: pair-count
+    // shuffle + 1-row argmax collect per round)
+    "x_vocab_bpe_merges" -> ((s, dir) =>
+      graft.text.Vocabulary.bpeTrain(
+        DerivedModel.table(s, dir, "documents"), "text", rounds = 6)),
+
+    // BPE application at corpus scale: trained types broadcast, token
+    // stream never shuffles for lookup; per-doc subword stats out
+    "x_vocab_bpe_segment" -> ((s, dir) =>
+      graft.text.Vocabulary.bpeSegmentStats(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        rounds = 6)),
+
     // keyword search: integer-scored (distinct terms, matches, id) top-k
     // — IN-filtered scan, map-side-combined agg, ordered limit
     "x_search_keywords" -> ((s, dir) =>
@@ -2270,6 +2285,12 @@ object SparkEntry {
       // vocab size 20 so a meaningful OOV fraction exists at sf0.01
       "x_vocab_oov" ->
         graft.text.Vocabulary.oovStatsSql(size = 20, minCount = 2L),
+
+      "x_vocab_bpe_merges" ->
+        graft.text.Vocabulary.bpeTrainSql(rounds = 6),
+
+      "x_vocab_bpe_segment" ->
+        graft.text.Vocabulary.bpeSegmentStatsSql(rounds = 6),
 
       "x_search_keywords" ->
         graft.text.Vocabulary.searchByTokensSql(

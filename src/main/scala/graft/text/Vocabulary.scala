@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -168,6 +168,178 @@ object Vocabulary {
        |GROUP BY doc_id
        |ORDER BY distinct_terms DESC, matches DESC, doc_id LIMIT $k""".stripMargin
   }
+
+  /** Canonical greedy application of ONE BPE merge (`a`,`b`) to a symbol
+    * array: scan left to right, replacing each non-overlapping adjacent
+    * (a, b) with the concatenation. A left fold is exactly this scan —
+    * a freshly merged element equals `a+b`, never `a` (b is non-empty),
+    * so it can't chain into a second overlapping merge, which is
+    * precisely BPE's pair-up-disjoint rule ("aaaa" → ["aa","aa"],
+    * "aaa" → ["aa","a"]). Runs as a per-row expression on the word-TYPE
+    * relation — no shuffle, corpus-size-independent.
+    */
+  private def mergeApply(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(a)
+          && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Word-type relation after `rounds` of BPE training, plus the learned
+    * merges. The corpus is touched ONCE (the token-frequency groupBy —
+    * the same map-side-combined shape as [[buildVocab]]); every training
+    * round after that runs on the word-TYPE table, whose size is bounded
+    * by the vocabulary, not the corpus — at 100 TB the types relation is
+    * still millions of rows, so per-round cost (one pair-count shuffle of
+    * ≤ types × word-length rows + a 1-row argmax collect, the k-means
+    * training idiom) is corpus-size-independent. Pair argmax tie-breaks
+    * (count desc, left asc, right asc) so training is reproducible across
+    * runs and engines. `minCount` drops hapax word types from TRAINING
+    * (standard practice at web scale); the gated queries use 1 so the
+    * oracle needs no threshold CTE.
+    */
+  def bpeWordTypes(df: DataFrame, textCol: String, rounds: Int,
+      minCount: Long = 1L): (DataFrame, Seq[(String, String, Long)]) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cur = graft.Persisted.track(df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      .filter(col("wcount") >= minCount)
+      .withColumn("syms", split(col("word"), ""))
+      .persist())
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      // length-1 types carry no pairs; the filter also keeps
+      // sequence(1, size-1) ascending (ANSI element_at is strict)
+      val best = cur.filter(size(col("syms")) >= 2)
+        .select(col("wcount"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wcount")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((a, b, cnt))
+        cur = graft.Persisted.track(
+          cur.withColumn("syms", mergeApply(col("syms"), a, b)).persist())
+        r += 1
+      }
+    }
+    (cur, merges.result())
+  }
+
+  /** BPE merge-pair training (Sennrich-style, word-level): the learned
+    * merge table (rank, pair, merged symbol, weighted pair count) after
+    * `rounds` rounds over the corpus's word types. See [[bpeWordTypes]]
+    * for the scale shape.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, merges) = bpeWordTypes(df, textCol, rounds)
+    merges.zipWithIndex.map { case ((a, b, cnt), i) =>
+      (i + 1L, a, b, a + b, cnt)
+    }.toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** Per-document subword statistics under a `rounds`-merge BPE model —
+    * the corpus-scale APPLICATION path: the trained word-type table
+    * broadcasts (it is vocabulary-sized) and the token stream never
+    * shuffles to look segmentations up; the only wide op is the per-doc
+    * reassembly agg.
+    */
+  def bpeSegmentStats(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val (types, _) = bpeWordTypes(df, textCol, rounds)
+    df.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .join(broadcast(types.select(col("word"), col("syms"))), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(size(col("syms"))).cast("long").as("n_subwords"))
+  }
+
+  /** Shared CTE prefix for the BPE oracles: replays every training round
+    * in SQL — pair counts, the tie-broken argmax, and canonical greedy
+    * merge application. The merge-apply replay uses the positional form
+    * of the same semantics the Column fold implements: occurrences
+    * (s_i, s_i+1) = (a, b) chain only when a = b (otherwise adjacency
+    * would force a = b), and greedy keeps the odd members of each
+    * consecutive-occurrence chain. `VocabularySpec` checks fold ==
+    * chain-parity on adversarial run cases.
+    */
+  private def bpeRoundsSqlPrefix(rounds: Int): String = {
+    val head =
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+         |  FROM documents),
+         |w0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS wcount,
+         |    string_split(word, '') AS syms
+         |  FROM tok GROUP BY word)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""pe$r AS (
+         |  SELECT wcount, syms, unnest(range(1, len(syms))) AS i FROM w$p),
+         |p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b,
+         |    CAST(sum(wcount) AS BIGINT) AS cnt
+         |  FROM pe$r GROUP BY 1, 2),
+         |best$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |e$r AS (
+         |  SELECT word, wcount, unnest(syms) AS s,
+         |    unnest(range(1, len(syms) + 1)) AS i
+         |  FROM w$p),
+         |o$r AS (
+         |  SELECT word, wcount, i, s, a, b,
+         |    (s = a AND lead(s) OVER (PARTITION BY word ORDER BY i) = b) AS occ
+         |  FROM e$r, best$r),
+         |c$r AS (
+         |  SELECT *, CASE WHEN occ
+         |    THEN i - row_number() OVER (PARTITION BY word, occ ORDER BY i) END
+         |    AS chain
+         |  FROM o$r),
+         |sel$r AS (
+         |  SELECT *, coalesce(occ AND (row_number()
+         |    OVER (PARTITION BY word, chain ORDER BY i) % 2 = 1), false) AS sel
+         |  FROM c$r),
+         |m$r AS (
+         |  SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY i),
+         |    false) AS prev_sel
+         |  FROM sel$r),
+         |w$r AS (
+         |  SELECT word, wcount,
+         |    list(CASE WHEN sel THEN a || b ELSE s END ORDER BY i) AS syms
+         |  FROM m$r WHERE NOT prev_sel GROUP BY word, wcount)""".stripMargin
+    }
+    (head +: roundCtes).mkString(",\n")
+  }
+
+  /** DuckDB twin of [[bpeTrain]] over `documents`. */
+  def bpeTrainSql(rounds: Int): String = {
+    val unions = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS left_sym,
+         |  b AS right_sym, a || b AS merged, cnt AS pair_count FROM best$r"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${bpeRoundsSqlPrefix(rounds)}
+       |$unions
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[bpeSegmentStats]] over `documents`. */
+  def bpeSegmentStatsSql(rounds: Int): String =
+    s"""${bpeRoundsSqlPrefix(rounds)}
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_subwords
+       |FROM tok t JOIN w$rounds w USING (word)
+       |GROUP BY t.doc_id""".stripMargin
 
   /** DuckDB twin of [[encode]] over `documents` with the [[buildVocabSql]]
     * vocab inlined. Parallel `unnest`s zip, giving (token, pos) rows.

@@ -211,4 +211,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(pruningFilters.exists(_.collect { case j: LJoin => j }.isEmpty),
       s"might_contain filter is not below the join:\n$plan")
   }
+
+  test("BPE segmentation broadcasts the trained types — token stream never shuffles for lookup") {
+    val p = planOf("x_vocab_bpe_segment")
+    assert(p.contains("BroadcastHashJoin"),
+      s"segment lookup must broadcast the vocabulary-sized types table:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus token stream must not shuffle into the lookup join:\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
 }

@@ -68,6 +68,7 @@ object ScalePerfHarness {
       case "quant" => quantMode(spark, count)
       case "blocks" => blocksMode(spark, count)
       case "spans" => spansMode(spark, count)
+      case "bpe"   => bpeMode(spark, count)
       case "simhash10m" => simhash10mMode(spark, count)
       case "round5" => round5Mode(spark, count)
       case "pq" => pqMode(spark, count)
@@ -448,6 +449,29 @@ object ScalePerfHarness {
       println(s"[spans] k=$k removedTokens=${r.get(0)} docsTouched=${r.get(1)}")
       Persisted.unpersistAll()
     }
+    docs.unpersist()
+  }
+
+  /** BPE training cost vs corpus size: the claim under test is that after
+    * the one corpus pass (token-frequency groupBy), per-round cost is
+    * bounded by the word-TYPE table (50k types here at ANY corpus size),
+    * so training wall time should grow far slower than the corpus.
+    */
+  private def bpeMode(spark: SparkSession, count: Long): Unit = {
+    import graft.text.Vocabulary
+    val docs = textCorpus(spark, count).persist()
+    val n = docs.count()
+    for (rounds <- Seq(6, 12)) {
+      time(s"bpeTrain(rounds=$rounds)", n) {
+        Vocabulary.bpeTrain(docs, "text", rounds).count()
+      }
+      Persisted.unpersistAll()
+    }
+    time("bpeSegmentStats(rounds=6)", n) {
+      val out = Vocabulary.bpeSegmentStats(docs, "doc_id", "text", 6)
+      out.write.mode("overwrite").format("noop").save(); 0L
+    }
+    Persisted.unpersistAll()
     docs.unpersist()
   }
 

@@ -176,6 +176,55 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
       s"got ${hits.toSeq}")
   }
 
+  test("bpe training: weighted argmax, canonical greedy runs, tie-breaks") {
+    import spark.implicits._
+    // types: aaab (x2), ab (x1); round1 (a,a)=4 beats (a,b)=3;
+    // round2 (a,b)=3 beats (aa,a)=2; round3 merges the whole word
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = graft.text.Vocabulary.bpeTrain(docs, "text", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges.toSeq == Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)), s"got ${merges.toSeq}")
+  }
+
+  test("bpe merge apply pairs up runs disjointly (aaaa -> aa aa, aaa -> aa a)") {
+    import spark.implicits._
+    // "aaaa": 3 (a,a) occurrences but only 2 disjoint merges; the second
+    // round proves the result was [aa, aa], not [aa, a, a]
+    val even = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val mEven = graft.text.Vocabulary.bpeTrain(even, "text", rounds = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(mEven.toSeq == Seq(("a", "a", 6L), ("aa", "aa", 2L)),
+      s"got ${mEven.toSeq}")
+    // "aaa": greedy keeps the FIRST pair -> [aa, a], so round2 sees (aa, a)
+    val odd = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val mOdd = graft.text.Vocabulary.bpeTrain(odd, "text", rounds = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(mOdd.toSeq == Seq(("a", "a", 2L), ("aa", "a", 1L)),
+      s"got ${mOdd.toSeq}")
+  }
+
+  test("bpe training exhausts gracefully and segment stats count subwords") {
+    import spark.implicits._
+    // single 2-char type: one merge possible, then every type is one
+    // symbol (also exercises the length-1 ANSI-safe pair filter)
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = graft.text.Vocabulary.bpeTrain(tiny, "text", rounds = 5).collect()
+    assert(m.length == 1 && m(0).getString(3) == "ab")
+    graft.Persisted.unpersistAll()
+    // segment stats after 1 round on the 3-merge corpus:
+    // aaab -> [aa, a, b] (3), ab -> [a, b] (2); doc = 2x aaab + 1x ab
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val seg = graft.text.Vocabulary.bpeSegmentStats(docs, "doc_id", "text",
+      rounds = 1).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(seg(1L) == ((3L, 8L)) && seg(2L) == ((1L, 2L)), s"got $seg")
+    graft.Persisted.unpersistAll()
+  }
+
   test("bm25 search matches an independent driver-side computation") {
     import spark.implicits._
     val docs = Seq(
