@@ -1166,6 +1166,14 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         rounds = 6)),
 
+    // batched BPE: the thousands-of-merges throughput form — one
+    // pair-count materialization per batch round amortized over
+    // batchSize symbol-disjoint merges applied in a single pass
+    "x_vocab_bpe_batched" -> ((s, dir) =>
+      graft.text.Vocabulary.bpeTrainBatched(
+        DerivedModel.table(s, dir, "documents"), "text",
+        batchRounds = 3, batchSize = 3)),
+
     // keyword search: integer-scored (distinct terms, matches, id) top-k
     // — IN-filtered scan, map-side-combined agg, ordered limit
     "x_search_keywords" -> ((s, dir) =>
@@ -2291,6 +2299,10 @@ object SparkEntry {
 
       "x_vocab_bpe_segment" ->
         graft.text.Vocabulary.bpeSegmentStatsSql(rounds = 6),
+
+      "x_vocab_bpe_batched" ->
+        graft.text.Vocabulary.bpeTrainBatchedSql(
+          batchRounds = 3, batchSize = 3),
 
       "x_search_keywords" ->
         graft.text.Vocabulary.searchByTokensSql(

@@ -40,7 +40,7 @@ object Vocabulary {
 
   /** DuckDB twin of [[buildVocab]] over the `documents` table. */
   def buildVocabSql(size: Int, minCount: Long = 1L): String =
-    s"""WITH tok AS (
+    s"""WITH tok AS MATERIALIZED (
        |  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents),
        |c AS (
        |  SELECT token, count(*) AS freq FROM tok GROUP BY token
@@ -83,7 +83,7 @@ object Vocabulary {
 
   /** DuckDB twin of [[oovStats]] over `documents`. */
   def oovStatsSql(size: Int, minCount: Long = 1L): String =
-    s"""WITH tok AS (
+    s"""WITH tok AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
        |  FROM documents),
        |tcnt AS (
@@ -159,7 +159,7 @@ object Vocabulary {
   /** DuckDB twin of [[searchByTokens]] over `documents`. */
   def searchByTokensSql(query: Seq[String], k: Int): String = {
     val inList = query.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
-    s"""WITH tok AS (
+    s"""WITH tok AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
        |  FROM documents)
        |SELECT doc_id, count(DISTINCT token) AS distinct_terms,
@@ -197,6 +197,13 @@ object Vocabulary {
     * runs and engines. `minCount` drops hapax word types from TRAINING
     * (standard practice at web scale); the gated queries use 1 so the
     * oracle needs no threshold CTE.
+    *
+    * Each round `localCheckpoint`s the types relation: plan LINEAGE, not
+    * data, is the driver-side failure mode for iteration (the
+    * label-propagation idiom) — chaining tens of merge-apply projections
+    * grows the plan-description strings Spark renders per job until the
+    * driver OOMs building them (measured at ~48 chained rounds). On a
+    * cluster with executor churn, swap for reliable `checkpoint()`.
     */
   def bpeWordTypes(df: DataFrame, textCol: String, rounds: Int,
       minCount: Long = 1L): (DataFrame, Seq[(String, String, Long)]) = {
@@ -227,12 +234,96 @@ object Vocabulary {
         val (a, b, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((a, b, cnt))
-        cur = graft.Persisted.track(
-          cur.withColumn("syms", mergeApply(col("syms"), a, b)).persist())
+        cur = cur.withColumn("syms", mergeApply(col("syms"), a, b))
+          .localCheckpoint(true)
         r += 1
       }
     }
     (cur, merges.result())
+  }
+
+  /** One round's worth of SIMULTANEOUS merges: a when-chain inside the
+    * fold. The pairs are symbol-disjoint by construction, so at most one
+    * pair matches any (last, next) position and chain order is
+    * irrelevant — the result equals applying the pairs one at a time in
+    * any order.
+    */
+  private def batchMergeApply(syms: Column,
+      pairs: Seq[(String, String)]): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => {
+        val fallback = concat(acc, array(x))
+        pairs.foldRight(fallback) { case ((a, b), rest) =>
+          when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(a)
+              && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(rest)
+        }
+      })
+
+  /** Batched BPE training — the throughput form for REAL tokenizer runs
+    * (thousands of merges): each batch round materializes the pair-count
+    * relation ONCE and selects `batchSize` symbol-disjoint pairs from it
+    * (greedy by count with the same tie-break; a pair sharing a symbol
+    * with an already-kept pair is skipped because its count is stale the
+    * moment the kept pair applies). All `batchSize` merges apply in one
+    * pass over the types table, so materializations drop from
+    * O(merges) to O(merges / batchSize). The merge SEQUENCE can differ
+    * from one-at-a-time training (counts refresh per batch, not per
+    * merge) — the standard batched-training fidelity trade; with
+    * `batchSize = 1` the output equals [[bpeTrain]] exactly
+    * (spec-checked). Disjointness keeps the batch order-independent:
+    * occurrences of different kept pairs can never overlap or chain.
+    */
+  def bpeTrainBatched(df: DataFrame, textCol: String, batchRounds: Int,
+      batchSize: Int): DataFrame = {
+    require(batchRounds >= 1 && batchSize >= 1,
+      s"need batchRounds/batchSize >= 1, got $batchRounds/$batchSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = graft.Persisted.track(df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      .withColumn("syms", split(col("word"), ""))
+      .persist())
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var round = 1L
+    var exhausted = false
+    while (round <= batchRounds && !exhausted) {
+      val pairCounts = graft.Persisted.track(
+        cur.filter(size(col("syms")) >= 2)
+          .select(col("wcount"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("a"),
+              element_at(col("syms"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("wcount")).as("cnt"))
+          .persist())
+      var kept = Vector.empty[(String, String, Long)]
+      var drained = false
+      while (kept.size < batchSize && !drained) {
+        val used = kept.flatMap(p => Seq(p._1, p._2))
+        val row = pairCounts
+          .filter(!col("a").isin(used: _*) && !col("b").isin(used: _*))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (row.isEmpty) drained = true
+        else kept :+= ((row(0).getString(0), row(0).getString(1),
+          row(0).getLong(2)))
+      }
+      if (kept.isEmpty) exhausted = true
+      else {
+        kept.foreach { case (a, b, cnt) => merges += ((round, a, b, cnt)) }
+        cur = cur.withColumn("syms",
+          batchMergeApply(col("syms"), kept.map(p => (p._1, p._2))))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    merges.result().zipWithIndex.map { case ((r, a, b, cnt), i) =>
+      (r, i + 1L, a, b, a + b, cnt)
+    }.toDF("batch_round", "merge_rank", "left_sym", "right_sym", "merged",
+      "pair_count")
   }
 
   /** BPE merge-pair training (Sennrich-style, word-level): the learned
@@ -276,10 +367,10 @@ object Vocabulary {
     */
   private def bpeRoundsSqlPrefix(rounds: Int): String = {
     val head =
-      s"""WITH tok AS (
+      s"""WITH tok AS MATERIALIZED (
          |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
          |  FROM documents),
-         |w0 AS (
+         |w0 AS MATERIALIZED (
          |  SELECT word, CAST(count(*) AS BIGINT) AS wcount,
          |    string_split(word, '') AS syms
          |  FROM tok GROUP BY word)""".stripMargin
@@ -287,7 +378,7 @@ object Vocabulary {
       val p = r - 1
       s"""pe$r AS (
          |  SELECT wcount, syms, unnest(range(1, len(syms))) AS i FROM w$p),
-         |p$r AS (
+         |p$r AS MATERIALIZED (
          |  SELECT syms[i] AS a, syms[i + 1] AS b,
          |    CAST(sum(wcount) AS BIGINT) AS cnt
          |  FROM pe$r GROUP BY 1, 2),
@@ -313,12 +404,99 @@ object Vocabulary {
          |  SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY i),
          |    false) AS prev_sel
          |  FROM sel$r),
-         |w$r AS (
+         |w$r AS MATERIALIZED (
          |  SELECT word, wcount,
          |    list(CASE WHEN sel THEN a || b ELSE s END ORDER BY i) AS syms
          |  FROM m$r WHERE NOT prev_sel GROUP BY word, wcount)""".stripMargin
     }
     (head +: roundCtes).mkString(",\n")
+  }
+
+  /** DuckDB twin of [[bpeTrainBatched]] over `documents`. Per batch
+    * round: pair counts once, `batchSize` constrained argmins (each
+    * excluding symbols used by earlier picks via a growing used-symbol
+    * CTE), then ONE merge-apply block where occurrences resolve their
+    * pair by joining (s, next) against the kept set — disjointness makes
+    * the join at-most-one-match and keeps the chain-parity greedy
+    * unchanged (consecutive occurrences can only share a pair).
+    */
+  def bpeTrainBatchedSql(batchRounds: Int, batchSize: Int): String = {
+    val head =
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+         |  FROM documents),
+         |w0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS wcount,
+         |    string_split(word, '') AS syms
+         |  FROM tok GROUP BY word)""".stripMargin
+    val roundCtes = (1 to batchRounds).map { r =>
+      val p = r - 1
+      val picks = (1 to batchSize).map { i =>
+        val guard = if (i == 1) ""
+        else s"""
+           |  WHERE a NOT IN (SELECT s FROM u${r}_${i - 1})
+           |    AND b NOT IN (SELECT s FROM u${r}_${i - 1})""".stripMargin
+        val prev = if (i == 1) ""
+        else s"SELECT s FROM u${r}_${i - 1} UNION ALL "
+        s"""k${r}_$i AS MATERIALIZED (
+           |  SELECT a, b, cnt FROM p$r$guard
+           |  ORDER BY cnt DESC, a, b LIMIT 1),
+           |u${r}_$i AS MATERIALIZED (
+           |  ${prev}SELECT a AS s FROM k${r}_$i
+           |  UNION ALL SELECT b FROM k${r}_$i)""".stripMargin
+      }.mkString(",\n")
+      val keptUnion = (1 to batchSize).map { i =>
+        s"SELECT $i AS ki, a, b, cnt FROM k${r}_$i"
+      }.mkString("\n  UNION ALL ")
+      s"""pe$r AS (
+         |  SELECT wcount, syms, unnest(range(1, len(syms))) AS i FROM w$p),
+         |p$r AS MATERIALIZED (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b,
+         |    CAST(sum(wcount) AS BIGINT) AS cnt
+         |  FROM pe$r GROUP BY 1, 2),
+         |$picks,
+         |kept$r AS MATERIALIZED (
+         |  $keptUnion),
+         |e$r AS (
+         |  SELECT word, wcount, unnest(syms) AS s,
+         |    unnest(range(1, len(syms) + 1)) AS i
+         |  FROM w$p),
+         |n$r AS (
+         |  SELECT word, wcount, i, s,
+         |    lead(s) OVER (PARTITION BY word ORDER BY i) AS nxt
+         |  FROM e$r),
+         |o$r AS (
+         |  SELECT n.word, n.wcount, n.i, n.s,
+         |    (k.a IS NOT NULL) AS occ, k.a || k.b AS msym
+         |  FROM n$r n LEFT JOIN kept$r k ON n.s = k.a AND n.nxt = k.b),
+         |c$r AS (
+         |  SELECT *, CASE WHEN occ
+         |    THEN i - row_number() OVER (PARTITION BY word, occ ORDER BY i) END
+         |    AS chain
+         |  FROM o$r),
+         |sel$r AS (
+         |  SELECT *, coalesce(occ AND (row_number()
+         |    OVER (PARTITION BY word, chain ORDER BY i) % 2 = 1), false) AS sel
+         |  FROM c$r),
+         |m$r AS (
+         |  SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY i),
+         |    false) AS prev_sel
+         |  FROM sel$r),
+         |w$r AS MATERIALIZED (
+         |  SELECT word, wcount,
+         |    list(CASE WHEN sel THEN msym ELSE s END ORDER BY i) AS syms
+         |  FROM m$r WHERE NOT prev_sel GROUP BY word, wcount)""".stripMargin
+    }
+    val allUnion = (1 to batchRounds).map { r =>
+      s"SELECT $r AS r, ki, a, b, cnt FROM kept$r"
+    }.mkString("\n  UNION ALL ")
+    s"""${(head +: roundCtes).mkString(",\n")},
+       |allk AS (
+       |  $allUnion)
+       |SELECT CAST(r AS BIGINT) AS batch_round,
+       |  CAST(row_number() OVER (ORDER BY r, ki) AS BIGINT) AS merge_rank,
+       |  a AS left_sym, b AS right_sym, a || b AS merged, cnt AS pair_count
+       |FROM allk ORDER BY merge_rank""".stripMargin
   }
 
   /** DuckDB twin of [[bpeTrain]] over `documents`. */

@@ -225,6 +225,36 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     graft.Persisted.unpersistAll()
   }
 
+  test("batched bpe: batchSize=1 equals one-at-a-time; batches are symbol-disjoint") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "cd cd cd")).toDF("doc_id", "text")
+    val one = graft.text.Vocabulary.bpeTrain(docs, "text", rounds = 4)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    graft.Persisted.unpersistAll()
+    val b1 = graft.text.Vocabulary.bpeTrainBatched(docs, "text",
+      batchRounds = 4, batchSize = 1)
+      .collect().map(r => (r.getString(2), r.getString(3), r.getLong(5)))
+    assert(one.toSeq == b1.toSeq, s"batchSize=1 diverged: ${one.toSeq} vs ${b1.toSeq}")
+    graft.Persisted.unpersistAll()
+    // batchSize=2 must pick (a,a) then skip (a,b)/(aa,*) overlaps -> (c,d)
+    val b2 = graft.text.Vocabulary.bpeTrainBatched(docs, "text",
+      batchRounds = 1, batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    assert(b2.toSeq == Seq((1L, "a", "a"), (1L, "c", "d")), s"got ${b2.toSeq}")
+    // disjointness within every batch round, by construction
+    val b3 = graft.text.Vocabulary.bpeTrainBatched(docs, "text",
+      batchRounds = 3, batchSize = 3).collect()
+      .groupBy(_.getLong(0)).values
+    b3.foreach { rows =>
+      // disjointness is BETWEEN pairs ((a,a) alone is fine): no symbol
+      // of one kept pair may appear in another kept pair of the batch
+      val sets = rows.map(r => Set(r.getString(2), r.getString(3)))
+      assert(sets.map(_.size).sum == sets.foldLeft(Set.empty[String])(_ ++ _).size,
+        s"batch shares symbols across pairs: ${rows.mkString(", ")}")
+    }
+    graft.Persisted.unpersistAll()
+  }
+
   test("bm25 search matches an independent driver-side computation") {
     import spark.implicits._
     val docs = Seq(
