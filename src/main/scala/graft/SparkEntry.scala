@@ -1134,9 +1134,10 @@ object SparkEntry {
         size = 200, minCount = 2L)),
 
     // documents encoded as token-id sequences under the vocab (broadcast
-    // lookup, order preserved, OOV -> -1)
+    // lookup, order preserved, OOV -> -1); gated as a space-joined string
+    // so the driver's scalar hash compare applies
     "x_vocab_encode" -> ((s, dir) =>
-      graft.text.Vocabulary.encode(
+      graft.text.Vocabulary.encodeJoined(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         graft.text.Vocabulary.buildVocab(
           DerivedModel.table(s, dir, "documents"), "text",

@@ -65,6 +65,19 @@ object Vocabulary {
       .agg(array_sort(collect_list(struct(col("pos"), col("tid")))).as("_pt"))
       .select(col(idCol), expr("transform(_pt, x -> x.tid)").as("token_ids"))
 
+  /** [[encode]] with the id sequence rendered as a space-joined string —
+    * the GATED form: the driver's oracle compare hashes scalar columns
+    * (a pandas sort over an array column crashes), so the hash gate
+    * carries the encoding as `"12 7 -1 3"` instead of `array<bigint>`.
+    * Library callers wanting the typed sequence use [[encode]].
+    */
+  def encodeJoined(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, oovId: Long = -1L): DataFrame =
+    encode(df, idCol, textCol, vocab, oovId)
+      .select(col(idCol),
+        array_join(transform(col("token_ids"), _.cast("string")), " ")
+          .as("token_ids"))
+
   /** Per-document out-of-vocabulary stats under `vocab` — the quality
     * signal a tokenizer-aware curation gate filters on (high OOV ⇒ the
     * vocab doesn't model the doc). Integer counts only, so the result is
@@ -178,7 +191,7 @@ object Vocabulary {
     * "aaa" → ["aa","a"]). Runs as a per-row expression on the word-TYPE
     * relation — no shuffle, corpus-size-independent.
     */
-  private def mergeApply(syms: Column, a: String, b: String): Column =
+  private[graft] def mergeApply(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) => when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(a)
           && x === lit(b),
@@ -243,12 +256,18 @@ object Vocabulary {
   }
 
   /** One round's worth of SIMULTANEOUS merges: a when-chain inside the
-    * fold. The pairs are symbol-disjoint by construction, so at most one
-    * pair matches any (last, next) position and chain order is
+    * fold. The pairs are symbol-disjoint by construction — including
+    * their MERGED strings (see [[selectDisjointPairs]]): if a kept
+    * pair's concatenation could equal another kept pair's symbol, a
+    * freshly merged element could immediately match the other pair and
+    * merges would chain within one pass. With merged strings excluded
+    * from the candidate pool, at most one pair matches any (last, next)
+    * position, no fresh element ever re-matches, and chain order is
     * irrelevant — the result equals applying the pairs one at a time in
-    * any order.
+    * any order ([[graft.VocabularySpec]] exercises the adversarial
+    * chaining case directly).
     */
-  private def batchMergeApply(syms: Column,
+  private[graft] def batchMergeApply(syms: Column,
       pairs: Seq[(String, String)]): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) => {
@@ -264,9 +283,13 @@ object Vocabulary {
   /** Batched BPE training — the throughput form for REAL tokenizer runs
     * (thousands of merges): each batch round materializes the pair-count
     * relation ONCE and selects `batchSize` symbol-disjoint pairs from it
-    * (greedy by count with the same tie-break; a pair sharing a symbol
-    * with an already-kept pair is skipped because its count is stale the
-    * moment the kept pair applies). All `batchSize` merges apply in one
+    * (greedy by count with the same tie-break; a pair whose left, right,
+    * or MERGED symbol collides with an already-kept pair's symbols or
+    * merged string is skipped — the symbol overlap because its count is
+    * stale the moment the kept pair applies, the merged-string overlap
+    * because a fresh merge result equal to another kept pair's symbol
+    * would let merges chain inside one pass and make the batch
+    * order-dependent). All `batchSize` merges apply in one
     * pass over the types table, so materializations drop from
     * O(merges) to O(merges / batchSize). The merge SEQUENCE can differ
     * from one-at-a-time training (counts refresh per batch, not per
@@ -275,6 +298,33 @@ object Vocabulary {
     * (spec-checked). Disjointness keeps the batch order-independent:
     * occurrences of different kept pairs can never overlap or chain.
     */
+  /** Greedy batch-pair selection from a (a, b, cnt) pair-count relation:
+    * up to `batchSize` pairs by (cnt desc, a, b), where a candidate is
+    * skipped if its left symbol, right symbol, OR concatenation collides
+    * with any already-kept pair's left, right, or merged string. The
+    * merged-string exclusions (both directions) are what make
+    * [[batchMergeApply]]'s one-pass application chain-free: no fresh
+    * merge result can equal another kept pair's symbol, and no kept
+    * pair's symbol can equal another's merge result.
+    */
+  private[graft] def selectDisjointPairs(pairCounts: DataFrame,
+      batchSize: Int): Vector[(String, String, Long)] = {
+    var kept = Vector.empty[(String, String, Long)]
+    var drained = false
+    while (kept.size < batchSize && !drained) {
+      val used = kept.flatMap(p => Seq(p._1, p._2, p._1 + p._2))
+      val row = pairCounts
+        .filter(!col("a").isin(used: _*) && !col("b").isin(used: _*)
+          && !concat(col("a"), col("b")).isin(used: _*))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (row.isEmpty) drained = true
+      else kept :+= ((row(0).getString(0), row(0).getString(1),
+        row(0).getLong(2)))
+    }
+    kept
+  }
+
   def bpeTrainBatched(df: DataFrame, textCol: String, batchRounds: Int,
       batchSize: Int): DataFrame = {
     require(batchRounds >= 1 && batchSize >= 1,
@@ -299,18 +349,7 @@ object Vocabulary {
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("wcount")).as("cnt"))
           .persist())
-      var kept = Vector.empty[(String, String, Long)]
-      var drained = false
-      while (kept.size < batchSize && !drained) {
-        val used = kept.flatMap(p => Seq(p._1, p._2))
-        val row = pairCounts
-          .filter(!col("a").isin(used: _*) && !col("b").isin(used: _*))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()
-        if (row.isEmpty) drained = true
-        else kept :+= ((row(0).getString(0), row(0).getString(1),
-          row(0).getLong(2)))
-      }
+      val kept = selectDisjointPairs(pairCounts, batchSize)
       if (kept.isEmpty) exhausted = true
       else {
         kept.foreach { case (a, b, cnt) => merges += ((round, a, b, cnt)) }
@@ -362,8 +401,11 @@ object Vocabulary {
     * of the same semantics the Column fold implements: occurrences
     * (s_i, s_i+1) = (a, b) chain only when a = b (otherwise adjacency
     * would force a = b), and greedy keeps the odd members of each
-    * consecutive-occurrence chain. `VocabularySpec` checks fold ==
-    * chain-parity on adversarial run cases.
+    * consecutive-occurrence chain. `graft.VocabularySpec` checks fold ==
+    * chain-parity on adversarial run cases. If merges EXHAUST before
+    * `rounds` (best$r empty), the LEFT JOIN in o$r keeps every position
+    * with occ = false, so w$r passes w$p through unchanged — matching the
+    * Scala early-exit instead of collapsing the word relation to empty.
     */
   private def bpeRoundsSqlPrefix(rounds: Int): String = {
     val head =
@@ -389,8 +431,10 @@ object Vocabulary {
          |  FROM w$p),
          |o$r AS (
          |  SELECT word, wcount, i, s, a, b,
-         |    (s = a AND lead(s) OVER (PARTITION BY word ORDER BY i) = b) AS occ
-         |  FROM e$r, best$r),
+         |    coalesce(s = a
+         |      AND lead(s) OVER (PARTITION BY word ORDER BY i) = b,
+         |      false) AS occ
+         |  FROM e$r LEFT JOIN best$r ON true),
          |c$r AS (
          |  SELECT *, CASE WHEN occ
          |    THEN i - row_number() OVER (PARTITION BY word, occ ORDER BY i) END
@@ -435,7 +479,8 @@ object Vocabulary {
         val guard = if (i == 1) ""
         else s"""
            |  WHERE a NOT IN (SELECT s FROM u${r}_${i - 1})
-           |    AND b NOT IN (SELECT s FROM u${r}_${i - 1})""".stripMargin
+           |    AND b NOT IN (SELECT s FROM u${r}_${i - 1})
+           |    AND a || b NOT IN (SELECT s FROM u${r}_${i - 1})""".stripMargin
         val prev = if (i == 1) ""
         else s"SELECT s FROM u${r}_${i - 1} UNION ALL "
         s"""k${r}_$i AS MATERIALIZED (
@@ -443,7 +488,8 @@ object Vocabulary {
            |  ORDER BY cnt DESC, a, b LIMIT 1),
            |u${r}_$i AS MATERIALIZED (
            |  ${prev}SELECT a AS s FROM k${r}_$i
-           |  UNION ALL SELECT b FROM k${r}_$i)""".stripMargin
+           |  UNION ALL SELECT b FROM k${r}_$i
+           |  UNION ALL SELECT a || b FROM k${r}_$i)""".stripMargin
       }.mkString(",\n")
       val keptUnion = (1 to batchSize).map { i =>
         s"SELECT $i AS ki, a, b, cnt FROM k${r}_$i"
@@ -519,8 +565,10 @@ object Vocabulary {
        |FROM tok t JOIN w$rounds w USING (word)
        |GROUP BY t.doc_id""".stripMargin
 
-  /** DuckDB twin of [[encode]] over `documents` with the [[buildVocabSql]]
-    * vocab inlined. Parallel `unnest`s zip, giving (token, pos) rows.
+  /** DuckDB twin of [[encodeJoined]] over `documents` with the
+    * [[buildVocabSql]] vocab inlined. Parallel `unnest`s zip, giving
+    * (token, pos) rows; the id sequence is space-joined so the result is
+    * all-scalar (the driver's hash compare requirement).
     */
   def encodeSql(size: Int, minCount: Long = 1L, oovId: Long = -1L): String =
     s"""WITH tokl AS (
@@ -537,7 +585,8 @@ object Vocabulary {
        |    CAST(row_number() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT) AS token_id
        |  FROM tcnt ORDER BY freq DESC, token LIMIT $size)
        |SELECT t.doc_id,
-       |  list(coalesce(v.token_id, CAST($oovId AS BIGINT)) ORDER BY t.pos) AS token_ids
+       |  string_agg(CAST(coalesce(v.token_id, CAST($oovId AS BIGINT)) AS VARCHAR),
+       |    ' ' ORDER BY t.pos) AS token_ids
        |FROM tok t LEFT JOIN v ON t.token = v.token
        |GROUP BY t.doc_id""".stripMargin
 }

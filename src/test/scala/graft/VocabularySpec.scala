@@ -1,0 +1,135 @@
+package graft
+
+import graft.text.Vocabulary
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The BPE merge-application equivalence spec the Vocabulary scaladoc
+  * cites: the Column left-fold ([[Vocabulary.mergeApply]]), the oracle's
+  * chain-parity formulation (occurrence chains, keep odd members), and a
+  * plain greedy left-to-right scan must agree on adversarial run cases —
+  * plus the batched-selection disjointness rules that keep
+  * [[Vocabulary.batchMergeApply]] chain-free.
+  */
+class VocabularySpec extends AnyFunSuite with SparkTestBase {
+
+  /** Reference 1: canonical greedy left-to-right scan, non-overlapping. */
+  private def greedyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Reference 2: the oracle's chain-parity formulation — mark occurrence
+    * positions, group consecutive occurrences into chains, select the odd
+    * members of each chain, emit merged symbols at selected positions and
+    * drop the position after each selection.
+    */
+  private def chainParity(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val occ = syms.indices.map(i =>
+      i + 1 < syms.length && syms(i) == a && syms(i + 1) == b)
+    val sel = Array.fill(syms.length)(false)
+    var i = 0
+    while (i < syms.length) {
+      if (occ(i)) {
+        var j = i
+        var k = 0
+        while (j < syms.length && occ(j)) {
+          if (k % 2 == 0) sel(j) = true
+          j += 1; k += 1
+        }
+        i = j
+      } else i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var prevSel = false
+    for (p <- syms.indices) {
+      if (!prevSel) out += (if (sel(p)) a + b else syms(p))
+      prevSel = sel(p)
+    }
+    out.toSeq
+  }
+
+  private def foldApply(syms: Seq[String], a: String, b: String): Seq[String] = {
+    import spark.implicits._
+    Seq(syms).toDF("syms")
+      .select(Vocabulary.mergeApply(col("syms"), a, b).as("m"))
+      .collect().head.getSeq[String](0)
+  }
+
+  test("fold == chain-parity == greedy on adversarial run cases") {
+    val cases: Seq[(Seq[String], String, String)] = Seq(
+      (Seq("a", "a", "a", "a"), "a", "a"),            // even run: aa aa
+      (Seq("a", "a", "a"), "a", "a"),                 // odd run: aa a
+      (Seq("a", "a", "a", "a", "a"), "a", "a"),       // aa aa a
+      (Seq("x", "a", "a", "a", "y", "a", "a"), "a", "a"), // interior runs
+      (Seq("a", "b", "a", "b", "a", "b"), "a", "b"),  // disjoint occurrences
+      (Seq("a", "b", "a"), "a", "b"),                 // tail survivor
+      (Seq("b", "a", "b", "b", "a"), "a", "b"),       // occurrence mid-word
+      (Seq("a"), "a", "a"),                           // too short to merge
+      (Seq.empty[String], "a", "b"))                  // empty
+    cases.foreach { case (syms, a, b) =>
+      val g = greedyMerge(syms, a, b)
+      val c = chainParity(syms, a, b)
+      val f = foldApply(syms, a, b)
+      assert(g == c, s"greedy vs chain-parity on $syms ($a,$b): $g vs $c")
+      assert(g == f, s"greedy vs fold on $syms ($a,$b): $g vs $f")
+    }
+  }
+
+  test("batchMergeApply chains when a kept pair's merge equals another's symbol") {
+    import spark.implicits._
+    // The adversarial case the selection rules exist for: pairs
+    // ('ab','cd') and ('abcd','e') — the first merge PRODUCES 'abcd',
+    // which immediately matches the second pair in the same fold pass.
+    // This documents the hazard; selectDisjointPairs must never keep
+    // this combination.
+    val chained = Seq(Seq("ab", "cd", "e")).toDF("syms")
+      .select(Vocabulary.batchMergeApply(col("syms"),
+        Seq(("ab", "cd"), ("abcd", "e"))).as("m"))
+      .collect().head.getSeq[String](0)
+    assert(chained == Seq("abcde"),
+      s"expected the fold to chain (the hazard under test), got $chained")
+  }
+
+  test("selectDisjointPairs excludes symbol AND merged-string collisions") {
+    import spark.implicits._
+    // ('abcd','e') collides with kept ('ab','cd') via its merged string;
+    // ('x','y') is clean and must be picked instead.
+    val pc1 = Seq(("ab", "cd", 100L), ("abcd", "e", 90L), ("x", "y", 80L))
+      .toDF("a", "b", "cnt")
+    val kept1 = Vocabulary.selectDisjointPairs(pc1, batchSize = 3)
+    assert(kept1 == Vector(("ab", "cd", 100L), ("x", "y", 80L)),
+      s"got $kept1")
+    // the reverse direction: a candidate whose SYMBOL equals an earlier
+    // pick's merged string (('ab','z') after ('a','b')) is also excluded
+    val pc2 = Seq(("a", "b", 100L), ("ab", "z", 90L), ("q", "r", 10L))
+      .toDF("a", "b", "cnt")
+    val kept2 = Vocabulary.selectDisjointPairs(pc2, batchSize = 3)
+    assert(kept2 == Vector(("a", "b", 100L), ("q", "r", 10L)),
+      s"got $kept2")
+    // and a candidate whose MERGE equals an earlier pick's merge
+    // (('a','bc') vs ('ab','c')) cannot both apply in one pass
+    val pc3 = Seq(("ab", "c", 100L), ("a", "bc", 90L), ("s", "t", 5L))
+      .toDF("a", "b", "cnt")
+    val kept3 = Vocabulary.selectDisjointPairs(pc3, batchSize = 3)
+    assert(kept3 == Vector(("ab", "c", 100L), ("s", "t", 5L)),
+      s"got $kept3")
+  }
+
+  test("encodeJoined renders the id sequence as a space-joined scalar") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a b c"), (2L, "zz a")).toDF("doc_id", "text")
+    val vocab = Vocabulary.buildVocab(docs, "text", size = 2)
+    // freq: b=2, a=2, c=1, zz=1 -> vocab (a,0),(b,1) by (freq desc, token)
+    val enc = Vocabulary.encodeJoined(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc(1L) == "1 0 1 -1", s"got ${enc(1L)}")
+    assert(enc(2L) == "-1 0", s"got ${enc(2L)}")
+  }
+}
