@@ -1182,6 +1182,14 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         query = Seq("join", "hash", "scan"), k = 25)),
 
+    // BM25 ranked retrieval, gated: fixed-point integer idf (shared
+    // shift-and-square log2 op sequence) + exact rational tf-weight —
+    // bit-identical in both engines, same ranking as float BM25
+    "x_search_bm25" -> ((s, dir) =>
+      graft.text.Vocabulary.bm25SearchFixed(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        query = Seq("join", "hash", "scan"), k = 25)),
+
     // count-min sketch heavy hitters: fixed-size frequency summary (the
     // only shuffle carries <= partitions * depth * 2^widthBits combiner
     // rows regardless of corpus size), estimates beside exact counts
@@ -2307,6 +2315,10 @@ object SparkEntry {
 
       "x_search_keywords" ->
         graft.text.Vocabulary.searchByTokensSql(
+          query = Seq("join", "hash", "scan"), k = 25),
+
+      "x_search_bm25" ->
+        graft.text.Vocabulary.bm25SearchFixedSql(
           query = Seq("join", "hash", "scan"), k = 25),
 
       "x_sketch_cms_topk" ->

@@ -137,8 +137,8 @@ object Vocabulary {
     * Spec-checked against an independent driver-side computation, but NOT
     * gated: `ln` is not guaranteed bit-identical across engines (JVM
     * `Math.log` vs DuckDB's libm are each ≤1 ulp, not equal), so a
-    * hash-matching oracle would be a coin flip — [[searchByTokens]]'s
-    * integer ranking is the gated form.
+    * hash-matching oracle would be a coin flip — [[bm25SearchFixed]] is
+    * the gated form (same ranking, exact integer fixed-point arithmetic).
     *
     * Scale shape: corpus stats (N, avgdl) are a 1-row broadcast; per-term
     * df is a ≤|query|-row broadcast; the only wide ops are the tf agg and
@@ -167,6 +167,179 @@ object Vocabulary {
       .agg(sum(termScore).as("bm25"), count(lit(1)).as("distinct_terms"))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Fixed-point log2 parameters shared by [[log2Fixed]], its Column twin
+    * inside [[bm25SearchFixed]], and the DuckDB replay in
+    * [[bm25SearchFixedSql]]: `MantBits`-bit mantissa, `FracBits` result
+    * fraction bits, exponents up to `EMax`. The three implementations run
+    * the IDENTICAL integer op sequence (shift-and-square with truncation),
+    * so they agree bit-for-bit — the determinism comes from the shared
+    * operational definition, not from floating-point luck.
+    */
+  private[graft] val MantBits = 30
+  private[graft] val FracBits = 20
+  private[graft] val EMax = 40
+
+  /** `floor`-style fixed-point `log2(num/den)` with [[FracBits]] fraction
+    * bits, defined OPERATIONALLY as integer ops only (compare, multiply,
+    * shift): normalize `num/den = 2^e * m` with `m ∈ [1, 2)` held as a
+    * [[MantBits]]-bit fixed-point integer, then extract one fraction bit
+    * per squaring round (truncating the mantissa back to [[MantBits]] bits
+    * each round). Requires `0 < den <= num < 2^(63 - MantBits)` and
+    * `num/den < 2^EMax` — callers at larger magnitudes rescale first.
+    * Accuracy: within ~2^-FracBits + FracBits·2^-MantBits of exact log2
+    * (spec-checked); EXACTNESS across engines is what the gate needs, and
+    * that follows from the op sequence alone.
+    */
+  private[graft] def log2Fixed(num: Long, den: Long): Long = {
+    require(den > 0 && num >= den && num < (1L << (63 - MantBits)),
+      s"log2Fixed needs 0 < den <= num < 2^${63 - MantBits}, got $num/$den")
+    var e = 0
+    while (e < EMax && (den << (e + 1)) <= num) e += 1
+    var m = (num << MantBits) / (den << e)
+    var frac = 0L
+    var i = 0
+    while (i < FracBits) {
+      val msq = (m * m) >> MantBits
+      frac = frac * 2 + (if (msq >= (2L << MantBits)) 1L else 0L)
+      m = if (msq >= (2L << MantBits)) msq >> 1 else msq
+      i += 1
+    }
+    (e.toLong << FracBits) + frac
+  }
+
+  /** Column twin of [[log2Fixed]] over a relation carrying `_num`/`_den`:
+    * the exponent is an exact indicator sum (`e = Σ_k [den·2^k <= num]`,
+    * k = 1..EMax), the mantissa loop unrolls into [[FracBits]] chained
+    * projections — the relation here is the ≤|query|-row per-term df
+    * table, so the unrolled plan is trivially small.
+    */
+  private def log2FixedCols(df: DataFrame): DataFrame = {
+    val two = lit(2L << MantBits)
+    var cur = df
+      .withColumn("_e", (1 to EMax).map(k =>
+        when(col("_den") * lit(1L << k) <= col("_num"), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .withColumn("_m",
+        expr(s"shiftleft(_num, $MantBits) DIV shiftleft(_den, CAST(_e AS INT))"))
+      .withColumn("_frac", lit(0L))
+    for (_ <- 1 to FracBits) {
+      cur = cur
+        .withColumn("_msq", shiftright(col("_m") * col("_m"), MantBits))
+        .withColumn("_frac",
+          col("_frac") * 2 + when(col("_msq") >= two, 1L).otherwise(0L))
+        .withColumn("_m",
+          when(col("_msq") >= two, shiftright(col("_msq"), 1)).otherwise(col("_msq")))
+    }
+    cur.withColumn("_idf_fp", col("_e") * lit(1L << FracBits) + col("_frac"))
+      .drop("_e", "_m", "_msq", "_frac")
+  }
+
+  /** BM25 ranked search as EXACT INTEGER arithmetic — the gated form of
+    * [[bm25Search]] (which stays float, for library callers): same plan
+    * shape, but every float source is replaced by a deterministic integer
+    * reformulation, so a DuckDB oracle hash-matches bit-for-bit.
+    *
+    *  - `idf`: `ln(1 + (N−df+0.5)/(df+0.5)) = ln((2N+2)/(2df+1))` — an
+    *    integer ratio. `ln` becomes [[log2Fixed]] (log2 = ln/ln 2 is a
+    *    constant positive factor on EVERY term's idf, so the ranking is
+    *    BM25's exactly).
+    *  - tf-weight with `k1 = 6/5`, `b = 3/4` multiplied through:
+    *    `tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+    *       = 22·tf·SDL / (10·tf·SDL + 3·SDL + 9·dl·N)` with
+    *    `SDL = Σ dl` — all integers.
+    *  - per (doc, term): `ts = (idf_fp · 22 · tf · SDL) DIV denom` (one
+    *    floor per term, positive operands so DIV = floor in both engines);
+    *    per doc: integer sum, ranked (score desc, id asc).
+    *
+    * Scale shape is [[bm25Search]]'s: corpus stats are a 1-row broadcast,
+    * per-term idf a ≤|query|-row broadcast; the wide ops are the tf agg
+    * and the per-doc sum, both map-side combined. Magnitude bound:
+    * `idf_fp·22·tf·SDL < 2^63` holds while `SDL·tf < 2^33` — a petabyte
+    * corpus rescales SDL (idf and the tf-weight are ratio-invariant under
+    * a common floor-rescale of SDL at the precision the gate carries).
+    */
+  def bm25SearchFixed(df: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int): DataFrame = {
+    val docLens = df.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("_dl"))
+    val stats = docLens.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sdl"))
+    val tf = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("_term"))
+      .filter(col("_term").isin(query: _*))
+      .groupBy(col(idCol), col("_term"))
+      .agg(count(lit(1)).as("_tf"))
+    val idf = log2FixedCols(
+      tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+        .crossJoin(broadcast(stats))
+        .withColumn("_num", lit(2L) * col("_n") + lit(2L))
+        .withColumn("_den", lit(2L) * col("_df") + lit(1L)))
+      .select(col("_term"), col("_idf_fp"))
+    tf.join(docLens, Seq(idCol))
+      .join(broadcast(idf), Seq("_term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_ts", expr(
+        "(_idf_fp * 22L * _tf * _sdl) DIV (10L * _tf * _sdl + 3L * _sdl + 9L * _dl * _n)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_ts")).as("bm25_fp"), count(lit(1)).as("distinct_terms"))
+      .orderBy(col("bm25_fp").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[bm25SearchFixed]] over `documents`: the identical
+    * integer op sequence — indicator-sum exponent, [[FracBits]] unrolled
+    * square-and-truncate CTEs (`//` and `>>` are floor on the positive
+    * operands here, matching Spark's `DIV`/`shiftright`), then the same
+    * integer score. */
+  def bm25SearchFixedSql(query: Seq[String], k: Int): String = {
+    val inList = query.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN (den << $kk) <= num THEN 1 ELSE 0 END").mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT term,  e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+       |  FROM documents),
+       |dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl
+       |  FROM dl),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok WHERE token IN ($inList) GROUP BY doc_id, token),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |nrm AS (
+       |  SELECT term, 2 * n + 2 AS num, 2 * df + 1 AS den
+       |  FROM dft CROSS JOIN stats),
+       |it0 AS (
+       |  SELECT term, ($eSum) AS e,
+       |    (num << $MantBits) // (den << ($eSum)) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM nrm),
+       |$iters,
+       |idf AS (
+       |  SELECT term, e * (CAST(1 AS BIGINT) << $FracBits) + frac AS idf_fp
+       |  FROM it$FracBits),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    (i.idf_fp * 22 * t.tf * s.sdl)
+       |      // (10 * t.tf * s.sdl + 3 * s.sdl + 9 * d.dl * s.n) AS ts
+       |  FROM tf t JOIN dl d USING (doc_id) JOIN idf i USING (term)
+       |    CROSS JOIN stats s)
+       |SELECT doc_id, CAST(sum(ts) AS BIGINT) AS bm25_fp,
+       |  CAST(count(*) AS BIGINT) AS distinct_terms
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25_fp DESC, doc_id LIMIT $k""".stripMargin
   }
 
   /** DuckDB twin of [[searchByTokens]] over `documents`. */
@@ -280,24 +453,6 @@ object Vocabulary {
         }
       })
 
-  /** Batched BPE training — the throughput form for REAL tokenizer runs
-    * (thousands of merges): each batch round materializes the pair-count
-    * relation ONCE and selects `batchSize` symbol-disjoint pairs from it
-    * (greedy by count with the same tie-break; a pair whose left, right,
-    * or MERGED symbol collides with an already-kept pair's symbols or
-    * merged string is skipped — the symbol overlap because its count is
-    * stale the moment the kept pair applies, the merged-string overlap
-    * because a fresh merge result equal to another kept pair's symbol
-    * would let merges chain inside one pass and make the batch
-    * order-dependent). All `batchSize` merges apply in one
-    * pass over the types table, so materializations drop from
-    * O(merges) to O(merges / batchSize). The merge SEQUENCE can differ
-    * from one-at-a-time training (counts refresh per batch, not per
-    * merge) — the standard batched-training fidelity trade; with
-    * `batchSize = 1` the output equals [[bpeTrain]] exactly
-    * (spec-checked). Disjointness keeps the batch order-independent:
-    * occurrences of different kept pairs can never overlap or chain.
-    */
   /** Greedy batch-pair selection from a (a, b, cnt) pair-count relation:
     * up to `batchSize` pairs by (cnt desc, a, b), where a candidate is
     * skipped if its left symbol, right symbol, OR concatenation collides
@@ -325,6 +480,24 @@ object Vocabulary {
     kept
   }
 
+  /** Batched BPE training — the throughput form for REAL tokenizer runs
+    * (thousands of merges): each batch round materializes the pair-count
+    * relation ONCE and selects `batchSize` symbol-disjoint pairs from it
+    * (greedy by count with the same tie-break; a pair whose left, right,
+    * or MERGED symbol collides with an already-kept pair's symbols or
+    * merged string is skipped — the symbol overlap because its count is
+    * stale the moment the kept pair applies, the merged-string overlap
+    * because a fresh merge result equal to another kept pair's symbol
+    * would let merges chain inside one pass and make the batch
+    * order-dependent). All `batchSize` merges apply in one
+    * pass over the types table, so materializations drop from
+    * O(merges) to O(merges / batchSize). The merge SEQUENCE can differ
+    * from one-at-a-time training (counts refresh per batch, not per
+    * merge) — the standard batched-training fidelity trade; with
+    * `batchSize = 1` the output equals [[bpeTrain]] exactly
+    * (spec-checked). Disjointness keeps the batch order-independent:
+    * occurrences of different kept pairs can never overlap or chain.
+    */
   def bpeTrainBatched(df: DataFrame, textCol: String, batchRounds: Int,
       batchSize: Int): DataFrame = {
     require(batchRounds >= 1 && batchSize >= 1,

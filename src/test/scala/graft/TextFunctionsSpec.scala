@@ -298,6 +298,62 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(order == order.sortBy(id => (-got(id), id)), s"ranking order: $order")
   }
 
+  test("log2Fixed tracks exact log2 and the Column twin agrees bit-for-bit") {
+    import graft.text.Vocabulary
+    val cases = for {
+      num <- Seq(3L, 7L, 10L, 101L, 999L, 10002L, 65537L)
+      den <- Seq(1L, 2L, 3L, 5L, 11L, 1001L) if den <= num
+    } yield (num, den)
+    cases.foreach { case (num, den) =>
+      val fp = Vocabulary.log2Fixed(num, den)
+      val exact = math.log(num.toDouble / den) / math.log(2.0)
+      val approx = fp.toDouble / (1L << Vocabulary.FracBits)
+      assert(math.abs(approx - exact) < 1e-5,
+        s"log2Fixed($num, $den) = $approx vs exact $exact")
+    }
+  }
+
+  test("fixed-point bm25 matches an exact integer driver-side replay") {
+    import spark.implicits._
+    val corpus = Map(
+      1L -> "spark shuffles data between stages",
+      2L -> "spark spark spark is a spark engine",
+      3L -> "data moves through a data pipeline with data",
+      4L -> "nothing relevant here at all today")
+    val docs = corpus.toSeq.toDF("doc_id", "text")
+    val query = Seq("spark", "data")
+    // independent integer replay of the gated formula
+    val toks = corpus.view.mapValues(_.trim.split(" ", -1).toSeq).toMap
+    val n = toks.size.toLong
+    val sdl = toks.values.map(_.size.toLong).sum
+    def expected(id: Long): Long = {
+      val dl = toks(id).size.toLong
+      query.map { t =>
+        val tf = toks(id).count(_ == t).toLong
+        if (tf == 0) 0L
+        else {
+          val df = toks.values.count(_.contains(t)).toLong
+          val idf = graft.text.Vocabulary.log2Fixed(2 * n + 2, 2 * df + 1)
+          (idf * 22 * tf * sdl) / (10 * tf * sdl + 3 * sdl + 9 * dl * n)
+        }
+      }.sum
+    }
+    val got = graft.text.Vocabulary
+      .bm25SearchFixed(docs, "doc_id", "text", query, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L), s"doc 4 matches nothing: $got")
+    got.foreach { case (id, s) =>
+      assert(s == expected(id), s"doc $id: got $s want ${expected(id)}")
+    }
+    // ranking follows (score desc, id asc) and agrees with float bm25's
+    assert(got == got.sortBy { case (id, s) => (-s, id) }, s"order: $got")
+    val floatOrder = graft.text.Vocabulary
+      .bm25Search(docs, "doc_id", "text", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.map(_._1) == floatOrder,
+      s"fixed ranking ${got.map(_._1)} != float ranking $floatOrder")
+  }
+
   test("benchmark contamination flags only docs sharing enough shingles") {
     import spark.implicits._
     val corpus = Seq(
