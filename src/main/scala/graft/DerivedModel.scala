@@ -37,20 +37,24 @@ object DerivedModel {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table ships TIMESTAMP(NANOS) parquet, which Spark rejects
-    * by default; read nanos as long and convert to a micros timestamp
-    * (lossless here: the generator emits micro-precision values).
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session
-    * construction (set by Verify/Bench/GbifFilterApp/tests) — deliberately
-    * NOT mutated here, so a query builder never silently changes global
-    * session state for later reads.
+  /** The events table has shipped both TIMESTAMP(NANOS) parquet (which
+    * Spark rejects by default — read via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` as a long, then convert
+    * to a micros timestamp; lossless, the generator emits micro-precision
+    * values) and TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet, which
+    * Spark reads as TIMESTAMP_NTZ — cast to TIMESTAMP (all graft sessions
+    * pin `spark.sql.session.timeZone=UTC`, so the cast is value-preserving
+    * and watermarks/window functions accept the column). Adapt on the
+    * observed schema so both generations of `/root/testdata` work.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): set spark.sql.legacy.parquet.nanosAsLong=true on the session")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** The embeddings table augmented with deterministically planted
