@@ -1198,6 +1198,17 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "text",
         k = 25, widthBits = 8)),
 
+    // fixed-grid quantile sketch: bounded histogram (shuffle carries
+    // <= partitions * cells combiner rows at any corpus size), integer
+    // cell grid + integer-ceiling rank target so the quantile answers
+    // replay bit-exactly in the oracle (unlike KLL/t-digest, whose
+    // summaries depend on partitioning)
+    "x_sketch_quantile" -> ((s, dir) =>
+      graft.sketch.QuantileSketch.valueQuantiles(
+        DerivedModel.table(s, dir, "documents"), "n_chars",
+        pcts = Seq(1, 10, 25, 50, 75, 90, 99),
+        binWidth = 64L, maxValue = 8191L)),
+
     // corpus mixing: per-language keep fractions as a pure scan predicate
     "x_sample_weighted" -> ((s, dir) =>
       graft.ops.Sampling.weightedSample(
@@ -2323,6 +2334,11 @@ object SparkEntry {
 
       "x_sketch_cms_topk" ->
         graft.sketch.CountMinOracle.heavyHittersSql(k = 25, widthBits = 8),
+
+      "x_sketch_quantile" ->
+        graft.sketch.QuantileOracle.quantilesSql(
+          pcts = Seq(1, 10, 25, 50, 75, 90, 99),
+          binWidth = 64L, maxValue = 8191L),
 
       "x_export_shuffle" ->
         """SELECT doc_id,

@@ -1,0 +1,113 @@
+package graft.sketch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-grid quantile sketch: a bounded-cardinality histogram whose
+  * quantile answers are DETERMINISTIC integers, bit-replayable by the
+  * DuckDB oracle ([[QuantileOracle]]) — unlike engine-opaque mergeable
+  * sketches (KLL/t-digest/GK with per-partition compaction order), where
+  * the summary depends on partitioning and can only be compared
+  * approximately. (A KLL treatment lives in the specs; this is the gated
+  * path.)
+  *
+  * Scale shape: [[sketch]]'s only wide op is `groupBy(cell)` over at most
+  * `maxValue / binWidth + 1` distinct keys — map-side partial
+  * aggregation collapses each task's value stream into that bounded row
+  * count, so the shuffle carries `partitions * cells` rows regardless of
+  * corpus size (the same few KB at 100 TB as at 100 MB). [[quantiles]]
+  * then runs entirely on the finished sketch: the partitionless window
+  * and the non-equi cum>=target probe touch only `cells x |pcts|` rows,
+  * both independent of data volume, so neither is a scale hazard (same
+  * argument as the 256-row bucket-totals window in
+  * [[graft.text.Chunking]]).
+  *
+  * Accuracy contract: the true q-quantile lies in `[est_lo, est_hi]`
+  * (the chosen cell's inclusive value range, clamped to `maxValue`);
+  * error is at most `binWidth - 1` in value space, and rank error is 0
+  * (the cell is EXACTLY the one holding the ceil(q*n)-th value, because
+  * per-cell counts are exact). Values above `maxValue` clamp into the
+  * top cell — the standard fixed-grid tail concession; size `maxValue`
+  * from domain knowledge (quality-signal distributions in an LLM
+  * pipeline have known bounded ranges).
+  */
+object QuantileSketch {
+
+  /** Histogram of `valueCol` (non-negative integers) in `binWidth`-wide
+    * cells, values clamped to `[0, maxValue]`: one row per occupied cell,
+    * `(cell BIGINT, cnt BIGINT)`. Pure integer arithmetic (`least`,
+    * `greatest`, `div`) — both engines agree bit-for-bit.
+    */
+  def sketch(df: DataFrame, valueCol: String, binWidth: Long,
+      maxValue: Long): DataFrame =
+    df.select(expr(
+        s"least(greatest(CAST($valueCol AS BIGINT), 0L), ${maxValue}L) div ${binWidth}L")
+        .as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile extraction from a finished sketch: for each percentile
+    * `pct` (integer 0..100), the first cell whose cumulative count
+    * reaches `ceil(n * pct / 100)` (integer ceiling — no floating
+    * point anywhere). Returns one row per pct:
+    * `(pct, est_lo, est_hi, n)`, all BIGINT, ordered by pct.
+    *
+    * The non-equi join (`cum >= target`) is a broadcast nested loop by
+    * construction — over `|pcts|` rows x the bounded sketch, which is
+    * the intended shape: quantile extraction must never shuffle the
+    * corpus, only the KB-scale summary.
+    */
+  def quantiles(sk: DataFrame, pcts: Seq[Int], binWidth: Long,
+      maxValue: Long): DataFrame = {
+    val spark = sk.sparkSession
+    import spark.implicits._
+    val cum = sk.withColumn("cum", sum(col("cnt")).over(Window.orderBy("cell")))
+    val tot = sk.agg(sum(col("cnt")).as("n"))
+    val pctsDf = pcts.map(_.toLong).toDF("pct")
+    pctsDf.crossJoin(broadcast(tot))
+      .join(broadcast(cum),
+        col("cum") >= expr("(n * pct + 99L) div 100L"))
+      .groupBy(col("pct"), col("n"))
+      .agg(min(col("cell")).as("qcell"))
+      .select(col("pct"),
+        (col("qcell") * lit(binWidth)).as("est_lo"),
+        least((col("qcell") + 1) * lit(binWidth) - 1, lit(maxValue)).as("est_hi"),
+        col("n"))
+      .orderBy(col("pct"))
+  }
+
+  /** End-to-end demonstration query over a corpus quality signal
+    * (document length): sketch + quantiles in one call.
+    */
+  def valueQuantiles(df: DataFrame, valueCol: String, pcts: Seq[Int],
+      binWidth: Long, maxValue: Long): DataFrame =
+    quantiles(sketch(df, valueCol, binWidth, maxValue), pcts, binWidth, maxValue)
+}
+
+/** DuckDB-SQL replay of [[QuantileSketch]]: identical integer grid
+  * (`least/greatest` + `//`), identical cumulative window, identical
+  * integer-ceiling rank target, identical cell-edge reporting.
+  */
+object QuantileOracle {
+
+  /** Oracle for `x_sketch_quantile`: (pct, est_lo, est_hi, n) over
+    * `documents.n_chars`.
+    */
+  def quantilesSql(pcts: Seq[Int], binWidth: Long, maxValue: Long): String = {
+    val values = pcts.map(p => s"(${p}::BIGINT)").mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT least(greatest(n_chars::BIGINT, 0), $maxValue) // $binWidth AS cell,
+       |         count(*)::BIGINT AS cnt
+       |  FROM documents GROUP BY 1),
+       |cum AS (SELECT cell, sum(cnt) OVER (ORDER BY cell)::BIGINT AS cum FROM cells),
+       |tot AS (SELECT sum(cnt)::BIGINT AS n FROM cells),
+       |q AS (SELECT * FROM (VALUES $values) v(pct))
+       |SELECT q.pct, min(c.cell) * $binWidth AS est_lo,
+       |       least((min(c.cell) + 1) * $binWidth - 1, $maxValue) AS est_hi,
+       |       t.n
+       |FROM q CROSS JOIN tot t JOIN cum c ON c.cum >= (t.n * q.pct + 99) // 100
+       |GROUP BY q.pct, t.n
+       |ORDER BY q.pct""".stripMargin
+  }
+}

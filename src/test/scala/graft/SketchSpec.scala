@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sketch.{CmsBucketsExpr, CountMin}
+import graft.sketch.{CmsBucketsExpr, CountMin, QuantileSketch}
 
 /** Count-min sketch semantics (the cross-engine bit-replay lives in the
   * gated `x_sketch_cms_topk`; these pin the sketch-theoretic properties
@@ -41,6 +41,40 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     assert(sk.count() <= CmsBucketsExpr.Depth * 16L)
     // every counter is positive (zero cells are simply absent)
     assert(sk.filter(col("cnt") <= 0).count() === 0L)
+  }
+
+  test("quantile sketch brackets the exact quantile, rank error 0") {
+    val binW = 64L
+    val got = QuantileSketch.valueQuantiles(docs, "n_chars",
+      pcts = Seq(1, 25, 50, 75, 99), binWidth = binW, maxValue = 8191L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = docs.count()
+    val sortedVals = docs.select(col("n_chars").cast("long"))
+      .orderBy("n_chars").collect().map(_.getLong(0))
+    got.foreach { case (pct, lo, hi, nOut) =>
+      assert(nOut === n)
+      assert(hi - lo === binW - 1) // cell edges, clamp not hit at sf0.001
+      // the exact ceil(n*pct/100)-th value lies inside the reported cell
+      val rank = ((n * pct + 99) / 100).toInt
+      val exact = sortedVals(math.max(rank - 1, 0))
+      assert(exact >= lo && exact <= hi,
+        s"pct=$pct exact=$exact outside [$lo,$hi]")
+    }
+  }
+
+  test("quantile sketch cardinality is bounded by the grid, not the data") {
+    val sk = QuantileSketch.sketch(docs, "n_chars", binWidth = 64L, maxValue = 8191L)
+    assert(sk.count() <= 8191L / 64L + 1L)
+    assert(sk.filter(col("cnt") <= 0).count() === 0L)
+  }
+
+  test("values beyond maxValue clamp into the top cell") {
+    import spark.implicits._
+    val df = Seq(5L, 100L, 999999L, 1000000L).toDF("v")
+    val q = QuantileSketch.valueQuantiles(df, "v",
+      pcts = Seq(99), binWidth = 10L, maxValue = 99L).collect()(0)
+    // 99th pct is the clamped top cell [90, 99]
+    assert(q.getLong(1) === 90L && q.getLong(2) === 99L)
   }
 
   test("bucket expression matches a direct xxhash64 multiply-shift") {
