@@ -1354,6 +1354,17 @@ object SparkEntry {
           graft.multimodal.Multimodal.toMediaRecords(
             DerivedModel.table(s, dir, "documents"))), maxHamming = 3)),
 
+    // perceptual image near-dup: REAL png pixel decode at the codec
+    // boundary -> 8x8 integer aHash -> the same banded hamming join;
+    // planted LSB-perturbed twins give true near-pairs, and the lossless
+    // codec + integer hash let the oracle replay every hash from the
+    // planted pixel arithmetic without a decoder
+    "x_multimodal_phash" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashPairs(
+        graft.multimodal.Multimodal.perceptualHash64(
+          graft.multimodal.Multimodal.syntheticImagesWithTwins(
+            DerivedModel.table(s, dir, "documents"))), maxHamming = 3)),
+
     // sequence packing (concat-then-split pre-training prep): a global
     // deterministic token stream cut into fixed 128-token examples,
     // offsets via the prefix-bucket cumulative sum — never a global window
@@ -1862,6 +1873,11 @@ object SparkEntry {
       // identical relation — the Spark side hashed the PAYLOAD bytes of
       // the media records (== text bytes for the stand-in payloads)
       "x_multimodal_near_dup" -> graft.dedup.SimHashOracle.pairsSql(3),
+
+      // hashes replayed from the planted pixel arithmetic (png lossless,
+      // aHash all-integer); pairs as the all-pairs hamming predicate
+      "x_multimodal_phash" ->
+        graft.multimodal.MultimodalOracle.phashPairsSql(3),
 
       "x_pipeline_curate" ->
         graft.text.Curation.basicCurationSql("documents", "doc_id", "text"),

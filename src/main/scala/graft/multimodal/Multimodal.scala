@@ -214,6 +214,117 @@ object Multimodal {
       graft.dedup.SimHashExpr.simhashCol(col("payload").cast("string"))
         .as("simhash"))
 
+  /** 8x8 average-hash (aHash) of a DECODED image — the perceptual hash
+    * at the codec boundary that [[contentHash64]]'s scaladoc prescribes
+    * for real images. Samples an 8x8 grid at `(i*w div 8, j*h div 8)`
+    * (nearest-neighbor downscale), integer luma
+    * `(299r + 587g + 114b) div 1000` (ITU-R 601 in thousandths),
+    * thresholds each sample against the integer mean, packs 64 bits in
+    * row-major order (`k = j*8 + i`). Every step is integer arithmetic,
+    * so for LOSSLESS formats (png) an external oracle replays the hash
+    * from the planted pixel function without running any decoder.
+    */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val lumas = new Array[Long](64)
+    var sum = 0L
+    var k = 0
+    var j = 0
+    while (j < 8) {
+      val y = j * h / 8
+      var i = 0
+      while (i < 8) {
+        val x = i * w / 8
+        val v = img.getRGB(x, y) & 0xffffff
+        val l = (299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) +
+          114L * (v & 0xff)) / 1000L
+        lumas(k) = l
+        sum += l
+        k += 1
+        i += 1
+      }
+      j += 1
+    }
+    val mean = sum / 64L
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (lumas(k) >= mean) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** One planted PNG (lossless — decoded pixels equal the planted
+    * function exactly): dimensions and pixels from BASE doc_id
+    * arithmetic; `perturb` flips the blue LSB at even-x pixels, the
+    * near-duplicate twin's sub-threshold visual change.
+    */
+  private def plantedPng(docId: Long, baseId: Long,
+      perturb: Boolean): MediaRecord = {
+    val w = plantedWidth(baseId)
+    val h = plantedHeight(baseId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((baseId * 31 + x * 7 + y) & 0xffffff).toInt
+        img.setRGB(x, y, if (perturb && x % 2 == 0) v ^ 1 else v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    MediaRecord(docId, bos.toByteArray, "png")
+  }
+
+  /** The png rows of [[syntheticMedia]] (doc_id % 3 == 1) augmented with
+    * planted NEAR-DUPLICATE twins: every 10th png (doc_id % 30 == 1)
+    * gets a copy at `doc_id + 1,000,000` whose pixels differ only in the
+    * blue LSB at even x — luma moves by at most 1, so the twin's aHash
+    * sits within a few bits of its base (the same planted-pair pattern
+    * as [[graft.DerivedModel.embeddingsAugmented]]). Built distributed:
+    * narrow flatMap, no shuffle.
+    */
+  def syntheticImagesWithTwins(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 1)
+      .flatMap { id =>
+        val base = plantedPng(id, id, perturb = false)
+        if (id % 30 == 1)
+          Seq(base, plantedPng(id + 1000000L, id, perturb = true))
+        else Seq(base)
+      }
+  }
+
+  /** Perceptual 64-bit hash AT THE CODEC BOUNDARY: real `ImageIO` pixel
+    * decode per record (codec opened per partition, same shape as
+    * [[decodeFeatures]]), then [[aHash64]] over the decoded pixels.
+    * Output `(_id, simhash)` feeds [[graft.dedup.Dedup.simhashPairs]]'s
+    * banded hamming join unchanged — hash at scan speed, block-banded
+    * equi-join, hamming verify, exactly the text SimHash plan.
+    */
+  def perceptualHash64(records: Dataset[MediaRecord]): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.payload))
+        if (img == null)
+          throw new IllegalArgumentException(
+            s"doc ${rec.doc_id}: payload is not a decodable image")
+        (rec.doc_id, aHash64(img))
+      }
+    }.toDF("_id", "simhash")
+  }
+
   /** Frame-sampling plumbing demo: every k-th byte of the payload as a
     * "frame" offset list — the partition/batch shape of video frame
     * sampling with the sampler stubbed.
@@ -224,4 +335,55 @@ object Multimodal {
     records.map(r => (r.doc_id, (0L until r.payload.length.toLong by stride).toArray))
       .toDF("doc_id", "frame_offsets")
   }
+}
+
+/** DuckDB-SQL replay of the perceptual-hash near-dup path: because PNG is
+  * lossless and every [[Multimodal.aHash64]] step is integer arithmetic,
+  * the oracle reconstructs each image's hash from the PLANTED pixel
+  * function — grid sample, luma, mean threshold, bit packing — without
+  * running any decoder, then states the pairs as the plain all-pairs
+  * hamming predicate (exact cover of the banded join by pigeonhole, same
+  * argument as [[graft.dedup.SimHashOracle.pairsSql]]).
+  */
+object MultimodalOracle {
+
+  /** Oracle for `x_multimodal_phash`: (id_a, id_b, hamming). */
+  def phashPairsSql(maxHamming: Int): String =
+    s"""WITH RECURSIVE pow(b, p) AS (
+       |  SELECT 0, 1::HUGEINT UNION ALL SELECT b + 1, p * 2 FROM pow WHERE b < 63),
+       |png AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+       |ids AS (SELECT doc_id AS id, doc_id AS base, FALSE AS pert FROM png
+       |        UNION ALL
+       |        SELECT doc_id + 1000000, doc_id, TRUE FROM png WHERE doc_id % 30 = 1),
+       |grid AS (SELECT i.i, j.j FROM (SELECT unnest(generate_series(0, 7)) AS i) i
+       |         CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j),
+       |px AS (SELECT id, pert, base, j * 8 + i AS k,
+       |         (i * (8 + base % 16)) // 8 AS x,
+       |         (j * (8 + base % 9)) // 8 AS y
+       |       FROM ids CROSS JOIN grid),
+       |pv AS (SELECT id, k, x, pert,
+       |         (base * 31 + x * 7 + y) % 16777216 AS v0
+       |       FROM px),
+       |pv2 AS (SELECT id, k,
+       |          CASE WHEN pert AND x % 2 = 0
+       |               THEN CASE WHEN v0 % 2 = 0 THEN v0 + 1 ELSE v0 - 1 END
+       |               ELSE v0 END AS v
+       |        FROM pv),
+       |luma AS (SELECT id, k,
+       |           (299 * ((v // 65536) % 256) + 587 * ((v // 256) % 256)
+       |            + 114 * (v % 256)) // 1000 AS l
+       |         FROM pv2),
+       |mh AS (SELECT id, sum(l) // 64 AS mean FROM luma GROUP BY id),
+       |hu AS (SELECT l.id,
+       |         sum(CASE WHEN l.l >= mh.mean THEN p.p ELSE 0::HUGEINT END)::HUGEINT AS hval
+       |       FROM luma l JOIN mh ON l.id = mh.id JOIN pow p ON l.k = p.b
+       |       GROUP BY l.id),
+       |hs AS (SELECT id, CAST(CASE WHEN hval >= 9223372036854775808::HUGEINT
+       |                            THEN hval - 18446744073709551616::HUGEINT
+       |                            ELSE hval END AS BIGINT) AS h
+       |       FROM hu)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+       |FROM hs a JOIN hs b ON a.id < b.id
+       |WHERE bit_count(xor(a.h, b.h)) <= $maxHamming""".stripMargin
 }

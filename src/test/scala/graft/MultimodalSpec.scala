@@ -102,6 +102,54 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "binary payload round-trips to the same content hash")
   }
 
+  test("aHash through the real png codec equals the planted-pixel replay") {
+    // decode-free replay of aHash64 from the planted arithmetic — the
+    // exact computation MultimodalOracle.phashPairsSql states in SQL
+    def replay(baseId: Long, perturb: Boolean): Long = {
+      val w = Multimodal.plantedWidth(baseId)
+      val h = Multimodal.plantedHeight(baseId)
+      val lumas = (0 until 8).flatMap { j =>
+        val y = j * h / 8
+        (0 until 8).map { i =>
+          val x = i * w / 8
+          val v0 = ((baseId * 31 + x * 7 + y) & 0xffffff).toInt
+          val v = if (perturb && x % 2 == 0) v0 ^ 1 else v0
+          (299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) +
+            114L * (v & 0xff)) / 1000L
+        }
+      }
+      val mean = lumas.sum / 64L
+      lumas.zipWithIndex.foldLeft(0L) { case (acc, (l, k)) =>
+        if (l >= mean) acc | (1L << k) else acc
+      }
+    }
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val hashed = Multimodal.perceptualHash64(
+      Multimodal.syntheticImagesWithTwins(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed.nonEmpty)
+    hashed.foreach { case (id, h) =>
+      val (base, pert) = if (id >= 1000000L) (id - 1000000L, true) else (id, false)
+      assert(h === replay(base, pert), s"id=$id codec hash != pixel replay")
+    }
+  }
+
+  test("planted twin sits within a few aHash bits of its base") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val hashed = Multimodal.perceptualHash64(
+      Multimodal.syntheticImagesWithTwins(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twins = hashed.keys.filter(_ >= 1000000L)
+    assert(twins.nonEmpty)
+    val dists = twins.toSeq.map { t =>
+      java.lang.Long.bitCount(hashed(t) ^ hashed(t - 1000000L))
+    }
+    // LSB-of-blue perturbation moves each sampled luma by at most 1:
+    // most twins stay within the banded join's hamming radius
+    assert(dists.count(_ <= 3) >= dists.size * 2 / 3,
+      s"twin hamming distances too large: $dists")
+  }
+
   test("frame-offset sampling strides the payload") {
     val docs = DerivedModel.table(spark, dir, "documents").limit(5)
     val offsets = Multimodal.sampleFrameOffsets(Multimodal.toMediaRecords(docs), stride = 100)
