@@ -464,18 +464,43 @@ object Vocabulary {
     */
   private[graft] def selectDisjointPairs(pairCounts: DataFrame,
       batchSize: Int): Vector[(String, String, Long)] = {
+    // POOLED selection: one top-(4*batchSize) collect, then the same
+    // greedy collision-excluding scan in driver memory — O(1) Spark jobs
+    // per batch round instead of O(batchSize) limit(1) probes (each of
+    // which was a full job against the persisted relation with a growing
+    // isin filter). Equivalence with the per-pair probe: `used` only
+    // grows, the in-driver skip rule is the probe's filter verbatim, and
+    // the pool is a (cnt desc, a, b)-ordered prefix of the filtered
+    // relation — so the greedy scan picks the same sequence unless the
+    // pool runs dry with candidates possibly remaining (pool came back
+    // full), in which case one re-probe fetches a fresh excluded pool
+    // and the scan continues. Pool exhaustion with a short pool means
+    // the filtered relation itself is drained.
     var kept = Vector.empty[(String, String, Long)]
+    var used = Set.empty[String]
     var drained = false
+    val poolSize = 4 * batchSize
     while (kept.size < batchSize && !drained) {
-      val used = kept.flatMap(p => Seq(p._1, p._2, p._1 + p._2))
-      val row = pairCounts
-        .filter(!col("a").isin(used: _*) && !col("b").isin(used: _*)
-          && !concat(col("a"), col("b")).isin(used: _*))
+      val exclude = used.toSeq
+      val pool = (if (exclude.isEmpty) pairCounts
+        else pairCounts.filter(!col("a").isin(exclude: _*)
+          && !col("b").isin(exclude: _*)
+          && !concat(col("a"), col("b")).isin(exclude: _*)))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (row.isEmpty) drained = true
-      else kept :+= ((row(0).getString(0), row(0).getString(1),
-        row(0).getLong(2)))
+        .limit(poolSize).collect()
+      var i = 0
+      while (i < pool.length && kept.size < batchSize) {
+        val (a, b, cnt) =
+          (pool(i).getString(0), pool(i).getString(1), pool(i).getLong(2))
+        val merged = a + b
+        if (!used(a) && !used(b) && !used(merged)) {
+          kept :+= ((a, b, cnt))
+          used ++= Seq(a, b, merged)
+        }
+        i += 1
+      }
+      // a short pool is the whole filtered relation: nothing left to probe
+      if (pool.length < poolSize) drained = true
     }
     kept
   }

@@ -483,6 +483,13 @@ object ScalePerfHarness {
         batchSize = 4).count()
     }
     Persisted.unpersistAll()
+    // wide batches are where pooled selection pays: selection is 1-2
+    // pool collects per round instead of batchSize limit(1) probes
+    time("bpeTrainBatched(4x12)", n) {
+      Vocabulary.bpeTrainBatched(docs, "text", batchRounds = 4,
+        batchSize = 12).count()
+    }
+    Persisted.unpersistAll()
     docs.unpersist()
   }
 
