@@ -157,8 +157,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("dimension joins broadcast; existence joins are semi-joins") {
+    // j1 reads the staged resolved-dimension fixture at query time (r8:
+    // build-once, probe-many), so the broadcast to audit lives in the
+    // fixture BUILD plan — the resolve itself, not the gate's scan
+    val build = graft.ops.TaxonomyResolver.resolve(
+      DerivedModel.taxa(spark, dir), DerivedModel.backbone(spark, dir),
+      SparkEntry.derivedCfgForAudit)
+      .queryExecution.executedPlan.toString
+    assert(build.contains("BroadcastHashJoin"),
+      s"resolved-dimension build lost its broadcast:\n$build")
     val j1 = planOf("j1_name_resolution")
-    assert(j1.contains("BroadcastHashJoin"), s"j1 lost its broadcast:\n$j1")
+    assert(j1.contains("FileScan parquet") && !j1.contains("SortMergeJoin"),
+      s"j1 should be a bare probe of the staged fixture:\n$j1")
     val j2 = planOf("j2_occurrence_exists")
     assert(j2.contains("LeftSemi"), s"j2 is not a semi-join:\n$j2")
   }
