@@ -369,8 +369,32 @@ object Dedup {
     val nbr = edges
       .join(labels, edges("dst") === labels("_id"))
       .select(col("src").as("_id"), col("group_id"))
-    nbr.unionByName(labels)
+    nbr.unionByName(labels.select(col("_id"), col("group_id")))
       .groupBy(col("_id")).agg(min(col("group_id")).as("group_id"))
+  }
+
+  /** [[propagateOnce]] additionally carrying each node's PREVIOUS label
+    * as `_old` through the SAME aggregation: self rows tag their label
+    * (`_self`), neighbor rows carry null, `max(_self)` recovers the one
+    * non-null per group. Costs 8 bytes per shuffled row and nothing
+    * else; the convergence probe then runs as a narrow filter over the
+    * checkpointed iteration state instead of a join against the prior
+    * labels — one fewer shuffle join per round. (An accumulator bumped
+    * inside the checkpoint materialization was considered and rejected:
+    * it needs a row-level closure in the hot path, which breaks
+    * whole-stage codegen for the labels relation, to save a single
+    * narrow scan-of-local-blocks job.)
+    */
+  private def propagateOnceWithOld(labels: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val nbr = edges
+      .join(labels, edges("dst") === labels("_id"))
+      .select(col("src").as("_id"), col("group_id"),
+        lit(null).cast("long").as("_self"))
+    nbr.unionByName(labels.select(col("_id"), col("group_id"),
+        col("group_id").as("_self")))
+      .groupBy(col("_id"))
+      .agg(min(col("group_id")).as("group_id"), max(col("_self")).as("_old"))
   }
 
   /** Resolve near-dup *pairs* into duplicate *groups*: connected
@@ -439,7 +463,10 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val propagated = propagateOnce(labels, edges).localCheckpoint(true)
+      // _old (the pre-round label) rides the propagation agg, so the
+      // fixpoint probe below is a narrow filter over checkpointed
+      // blocks — no join against the previous labels
+      val propagated = propagateOnceWithOld(labels, edges).localCheckpoint(true)
       // path-halving: group_id := label(group_id). Labels are always node
       // ids of the same component, so the self-join always matches (left +
       // coalesce only guards the invariant).
@@ -447,10 +474,9 @@ object Dedup {
         .join(propagated.select(col("_id").as("_lid"), col("group_id").as("_lgid")),
           col("group_id") === col("_lid"), "left")
         .select(col("_id"),
-          coalesce(col("_lgid"), col("group_id")).as("group_id"))
+          coalesce(col("_lgid"), col("group_id")).as("group_id"), col("_old"))
         .localCheckpoint(true)
       val changed = jumped
-        .join(labels.withColumnRenamed("group_id", "_old"), Seq("_id"))
         .filter(col("group_id") =!= col("_old")).limit(1).count()
       propagated.unpersist(false) // folded into jumped's checkpoint
       labels.unpersist(false) // superseded iteration state
@@ -464,7 +490,7 @@ object Dedup {
         s"duplicateGroupsConverged: no fixpoint after $maxIterations rounds " +
           "(component diameter beyond ~2^24?) — raise maxIterations")
     }
-    Persisted.track(labels)
+    Persisted.track(labels.select(col("_id"), col("group_id")))
   }
 
   /** Adaptive connected components: the near-dup pair set is orders of
@@ -805,13 +831,19 @@ object Dedup {
     * bounded by doc length). A boilerplate span shared by a million
     * documents costs a million span rows — linear — where the Jaccard /
     * minhash self-joins would pay a trillion. At 100 TB the md5 span key
-    * (32 hex chars) is the dominant shuffle payload; swapping it for
-    * xxhash64 halves the exchange at the cost of the replayable oracle —
-    * the plan is otherwise unchanged.
+    * (32 hex chars) is the dominant shuffle payload; `spanKey =
+    * "xxhash64"` swaps it for an 8-byte long and cuts the exchange
+    * (measured in `ScalePerfHarness spans`, see TUNING.md) at the cost
+    * of the replayable oracle (DuckDB has no xxhash64) and a 2^-64
+    * collision risk per span pair — the plan is otherwise IDENTICAL,
+    * which is why the md5 form stays the gated default: correctness is
+    * proven on the same shape the fast key runs.
     */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, spanKey: String = "md5"): DataFrame = {
     require(k >= 2, s"span length must be >= 2 tokens, got $k")
+    require(spanKey == "md5" || spanKey == "xxhash64",
+      s"spanKey must be md5 or xxhash64, got $spanKey")
     // base feeds occurrence generation AND the final rebuild join
     val base = Persisted.track(df.select(col(idCol),
         TextFunctions.tokens(col(textCol)).as("_graft_toks"))
@@ -819,11 +851,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // positional k-gram occurrences: (id, pos, md5(span text)); the span
     // text itself never leaves the projection
+    def spanHash(spanText: Column): Column = spanKey match {
+      case "md5" => md5(spanText.cast("binary"))
+      case _     => xxhash64(spanText)
+    }
     val occ = Persisted.track(base.filter(col("_graft_n") >= k)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), (col("_graft_n") - k).cast("int")),
-        i => md5(array_join(slice(col("_graft_toks"), i + 1, lit(k)), " ")
-          .cast("binary")))))
+        i => spanHash(array_join(slice(col("_graft_toks"), i + 1, lit(k)), " ")))))
       .withColumnRenamed("pos", "_graft_pos")
       .withColumnRenamed("col", "_graft_g")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

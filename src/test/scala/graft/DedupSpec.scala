@@ -260,6 +260,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) == ((10L, 10L, "")))
   }
 
+  test("span dedup: xxhash64 span key matches the md5 default exactly") {
+    // the fast 8-byte shuffle key is plan-identical to the oracle-gated
+    // md5 form; absent a 2^-64 collision the outputs are equal
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    def canon(key: String) =
+      Dedup.spanDedup(docs, "doc_id", "text", k = 8, spanKey = key)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    val viaMd5 = canon("md5")
+    graft.Persisted.unpersistAll()
+    assert(viaMd5 == canon("xxhash64"))
+    graft.Persisted.unpersistAll()
+  }
+
   test("second-key bucket split finds exactly the flat banding's pairs") {
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     val hashes = Dedup.simhash64Fast(docs, "doc_id", "text")

@@ -449,6 +449,23 @@ object ScalePerfHarness {
       println(s"[spans] k=$k removedTokens=${r.get(0)} docsTouched=${r.get(1)}")
       Persisted.unpersistAll()
     }
+    // md5 (32-hex, oracle-replayable) vs xxhash64 (8-byte long) span key:
+    // same plan, smaller exchange — measure total shuffle-write bytes
+    val sw = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        sw.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    for (key <- Seq("md5", "xxhash64")) {
+      Thread.sleep(3000) // listener events are async; let the bus drain
+      val before = sw.get
+      val out = Dedup.spanDedup(docs, "doc_id", "text", 8, key)
+      time(s"spanDedup(k=8,key=$key)", n) { consume(out) }
+      Persisted.unpersistAll()
+      Thread.sleep(3000) // listener events are async; let the bus drain
+      println(f"[spans] key=$key shuffleWriteMB=${(sw.get - before) / 1e6}%.1f")
+    }
     docs.unpersist()
   }
 
