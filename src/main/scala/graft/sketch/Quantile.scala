@@ -77,6 +77,18 @@ object QuantileSketch {
       .orderBy(col("pct"))
   }
 
+  /** Merge sketches built over disjoint corpus slices (same grid):
+    * cell-wise count sum. EXACTLY equals sketching the union — per-cell
+    * counts are exact, so unlike KLL/t-digest the merge is lossless and
+    * order-independent, which is what makes the operator incremental at
+    * 100 TB: sketch each ingest batch, merge the KB-scale summaries,
+    * never rescan history.
+    */
+  def merge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** End-to-end demonstration query over a corpus quality signal
     * (document length): sketch + quantiles in one call.
     */

@@ -68,6 +68,18 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     assert(sk.filter(col("cnt") <= 0).count() === 0L)
   }
 
+  test("quantile sketch merges losslessly: merge(parts) == sketch(whole)") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val whole = canon(QuantileSketch.sketch(docs, "n_chars", 64L, 8191L))
+    val merged = canon(QuantileSketch.merge(
+      QuantileSketch.sketch(a, "n_chars", 64L, 8191L),
+      QuantileSketch.sketch(b, "n_chars", 64L, 8191L)))
+    assert(merged == whole)
+  }
+
   test("values beyond maxValue clamp into the top cell") {
     import spark.implicits._
     val df = Seq(5L, 100L, 999999L, 1000000L).toDF("v")
