@@ -1396,11 +1396,15 @@ object SparkEntry {
     // planted LSB-perturbed twins give true near-pairs, and the lossless
     // codec + integer hash let the oracle replay every hash from the
     // planted pixel arithmetic without a decoder
-    "x_multimodal_phash" -> ((s, dir) =>
-      graft.dedup.Dedup.simhashPairs(
+    "x_multimodal_phash" -> ((s, dir) => {
+      // persist the skinny (_id, hash) relation: the banded join reads it
+      // on both sides, and without the cache each side re-runs the codec
+      val hashes = graft.Persisted.track(
         graft.multimodal.Multimodal.perceptualHash64(
           graft.multimodal.Multimodal.syntheticImagesWithTwins(
-            DerivedModel.table(s, dir, "documents"))), maxHamming = 3)),
+            DerivedModel.table(s, dir, "documents"))).persist())
+      graft.dedup.Dedup.simhashPairs(hashes, maxHamming = 3)
+    }),
 
     // sequence packing (concat-then-split pre-training prep): a global
     // deterministic token stream cut into fixed 128-token examples,

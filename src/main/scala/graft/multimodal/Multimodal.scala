@@ -295,6 +295,11 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
       .filter((id: Long) => id % 3 == 1)
+      // the corpus parquet is often a single split; PNG encode (and the
+      // decode downstream) is the expensive per-row work, so spread the
+      // id list across all cores first — a shuffle of bare longs, paid
+      // once, against codec work that otherwise serializes on one task
+      .repartition(spark.sparkContext.defaultParallelism)
       .flatMap { id =>
         val base = plantedPng(id, id, perturb = false)
         if (id % 30 == 1)
