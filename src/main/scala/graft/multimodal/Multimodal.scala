@@ -127,7 +127,13 @@ object Multimodal {
   def syntheticMedia(documents: DataFrame): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id"), col("text")).as[(Long, String)].map {
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      // codec work (image/wav encode here, decode downstream) is the
+      // expensive per-row step; spread it across cores first — the
+      // corpus parquet is often a single split (see
+      // [[syntheticImagesWithTwins]])
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map {
       case (docId, _) =>
         val format = (docId % 3) match {
           case 0 => "jpeg"
