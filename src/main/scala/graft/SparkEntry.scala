@@ -1235,6 +1235,13 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "text",
         k = 25, widthBits = 8)),
 
+    // unigram LM surprisal quality signal (CCNet/Gopher-style): corpus
+    // unigram model as a vocab-bounded agg, fixed-point log2 scoring via
+    // a broadcast join on the token stream — integers end to end
+    "x_text_surprisal" -> ((s, dir) =>
+      graft.text.Vocabulary.surprisalScore(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
+
     // fixed-grid quantile sketch: bounded histogram (shuffle carries
     // <= partitions * cells combiner rows at any corpus size), integer
     // cell grid + integer-ceiling rank target so the quantile answers
@@ -2391,6 +2398,8 @@ object SparkEntry {
 
       "x_sketch_cms_topk" ->
         graft.sketch.CountMinOracle.heavyHittersSql(k = 25, widthBits = 8),
+
+      "x_text_surprisal" -> graft.text.Vocabulary.surprisalSql,
 
       "x_sketch_quantile" ->
         graft.sketch.QuantileOracle.quantilesSql(

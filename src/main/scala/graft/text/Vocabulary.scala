@@ -342,6 +342,89 @@ object Vocabulary {
        |ORDER BY bm25_fp DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Per-document unigram LM surprisal as EXACT INTEGER arithmetic — the
+    * CCNet/Gopher-style statistical quality signal (a doc whose tokens
+    * are all corpus-rare scores high; boilerplate scores low), scored
+    * against the corpus's own unigram model:
+    *
+    *   `surprisal(doc) = Σ_t −log2 P(t) = Σ_t log2(TOTAL / count(t))`
+    *
+    * with the log as [[log2FixedCols]]'s floor-style [[FracBits]]-bit
+    * fixed point, so every value is an integer and the DuckDB twin
+    * ([[surprisalSql]]) hash-matches bit-for-bit. Output per doc:
+    * `(id, n_tokens, surprisal_fp, mean_surprisal_fp)` — the mean is the
+    * per-token average (integer DIV; both operands positive), the
+    * filterable signal.
+    *
+    * Scale shape: the unigram model is the [[buildVocab]]-shaped
+    * map-side-combined token agg (vocab-bounded shuffle); scoring is a
+    * broadcast join onto the token stream + one per-doc sum (map-side
+    * partial) — the token stream itself never shuffles. Magnitude: needs
+    * `TOTAL < 2^33` for the log's mantissa shift; petabyte corpora
+    * floor-rescale (TOTAL, counts) by a common factor first, which
+    * perturbs each surprisal by < 2^-FracBits relative — same note as
+    * [[bm25SearchFixed]]'s SDL rescale.
+    */
+  def surprisalScore(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("_cnt"))
+    val total = counts.agg(sum(col("_cnt")).as("_tot"))
+    val scored = log2FixedCols(
+      counts.crossJoin(broadcast(total))
+        .withColumn("_num", col("_tot"))
+        .withColumn("_den", col("_cnt")))
+      .select(col("token"), col("_idf_fp").as("_sup_fp"))
+    toks.join(broadcast(scored), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_sup_fp")).as("surprisal_fp"))
+      .withColumn("mean_surprisal_fp",
+        expr("surprisal_fp DIV n_tokens"))
+  }
+
+  /** DuckDB twin of [[surprisalScore]] over `documents`: the identical
+    * integer op sequence — indicator-sum exponent, [[FracBits]] unrolled
+    * square-and-truncate rounds, integer sums and floor division — keyed
+    * by `token` instead of [[bm25SearchFixedSql]]'s query terms.
+    */
+  def surprisalSql: String = {
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN (den << $kk) <= num THEN 1 ELSE 0 END").mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT token, e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+       |  FROM documents),
+       |cnt AS MATERIALIZED (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+       |nrm AS (SELECT token, t AS num, c AS den FROM cnt CROSS JOIN tot),
+       |it0 AS (
+       |  SELECT token, ($eSum) AS e,
+       |    (num << $MantBits) // (den << ($eSum)) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM nrm),
+       |$iters,
+       |sup AS (
+       |  SELECT token, e * (CAST(1 AS BIGINT) << $FracBits) + frac AS s
+       |  FROM it$FracBits)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(s) AS BIGINT) AS surprisal_fp,
+       |  CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_surprisal_fp
+       |FROM tok t JOIN sup USING (token)
+       |GROUP BY t.doc_id""".stripMargin
+  }
+
   /** DuckDB twin of [[searchByTokens]] over `documents`. */
   def searchByTokensSql(query: Seq[String], k: Int): String = {
     val inList = query.map(t => s"'${t.replace("'", "''")}'").mkString(", ")

@@ -225,6 +225,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     graft.Persisted.unpersistAll()
   }
 
+  test("surprisal: fixed-point tracks -log2 P within 2^-FracBits per token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common rare"),
+      (2L, "common common common common common"),
+      (3L, "common common rare unique1 unique2")
+    ).toDF("doc_id", "text")
+    val got = graft.text.Vocabulary.surprisalScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // corpus model: total=15; common 11, rare 2, unique* 1 each
+    val frac = 1L << 20
+    def fp(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den) / math.log(2.0) * frac).toLong
+    // floor-style fixed point truncates each term independently: allow
+    // 1 ulp per token against the double reference
+    def close(gotFp: Long, terms: Seq[(Long, Long)]): Boolean = {
+      val ref = terms.map { case (n, d) => fp(n, d) }.sum
+      math.abs(gotFp - ref) <= terms.size
+    }
+    assert(got(1L)._1 == 5L)
+    assert(close(got(1L)._2, Seq.fill(4)((15L, 11L)) :+ ((15L, 2L))))
+    assert(close(got(2L)._2, Seq.fill(5)((15L, 11L))))
+    assert(close(got(3L)._2,
+      Seq.fill(2)((15L, 11L)) ++ Seq((15L, 2L), (15L, 1L), (15L, 1L))))
+    // the rare-token doc scores strictly above the all-common doc
+    assert(got(3L)._3 > got(2L)._3 && got(1L)._3 > got(2L)._3)
+  }
+
   test("batched bpe: batchSize=1 equals one-at-a-time; batches are symbol-disjoint") {
     import spark.implicits._
     val docs = Seq((1L, "aaab aaab ab"), (2L, "cd cd cd")).toDF("doc_id", "text")
