@@ -77,10 +77,14 @@ object Bench {
       "\"" + k + "\":" + (if (ok) fmt(v) else "\"err\"")
     }.mkString("{", ",", "}")
     val errs = results.count(!_._3)
+    val failedNames = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    // full map goes to a file (survives any stdout truncation)...
+    // full map goes to a file (survives any stdout truncation); failed
+    // query NAMES ride here too — the stdout line only carries the count
+    // to stay under the tail-capture length budget
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":$failedNames,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), full + "\n")
     catch { case e: Throwable =>
