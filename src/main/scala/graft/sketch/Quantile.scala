@@ -62,11 +62,16 @@ object QuantileSketch {
       maxValue: Long): DataFrame = {
     val spark = sk.sparkSession
     import spark.implicits._
-    val cum = sk.withColumn("cum", sum(col("cnt")).over(Window.orderBy("cell")))
-    val tot = sk.agg(sum(col("cnt")).as("n"))
+    // total count rides the SAME partitionless window sort as the
+    // cumulative sum (unbounded frame) — a separate sk.agg would rescan
+    // the corpus to rebuild the sketch a second time
+    val w = Window.orderBy("cell")
+    val cum = sk
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val pctsDf = pcts.map(_.toLong).toDF("pct")
-    pctsDf.crossJoin(broadcast(tot))
-      .join(broadcast(cum),
+    pctsDf.join(broadcast(cum),
         col("cum") >= expr("(n * pct + 99L) div 100L"))
       .groupBy(col("pct"), col("n"))
       .agg(min(col("cell")).as("qcell"))
