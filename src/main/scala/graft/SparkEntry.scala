@@ -1242,6 +1242,16 @@ object SparkEntry {
       graft.text.Vocabulary.surprisalScore(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
 
+    // unigram drift audit: corpus A (english docs) scored against corpus
+    // B's smoothed unigram model — per-token signed fixed-point log
+    // ratios whose weighted sum is add-one-smoothed KL(A||B)
+    "x_text_drift" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      graft.text.Vocabulary.unigramDrift(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
+    }),
+
     // fixed-grid quantile sketch: bounded histogram (shuffle carries
     // <= partitions * cells combiner rows at any corpus size), integer
     // cell grid + integer-ceiling rank target so the quantile answers
@@ -2400,6 +2410,9 @@ object SparkEntry {
         graft.sketch.CountMinOracle.heavyHittersSql(k = 25, widthBits = 8),
 
       "x_text_surprisal" -> graft.text.Vocabulary.surprisalSql,
+
+      "x_text_drift" -> graft.text.Vocabulary.unigramDriftSql(
+        "lang = 'en'", "lang <> 'en'"),
 
       "x_sketch_quantile" ->
         graft.sketch.QuantileOracle.quantilesSql(

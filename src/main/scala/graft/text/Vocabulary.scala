@@ -218,8 +218,11 @@ object Vocabulary {
   private def log2FixedCols(df: DataFrame): DataFrame = {
     val two = lit(2L << MantBits)
     var cur = df
+      // den*2^k <= num  ⟺  den <= floor(num / 2^k) for integers — the
+      // shift-right form never overflows, where den << k would for
+      // den >= 2^(63-EMax) (drift's rescaled operands reach 2^33)
       .withColumn("_e", (1 to EMax).map(k =>
-        when(col("_den") * lit(1L << k) <= col("_num"), 1L).otherwise(0L))
+        when(shiftright(col("_num"), k) >= col("_den"), 1L).otherwise(0L))
         .reduce(_ + _))
       .withColumn("_m",
         expr(s"shiftleft(_num, $MantBits) DIV shiftleft(_den, CAST(_e AS INT))"))
@@ -295,7 +298,7 @@ object Vocabulary {
   def bm25SearchFixedSql(query: Seq[String], k: Int): String = {
     val inList = query.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     val eSum = (1 to EMax).map(kk =>
-      s"CASE WHEN (den << $kk) <= num THEN 1 ELSE 0 END").mkString(" + ")
+      s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
     val iters = (1 to FracBits).map { i =>
       val p = i - 1
       s"""it$i AS (
@@ -384,6 +387,118 @@ object Vocabulary {
         expr("surprisal_fp DIV n_tokens"))
   }
 
+  /** Unigram distribution drift between two corpora as EXACT INTEGER
+    * arithmetic — the ingest-audit companion to [[surprisalScore]]: score
+    * corpus A's tokens against corpus B's (add-one-smoothed) unigram
+    * model. Per token present in A:
+    *
+    *   `log_ratio_fp = ±log2fp( ca·(totB+V) , (cb+1)·totA )`
+    *   `contrib_fp   = ca · log_ratio_fp`
+    *
+    * so `Σ contrib_fp / (totA · 2^FracBits)` is the add-one-smoothed
+    * KL(A ‖ B) in bits — the "did the new drop drift from the reference
+    * distribution" number — while the per-token rows rank WHICH tokens
+    * drive the drift. Signs are explicit (fixed-point log2 is computed on
+    * the larger/smaller ordering, then negated when the ratio < 1); when
+    * the integer ratio exceeds the log mantissa bound both operands are
+    * floor-shifted together (`bin`-length rescale — identical semantics
+    * in both engines), a < 2^-FracBits relative perturbation.
+    *
+    * Scale shape: two [[buildVocab]]-shaped map-side-combined token aggs
+    * (vocab-bounded shuffles), one vocab-sized full-outer join, and
+    * corpus totals riding a partitionless window over the vocab relation
+    * (bounded rows — never the corpus). The token streams never shuffle.
+    */
+  def unigramDrift(dfA: DataFrame, dfB: DataFrame,
+      textCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(as))
+    val joined = counts(dfA, "_ca0").join(counts(dfB, "_cb0"),
+        Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("_ca0"), lit(0L)).as("_ca"),
+        coalesce(col("_cb0"), lit(0L)).as("_cb"))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prep = joined
+      .withColumn("_tot_a", sum(col("_ca")).over(w))
+      .withColumn("_tot_b", sum(col("_cb")).over(w))
+      .withColumn("_v", count(lit(1)).over(w))
+      .filter(col("_ca") > 0)
+      .withColumn("_num0", col("_ca") * (col("_tot_b") + col("_v")))
+      .withColumn("_den0", (col("_cb") + 1L) * col("_tot_a"))
+      .withColumn("_pos", col("_num0") >= col("_den0"))
+      .withColumn("_big", when(col("_pos"), col("_num0")).otherwise(col("_den0")))
+      .withColumn("_small", when(col("_pos"), col("_den0")).otherwise(col("_num0")))
+      .withColumn("_sh", greatest(lit(0), length(bin(col("_big"))) - lit(33)))
+      .withColumn("_num", expr("shiftright(_big, CAST(_sh AS INT))"))
+      .withColumn("_den",
+        greatest(expr("shiftright(_small, CAST(_sh AS INT))"), lit(1L)))
+    log2FixedCols(prep)
+      .select(col("token"), col("_ca").as("cnt_a"), col("_cb").as("cnt_b"),
+        when(col("_pos"), col("_idf_fp")).otherwise(-col("_idf_fp"))
+          .as("log_ratio_fp"))
+      .withColumn("contrib_fp", col("cnt_a") * col("log_ratio_fp"))
+  }
+
+  /** DuckDB twin of [[unigramDrift]] over `documents` split by the given
+    * predicates (A = `predA`, B = `predB`): identical integer op
+    * sequence including the `bin`-length rescale and sign handling.
+    */
+  def unigramDriftSql(predA: String, predB: String): String = {
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT token, e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ta AS MATERIALIZED (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS token
+       |  FROM documents WHERE $predA),
+       |tb AS MATERIALIZED (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS token
+       |  FROM documents WHERE $predB),
+       |ca AS (SELECT token, CAST(count(*) AS BIGINT) AS cca FROM ta GROUP BY token),
+       |cb AS (SELECT token, CAST(count(*) AS BIGINT) AS ccb FROM tb GROUP BY token),
+       |j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+       |        COALESCE(cca, 0) AS cca, COALESCE(ccb, 0) AS ccb
+       |      FROM ca FULL OUTER JOIN cb USING (token)),
+       |st AS (SELECT token, cca, ccb,
+       |        sum(cca) OVER () AS tot_a, sum(ccb) OVER () AS tot_b,
+       |        count(*) OVER () AS v
+       |      FROM j),
+       |sg AS (SELECT token, cca, ccb,
+       |        cca * (tot_b + v) AS num0, (ccb + 1) * tot_a AS den0
+       |      FROM st WHERE cca > 0),
+       |rs AS (SELECT token, cca, ccb, num0 >= den0 AS pos,
+       |        CASE WHEN num0 >= den0 THEN num0 ELSE den0 END AS big,
+       |        CASE WHEN num0 >= den0 THEN den0 ELSE num0 END AS small
+       |      FROM sg),
+       |nrm AS (SELECT token, cca, ccb, pos,
+       |        big >> greatest(0, length(bin(big)) - 33) AS num,
+       |        greatest(small >> greatest(0, length(bin(big)) - 33), 1) AS den
+       |      FROM rs),
+       |it0 AS (
+       |  SELECT token, ($eSum) AS e,
+       |    (num << $MantBits) // (den << ($eSum)) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM nrm),
+       |$iters,
+       |sup AS (
+       |  SELECT token, e * (CAST(1 AS BIGINT) << $FracBits) + frac AS s
+       |  FROM it$FracBits)
+       |SELECT r.token, r.cca AS cnt_a, r.ccb AS cnt_b,
+       |  CAST(CASE WHEN r.pos THEN s ELSE -s END AS BIGINT) AS log_ratio_fp,
+       |  CAST(r.cca * (CASE WHEN r.pos THEN s ELSE -s END) AS BIGINT) AS contrib_fp
+       |FROM sup JOIN rs r USING (token)""".stripMargin
+  }
+
   /** DuckDB twin of [[surprisalScore]] over `documents`: the identical
     * integer op sequence — indicator-sum exponent, [[FracBits]] unrolled
     * square-and-truncate rounds, integer sums and floor division — keyed
@@ -391,7 +506,7 @@ object Vocabulary {
     */
   def surprisalSql: String = {
     val eSum = (1 to EMax).map(kk =>
-      s"CASE WHEN (den << $kk) <= num THEN 1 ELSE 0 END").mkString(" + ")
+      s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
     val iters = (1 to FracBits).map { i =>
       val p = i - 1
       s"""it$i AS (

@@ -231,4 +231,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
     spark.catalog.clearCache()
   }
+
+  test("quantile sketch scans the corpus once; extraction stays on the summary") {
+    val p = planOf("x_sketch_quantile")
+    // one corpus scan: the total must ride the cumulative window, not a
+    // second aggregation over a fresh scan
+    assert(p.split("\n").count(_.contains("Scan parquet")) == 1,
+      s"quantile sketch must scan the corpus exactly once:\n$p")
+    // extraction probes the KB-scale summary via broadcast — any shuffle
+    // join here would mean the non-equi probe grew corpus-sized inputs
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"quantile extraction must broadcast the bounded summary:\n$p")
+  }
+
+  test("surprisal scoring broadcasts the unigram model — token stream never shuffles for lookup") {
+    val p = planOf("x_text_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab-sized model must broadcast onto the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus token stream must not shuffle into the scoring join:\n$p")
+  }
 }

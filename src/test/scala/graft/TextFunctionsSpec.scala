@@ -254,6 +254,28 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L)._3 > got(2L)._3 && got(1L)._3 > got(2L)._3)
   }
 
+  test("unigram drift: self-drift ~ 0, disjoint corpora strongly positive") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma alpha"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val bSame = a
+    val bOther = Seq((3L, "zeta eta theta zeta"), (4L, "zeta iota kappa"))
+      .toDF("doc_id", "text")
+    val frac = 1L << 20
+    def klBitsPerTok(drift: org.apache.spark.sql.DataFrame): Double = {
+      val rows = drift.collect()
+      val totA = rows.map(_.getLong(1)).sum
+      rows.map(_.getLong(4)).sum.toDouble / totA / frac
+    }
+    val self = klBitsPerTok(graft.text.Vocabulary.unigramDrift(a, bSame, "text"))
+    val other = klBitsPerTok(graft.text.Vocabulary.unigramDrift(a, bOther, "text"))
+    // identical corpora: only add-one smoothing keeps this above zero
+    assert(self >= 0 && self < 0.5, s"self-drift should be near 0, got $self")
+    // disjoint vocab: every A-token is unseen in B -> large positive drift
+    assert(other > 1.5, s"disjoint-corpus drift should be large, got $other")
+    assert(other > self * 3)
+  }
+
   test("batched bpe: batchSize=1 equals one-at-a-time; batches are symbol-disjoint") {
     import spark.implicits._
     val docs = Seq((1L, "aaab aaab ab"), (2L, "cd cd cd")).toDF("doc_id", "text")
