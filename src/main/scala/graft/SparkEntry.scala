@@ -911,6 +911,21 @@ object SparkEntry {
         .withColumn("window_start", unix_millis(col("window_start")))
     }),
 
+    // streaming sketch maintenance: the fixed-grid value histogram kept
+    // incrementally as watermarked per-(hour, cell) state — a REAL
+    // StreamingQuery whose flushed windows equal the batch histogram
+    // (the sentinel's far-future window never flushes)
+    "x_stream_sketch_exec" -> ((s, dir) => {
+      val srcPath = stagedEventsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingOps.runToParquetSink(
+          graft.streaming.StreamingOps.streamingHourlyValueHistogram(
+            s, srcPath, src), s"${tmpPath(dir, "stream_exec_hist")}/sink")
+      }
+        .withColumn("window_start", unix_millis(col("window_start")))
+    }),
+
     // session_window closes a session when the gap REACHES 30 min (windows
     // [ts, ts+gap) merge only while overlapping), so its oracle uses >= at
     // microsecond precision — the batch-twin lag form above breaks only
@@ -2260,6 +2275,14 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
           |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+
+      // the Spark side maintained this histogram as watermarked
+      // per-(hour, cell) streaming state; flushed windows == batch
+      "x_stream_sketch_exec" ->
+        """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start,
+          |  least(greatest(CAST(floor(value * 100.0) AS BIGINT), 0), 65535) // 1024 AS cell,
+          |  CAST(count(*) AS BIGINT) AS cnt
+          |FROM events GROUP BY 1, 2""".stripMargin,
 
       // the Spark side ran this as a real stream-static-join StreamingQuery
       "x_stream_static_join_exec" ->

@@ -67,6 +67,44 @@ object StreamingOps {
     */
   val SentinelEventType = "_sentinel"
 
+  /** Fixed-grid histogram cell for `value` (cents grid, clamped, 64
+    * cells) — the [[graft.sketch.QuantileSketch]] grid as one column
+    * expression, deterministic in both engines (one IEEE multiply, one
+    * floor, then integer clamps/division).
+    */
+  def valueHistCell: org.apache.spark.sql.Column =
+    expr("least(greatest(CAST(floor(value * 100.0) AS BIGINT), 0L), 65535L) div 1024L")
+
+  /** Per-hour fixed-grid value histogram (batch form): the incremental
+    * quantile-sketch maintenance shape — each hour's KB-scale histogram
+    * is a mergeable summary ([[graft.sketch.QuantileSketch.merge]]), so
+    * an ingest pipeline answers "this hour's value quantiles" without
+    * rescanning history.
+    */
+  def hourlyValueHistogram(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), valueHistCell.as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("cell"), col("cnt"))
+
+  /** Streaming form of [[hourlyValueHistogram]]: the same bounded-cell
+    * aggregation over `readStream` with watermarked state — per
+    * (hour, cell) counters, at most hours × 64 live rows regardless of
+    * stream volume. The production shape for maintaining distribution
+    * sketches at ingest: state is the sketch, flushed per closed window.
+    */
+  def streamingHourlyValueHistogram(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, watermark: String = "2 hours",
+      sourceOptions: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream
+      .options(sourceOptions)
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), valueHistCell.as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("cell"), col("cnt"))
+
   /** Stream-static enrichment: the event stream inner-joined to a STATIC
     * dimension, then window-aggregated per dimension attribute. The
     * stream-static join is STATELESS — Spark re-plans the static side

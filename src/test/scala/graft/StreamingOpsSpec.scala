@@ -39,6 +39,24 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("streaming hourly histogram == batch histogram (incremental sketch)") {
+    val batchDf = spark.read.parquet(eventsMicros)
+    val expected = StreamingOps.hourlyValueHistogram(batchDf)
+      .collect().map(_.toSeq).toSet
+    val sq = StreamingOps.streamingHourlyValueHistogram(spark, eventsMicros, batchDf)
+      .writeStream
+      .format("memory")
+      .queryName("graft_hist_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination(120000)
+    val got = spark.table("graft_hist_test").collect().map(_.toSeq).toSet
+    assert(got == expected,
+      s"streaming (${got.size} rows) != batch (${expected.size} rows)")
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup drops replayed events, watermark-bounded state") {
     val batchDf = spark.read.parquet(eventsMicros)
     // replay the source twice (at-least-once delivery) into one stream dir
