@@ -122,4 +122,50 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("quantile sketch: zero rank error on random integer data") {
+    import spark.implicits._
+    val dataGen = for {
+      n <- Gen.choose(1, 300)
+      vals <- Gen.listOfN(n, Gen.choose(0L, 1000L))
+      binW <- Gen.oneOf(1L, 7L, 32L)
+    } yield (vals, binW)
+    (1L to 6L).foreach { seed =>
+      val (vals, binW) = sample(dataGen, seed)
+      val sorted = vals.sorted
+      val got = graft.sketch.QuantileSketch.valueQuantiles(
+        vals.toDF("v"), "v", pcts = Seq(1, 50, 99), binWidth = binW,
+        maxValue = 1023L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      got.foreach { case (pct, lo, hi) =>
+        // the reported cell must contain the exact ceil(n*pct/100)-th value
+        val rank = ((vals.size.toLong * pct + 99) / 100).toInt
+        val exact = sorted(math.max(rank - 1, 0))
+        assert(exact >= lo && exact <= hi,
+          s"seed $seed pct=$pct: $exact outside [$lo,$hi] (binW=$binW)")
+      }
+    }
+  }
+
+  test("unigram drift: smoothed KL is non-negative on random corpora (Gibbs)") {
+    import spark.implicits._
+    val words = Seq("a", "bb", "ccc", "dd", "e", "fff", "g", "hh")
+    val corpusGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.oneOf(words)).map(_.mkString(" ")))
+    (1L to 6L).foreach { seed =>
+      val a = sample(corpusGen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val b = sample(corpusGen, seed + 100).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val rows = graft.text.Vocabulary.unigramDrift(a, b, "text").collect()
+      val totalContrib = rows.map(_.getLong(4)).sum
+      val vocab = rows.length.toLong
+      // KL(P || Q_smoothed) >= 0 by Gibbs; floor fixed-point truncation
+      // can shave at most ~1 ulp per token occurrence
+      val totA = rows.map(_.getLong(1)).sum
+      assert(totalContrib >= -totA,
+        s"seed $seed: smoothed KL came out negative beyond fp slack " +
+          s"($totalContrib, totA=$totA, vocab=$vocab)")
+    }
+  }
 }
