@@ -108,6 +108,28 @@ object SparkEntry {
     stagedFixture(s, dir, "occurrence",
       parts = s.sparkContext.defaultParallelism)(occurrence(s, dir))
 
+  /** MinHash near-dup pair relations staged once per (sf, process):
+    * computing the pair set re-shingles and re-signatures the corpus —
+    * the expensive step every dedup consumer shares. The UNGUARDED form
+    * (maxDfFraction = None: must equal the exact Jaccard truth set)
+    * backs x_dedup_minhash and x_dedup_groups; the GUARDED default form
+    * backs x_dedup_near_dedup and x_dedup_near_dedup_best. Incremental
+    * deployments persist exactly these relations (see
+    * [[graft.dedup.Dedup.nearDedup]]'s precomputedPairs hook).
+    */
+  private def minhashPairsRawDim(s: SparkSession, dir: String): DataFrame =
+    stagedFixture(s, dir, "mh_pairs_raw")(
+      graft.dedup.Dedup.minhashNearDuplicates(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2,
+        maxDfFraction = None))
+
+  private def minhashPairsGuardedDim(s: SparkSession, dir: String): DataFrame =
+    stagedFixture(s, dir, "mh_pairs_guarded")(
+      graft.dedup.Dedup.minhashNearDuplicates(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        n = 3, tau = 0.8))
+
   /** The J1 resolved dimension (strict name resolution over
     * taxa x backbone; geometry is irrelevant to resolution). Shared by
     * j1_name_resolution, t1_tag_tristate, f1_filter_mode.
@@ -733,19 +755,13 @@ object SparkEntry {
         n = 3, tau = 0.8, maxDf = Some(10))),
 
     "x_dedup_minhash" -> ((s, dir) =>
-      graft.dedup.Dedup.minhashNearDuplicates(
-        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2,
-        maxDfFraction = None)), // unguarded: must equal the exact truth set
+      minhashPairsRawDim(s, dir)), // unguarded: must equal the exact truth set
 
     // adaptive components: pair set fits the driver -> exact in-memory
     // union-find (no iteration bound); larger -> distributed label
     // propagation. Checked against the recursive-CTE components oracle.
     "x_dedup_groups" -> ((s, dir) =>
-      graft.dedup.Dedup.duplicateGroupsAuto(
-        graft.dedup.Dedup.minhashNearDuplicates(
-          DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-          n = 3, tau = 0.8, maxDfFraction = None))),
+      graft.dedup.Dedup.duplicateGroupsAuto(minhashPairsRawDim(s, dir))),
 
     // scan-speed SimHash expression (bit-identical to the relational form,
     // which DedupSpec cross-checks); hash-matched against the DuckDB
@@ -801,7 +817,8 @@ object SparkEntry {
     "x_dedup_near_dedup" -> ((s, dir) =>
       graft.dedup.Dedup.nearDedup(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, tau = 0.8)
+        n = 3, tau = 0.8,
+        precomputedPairs = Some(minhashPairsGuardedDim(s, dir)))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
     // ---- similarity search --------------------------------------------
@@ -1334,7 +1351,8 @@ object SparkEntry {
     "x_dedup_near_dedup_best" -> ((s, dir) =>
       graft.dedup.Dedup.nearDedupBy(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        keepBy = Seq(length(col("text")).desc))
+        keepBy = Seq(length(col("text")).desc),
+        precomputedPairs = Some(minhashPairsGuardedDim(s, dir)))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
     // incremental dedup: the arriving batch (doc_id % 5 == 0) cleaned

@@ -543,13 +543,21 @@ object Dedup {
   /** End-to-end near-dup removal: MinHash near-dup pairs -> connected
     * components -> keep each group's minimum id. Returns the surviving
     * rows of `df`.
+    *
+    * `precomputedPairs` short-circuits the pair generation with an
+    * already-materialized (id_a, id_b, ...) relation — the incremental
+    * deployment persists its pair set once and reuses it across the
+    * dedup, grouping, and survivorship queries instead of re-shingling
+    * the corpus per consumer.
     */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.8,
       maxDf: Option[Int] = None,
-      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
-    val pairs = minhashNearDuplicates(df, idCol, textCol, n, tau,
-      maxDf = maxDf, maxDfFraction = maxDfFraction)
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction),
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = precomputedPairs.getOrElse(
+      minhashNearDuplicates(df, idCol, textCol, n, tau,
+        maxDf = maxDf, maxDfFraction = maxDfFraction))
     val groups = duplicateGroupsAuto(pairs)
     val losers = groups.filter(col("_id") =!= col("group_id"))
       .select(col("_id").as("_graft_loser"))
@@ -570,9 +578,11 @@ object Dedup {
       keepBy: Seq[Column],
       n: Int = 3, tau: Double = 0.8,
       maxDf: Option[Int] = None,
-      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
-    val pairs = minhashNearDuplicates(df, idCol, textCol, n, tau,
-      maxDf = maxDf, maxDfFraction = maxDfFraction)
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction),
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = precomputedPairs.getOrElse(
+      minhashNearDuplicates(df, idCol, textCol, n, tau,
+        maxDf = maxDf, maxDfFraction = maxDfFraction))
     val groups = duplicateGroupsAuto(pairs)
     // singletons never appear in pairs: their group is their own id
     val assigned = df.join(groups, df(idCol) === groups("_id"), "left")
