@@ -69,6 +69,7 @@ object ScalePerfHarness {
       case "blocks" => blocksMode(spark, count)
       case "spans" => spansMode(spark, count)
       case "bpe"   => bpeMode(spark, count)
+      case "signals" => signalsMode(spark, count)
       case "simhash10m" => simhash10mMode(spark, count)
       case "round5" => round5Mode(spark, count)
       case "pq" => pqMode(spark, count)
@@ -174,6 +175,36 @@ object ScalePerfHarness {
       expr(s"array_join(concat(slice(${words("id")}, 1, 39), array('wdup')), ' ')")
         .as("text"))
     base.unionByName(copies)
+  }
+
+  /** r8 signal operators at scale: surprisal, drift, quantile sketch.
+    * The claims under test: surprisal/drift cost ~ two token-agg passes
+    * + broadcast joins (so 10x corpus ≈ 10x scan time, never a pair
+    * blowup); the quantile sketch is one bounded-cell agg.
+    */
+  private def signalsMode(spark: SparkSession, count: Long): Unit = {
+    import graft.text.Vocabulary
+    import graft.sketch.QuantileSketch
+    def consume(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    val docs = textCorpus(spark, count).persist()
+    val n = docs.count()
+    time("surprisalScore", n) {
+      consume(Vocabulary.surprisalScore(docs, "doc_id", "text"))
+    }
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    time("unigramDrift(halves)", n) {
+      consume(Vocabulary.unigramDrift(a, b, "text"))
+    }
+    val withLen = docs.withColumn("n_chars", length(col("text")))
+    time("quantileSketch(7 pcts)", n) {
+      consume(QuantileSketch.valueQuantiles(withLen, "n_chars",
+        pcts = Seq(1, 10, 25, 50, 75, 90, 99), binWidth = 16L,
+        maxValue = 1023L))
+    }
+    docs.unpersist()
   }
 
   /** simhashPairs / minhashNearDuplicates / ngramJaccardPairs at scale,
