@@ -53,7 +53,14 @@ object DerivedModel {
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case TimestampType    => df
+      // a THIRD testdata schema generation (e.g. STRING or INT96) must
+      // fail fast at the read site — a silent fall-through is exactly the
+      // r7 regression mode where 18 downstream queries erred unnoticed
+      case other => sys.error(
+        s"events.ts has unexpected type $other (expected nanos-as-long, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP); update DerivedModel.events for " +
+          "the new testdata schema generation")
     }
   }
 

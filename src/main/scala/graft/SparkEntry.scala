@@ -130,6 +130,44 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         n = 3, tau = 0.8))
 
+  /** The doubled events source for the at-least-once streaming dedup
+    * gate, staged once per (sf, process) like [[stagedEventsSource]] —
+    * the source is immutable input, so re-writing it per bench run only
+    * re-pays the events scan + write on the gate's clock.
+    */
+  private def stagedDoubledEventsSource(s: SparkSession, dir: String): String = {
+    val root = s"${tmpPath(dir, "stream_exec_dedup")}/src"
+    stagedSources.synchronized {
+      if (!stagedSources.contains(root)) {
+        val ev = DerivedModel.events(s, dir)
+        graft.streaming.StreamingOps.writeFiniteSource(ev.unionByName(ev), root)
+        stagedSources += root
+      }
+    }
+    root
+  }
+
+  /** Eagerly build every session-staged fixture (dimension parquet,
+    * minhash pair relations, finite streaming sources). Bench calls this
+    * from its untimed warmup block so per-query timings measure the
+    * operators they are named for, not the one-time staging writes — the
+    * r8 bench charged each staging to its dimension's alphabetically
+    * first consumer (a1_collect_children "tripled" while the operator it
+    * names got cheaper), which broke round-over-round comparability.
+    * Idempotent: every build is guarded by the staged-path registry, so
+    * queries that race this (or run without it, e.g. under Verify) stage
+    * on first use exactly as before.
+    */
+  def prepareStagedFixtures(s: SparkSession, dir: String): Unit = {
+    occDim(s, dir)
+    resolvedDim(s, dir)
+    childrenDim(s, dir)
+    minhashPairsRawDim(s, dir)
+    minhashPairsGuardedDim(s, dir)
+    stagedEventsSource(s, dir)
+    stagedDoubledEventsSource(s, dir)
+  }
+
   /** The J1 resolved dimension (strict name resolution over
     * taxa x backbone; geometry is irrelevant to resolution). Shared by
     * j1_name_resolution, t1_tag_tristate, f1_filter_mode.
@@ -949,11 +987,16 @@ object SparkEntry {
     "x_stream_sketch_exec" -> ((s, dir) => {
       val srcPath = stagedEventsSource(s, dir)
       val src = s.read.parquet(srcPath)
-      graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+      val sink = graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
         graft.streaming.StreamingOps.runToParquetSink(
           graft.streaming.StreamingOps.streamingHourlyValueHistogram(
             s, srcPath, src), s"${tmpPath(dir, "stream_exec_hist")}/sink")
       }
+      // event_type is aggregated away by the histogram grouping, so the
+      // sentinel guard is a window-time bound on the sink (see
+      // StreamingOps.dropSentinelWindows: a pre-agg filter would be
+      // pushed below the watermark operator and break the final flush)
+      graft.streaming.StreamingOps.dropSentinelWindows(sink, src)
         .withColumn("window_start", unix_millis(col("window_start")))
     }),
 
@@ -994,15 +1037,12 @@ object SparkEntry {
     // at-least-once replay (source written twice) deduped exactly-once by
     // the watermarked dropDuplicates state — sink must equal the source
     "x_stream_dedup_exec" -> ((s, dir) => {
-      val root = tmpPath(dir, "stream_exec_dedup")
-      val ev = DerivedModel.events(s, dir)
-      graft.streaming.StreamingOps.writeFiniteSource(
-        ev.unionByName(ev), s"$root/src")
-      val src = s.read.parquet(s"$root/src")
+      val srcPath = stagedDoubledEventsSource(s, dir)
+      val src = s.read.parquet(srcPath)
       graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
         graft.streaming.StreamingOps.runToParquetSink(
           graft.streaming.StreamingOps.streamingDedup(
-            s, s"$root/src", src), s"$root/sink")
+            s, srcPath, src), s"${tmpPath(dir, "stream_exec_dedup")}/sink")
       }
         .filter(col("event_type") =!=
           graft.streaming.StreamingOps.SentinelEventType)
@@ -1446,14 +1486,19 @@ object SparkEntry {
           col("asof_purch_value").as("purch_value"))
     }),
 
-    // media near-dup: 64-bit content hash over payload bytes + the
-    // banded hamming join — the multimodal dedup path (hash swaps to
-    // pHash at the codec boundary for real images)
-    "x_multimodal_near_dup" -> ((s, dir) =>
-      graft.dedup.Dedup.simhashPairs(
-        graft.multimodal.Multimodal.contentHash64(
-          graft.multimodal.Multimodal.toMediaRecords(
-            DerivedModel.table(s, dir, "documents"))), maxHamming = 3)),
+    // mixed-media near-dup, format-ROUTED: image rows (real planted PNGs
+    // incl. LSB-perturbed twins) hash via the perceptual aHash at the
+    // codec boundary, opaque payloads via byte-stream SimHash; ONE
+    // banded hamming join consumes the union. Persisted: the banded
+    // join reads the hash relation on both sides, and without the cache
+    // each side re-runs the png encode+decode
+    "x_multimodal_near_dup" -> ((s, dir) => {
+      val hashes = graft.Persisted.track(
+        graft.multimodal.Multimodal.mixedHash64(
+          graft.multimodal.Multimodal.mixedMediaRecords(
+            DerivedModel.table(s, dir, "documents"))).persist())
+      graft.dedup.Dedup.simhashPairs(hashes, maxHamming = 3)
+    }),
 
     // perceptual image near-dup: REAL png pixel decode at the codec
     // boundary -> 8x8 integer aHash -> the same banded hamming join;
@@ -1975,9 +2020,11 @@ object SparkEntry {
       // argument, so the oracle is identical to the flat banding
       "x_dedup_simhash_split" -> graft.dedup.SimHashOracle.pairsSql(3),
 
-      // identical relation — the Spark side hashed the PAYLOAD bytes of
-      // the media records (== text bytes for the stand-in payloads)
-      "x_multimodal_near_dup" -> graft.dedup.SimHashOracle.pairsSql(3),
+      // format-routed union: aHash replayed from planted pixel
+      // arithmetic for image ids, byte-stream SimHash (XXH64-in-SQL)
+      // for the rest; pairs as all-pairs hamming over the union
+      "x_multimodal_near_dup" ->
+        graft.multimodal.MultimodalOracle.mixedPairsSql(3),
 
       // hashes replayed from the planted pixel arithmetic (png lossless,
       // aHash all-integer); pairs as the all-pairs hamming predicate

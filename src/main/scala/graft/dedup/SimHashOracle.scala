@@ -120,8 +120,10 @@ object SimHashOracle {
 
   /** SimHash packing on top of [[hashCtes]]: CTE `sh2(doc_id, simhash)`
     * with the fingerprint as a signed BIGINT (Spark's LongType view).
+    * `private[graft]`: [[graft.multimodal.MultimodalOracle]] composes it
+    * with the aHash CTEs for the mixed-media near-dup oracle.
     */
-  private val simhashCtes: String =
+  private[graft] val simhashCtes: String =
     s"""pow(b, p) AS (
        |  SELECT 0, 1::HUGEINT UNION ALL SELECT b + 1, p * 2 FROM pow WHERE b < 63),
        |$hashCtes,

@@ -336,6 +336,32 @@ object Multimodal {
     }.toDF("_id", "simhash")
   }
 
+  /** Mixed-media corpus: the png slice of the id space
+    * (`doc_id % 3 == 1`, with the planted LSB-perturbed twins of
+    * [[syntheticImagesWithTwins]]) carries REAL encoded PNG payloads;
+    * every other doc travels as an opaque `bin` record over its text
+    * bytes — the heterogeneous table a real multimodal ingest sees.
+    */
+  def mixedMediaRecords(documents: DataFrame): Dataset[MediaRecord] =
+    syntheticImagesWithTwins(documents).unionByName(
+      toMediaRecords(documents.filter(col("doc_id") % 3 =!= 1)))
+
+  /** Format-ROUTED 64-bit hash for mixed-media near-dup: image rows get
+    * the perceptual [[aHash64]] at the codec boundary (pixel-derived —
+    * robust to sub-threshold visual change), opaque payloads the
+    * byte-stream SimHash of [[contentHash64]]. One `(_id, simhash)`
+    * relation out, so [[graft.dedup.Dedup.simhashPairs]]'s banded
+    * hamming join consumes the union unchanged — the routing is a format
+    * filter, not a new plan shape. (Cross-family bucket collisions are
+    * possible and harmless: the hamming verify runs on the exact hashes,
+    * deterministically on both engines.)
+    */
+  def mixedHash64(records: Dataset[MediaRecord]): DataFrame = {
+    val isImage = col("format").isin("png", "jpeg")
+    perceptualHash64(records.filter(isImage))
+      .unionByName(contentHash64(records.filter(!isImage)))
+  }
+
   /** Frame-sampling plumbing demo: every k-th byte of the payload as a
     * "frame" offset list — the partition/batch shape of video frame
     * sampling with the sampler stubbed.
@@ -358,11 +384,13 @@ object Multimodal {
   */
 object MultimodalOracle {
 
-  /** Oracle for `x_multimodal_phash`: (id_a, id_b, hamming). */
-  def phashPairsSql(maxHamming: Int): String =
-    s"""WITH RECURSIVE pow(b, p) AS (
-       |  SELECT 0, 1::HUGEINT UNION ALL SELECT b + 1, p * 2 FROM pow WHERE b < 63),
-       |png AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+  /** The aHash reconstruction chain (planted pixels → luma grid → mean
+    * threshold → packed bits): CTE `hs(id, h)`. Expects a `pow(b, p)`
+    * powers-of-two CTE in scope (shared with
+    * [[graft.dedup.SimHashOracle.simhashCtes]] in the mixed oracle).
+    */
+  private val aHashCtes: String =
+    s"""png AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
        |ids AS (SELECT doc_id AS id, doc_id AS base, FALSE AS pert FROM png
        |        UNION ALL
        |        SELECT doc_id + 1000000, doc_id, TRUE FROM png WHERE doc_id % 30 = 1),
@@ -392,9 +420,35 @@ object MultimodalOracle {
        |hs AS (SELECT id, CAST(CASE WHEN hval >= 9223372036854775808::HUGEINT
        |                            THEN hval - 18446744073709551616::HUGEINT
        |                            ELSE hval END AS BIGINT) AS h
-       |       FROM hu)
+       |       FROM hu)""".stripMargin
+
+  /** Oracle for `x_multimodal_phash`: (id_a, id_b, hamming). */
+  def phashPairsSql(maxHamming: Int): String =
+    s"""WITH RECURSIVE pow(b, p) AS (
+       |  SELECT 0, 1::HUGEINT UNION ALL SELECT b + 1, p * 2 FROM pow WHERE b < 63),
+       |$aHashCtes
        |SELECT a.id AS id_a, b.id AS id_b,
        |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
        |FROM hs a JOIN hs b ON a.id < b.id
+       |WHERE bit_count(xor(a.h, b.h)) <= $maxHamming""".stripMargin
+
+  /** Oracle for `x_multimodal_near_dup` (the format-ROUTED mixed gate,
+    * [[Multimodal.mixedHash64]]): image ids' hashes reconstructed by the
+    * aHash chain, every other id's by the byte-stream SimHash chain
+    * ([[graft.dedup.SimHashOracle]] replays full XXH64 in SQL; the text
+    * simhash is computed for all ids and restricted to the non-png slice
+    * — extra oracle work, identical relation). Pairs are the all-pairs
+    * hamming predicate over the UNION, the exact cover of the banded
+    * join (same pigeonhole argument, hash family irrelevant).
+    */
+  def mixedPairsSql(maxHamming: Int): String =
+    s"""WITH RECURSIVE ${graft.dedup.SimHashOracle.simhashCtes},
+       |$aHashCtes,
+       |allh AS (SELECT id, h FROM hs
+       |         UNION ALL
+       |         SELECT doc_id, simhash FROM sh2 WHERE doc_id % 3 <> 1)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+       |FROM allh a JOIN allh b ON a.id < b.id
        |WHERE bit_count(xor(a.h, b.h)) <= $maxHamming""".stripMargin
 }

@@ -83,6 +83,9 @@ object StreamingOps {
     */
   def hourlyValueHistogram(events: DataFrame): DataFrame =
     events
+      // null-SAFE inequality: real events carry NULL event_type rows,
+      // which `=!=` would silently drop along with the sentinel
+      .filter(!(col("event_type") <=> SentinelEventType))
       .groupBy(window(col("ts"), "1 hour"), valueHistCell.as("cell"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("cell"), col("cnt"))
@@ -101,9 +104,34 @@ object StreamingOps {
       .schema(schemaFrom.schema)
       .parquet(sourcePath)
       .withWatermark("ts", watermark)
+      // NOTE: do NOT filter the sentinel here — a pre-aggregation filter
+      // gets pushed below the watermark operator (and into the source
+      // scan), so the sentinel's far-future ts never reaches the
+      // watermark node and the final real windows never flush (measured:
+      // the last 3 hourly windows, 27 rows, lost at sf0.01). Sentinel
+      // exclusion is post-hoc via [[dropSentinelWindows]] on the sink.
       .groupBy(window(col("ts"), "1 hour"), valueHistCell.as("cell"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("cell"), col("cnt"))
+
+  /** Belt-and-braces sentinel exclusion for window-keyed sinks whose
+    * grouping aggregated `event_type` away (the histogram gate): the
+    * sentinel's far-future window never flushes in append mode, but a
+    * future watermark/output-mode change could silently leak it into the
+    * oracle comparison. Any flushed window at or before the max REAL
+    * event time is legitimate; the sentinel's window starts ≥ its
+    * advance (default 7 days) past that. Bound rides a broadcast 1-row
+    * stats relation — no driver action, no effect on the streaming plan.
+    */
+  def dropSentinelWindows(sink: DataFrame, src: DataFrame,
+      windowCol: String = "window_start"): DataFrame = {
+    val cutoff = src
+      .filter(!(col("event_type") <=> SentinelEventType))
+      .agg(max(col("ts")).as("_max_real_ts"))
+    sink.crossJoin(broadcast(cutoff))
+      .filter(col(windowCol) <= col("_max_real_ts"))
+      .drop("_max_real_ts")
+  }
 
   /** Stream-static enrichment: the event stream inner-joined to a STATIC
     * dimension, then window-aggregated per dimension attribute. The

@@ -408,9 +408,27 @@ object Vocabulary {
     * (vocab-bounded shuffles), one vocab-sized full-outer join, and
     * corpus totals riding a partitionless window over the vocab relation
     * (bounded rows — never the corpus). The token streams never shuffle.
+    *
+    * PRECONDITION (mirrors [[surprisalScore]]'s TOTAL < 2^33 note): the
+    * products `ca·(totB+V)` and `(cb+1)·totA` must fit int64 — the
+    * `bin`-length rescale above runs AFTER the multiply, so it cannot
+    * rescue an overflowed product. Safe whenever both corpus token totals
+    * are < 2^31 (~2.1e9 tokens/side); beyond that Spark (non-ANSI) would
+    * silently wrap where DuckDB errors, so the multiplies below are
+    * guarded with an exact `d <= MaxValue div e` check that raises a
+    * named error instead. Pre-shard bigger corpora and [[QuantileGrid
+    * merge]]-style combine the per-shard drift rows, or pre-scale counts.
     */
   def unigramDrift(dfA: DataFrame, dfB: DataFrame,
       textCol: String): DataFrame = {
+    // positive-long `a * b` that raises a named error instead of silently
+    // wrapping int64 (Spark non-ANSI) — see the precondition above; both
+    // operands are ≥ 1 here, so `div` never sees a zero divisor
+    def checkedMul(a: String, b: String, what: String) = expr(
+      s"CASE WHEN ($a) <= ${Long.MaxValue}L div ($b) THEN ($a) * ($b) " +
+        s"ELSE raise_error('unigramDrift: $what overflows int64 — corpus " +
+        "token totals exceed the documented 2^31-per-side precondition; " +
+        "shard the corpora and merge per-shard drift rows') END")
     def counts(df: DataFrame, as: String) =
       df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as(as))
@@ -425,8 +443,12 @@ object Vocabulary {
       .withColumn("_tot_b", sum(col("_cb")).over(w))
       .withColumn("_v", count(lit(1)).over(w))
       .filter(col("_ca") > 0)
-      .withColumn("_num0", col("_ca") * (col("_tot_b") + col("_v")))
-      .withColumn("_den0", (col("_cb") + 1L) * col("_tot_a"))
+      // overflow-guarded multiply: the guard lives INSIDE the computed
+      // column (a standalone guard column would be pruned away unused).
+      // `a <= MaxValue div b` is exact for positive ints; vocab-bounded
+      // relation, so the extra div+compare per row is noise
+      .withColumn("_num0", checkedMul("_ca", "_tot_b + _v", "ca*(totB+V)"))
+      .withColumn("_den0", checkedMul("_cb + 1", "_tot_a", "(cb+1)*totA"))
       .withColumn("_pos", col("_num0") >= col("_den0"))
       .withColumn("_big", when(col("_pos"), col("_num0")).otherwise(col("_den0")))
       .withColumn("_small", when(col("_pos"), col("_den0")).otherwise(col("_num0")))
