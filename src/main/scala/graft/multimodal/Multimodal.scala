@@ -262,6 +262,20 @@ object Multimodal {
     hash
   }
 
+  /** Planted RGB pixel for [[plantedPng]]: a Weyl-style integer mix with
+    * LARGE odd multipliers, so luma varies wildly across the 8×8 sample
+    * grid and distinct base ids produce near-independent aHashes. The
+    * original `base*31 + x*7 + y` gradient made most images share one
+    * threshold pattern — ~24% of random image PAIRS landed within
+    * hamming 3 (quadratic pair blowup, and a near-dup "signal" that was
+    * mostly background). With this mix, background image pairs collide
+    * at the ~Binomial(64, ½) tail (≈ never) while the LSB-perturbed twin
+    * still moves each sampled luma by ≤ 1. Exact in both engines: long
+    * products ≤ ~2^52, then mod 2^24.
+    */
+  def plantedPixel(baseId: Long, x: Int, y: Int): Int =
+    ((baseId * 2654435761L + x * 1013904223L + y * 69069L) & 0xffffffL).toInt
+
   /** One planted PNG (lossless — decoded pixels equal the planted
     * function exactly): dimensions and pixels from BASE doc_id
     * arithmetic; `perturb` flips the blue LSB at even-x pixels, the
@@ -277,7 +291,7 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = ((baseId * 31 + x * 7 + y) & 0xffffff).toInt
+        val v = plantedPixel(baseId, x, y)
         img.setRGB(x, y, if (perturb && x % 2 == 0) v ^ 1 else v)
         x += 1
       }
@@ -401,7 +415,7 @@ object MultimodalOracle {
        |         (j * (8 + base % 9)) // 8 AS y
        |       FROM ids CROSS JOIN grid),
        |pv AS (SELECT id, k, x, pert,
-       |         (base * 31 + x * 7 + y) % 16777216 AS v0
+       |         (base * 2654435761 + x * 1013904223 + y * 69069) % 16777216 AS v0
        |       FROM px),
        |pv2 AS (SELECT id, k,
        |          CASE WHEN pert AND x % 2 = 0

@@ -112,7 +112,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
         val y = j * h / 8
         (0 until 8).map { i =>
           val x = i * w / 8
-          val v0 = ((baseId * 31 + x * 7 + y) & 0xffffff).toInt
+          val v0 = ((baseId * 2654435761L + x * 1013904223L + y * 69069L) & 0xffffff).toInt
           val v = if (perturb && x % 2 == 0) v0 ^ 1 else v0
           (299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) +
             114L * (v & 0xff)) / 1000L
