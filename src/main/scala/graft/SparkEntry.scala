@@ -164,9 +164,41 @@ object SparkEntry {
     childrenDim(s, dir)
     minhashPairsRawDim(s, dir)
     minhashPairsGuardedDim(s, dir)
+    pqCodesDim(s, dir)
     stagedEventsSource(s, dir)
     stagedDoubledEventsSource(s, dir)
   }
+
+  /** The trained PQ codebook, cached once per (sf, process): the
+    * deterministic per-subspace k-means is the offline index-BUILD step
+    * (multiple Spark rounds + a KB-scale collect), and re-running it per
+    * probe conflated training cost with probe cost in the trained ANN
+    * gates (r8 verdict item 4). Values are deterministic, so every
+    * consumer sees the identical codebook; the oracle still replays the
+    * full training in SQL.
+    */
+  private val pqTrainedCache =
+    scala.collection.mutable.Map[String, Array[Array[Array[Double]]]]()
+  private def pqTrainedCodebook(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    pqTrainedCache.synchronized {
+      pqTrainedCache.getOrElseUpdate(dir,
+        graft.sim.Similarity.pqCodebookTrained(
+          DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+          m = 8, ksub = 16, dim = 64, iterations = 2, deterministic = true))
+    }
+
+  /** The trained-PQ index relation (IVF cluster + codes per vector),
+    * staged once per (sf, process) — the artifact a deployment writes at
+    * ingest. Codes are small ints and the cluster id a long: lossless
+    * through parquet, so probes over the staged relation are
+    * hash-identical to encode-per-query.
+    */
+  private def pqCodesDim(s: SparkSession, dir: String): DataFrame =
+    stagedFixture(s, dir, "pq_trained_codes")(
+      graft.sim.Similarity.pqEncodedRelation(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        pqTrainedCodebook(s, dir), m = 8, ksub = 16, dim = 64,
+        numClusters = 16))
 
   /** The J1 resolved dimension (strict name resolution over
     * taxa x backbone; geometry is irrelevant to resolution). Shared by
@@ -1156,16 +1188,17 @@ object SparkEntry {
         ksub = 16, rerank = 40, dim = Some(64))),
 
     // PQ with a TRAINED codebook: per-subspace deterministic k-means
-    // (offline index build — the collect ships KBs of centroid literals
-    // with the query) cuts ADC error vs the lowest-id seeds; the oracle
-    // replays every training round, the encode, and the re-rank
+    // (offline index build) cuts ADC error vs the lowest-id seeds; the
+    // codebook is session-cached and the encoded codes staged once
+    // (build at ingest, probe many — the production shape), so the gate
+    // measures PROBE cost; the oracle still replays every training
+    // round, the encode, and the re-rank
     "x_ann_pq_trained" -> ((s, dir) => {
       val emb = DerivedModel.table(s, dir, "embeddings")
       graft.sim.Similarity.pqTopK(emb, "vec_id", "embedding",
         queryId = 0L, k = 10, m = 8, ksub = 16, rerank = 40, dim = Some(64),
-        codebook = Some(graft.sim.Similarity.pqCodebookTrained(
-          emb, "vec_id", "embedding", m = 8, ksub = 16, dim = 64,
-          iterations = 2, deterministic = true)))
+        codebook = Some(pqTrainedCodebook(s, dir)),
+        precomputedCodes = Some(pqCodesDim(s, dir)))
     }),
 
     // IVF-PQ with the trained codebook: seeded coarse inverted lists
@@ -1175,9 +1208,8 @@ object SparkEntry {
       graft.sim.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
         queryId = 0L, k = 10, numClusters = 16, nProbe = 4, m = 8,
         ksub = 16, rerank = 40, dim = Some(64),
-        codebook = Some(graft.sim.Similarity.pqCodebookTrained(
-          emb, "vec_id", "embedding", m = 8, ksub = 16, dim = 64,
-          iterations = 2, deterministic = true)))
+        codebook = Some(pqTrainedCodebook(s, dir)),
+        precomputedCodes = Some(pqCodesDim(s, dir)))
     }),
 
     // reproducible global shuffle + contiguous position (DataFrame-native

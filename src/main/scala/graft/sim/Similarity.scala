@@ -481,13 +481,17 @@ object Similarity {
   def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, m: Int = 8, ksub: Int = 16, rerank: Int = 0,
       dim: Option[Int] = None,
-      codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      codebook: Option[Array[Array[Array[Double]]]] = None,
+      precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val d = resolveDim(embeddings, vecCol, dim, "pqTopK")
     require(d % m == 0, s"pqTopK: dim $d not divisible into $m subspaces")
     val dsub = d / m
     val cb = codebook.getOrElse(pqCodebook(embeddings, idCol, vecCol, m, ksub, d))
     val r = if (rerank > 0) rerank else math.max(4 * k, 32)
-    val coded = pqCodes(embeddings, idCol, vecCol, cb, m, dsub, ksub)
+    // precomputedCodes = the staged [[pqEncodedRelation]] (must match
+    // `codebook`): probe-time cost only — encode amortized at ingest
+    val coded = precomputedCodes.getOrElse(
+      pqCodes(embeddings, idCol, vecCol, cb, m, dsub, ksub))
     val probe = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>").as("_qvec"))
     val topR = coded.join(broadcast(probe))
@@ -513,7 +517,8 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, numClusters: Int = 16, nProbe: Int = 4,
       m: Int = 8, ksub: Int = 16, rerank: Int = 0, dim: Option[Int] = None,
-      codebook: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+      codebook: Option[Array[Array[Array[Double]]]] = None,
+      precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val d = resolveDim(embeddings, vecCol, dim, "ivfPqTopK")
     require(d % m == 0, s"ivfPqTopK: dim $d not divisible into $m subspaces")
     val dsub = d / m
@@ -527,9 +532,17 @@ object Similarity {
       .orderBy(col("_qsim").desc, col("_cid"))
       .limit(nProbe)
       .select(col("_cid").as("cluster"))
-    val cand = ivfAssign(embeddings, idCol, vecCol, numClusters)
-      .join(broadcast(probed), Seq("cluster"), "left_semi")
-    val topR = pqCodes(cand, idCol, vecCol, cb, m, dsub, ksub)
+    // precomputedCodes = the staged [[pqEncodedRelation]] (same codebook,
+    // same numClusters): the probe reads only the nProbe inverted lists'
+    // codes — assignment + encode amortized at ingest
+    val candCodes = precomputedCodes match {
+      case Some(codes) => codes.join(broadcast(probed), Seq("cluster"), "left_semi")
+      case None =>
+        val cand = ivfAssign(embeddings, idCol, vecCol, numClusters)
+          .join(broadcast(probed), Seq("cluster"), "left_semi")
+        pqCodes(cand, idCol, vecCol, cb, m, dsub, ksub)
+    }
+    val topR = candCodes
       .join(broadcast(query))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol), cosine(pqReconCol(cb, m), col("_qvec")).as("adc"))
@@ -561,10 +574,12 @@ object Similarity {
     * [[pqSqlCore]]'s `(dist, cidx)` ranking states.
     */
   private def pqCodes(embeddings: DataFrame, idCol: String, vecCol: String,
-      cb: Array[Array[Array[Double]]], m: Int, dsub: Int, ksub: Int): DataFrame = {
+      cb: Array[Array[Array[Double]]], m: Int, dsub: Int, ksub: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = col(idCol) +: carry.map(col)
     val sliced = embeddings
       .withColumn("_vd", col(vecCol).cast("array<double>"))
-      .select(col(idCol) +: (0 until m).map(s =>
+      .select(keep ++ (0 until m).map(s =>
         slice(col("_vd"), s * dsub + 1, dsub).as(s"_sub$s")): _*)
     def scoreCol(s: Int, j: Int): Column = {
       val cj = cb(s)(j)
@@ -578,7 +593,7 @@ object Similarity {
     // multiple times, CollapseProject keeps them materialized and each
     // dot runs once
     val withDists = sliced.select(
-      col(idCol) +: (for (s <- 0 until m; j <- 0 until ksub)
+      keep ++ (for (s <- 0 until m; j <- 0 until ksub)
         yield scoreCol(s, j).as(s"_d${s}_$j")): _*)
     def codeCol(s: Int): Column = {
       val dists = (0 until ksub).map(j => col(s"_d${s}_$j"))
@@ -587,8 +602,24 @@ object Similarity {
         (acc, j) => acc.when(dists(j) === dmin, lit(j))
       }.otherwise(lit(ksub - 1))
     }
-    withDists.select(col(idCol) +: (0 until m).map(s => codeCol(s).as(s"_code$s")): _*)
+    withDists.select(keep ++ (0 until m).map(s => codeCol(s).as(s"_code$s")): _*)
   }
+
+  /** The at-ingest PQ index relation `(id, cluster, _code0.._code{m-1})`:
+    * IVF coarse assignment + PQ codes in one pass — the artifact a
+    * production deployment writes ONCE at ingest and every query probes
+    * (encode cost amortizes over the corpus lifetime; queries touch ~9
+    * bytes/vector of codes, never the floats until re-rank). Pair with
+    * [[pqTopK]]/[[ivfPqTopK]]'s `precomputedCodes` hook; the codes must
+    * have been produced with the SAME codebook the probe passes
+    * (caller's contract, exactly like `precomputedPairs` in
+    * [[graft.dedup.Dedup.nearDedup]]).
+    */
+  def pqEncodedRelation(embeddings: DataFrame, idCol: String, vecCol: String,
+      cb: Array[Array[Array[Double]]], m: Int, ksub: Int, dim: Int,
+      numClusters: Int): DataFrame =
+    pqCodes(ivfAssign(embeddings, idCol, vecCol, numClusters),
+      idCol, vecCol, cb, m, dim / m, ksub, carry = Seq("cluster"))
 
   /** Reconstructed vector from `_code*` columns: per-subspace centroid
     * lookup in the literal codebook, concatenated in subspace order.
