@@ -447,7 +447,8 @@ object Dedup {
     * `group_id`s at scale are a data-corruption bug, not a tuning knob.
     */
   def duplicateGroupsConverged(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIterations: Int = 24): DataFrame = {
+      idB: String = "id_b", maxIterations: Int = 24,
+      onRound: Int => Unit = _ => ()): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val p = Persisted.track(pairs.persist(lvl))
     p.count() // materialize before fan-out (see duplicateGroups)
@@ -483,6 +484,7 @@ object Dedup {
       labels = jumped
       converged = changed == 0
       iter += 1
+      onRound(iter) // observability hook (round count in scale harnesses)
     }
     if (!converged) {
       labels.unpersist(false)

@@ -70,6 +70,7 @@ object ScalePerfHarness {
       case "spans" => spansMode(spark, count)
       case "bpe"   => bpeMode(spark, count)
       case "signals" => signalsMode(spark, count)
+      case "groups10m" => groupsMode(spark, count)
       case "simhash10m" => simhash10mMode(spark, count)
       case "round5" => round5Mode(spark, count)
       case "pq" => pqMode(spark, count)
@@ -204,7 +205,46 @@ object ScalePerfHarness {
         pcts = Seq(1, 10, 25, 50, 75, 90, 99), binWidth = 16L,
         maxValue = 1023L))
     }
+    // ranked retrieval at scale (r8 verdict item 6): same plan shape as
+    // searchByTokens — IN-filtered token scan, vocab-bounded fixed-point
+    // idf table, ordered limit; query terms exist by construction
+    // (textCorpus vocabulary is w0..w49999)
+    time("bm25SearchFixed(3 terms, k=25)", n) {
+      consume(Vocabulary.bm25SearchFixed(docs, "doc_id", "text",
+        query = Seq("w100", "w2000", "w30000"), k = 25))
+    }
     docs.unpersist()
+  }
+
+  /** The distributed union-find fallback measured at 10M+ pairs (r8
+    * verdict item 5): `duplicateGroupsAuto`'s driver cap routes big pair
+    * sets to convergence-checked propagate+pointer-jump; this records its
+    * rounds and wall at the scale the cap defends. Pair graphs are
+    * synthetic — the algorithm sees only the component structure — at the
+    * two shapes that bracket reality: 4-node stars (the near-dup norm,
+    * diameter 2) and 1000-node chains (adversarial diameter, where
+    * pointer-jumping's log-diameter convergence is the whole story).
+    */
+  private def groupsMode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    val stars = spark.range(count)
+      .filter(col("id") % 4 =!= 0)
+      .select(((col("id") / 4).cast("long") * 4).as("id_a"), col("id").as("id_b"))
+    val chains = spark.range(count)
+      .filter(col("id") % 1000 =!= 999)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    Seq(("stars(size-4,diam-2)", stars), ("chains(len-1000)", chains))
+      .foreach { case (name, pairs) =>
+        val p = pairs.persist()
+        val n = p.count()
+        var rounds = 0
+        time(s"duplicateGroupsConverged:$name", n) {
+          Dedup.duplicateGroupsConverged(p, onRound = r => rounds = r).count()
+        }
+        println(s"[scale-harness] $name rounds=$rounds")
+        Persisted.unpersistAll()
+        p.unpersist(true): Unit
+      }
   }
 
   /** simhashPairs / minhashNearDuplicates / ngramJaccardPairs at scale,
