@@ -165,6 +165,8 @@ object SparkEntry {
     minhashPairsRawDim(s, dir)
     minhashPairsGuardedDim(s, dir)
     pqCodesDim(s, dir)
+    kmeansCentroidsDim(s, dir)
+    incrementalIndexDims(s, dir)
     stagedEventsSource(s, dir)
     stagedDoubledEventsSource(s, dir)
   }
@@ -199,6 +201,39 @@ object SparkEntry {
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         pqTrainedCodebook(s, dir), m = 8, ksub = 16, dim = 64,
         numClusters = 16))
+
+  /** Deterministic k-means centroids (numClusters=16, 2 iterations),
+    * staged once per (sf, process): the coarse-quantizer training shared
+    * by x_ann_ivf_kmeans and x_dedup_semantic — offline index build,
+    * probe-many. Doubles round-trip parquet losslessly, so probes over
+    * the staged relation are hash-identical to train-per-query.
+    */
+  private def kmeansCentroidsDim(s: SparkSession, dir: String): DataFrame =
+    stagedFixture(s, dir, "kmeans_cent")(
+      graft.sim.Similarity.kmeansCentroids(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        numClusters = 16, iterations = 2, deterministic = true))
+
+  /** The incremental-dedup corpus index (content hashes, band buckets,
+    * shingles), staged once per (sf, process) — the three relations a
+    * deployment persists and appends per accepted batch, so each batch
+    * pays only O(batch) probe work (`TUNING.md` batch-cadence row).
+    */
+  private def incrementalIndexDims(s: SparkSession,
+      dir: String): graft.dedup.Dedup.CorpusDedupIndex = {
+    def corpus = DerivedModel.table(s, dir, "documents")
+      .filter(col("doc_id") % 5 =!= 0)
+    graft.dedup.Dedup.CorpusDedupIndex(
+      hashes = stagedFixture(s, dir, "incr_hashes")(
+        graft.dedup.Dedup.buildCorpusDedupIndex(
+          corpus, "doc_id", "text").hashes),
+      buckets = stagedFixture(s, dir, "incr_buckets")(
+        graft.dedup.Dedup.buildCorpusDedupIndex(
+          corpus, "doc_id", "text").buckets),
+      shingles = stagedFixture(s, dir, "incr_shingles")(
+        graft.dedup.Dedup.buildCorpusDedupIndex(
+          corpus, "doc_id", "text").shingles))
+  }
 
   /** The J1 resolved dimension (strict name resolution over
     * taxa x backbone; geometry is irrelevant to resolution). Shared by
@@ -913,7 +948,8 @@ object SparkEntry {
       graft.sim.Similarity.ivfTopKTrained(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10, numClusters = 16, nProbe = 4, trainIterations = 2,
-        deterministicTraining = true)),
+        deterministicTraining = true,
+        precomputedCentroids = Some(kmeansCentroidsDim(s, dir)))),
 
     // SemDeDup-style semantic dedup: k-means clusters bound the pair
     // join's candidate volume (equi-join on the cluster id, never n^2);
@@ -923,7 +959,8 @@ object SparkEntry {
       graft.sim.Similarity.semanticDedup(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.4, numClusters = 16, trainIterations = 2,
-        deterministicTraining = true)),
+        deterministicTraining = true,
+        precomputedCentroids = Some(kmeansCentroidsDim(s, dir)))),
 
     "x_knn_topk" -> ((s, dir) =>
       graft.sim.Similarity.knnJoin(
@@ -1435,7 +1472,8 @@ object SparkEntry {
       graft.dedup.Dedup.incrementalDedup(
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0),
-        "doc_id", "text", n = 3, tau = 0.8)
+        "doc_id", "text", n = 3, tau = 0.8,
+        precomputedIndex = Some(incrementalIndexDims(s, dir)))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 

@@ -596,6 +596,36 @@ object Dedup {
       .drop("_id", "group_id", "_graft_gid", "_graft_rn")
   }
 
+  /** The persistable corpus-side index for [[incrementalDedup]]: every
+    * relation is a pure function of the corpus — a deployment builds it
+    * ONCE (or appends each accepted batch's rows), persists all three to
+    * the cluster store, and each arriving batch pays only O(batch) probe
+    * work against them. `hashes` = distinct md5 content hashes
+    * (`_chash`); `buckets` = LSH band buckets (`_id, band, bucket`);
+    * `shingles` = distinct (`_id, ngram`) pairs. Build with
+    * [[buildCorpusDedupIndex]] using the SAME (n, numHashes, rowsPerBand)
+    * the probe will use — mismatched parameters silently change recall
+    * (caller's contract, like `precomputedPairs` on [[nearDedup]]).
+    */
+  final case class CorpusDedupIndex(hashes: DataFrame, buckets: DataFrame,
+      shingles: DataFrame)
+
+  /** Builds [[CorpusDedupIndex]] — the relations [[incrementalDedup]]
+    * derives from the corpus when no index is supplied, exposed so
+    * deployments can stage them (see `SparkEntry.incrementalIndexDims`
+    * for the staged shape the gates exercise).
+    */
+  def buildCorpusDedupIndex(corpus: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 32,
+      rowsPerBand: Int = 2): CorpusDedupIndex =
+    CorpusDedupIndex(
+      hashes = corpus
+        .select(md5(col(textCol).cast("binary")).as("_chash")).distinct(),
+      buckets = bandBuckets(
+        minhashSignatures(corpus, idCol, textCol, n, numHashes),
+        numHashes, rowsPerBand),
+      shingles = shingles(corpus, idCol, textCol, n))
+
   /** Incremental (batch-vs-corpus) dedup — the production regime for a
     * continuously-ingesting pipeline: clean the arriving `batch` against
     * the EXISTING `corpus` without re-deduplicating the corpus. A batch
@@ -616,10 +646,11 @@ object Dedup {
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, n: Int = 3, tau: Double = 0.8,
-      numHashes: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+      numHashes: Int = 32, rowsPerBand: Int = 2,
+      precomputedIndex: Option[CorpusDedupIndex] = None): DataFrame = {
     // (1) exact content probe: anti-join against the distinct corpus hash set
-    val corpusHashes = corpus
-      .select(md5(col(textCol).cast("binary")).as("_chash")).distinct()
+    val corpusHashes = precomputedIndex.map(_.hashes).getOrElse(corpus
+      .select(md5(col(textCol).cast("binary")).as("_chash")).distinct())
     val exactClean = Persisted.track(batch
       .withColumn("_chash", md5(col(textCol).cast("binary")))
       .join(corpusHashes, Seq("_chash"), "left_anti")
@@ -629,9 +660,9 @@ object Dedup {
     val bBuckets = bandBuckets(
       minhashSignatures(exactClean, idCol, textCol, n, numHashes),
       numHashes, rowsPerBand)
-    val cBuckets = bandBuckets(
+    val cBuckets = precomputedIndex.map(_.buckets).getOrElse(bandBuckets(
       minhashSignatures(corpus, idCol, textCol, n, numHashes),
-      numHashes, rowsPerBand)
+      numHashes, rowsPerBand))
     val cand = bBuckets.as("b").join(cBuckets.as("c"), Seq("band", "bucket"))
       .select(col("b._id").as("id_b"), col("c._id").as("id_c"))
       .distinct()
@@ -639,8 +670,9 @@ object Dedup {
     // on (id, ngram) — per pair we stream |shingles(batch doc)| probe rows
     val bNg = Persisted.track(shingles(exactClean, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cNg = Persisted.track(shingles(corpus, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cNg = precomputedIndex.map(_.shingles).getOrElse(
+      Persisted.track(shingles(corpus, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     val bCnt = bNg.groupBy(col("_id")).agg(count(lit(1)).as("n_b"))
     val cCnt = cNg.groupBy(col("_id")).agg(count(lit(1)).as("n_c"))
     val drops = cand

@@ -1371,11 +1371,18 @@ object Similarity {
     */
   def ivfTopKTrained(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, numClusters: Int = 16, nProbe: Int = 4,
-      trainIterations: Int = 3, deterministicTraining: Boolean = false): DataFrame = {
-    val cent = kmeansCentroids(embeddings, idCol, vecCol, numClusters,
-      trainIterations, deterministicTraining)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.Persisted.track(cent)
+      trainIterations: Int = 3, deterministicTraining: Boolean = false,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+    // precomputedCentroids = a staged `(_cid, _cvec)` relation from
+    // [[kmeansCentroids]] (same numClusters/iterations/determinism):
+    // centroid training is the offline index-build step — probes read it
+    val cent = precomputedCentroids.getOrElse {
+      val c = kmeansCentroids(embeddings, idCol, vecCol, numClusters,
+        trainIterations, deterministicTraining)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Persisted.track(c)
+      c
+    }
     val assigned = assignToCentroids(embeddings, idCol, vecCol, cent)
     val query = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).as("_qvec"))
@@ -1423,11 +1430,15 @@ object Similarity {
     */
   def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
       tau: Double, numClusters: Int = 16, trainIterations: Int = 2,
-      deterministicTraining: Boolean = false): DataFrame = {
-    val cent = kmeansCentroids(embeddings, idCol, vecCol, numClusters,
-      trainIterations, deterministicTraining)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.Persisted.track(cent)
+      deterministicTraining: Boolean = false,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+    val cent = precomputedCentroids.getOrElse {
+      val c = kmeansCentroids(embeddings, idCol, vecCol, numClusters,
+        trainIterations, deterministicTraining)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Persisted.track(c)
+      c
+    }
     // vectors + norms computed once per row (identical doubles to the
     // per-pair formulation — the oracle's cosine formula is unchanged);
     // persisted because the relation feeds both sides of the cluster
