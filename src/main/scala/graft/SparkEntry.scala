@@ -167,6 +167,7 @@ object SparkEntry {
     pqCodesDim(s, dir)
     kmeansCentroidsDim(s, dir)
     incrementalIndexDims(s, dir)
+    bucketedOccTable(s, dir)
     stagedEventsSource(s, dir)
     stagedDoubledEventsSource(s, dir)
   }
@@ -233,6 +234,26 @@ object SparkEntry {
       shingles = stagedFixture(s, dir, "incr_shingles")(
         graft.dedup.Dedup.buildCorpusDedupIndex(
           corpus, "doc_id", "text").shingles))
+  }
+
+  /** The occurrence fact written as a BUCKETED table once per
+    * (sf, process): bucketing is decided at write time — the one layout
+    * optimization that cannot be retrofitted at query time — and every
+    * downstream equi-join on taxonKey then reads a pre-partitioned large
+    * side with no exchange (LayoutSpec asserts the plan property; the
+    * k7 gate exercises it end-to-end against the oracle).
+    */
+  private def bucketedOccTable(s: SparkSession, dir: String): String = {
+    val name = "graft_occ_bkt_" +
+      new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    stagedSources.synchronized {
+      if (!stagedSources.contains(name)) {
+        graft.sources.Layout.writeBucketedOccurrence(
+          occDim(s, dir), name, buckets = 8)
+        stagedSources += name
+      }
+    }
+    name
   }
 
   /** The J1 resolved dimension (strict name resolution over
@@ -473,6 +494,24 @@ object SparkEntry {
       val df = taxa(s, dir)
       graft.sources.Sources.writeXml(df, out)
       graft.sources.Sources.readXml(s, out, df.schema)
+    }),
+
+    // ---- K7: bucketed co-located join ---------------------------------
+    // the write-time layout that removes the exchange on the FACT side of
+    // every taxonKey equi-join (bucketBy+sortBy table, staged once per
+    // session); shuffle_hash hints keep the broadcast fallback from
+    // hiding the property, LayoutSpec asserts the plan has no fact-side
+    // exchange, and the oracle checks the join result itself
+    "k7_bucketed_join" -> ((s, dir) => {
+      val fact = graft.sources.Layout.table(s, bucketedOccTable(s, dir))
+        .select(col("taxonKey"))
+      val dim = backbone(s, dir)
+        .filter(col("rank") === "SPECIES")
+        .select(col("key").as("taxonKey"), col("canonicalName"))
+      fact.hint("shuffle_hash")
+        .join(dim.hint("shuffle_hash"), Seq("taxonKey"))
+        .groupBy(col("canonicalName"))
+        .agg(count(lit(1)).as("n_occ"))
     }),
 
     // ---- K4: hive-partitioned layout + partition-pruned scan ----------
@@ -1620,6 +1659,14 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "j8_salted_skew" -> withCtes(DerivedSql.occurrence, DerivedSql.backbone)(
+      """SELECT b.canonicalName, count(*) AS n_occ
+        |FROM occurrence o JOIN backbone b ON o.taxonKey = b.key
+        |WHERE b.rank = 'SPECIES'
+        |GROUP BY b.canonicalName""".stripMargin),
+
+    // identical relation to j8 (salting and bucketing are both
+    // result-preserving layout/shuffle strategies over the same join)
+    "k7_bucketed_join" -> withCtes(DerivedSql.occurrence, DerivedSql.backbone)(
       """SELECT b.canonicalName, count(*) AS n_occ
         |FROM occurrence o JOIN backbone b ON o.taxonKey = b.key
         |WHERE b.rank = 'SPECIES'

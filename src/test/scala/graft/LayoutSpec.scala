@@ -40,6 +40,18 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(bucketed.count() == occ.count())
   }
 
+  test("k7_bucketed_join gate plan reads the bucketed fact without an exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val joined = SparkEntry.queries("k7_bucketed_join")(spark, dir)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"fact scan not bucketed:\n$plan")
+    // dim side + the canonicalName re-aggregation may exchange; the
+    // bucketed fact side must not (2 exchanges total, not 3)
+    val exchanges = "(?m)^.*Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+    assert(joined.limit(1).count() == 1)
+  }
+
   test("zorder key interleaves bits; zorderBy sorts by it") {
     import spark.implicits._
     def morton(x: Long, y: Long): Long =
