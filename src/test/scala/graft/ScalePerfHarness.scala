@@ -71,6 +71,7 @@ object ScalePerfHarness {
       case "bpe"   => bpeMode(spark, count)
       case "signals" => signalsMode(spark, count)
       case "groups10m" => groupsMode(spark, count)
+      case "phash" => phashMode(spark, count)
       case "simhash10m" => simhash10mMode(spark, count)
       case "round5" => round5Mode(spark, count)
       case "pq" => pqMode(spark, count)
@@ -350,6 +351,33 @@ object ScalePerfHarness {
       ng.unpersist()
       out
     }
+  }
+
+  /** Perceptual-hash media near-dup at scale (the one family without a
+    * 1M-row TUNING measurement): REAL png encode (build) + decode + 8×8
+    * aHash per image — the codec-bound stage — then the banded hamming
+    * join over the skinny (id, hash) relation. `count` is the doc-id
+    * range; images = ids with id % 3 == 1 plus twins at id % 30 == 1
+    * (keep count ≤ 1M: twin ids offset by +1e6 must not collide).
+    */
+  private def phashMode(spark: SparkSession, count: Long): Unit = {
+    require(count <= 1000000L, "phash mode: twin offset collides above 1M")
+    import graft.multimodal.Multimodal
+    import graft.dedup.Dedup
+    val docs = spark.range(count)
+      .select(col("id").as("doc_id"), lit("x").as("text"))
+    val hashes = Multimodal.perceptualHash64(
+      Multimodal.syntheticImagesWithTwins(docs)).persist()
+    time("aHash(png encode+decode+hash, cold)", count) { hashes.count() }
+    val n = hashes.count()
+    val pairs = Dedup.simhashPairs(hashes, maxHamming = 3).persist()
+    time("simhashPairs over aHash", n) { pairs.count() }
+    val twinPairs = pairs
+      .filter(col("id_b") === col("id_a") + 1000000L).count()
+    val plantedTwins = hashes.filter(col("_id") >= 1000000L).count()
+    println(s"[scale-harness] twin recall: $twinPairs/$plantedTwins " +
+      s"(total pairs ${pairs.count()})")
+    pairs.unpersist(); hashes.unpersist(true): Unit
   }
 
   /** The n=10M simhash cliff measured for real: flat banding vs the
