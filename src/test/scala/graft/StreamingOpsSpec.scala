@@ -57,6 +57,65 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("corpus dedup index appends per micro-batch to equal the batch build") {
+    // the r9 incremental-dedup index story executed for real: a document
+    // stream ingested two files at a time, foreachBatch appending each
+    // accepted batch's index rows (hashes/buckets/shingles are per-doc
+    // functions, so append+distinct == whole-corpus build) — the
+    // deployment shape TUNING's batch-cadence row describes
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_incr_index"
+    locally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = DerivedModel.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).limit(200).cache()
+    // FileStreamSource wants FLAT files: write each half via coalesce(1)
+    // and move the part file up (the stageBatches pattern below)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/src"))
+    Seq(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0)).zipWithIndex.foreach {
+      case (half, i) =>
+        val tmp = s"$root/_stage"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$root/src", f"f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        assert(dst.setLastModified(1700000000000L + i * 10000L))
+    }
+    val src = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/src")
+    val sq = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val idx = Dedup.buildCorpusDedupIndex(batch, "doc_id", "text")
+        idx.hashes.write.mode("append").parquet(s"$root/idx/hashes")
+        idx.buckets.write.mode("append").parquet(s"$root/idx/buckets")
+        idx.shingles.write.mode("append").parquet(s"$root/idx/shingles")
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(sq.awaitTermination(120000))
+    val whole = Dedup.buildCorpusDedupIndex(docs, "doc_id", "text")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(asSet(spark.read.parquet(s"$root/idx/hashes").distinct()) ==
+      asSet(whole.hashes), "appended hashes != batch hashes")
+    assert(asSet(spark.read.parquet(s"$root/idx/buckets")) ==
+      asSet(whole.buckets), "appended buckets != batch buckets")
+    assert(asSet(spark.read.parquet(s"$root/idx/shingles")) ==
+      asSet(whole.shingles), "appended shingles != batch shingles")
+    docs.unpersist(): Unit
+  }
+
   test("streaming dedup drops replayed events, watermark-bounded state") {
     val batchDf = spark.read.parquet(eventsMicros)
     // replay the source twice (at-least-once delivery) into one stream dir
