@@ -51,12 +51,16 @@ object Bench {
     // relations, finite stream sources) untimed: they are one-time
     // build-once-read-many artifacts, and charging them to each
     // dimension's alphabetically first consumer made per-query numbers
-    // incomparable round-over-round (r8 verdict item 1)
+    // incomparable round-over-round (r8 verdict item 1). The cost is
+    // still REPORTED (a "staging_sec" record) so staging drift stays
+    // visible round-over-round.
+    val stagingT0 = System.nanoTime()
     try SparkEntry.prepareStagedFixtures(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] fixture staging failed (queries will " +
         s"stage on first use): ${e}")
     }
+    val stagingSec = (System.nanoTime() - stagingT0) / 1e9
     Persisted.unpersistAll()
     spark.catalog.clearCache()
     System.gc()
@@ -100,7 +104,7 @@ object Bench {
     // query NAMES ride here too — the stdout line only carries the count
     // to stay under the tail-capture length budget
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":$failedNames,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"failed":$failedNames,"staging_sec":${fmt(stagingSec)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), full + "\n")
     catch { case e: Throwable =>
