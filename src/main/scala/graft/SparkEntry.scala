@@ -197,7 +197,8 @@ object SparkEntry {
     * hash-identical to encode-per-query.
     */
   private def pqCodesDim(s: SparkSession, dir: String): DataFrame =
-    stagedFixture(s, dir, "pq_trained_codes")(
+    stagedFixture(s, dir, "pq_trained_codes",
+      parts = s.sparkContext.defaultParallelism)( // corpus-sized: multi-split
       graft.sim.Similarity.pqEncodedRelation(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         pqTrainedCodebook(s, dir), m = 8, ksub = 16, dim = 64,
@@ -222,18 +223,18 @@ object SparkEntry {
     */
   private def incrementalIndexDims(s: SparkSession,
       dir: String): graft.dedup.Dedup.CorpusDedupIndex = {
-    def corpus = DerivedModel.table(s, dir, "documents")
-      .filter(col("doc_id") % 5 =!= 0)
+    // ONE index definition staged member-by-member: building it once
+    // keeps the (n, numHashes, rowsPerBand) parameters structurally
+    // identical across the three relations (mismatched parameters
+    // silently change recall — the CorpusDedupIndex contract)
+    val idx = graft.dedup.Dedup.buildCorpusDedupIndex(
+      DerivedModel.table(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text")
+    val parts = s.sparkContext.defaultParallelism // corpus-sized relations
     graft.dedup.Dedup.CorpusDedupIndex(
-      hashes = stagedFixture(s, dir, "incr_hashes")(
-        graft.dedup.Dedup.buildCorpusDedupIndex(
-          corpus, "doc_id", "text").hashes),
-      buckets = stagedFixture(s, dir, "incr_buckets")(
-        graft.dedup.Dedup.buildCorpusDedupIndex(
-          corpus, "doc_id", "text").buckets),
-      shingles = stagedFixture(s, dir, "incr_shingles")(
-        graft.dedup.Dedup.buildCorpusDedupIndex(
-          corpus, "doc_id", "text").shingles))
+      hashes = stagedFixture(s, dir, "incr_hashes", parts)(idx.hashes),
+      buckets = stagedFixture(s, dir, "incr_buckets", parts)(idx.buckets),
+      shingles = stagedFixture(s, dir, "incr_shingles", parts)(idx.shingles))
   }
 
   /** The occurrence fact written as a BUCKETED table once per
@@ -1083,8 +1084,9 @@ object SparkEntry {
           graft.streaming.StreamingOps.streamingWindowedEventStats(
             s, srcPath, src), s"${tmpPath(dir, "stream_exec_win")}/sink")
       }
-        .filter(col("event_type") =!=
-          graft.streaming.StreamingOps.SentinelEventType)
+        // null-safe: a NULL-event_type row is real and must survive
+        .filter(!(col("event_type") <=>
+          graft.streaming.StreamingOps.SentinelEventType))
         .withColumn("window_start", unix_millis(col("window_start")))
     }),
 
@@ -1152,8 +1154,9 @@ object SparkEntry {
           graft.streaming.StreamingOps.streamingDedup(
             s, srcPath, src), s"${tmpPath(dir, "stream_exec_dedup")}/sink")
       }
-        .filter(col("event_type") =!=
-          graft.streaming.StreamingOps.SentinelEventType)
+        // null-safe: a NULL-event_type row is real and must survive
+        .filter(!(col("event_type") <=>
+          graft.streaming.StreamingOps.SentinelEventType))
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("user_id"), col("event_type"), col("value"))
     }),
@@ -1602,10 +1605,19 @@ object SparkEntry {
     // join reads the hash relation on both sides, and without the cache
     // each side re-runs the png encode+decode
     "x_multimodal_near_dup" -> ((s, dir) => {
+      // hash the two format slices DIRECTLY (≡ mixedHash64 over
+      // mixedMediaRecords, which the spec pins): union-then-filter would
+      // evaluate the GENERATED record input once per branch — every
+      // planted png encoded twice — because Spark does no cross-branch
+      // CSE. Over a stored media table the generic routed form is fine.
+      val docs = DerivedModel.table(s, dir, "documents")
       val hashes = graft.Persisted.track(
-        graft.multimodal.Multimodal.mixedHash64(
-          graft.multimodal.Multimodal.mixedMediaRecords(
-            DerivedModel.table(s, dir, "documents"))).persist())
+        graft.multimodal.Multimodal.perceptualHash64(
+          graft.multimodal.Multimodal.syntheticImagesWithTwins(docs))
+          .unionByName(graft.multimodal.Multimodal.contentHash64(
+            graft.multimodal.Multimodal.toMediaRecords(
+              docs.filter(col("doc_id") % 3 =!= 1))))
+          .persist())
       graft.dedup.Dedup.simhashPairs(hashes, maxHamming = 3)
     }),
 

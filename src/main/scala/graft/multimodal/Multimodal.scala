@@ -369,6 +369,13 @@ object Multimodal {
     * filter, not a new plan shape. (Cross-family bucket collisions are
     * possible and harmless: the hamming verify runs on the exact hashes,
     * deterministically on both engines.)
+    *
+    * CAVEAT: the two branches evaluate `records` independently (no
+    * cross-branch CSE in Spark) — fine over a STORED media table (two
+    * pruned scans), but a GENERATED input (e.g.
+    * [[syntheticImagesWithTwins]]) pays its codec work once per branch;
+    * persist such inputs first, or hash the slices directly as the
+    * `x_multimodal_near_dup` gate does.
     */
   def mixedHash64(records: Dataset[MediaRecord]): DataFrame = {
     val isImage = col("format").isin("png", "jpeg")

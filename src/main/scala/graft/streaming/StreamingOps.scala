@@ -83,8 +83,10 @@ object StreamingOps {
     */
   def hourlyValueHistogram(events: DataFrame): DataFrame =
     events
-      // null-SAFE inequality: real events carry NULL event_type rows,
-      // which `=!=` would silently drop along with the sentinel
+      // null-SAFE inequality, defensively: a NULL event_type row is a
+      // real row and must survive this filter. Today's testdata has no
+      // NULLs, but `=!=` evaluates to NULL there and would silently drop
+      // such rows while the DuckDB oracle keeps them
       .filter(!(col("event_type") <=> SentinelEventType))
       .groupBy(window(col("ts"), "1 hour"), valueHistCell.as("cell"))
       .agg(count(lit(1)).as("cnt"))
@@ -438,7 +440,11 @@ object StreamingOps {
       .schema(schemaFrom.schema)
       .options(sourceOptions)
       .parquet(sourcePath)
-      .filter(col("event_type") =!= SentinelEventType)
+      // null-safe: a NULL event_type row is a real change row and must
+      // survive (none in today's testdata, but `=!=` would silently drop
+      // any future one while the batch twin keeps it). No watermark in
+      // this TimeMode.None plan, so a pushed-down filter is harmless
+      .filter(!(col("event_type") <=> SentinelEventType))
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("ts_ms"), col("event_type"), col("value"),
         (col("event_type") === "error").as("is_delete"))

@@ -102,6 +102,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       "binary payload round-trips to the same content hash")
   }
 
+  test("mixedHash64 over mixedMediaRecords equals the gate's direct slice form") {
+    // the x_multimodal_near_dup gate hashes the format slices directly
+    // (avoids generating every png twice, one per union branch); this
+    // pins that shortcut to the generic routed form
+    import graft.multimodal.Multimodal
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val routed = Multimodal.mixedHash64(
+      Multimodal.mixedMediaRecords(docs).persist())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Multimodal.perceptualHash64(
+      Multimodal.syntheticImagesWithTwins(docs))
+      .unionByName(Multimodal.contentHash64(Multimodal.toMediaRecords(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 1))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(routed == direct)
+    assert(routed.nonEmpty)
+  }
+
   test("aHash through the real png codec equals the planted-pixel replay") {
     // decode-free replay of aHash64 from the planted arithmetic — the
     // exact computation MultimodalOracle.phashPairsSql states in SQL
