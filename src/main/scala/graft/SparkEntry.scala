@@ -1449,6 +1449,19 @@ object SparkEntry {
         docs.filter(col("lang") =!= "en"), "text")
     }),
 
+    // DSIR importance-weighted selection (Xie et al. 2023): pick the raw
+    // documents whose hashed-ngram distribution is most target-like —
+    // per-bucket signed fixed-point log ratios (bucket-bounded model,
+    // ≤4096 rows at any corpus size) broadcast onto the raw feature
+    // stream, deterministic top-k
+    "x_curate_dsir" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      graft.text.Vocabulary.dsirSelect(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"),
+        "doc_id", "text", k = 500)
+    }),
+
     // fixed-grid quantile sketch: bounded histogram (shuffle carries
     // <= partitions * cells combiner rows at any corpus size), integer
     // cell grid + integer-ceiling rank target so the quantile answers
@@ -2644,6 +2657,9 @@ object SparkEntry {
 
       "x_text_drift" -> graft.text.Vocabulary.unigramDriftSql(
         "lang = 'en'", "lang <> 'en'"),
+
+      "x_curate_dsir" -> graft.text.Vocabulary.dsirSelectSql(
+        "source = 'src0'", "source <> 'src0'", k = 500),
 
       "x_sketch_quantile" ->
         graft.sketch.QuantileOracle.quantilesSql(

@@ -424,11 +424,8 @@ object Vocabulary {
     // positive-long `a * b` that raises a named error instead of silently
     // wrapping int64 (Spark non-ANSI) — see the precondition above; both
     // operands are ≥ 1 here, so `div` never sees a zero divisor
-    def checkedMul(a: String, b: String, what: String) = expr(
-      s"CASE WHEN ($a) <= ${Long.MaxValue}L div ($b) THEN ($a) * ($b) " +
-        s"ELSE raise_error('unigramDrift: $what overflows int64 — corpus " +
-        "token totals exceed the documented 2^31-per-side precondition; " +
-        "shard the corpora and merge per-shard drift rows') END")
+    def checkedMul(a: String, b: String, what: String) =
+      checkedMulExpr(a, b, "unigramDrift", what)
     def counts(df: DataFrame, as: String) =
       df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as(as))
@@ -1007,4 +1004,221 @@ object Vocabulary {
        |    ' ' ORDER BY t.pos) AS token_ids
        |FROM tok t LEFT JOIN v ON t.token = v.token
        |GROUP BY t.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // DSIR — importance-weighted data selection (Xie et al. 2023, "Data
+  // Selection for Language Models via Importance Resampling"): select
+  // raw-corpus documents whose hashed-n-gram feature distribution looks
+  // like a TARGET corpus, by scoring each document under the log ratio
+  // of two smoothed bag-of-hashed-ngrams models. The standard recipe for
+  // steering a 100 TB crawl toward a curated target domain.
+  // ------------------------------------------------------------------
+
+  /** Feature-space size: hashed-n-gram buckets are the first
+    * [[DsirHexChars]] hex chars of md5(feature) — a string bucket id, so
+    * both engines bucket identically with no hex→int parsing.
+    */
+  private[graft] val DsirHexChars = 3
+  private[graft] val DsirBuckets = 1L << (4 * DsirHexChars) // 4096
+
+  /** Positive-long `a * b` that raises a named error instead of silently
+    * wrapping int64 (Spark non-ANSI; DuckDB would error) — `a <=
+    * MaxValue div b` is exact for positive ints. Shared by the
+    * fixed-point ops whose products can exceed int64 only past their
+    * documented corpus-size preconditions.
+    */
+  private def checkedMulExpr(a: String, b: String, op: String,
+      what: String) = expr(
+    s"CASE WHEN ($a) <= ${Long.MaxValue}L div ($b) THEN ($a) * ($b) " +
+      s"ELSE raise_error('$op: $what overflows int64 — corpus " +
+      "token totals exceed the documented 2^31-per-side precondition; " +
+      "shard the corpora and merge per-shard rows') END")
+
+  /** The DSIR feature stream: unigrams + bigrams of the whitespace
+    * tokenization (with repeats — these are COUNTS, not shingle sets),
+    * each mapped to its md5-prefix bucket. Pure scan work: explode +
+    * hash, no shuffle.
+    */
+  private def dsirFeatureBuckets(df: DataFrame, textCol: String,
+      keep: Column*): DataFrame = {
+    val t = TextFunctions.tokens(col(textCol))
+    val bi = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", slice(t, i, lit(2)))))
+    df.select(keep :+ explode(concat(t, bi)).as("_feat"): _*)
+      .select(keep :+ substring(md5(col("_feat").cast("binary")), 1,
+        DsirHexChars).as("_bkt"): _*)
+  }
+
+  /** The DSIR model: per-bucket signed fixed-point log importance ratio
+    *
+    *   `log_ratio_fp(b) = ±log2fp( (ct_b+1)·(totR+B) , (cr_b+1)·(totT+B) )`
+    *
+    * i.e. `log2 p̂_target(b) − log2 p̂_raw(b)` with add-one smoothing over
+    * the full B-bucket feature space, as EXACT INTEGER arithmetic (the
+    * [[unigramDrift]] machinery keyed by bucket). The relation carries
+    * ALL B buckets (a generated universe left-joined to the counts), so
+    * scoring any future document — even one whose buckets never occurred
+    * in either corpus — is total, and the smoothed model is literally
+    * defined over the whole space. Output: `(bucket, cnt_target,
+    * cnt_raw, log_ratio_fp)`, ≤ B rows.
+    *
+    * Scale shape: two map-side-combined feature aggs whose shuffles are
+    * bucket-bounded (≤ partitions × B rows at ANY corpus size — tighter
+    * than drift's vocab bound), two B-bounded joins, and the log chain
+    * over B rows. The feature streams never shuffle. PRECONDITION
+    * (mirrors [[unigramDrift]]): feature totals < 2^31 per side keeps
+    * the products in int64; the multiplies are guard-checked, not
+    * silently wrapping. A corpus side at petabyte scale shards and sums
+    * per-shard bucket counts BEFORE this (counts merge losslessly —
+    * unlike drift's corpora, the model is one bounded relation).
+    */
+  def dsirBucketWeights(target: DataFrame, raw: DataFrame,
+      textCol: String): DataFrame = {
+    val spark = target.sparkSession
+    def counts(df: DataFrame, as: String) =
+      dsirFeatureBuckets(df, textCol).groupBy(col("_bkt"))
+        .agg(count(lit(1)).as(as))
+    val universe = spark.range(DsirBuckets)
+      .select(lower(lpad(hex(col("id")), DsirHexChars, "0")).as("_bkt"))
+    val joined = universe
+      .join(counts(target, "_ct0"), Seq("_bkt"), "left")
+      .join(counts(raw, "_cr0"), Seq("_bkt"), "left")
+      .select(col("_bkt"), coalesce(col("_ct0"), lit(0L)).as("_ct"),
+        coalesce(col("_cr0"), lit(0L)).as("_cr"))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prep = joined
+      .withColumn("_tot_t", sum(col("_ct")).over(w))
+      .withColumn("_tot_r", sum(col("_cr")).over(w))
+      .withColumn("_num0", checkedMulExpr("_ct + 1", s"_tot_r + $DsirBuckets",
+        "dsirBucketWeights", "(ct+1)*(totR+B)"))
+      .withColumn("_den0", checkedMulExpr("_cr + 1", s"_tot_t + $DsirBuckets",
+        "dsirBucketWeights", "(cr+1)*(totT+B)"))
+      .withColumn("_pos", col("_num0") >= col("_den0"))
+      .withColumn("_big", when(col("_pos"), col("_num0")).otherwise(col("_den0")))
+      .withColumn("_small", when(col("_pos"), col("_den0")).otherwise(col("_num0")))
+      .withColumn("_sh", greatest(lit(0), length(bin(col("_big"))) - lit(33)))
+      .withColumn("_num", expr("shiftright(_big, CAST(_sh AS INT))"))
+      .withColumn("_den",
+        greatest(expr("shiftright(_small, CAST(_sh AS INT))"), lit(1L)))
+    log2FixedCols(prep)
+      .select(col("_bkt").as("bucket"), col("_ct").as("cnt_target"),
+        col("_cr").as("cnt_raw"),
+        when(col("_pos"), col("_idf_fp")).otherwise(-col("_idf_fp"))
+          .as("log_ratio_fp"))
+  }
+
+  /** Score documents under a [[dsirBucketWeights]] model: per doc,
+    * `dsir_logw_fp = Σ_features log_ratio_fp(bucket(feature))` — the
+    * fixed-point log importance weight (high ⇒ target-like). Broadcast
+    * join of the B-bounded model onto the feature stream + one per-doc
+    * sum (map-side partial) — the stream never shuffles; same shape as
+    * [[surprisalScore]]. The join is inner, and total by construction:
+    * the model carries every possible bucket.
+    */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame): DataFrame =
+    dsirFeatureBuckets(docs, textCol, col(idCol))
+      .join(broadcast(weights.select(col("bucket").as("_bkt"),
+        col("log_ratio_fp"))), Seq("_bkt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("log_ratio_fp")).as("dsir_logw_fp"))
+
+  /** End-to-end DSIR selection: model `target` vs `raw`, score every raw
+    * document, keep the `k` most target-like (ties broken by id — fully
+    * deterministic, so the selection replays bit-exactly). The paper
+    * resamples by weight; top-k is the deterministic variant a gated
+    * oracle can replay — for sampled selection feed `dsir_logw_fp` into
+    * [[graft.ops.Sampling.weightedSample]]-style hash thresholds.
+    */
+  def dsirSelect(target: DataFrame, raw: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    dsirScores(raw, idCol, textCol, dsirBucketWeights(target, raw, textCol))
+      .orderBy(col("dsir_logw_fp").desc, col(idCol))
+      .limit(k)
+
+  /** DuckDB twin of [[dsirSelect]] over `documents` split by the two
+    * predicates: identical feature stream (unigrams + bigrams with
+    * repeats), identical md5-prefix bucketing, the generated
+    * all-buckets universe, and the identical integer op sequence
+    * (guard-free here — DuckDB errors on int64 overflow rather than
+    * wrapping, which IS the checked behavior).
+    */
+  def dsirSelectSql(predTarget: String, predRaw: String, k: Int): String = {
+    val B = DsirBuckets
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT bkt, e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    def featCtes(src: String, out: String, idCols: String): String = {
+      val sel = if (idCols.isEmpty) "" else s"$idCols, "
+      s"""$out AS MATERIALIZED (
+         |  SELECT ${sel}substr(md5(feat), 1, $DsirHexChars) AS bkt FROM (
+         |    SELECT ${sel}unnest(tk) AS feat FROM $src
+         |    UNION ALL
+         |    SELECT ${sel}array_to_string(list_slice(tk,
+         |        CAST(pos + 1 AS BIGINT), CAST(pos + 2 AS BIGINT)), ' ') AS feat
+         |    FROM (SELECT ${sel}tk, unnest(range(n - 1)) AS pos
+         |          FROM $src WHERE n >= 2) q) f)""".stripMargin
+    }
+    s"""WITH tl AS MATERIALIZED (
+       |  SELECT string_split(trim(text), ' ') AS tk,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+       |  FROM documents WHERE $predTarget),
+       |rl AS MATERIALIZED (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+       |  FROM documents WHERE $predRaw),
+       |${featCtes("tl", "tf", "")},
+       |${featCtes("rl", "rf", "doc_id")},
+       |u AS (SELECT lower(lpad(to_hex(r), $DsirHexChars, '0')) AS bkt
+       |      FROM range($B) t(r)),
+       |ct AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c FROM tf GROUP BY bkt),
+       |cr AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c FROM rf GROUP BY bkt),
+       |j AS (SELECT u.bkt, coalesce(ct.c, 0) AS cct, coalesce(cr.c, 0) AS ccr
+       |      FROM u LEFT JOIN ct USING (bkt) LEFT JOIN cr USING (bkt)),
+       |st AS (SELECT bkt, cct, ccr,
+       |        sum(cct) OVER () AS tot_t, sum(ccr) OVER () AS tot_r
+       |      FROM j),
+       |sg AS (SELECT bkt,
+       |        (cct + 1) * (tot_r + $B) AS num0,
+       |        (ccr + 1) * (tot_t + $B) AS den0
+       |      FROM st),
+       |rs AS (SELECT bkt, num0 >= den0 AS pos,
+       |        CASE WHEN num0 >= den0 THEN num0 ELSE den0 END AS big,
+       |        CASE WHEN num0 >= den0 THEN den0 ELSE num0 END AS small
+       |      FROM sg),
+       |nrm AS (SELECT bkt, pos,
+       |        big >> greatest(0, length(bin(big)) - 33) AS num,
+       |        greatest(small >> greatest(0, length(bin(big)) - 33), 1) AS den
+       |      FROM rs),
+       |it0 AS (
+       |  SELECT bkt, ($eSum) AS e,
+       |    (num << $MantBits) // (den << ($eSum)) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM nrm),
+       |$iters,
+       |sup AS (
+       |  SELECT bkt, e * (CAST(1 AS BIGINT) << $FracBits) + frac AS s
+       |  FROM it$FracBits),
+       |w AS (
+       |  SELECT r.bkt,
+       |    CAST(CASE WHEN r.pos THEN s ELSE -s END AS BIGINT) AS lr
+       |  FROM sup JOIN rs r USING (bkt))
+       |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |  CAST(sum(w.lr) AS BIGINT) AS dsir_logw_fp
+       |FROM rf f JOIN w USING (bkt)
+       |GROUP BY f.doc_id
+       |ORDER BY dsir_logw_fp DESC, f.doc_id LIMIT $k""".stripMargin
+  }
 }

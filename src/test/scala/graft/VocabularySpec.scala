@@ -132,4 +132,82 @@ class VocabularySpec extends AnyFunSuite with SparkTestBase {
     assert(enc(1L) == "1 0 1 -1", s"got ${enc(1L)}")
     assert(enc(2L) == "-1 0", s"got ${enc(2L)}")
   }
+
+  // -------------------------------------------------------------- DSIR
+
+  /** Driver-side replica of the per-bucket DSIR log ratio (same add-one
+    * smoothing over the full bucket universe, same rescale, same
+    * fixed-point log) for a feature multiset pair.
+    */
+  private def expectedLogRatio(ct: Long, cr: Long, totT: Long,
+      totR: Long): Long = {
+    val b = Vocabulary.DsirBuckets
+    val num0 = (ct + 1) * (totR + b)
+    val den0 = (cr + 1) * (totT + b)
+    val pos = num0 >= den0
+    val (big, small) = if (pos) (num0, den0) else (den0, num0)
+    val sh = math.max(0, java.lang.Long.toBinaryString(big).length - 33)
+    val s = Vocabulary.log2Fixed(big >> sh, math.max(small >> sh, 1L))
+    if (pos) s else -s
+  }
+
+  test("dsirBucketWeights carries the full universe and matches the " +
+    "driver-side fixed-point ratio on disjoint corpora") {
+    import spark.implicits._
+    // disjoint single-token vocabularies; 1-token docs have no bigrams,
+    // so features == tokens and the bucket counts are knowable
+    val target = Seq("aa", "aa", "bb").toDF("text")
+    val raw = Seq("cc", "cc", "cc", "dd").toDF("text")
+    val w = Vocabulary.dsirBucketWeights(target, raw, "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(w.size == Vocabulary.DsirBuckets,
+      s"universe must be complete, got ${w.size}")
+    def bkt(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(3)
+    val (totT, totR) = (3L, 4L)
+    // target-only token: positive ratio; raw-only: negative; unseen: the
+    // smoothed default log2((totR+B)/(totT+B)) — tiny but positive here
+    assert(w(bkt("aa")) == ((2L, 0L, expectedLogRatio(2, 0, totT, totR))))
+    assert(w(bkt("cc")) == ((0L, 3L, expectedLogRatio(0, 3, totT, totR))))
+    val unseen = w.filterNot(kv =>
+      Set(bkt("aa"), bkt("bb"), bkt("cc"), bkt("dd")).contains(kv._1))
+    assert(unseen.values.forall(_ == ((0L, 0L,
+      expectedLogRatio(0, 0, totT, totR)))))
+  }
+
+  test("dsirSelect ranks the target-like raw doc first and scores " +
+    "bigram structure, not just unigram bags") {
+    import spark.implicits._
+    val target = Seq("spark shuffle join", "spark shuffle agg")
+      .toDF("text")
+    val raw = Seq(
+      (1L, "spark shuffle join plan"), // target-like
+      (2L, "goat cheese recipe herbs"), // off-domain
+      (3L, "join shuffle spark plan")   // same unigrams as 1, different bigrams
+    ).toDF("doc_id", "text")
+    val top = Vocabulary.dsirSelect(target, raw, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(top.head._1 == 1L, s"expected doc 1 first, got ${top.toSeq}")
+    assert(top.last._1 == 2L, s"expected doc 2 last, got ${top.toSeq}")
+    // doc 3 shares doc 1's unigrams but not its bigrams ("spark shuffle",
+    // "shuffle join" appear in target; doc 3 has "join shuffle" etc.) —
+    // the bigram features must separate them
+    val byId = top.toMap
+    assert(byId(1L) > byId(3L),
+      s"bigram features must rank 1 above 3: $byId")
+  }
+
+  test("dsirScores is total: docs whose buckets appear in neither " +
+    "corpus still score (smoothed default), never drop") {
+    import spark.implicits._
+    val target = Seq("aa").toDF("text")
+    val rawModel = Seq((1L, "bb")).toDF("doc_id", "text")
+    val weights = Vocabulary.dsirBucketWeights(target, rawModel, "text")
+    val fresh = Seq((9L, "zz qq")).toDF("doc_id", "text")
+    val got = Vocabulary.dsirScores(fresh, "doc_id", "text", weights)
+      .collect()
+    assert(got.length == 1 && got(0).getLong(1) == 3L, // 2 unigrams + 1 bigram
+      s"got ${got.toSeq}")
+  }
 }
