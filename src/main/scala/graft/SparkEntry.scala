@@ -1002,6 +1002,17 @@ object SparkEntry {
         deterministicTraining = true,
         precomputedCentroids = Some(kmeansCentroidsDim(s, dir)))),
 
+    // D4-style prototypicality pruning: drop the quarter of each k-means
+    // cluster nearest its centroid (most redundant with its cluster) —
+    // broadcast centroids, skinny assignment ranking, per-cluster window,
+    // integer ceil cut so the decision replays bit-for-bit
+    "x_curate_prototypes" -> ((s, dir) =>
+      graft.sim.Similarity.prototypesPrune(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        dropPerMille = 250, numClusters = 16, trainIterations = 2,
+        deterministicTraining = true,
+        precomputedCentroids = Some(kmeansCentroidsDim(s, dir)))),
+
     "x_knn_topk" -> ((s, dir) =>
       graft.sim.Similarity.knnJoin(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)),
@@ -2378,6 +2389,9 @@ object SparkEntry {
       "x_ann_ivf_kmeans" -> graft.sim.Similarity.ivfTopKTrainedSql(64, 0L, 10, 16, 4, 2),
 
       "x_dedup_semantic" -> graft.sim.Similarity.semanticDedupSql(64, 0.4, 16, 2),
+
+      "x_curate_prototypes" ->
+        graft.sim.Similarity.prototypesPruneSql(64, 250, 16, 2),
 
       "x_knn_topk_bucketed" -> {
         val cosEC = graft.sim.Similarity.cosineSql("e.embedding", "c.cvec", 64)

@@ -1463,4 +1463,91 @@ object Similarity {
     normed.select(col(idCol), col("cluster"))
       .join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** D4-style prototypicality pruning (Tirumala et al. 2023 "D4";
+    * prototype metric per Sorscher et al. 2022 "Beyond neural scaling
+    * laws"): within each k-means cluster, rank vectors by cosine to
+    * their cluster centroid and DROP the most prototypical
+    * `dropPerMille`/1000 fraction — the examples nearest the cluster
+    * center are the most redundant with the rest of their cluster, and
+    * pruning them (after semantic dedup) is the published recipe for
+    * web-scale training-data diversification. Survivors return as
+    * `(idCol, cluster, proto_rank)` where `proto_rank` is the 1-based
+    * within-cluster prototypicality rank (rank 1 = nearest the
+    * centroid; survivors carry ranks strictly above the cut).
+    *
+    * The per-cluster cut is integer-exact: `ceil(size · dropPerMille /
+    * 1000)` computed as `(size · dropPerMille + 999) div 1000` — no
+    * float thresholds, so the pruning decision replays bit-for-bit.
+    * Ties in cosine break by id; with `deterministicTraining = true`
+    * (or staged deterministic centroids via `precomputedCentroids`)
+    * the whole decision is auditable: "why was this row dropped" has a
+    * replayable answer, the same contract as [[semanticDedup]].
+    *
+    * Scale shape: the centroid relation broadcasts (KBs); assignment
+    * ranks a SKINNY (id, cid, csim) projection of the n × numClusters
+    * join (the [[knnJoinBucketed]] fix — vectors never ride the
+    * ranking shuffle, and here they are never rejoined at all); the
+    * prototypicality window partitions BY CLUSTER, so per-partition
+    * sort work is bounded by cluster occupancy (~n/numClusters — size
+    * numClusters ~ sqrt(n) like IVF), never a global sort.
+    */
+  def prototypesPrune(embeddings: DataFrame, idCol: String, vecCol: String,
+      dropPerMille: Int, numClusters: Int = 16, trainIterations: Int = 2,
+      deterministicTraining: Boolean = false,
+      precomputedCentroids: Option[DataFrame] = None): DataFrame = {
+    require(dropPerMille >= 0 && dropPerMille <= 1000,
+      s"dropPerMille must be in [0, 1000], got $dropPerMille")
+    val cent = precomputedCentroids.getOrElse {
+      val c = kmeansCentroids(embeddings, idCol, vecCol, numClusters,
+        trainIterations, deterministicTraining)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Persisted.track(c)
+      c
+    }
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_csim").desc, col("_cid"))
+    // argmax-cosine assignment, KEEPING the winning cosine — the
+    // prototypicality score is exactly the assignment similarity
+    val assigned = embeddings
+      .join(broadcast(cent))
+      .select(col(idCol), col("_cid"),
+        cosine(col(vecCol), col("_cvec")).as("_csim"))
+      .withColumn("_crn", row_number().over(aw))
+      .filter(col("_crn") === 1)
+      .select(col(idCol), col("_cid").as("cluster"), col("_csim").as("_psim"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("_psim").desc, col(idCol))
+    val cc = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    assigned
+      .withColumn("proto_rank", row_number().over(cw).cast("long"))
+      .withColumn("_csz", count(lit(1)).over(cc))
+      .filter(col("proto_rank") >
+        expr(s"(_csz * $dropPerMille + 999) DIV 1000"))
+      .select(col(idCol), col("cluster"), col("proto_rank"))
+  }
+
+  /** DuckDB replay of [[prototypesPrune]] with deterministic training:
+    * the [[trainedAssignSqlCtes]] prefix, the assignment cosine
+    * recomputed against the final centroids (identical doubles — same
+    * unrolled op sequence), the same (psim DESC, id) rank, and the same
+    * integer ceil cut.
+    */
+  def prototypesPruneSql(dim: Int, dropPerMille: Int, numClusters: Int,
+      trainIterations: Int): String = {
+    val cosAC = cosineSql("a.embedding", "c.cvec", dim)
+    trainedAssignSqlCtes(dim, numClusters, trainIterations).mkString(",\n") +
+      s""",
+         |simx AS (
+         |  SELECT a.vec_id, a.cluster, $cosAC AS psim
+         |  FROM assignF a JOIN cent$trainIterations c ON a.cluster = c.cid),
+         |rk AS (
+         |  SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY psim DESC, vec_id) AS proto_rank,
+         |    count(*) OVER (PARTITION BY cluster) AS csz
+         |  FROM simx)
+         |SELECT vec_id, cluster, CAST(proto_rank AS BIGINT) AS proto_rank
+         |FROM rk WHERE proto_rank > (csz * $dropPerMille + 999) // 1000""".stripMargin
+  }
 }

@@ -327,4 +327,44 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(survivors.nonEmpty && droppedIds.nonEmpty,
       "the sf0.001 corpus should both keep and drop rows at tau=0.4")
   }
+
+  test("prototypesPrune: per-cluster ceil cut, most-prototypical dropped, " +
+    "edge fractions") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val full = Similarity.prototypesPrune(emb, "vec_id", "embedding",
+        dropPerMille = 0, numClusters = 8, trainIterations = 1,
+        deterministicTraining = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Persisted.unpersistAll()
+    val n = emb.count()
+    assert(full.length == n, "dropPerMille=0 keeps every row")
+    // ranks are a 1..size permutation per cluster
+    for ((c, members) <- full.groupBy(_._2)) {
+      val ranks = members.map(_._3).sorted
+      assert(ranks.toSeq == (1L to members.length).toSeq,
+        s"cluster $c ranks not contiguous: $ranks")
+    }
+    val pruned = Similarity.prototypesPrune(emb, "vec_id", "embedding",
+        dropPerMille = 250, numClusters = 8, trainIterations = 1,
+        deterministicTraining = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Persisted.unpersistAll()
+    // same clustering (same deterministic training), so the full run's
+    // per-cluster sizes give the expected integer cuts
+    val sizes = full.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val prunedBy = pruned.groupBy(_._2)
+    for ((c, sz) <- sizes) {
+      val cut = (sz * 250 + 999) / 1000
+      val kept = prunedBy.getOrElse(c, Array.empty).map(_._3).sorted
+      // survivors are exactly ranks cut+1..size — the dropped set IS the
+      // most-prototypical prefix, by construction of the rank
+      assert(kept.toSeq == ((cut + 1) to sz).toSeq,
+        s"cluster $c: expected ranks ${cut + 1}..$sz, got ${kept.toSeq}")
+    }
+    val none = Similarity.prototypesPrune(emb, "vec_id", "embedding",
+        dropPerMille = 1000, numClusters = 8, trainIterations = 1,
+        deterministicTraining = true).count()
+    Persisted.unpersistAll()
+    assert(none == 0L, "dropPerMille=1000 drops every row")
+  }
 }
