@@ -61,14 +61,35 @@ object SparkEntry {
     * (x_stream_dedup_exec keeps its own staging: its source is doubled).
     */
   private val stagedSources = scala.collection.mutable.Set[String]()
+  private val stagedLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `build` exactly once per `key` for the process lifetime, while
+    * letting DIFFERENT keys build concurrently: the global registry lock
+    * is held only for membership bookkeeping, a per-key lock for the
+    * build itself. [[prepareStagedFixtures]] fans the independent builds
+    * out on threads (Spark's scheduler interleaves their jobs across the
+    * idle cores — a single staging build rarely saturates the box, so
+    * overlapping them cuts warmup wall-clock); dependent builds (the
+    * children dimension reading the occurrence fact) just nest stageOnce
+    * calls with distinct keys — acyclic, so no deadlock.
+    */
+  private def stageOnce(key: String)(build: => Unit): Unit = {
+    val lock = stagedLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val done = stagedSources.synchronized(stagedSources.contains(key))
+      if (!done) {
+        build
+        stagedSources.synchronized { stagedSources += key }
+      }
+    }
+  }
+
   private def stagedEventsSource(s: SparkSession, dir: String): String = {
     val root = s"${tmpPath(dir, "stream_src")}/src"
-    stagedSources.synchronized {
-      if (!stagedSources.contains(root)) {
-        graft.streaming.StreamingOps.writeFiniteSource(
-          DerivedModel.events(s, dir), root)
-        stagedSources += root
-      }
+    stageOnce(root) {
+      graft.streaming.StreamingOps.writeFiniteSource(
+        DerivedModel.events(s, dir), root)
     }
     root
   }
@@ -85,12 +106,9 @@ object SparkEntry {
   private def stagedFixture(s: SparkSession, dir: String, tag: String,
       parts: Int = 1)(build: => DataFrame): DataFrame = {
     val root = s"${tmpPath(dir, "fix_" + tag)}/data"
-    stagedSources.synchronized {
-      if (!stagedSources.contains(root)) {
-        val df = if (parts > 1) build.repartition(parts) else build.coalesce(1)
-        df.write.mode("overwrite").parquet(root)
-        stagedSources += root
-      }
+    stageOnce(root) {
+      val df = if (parts > 1) build.repartition(parts) else build.coalesce(1)
+      df.write.mode("overwrite").parquet(root)
     }
     s.read.parquet(root)
   }
@@ -137,12 +155,9 @@ object SparkEntry {
     */
   private def stagedDoubledEventsSource(s: SparkSession, dir: String): String = {
     val root = s"${tmpPath(dir, "stream_exec_dedup")}/src"
-    stagedSources.synchronized {
-      if (!stagedSources.contains(root)) {
-        val ev = DerivedModel.events(s, dir)
-        graft.streaming.StreamingOps.writeFiniteSource(ev.unionByName(ev), root)
-        stagedSources += root
-      }
+    stageOnce(root) {
+      val ev = DerivedModel.events(s, dir)
+      graft.streaming.StreamingOps.writeFiniteSource(ev.unionByName(ev), root)
     }
     root
   }
@@ -159,17 +174,41 @@ object SparkEntry {
     * on first use exactly as before.
     */
   def prepareStagedFixtures(s: SparkSession, dir: String): Unit = {
-    occDim(s, dir)
-    resolvedDim(s, dir)
-    childrenDim(s, dir)
-    minhashPairsRawDim(s, dir)
-    minhashPairsGuardedDim(s, dir)
-    pqCodesDim(s, dir)
-    kmeansCentroidsDim(s, dir)
-    incrementalIndexDims(s, dir)
-    bucketedOccTable(s, dir)
-    stagedEventsSource(s, dir)
-    stagedDoubledEventsSource(s, dir)
+    // independent build chains fan out on threads: each staging build is
+    // a small Spark job pipeline that rarely saturates local[32] alone,
+    // so concurrent submission overlaps their idle time (the Spark
+    // scheduler interleaves jobs from multiple threads). Dependencies
+    // stay inside one chain (bucketedOccTable reads occDim) or resolve
+    // through stageOnce's per-key locks (childrenDim also waits on the
+    // occ fact). Every chain is awaited — failed or not — before
+    // returning, so no build ever overlaps the caller's timed section.
+    val chains: Seq[(String, () => Unit)] = Seq(
+      "occ+bucketed" -> (() => { occDim(s, dir); bucketedOccTable(s, dir); () }),
+      "resolved" -> (() => { resolvedDim(s, dir); () }),
+      "children" -> (() => { childrenDim(s, dir); () }),
+      "mh_raw" -> (() => { minhashPairsRawDim(s, dir); () }),
+      "mh_guarded" -> (() => { minhashPairsGuardedDim(s, dir); () }),
+      "pq_codes" -> (() => { pqCodesDim(s, dir); () }),
+      "kmeans_cent" -> (() => { kmeansCentroidsDim(s, dir); () }),
+      "incr_index" -> (() => { incrementalIndexDims(s, dir); () }),
+      "events_src" -> (() => { stagedEventsSource(s, dir); () }),
+      "events_dbl" -> (() => { stagedDoubledEventsSource(s, dir); () }))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = chains.map { case (name, build) =>
+        name -> pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = build()
+        })
+      }
+      val failures = futures.flatMap { case (name, f) =>
+        try { f.get(); None }
+        catch { case e: Throwable => Some(name -> e) }
+      }
+      failures.headOption.foreach { case (name, e) =>
+        throw new RuntimeException(s"fixture staging chain '$name' failed " +
+          s"(${failures.size} of ${chains.size} chains failed)", e)
+      }
+    } finally pool.shutdown()
   }
 
   /** The trained PQ codebook, cached once per (sf, process): the
@@ -247,12 +286,9 @@ object SparkEntry {
   private def bucketedOccTable(s: SparkSession, dir: String): String = {
     val name = "graft_occ_bkt_" +
       new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
-    stagedSources.synchronized {
-      if (!stagedSources.contains(name)) {
-        graft.sources.Layout.writeBucketedOccurrence(
-          occDim(s, dir), name, buckets = 8)
-        stagedSources += name
-      }
+    stageOnce(name) {
+      graft.sources.Layout.writeBucketedOccurrence(
+        occDim(s, dir), name, buckets = 8)
     }
     name
   }

@@ -1074,16 +1074,25 @@ object Vocabulary {
     * unlike drift's corpora, the model is one bounded relation).
     */
   def dsirBucketWeights(target: DataFrame, raw: DataFrame,
-      textCol: String): DataFrame = {
-    val spark = target.sparkSession
+      textCol: String): DataFrame =
+    dsirWeightsFromBuckets(dsirFeatureBuckets(target, textCol),
+      dsirFeatureBuckets(raw, textCol))
+
+  /** [[dsirBucketWeights]] over pre-bucketed feature streams (each a
+    * relation with a `_bkt` column) — [[dsirSelect]] persists the raw
+    * stream and feeds it to BOTH the model count and the scoring join,
+    * so the corpus explodes + hashes once, not twice.
+    */
+  private def dsirWeightsFromBuckets(targetBuckets: DataFrame,
+      rawBuckets: DataFrame): DataFrame = {
+    val spark = targetBuckets.sparkSession
     def counts(df: DataFrame, as: String) =
-      dsirFeatureBuckets(df, textCol).groupBy(col("_bkt"))
-        .agg(count(lit(1)).as(as))
+      df.groupBy(col("_bkt")).agg(count(lit(1)).as(as))
     val universe = spark.range(DsirBuckets)
       .select(lower(lpad(hex(col("id")), DsirHexChars, "0")).as("_bkt"))
     val joined = universe
-      .join(counts(target, "_ct0"), Seq("_bkt"), "left")
-      .join(counts(raw, "_cr0"), Seq("_bkt"), "left")
+      .join(counts(targetBuckets, "_ct0"), Seq("_bkt"), "left")
+      .join(counts(rawBuckets, "_cr0"), Seq("_bkt"), "left")
       .select(col("_bkt"), coalesce(col("_ct0"), lit(0L)).as("_ct"),
         coalesce(col("_cr0"), lit(0L)).as("_cr"))
     val w = Window.partitionBy()
@@ -1134,10 +1143,24 @@ object Vocabulary {
     * [[graft.ops.Sampling.weightedSample]]-style hash thresholds.
     */
   def dsirSelect(target: DataFrame, raw: DataFrame, idCol: String,
-      textCol: String, k: Int): DataFrame =
-    dsirScores(raw, idCol, textCol, dsirBucketWeights(target, raw, textCol))
+      textCol: String, k: Int): DataFrame = {
+    // the raw feature stream feeds the model's count AND the scoring
+    // join — persist the bucketed form so the explode+hash pass over the
+    // big (raw) side runs once; the target side is read once anyway
+    val rawBuckets = dsirFeatureBuckets(raw, textCol, col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Persisted.track(rawBuckets)
+    val weights = dsirWeightsFromBuckets(
+      dsirFeatureBuckets(target, textCol), rawBuckets.select(col("_bkt")))
+    rawBuckets
+      .join(broadcast(weights.select(col("bucket").as("_bkt"),
+        col("log_ratio_fp"))), Seq("_bkt"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("log_ratio_fp")).as("dsir_logw_fp"))
       .orderBy(col("dsir_logw_fp").desc, col(idCol))
       .limit(k)
+  }
 
   /** DuckDB twin of [[dsirSelect]] over `documents` split by the two
     * predicates: identical feature stream (unigrams + bigrams with

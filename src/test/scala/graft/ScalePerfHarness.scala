@@ -214,6 +214,15 @@ object ScalePerfHarness {
       consume(Vocabulary.bm25SearchFixed(docs, "doc_id", "text",
         query = Seq("w100", "w2000", "w30000"), k = 25))
     }
+    // DSIR selection at scale (r9): the model is bucket-bounded (two
+    // feature aggs + the 4096-row universe), scoring is a broadcast join
+    // on the raw feature stream — the bound to confirm is that 10x the
+    // corpus costs ~the two extra feature passes, nothing super-linear
+    val tgt = docs.filter(col("doc_id") % 10 === 0)
+    val raw = docs.filter(col("doc_id") % 10 =!= 0)
+    time("dsirSelect(top-1000)", n) {
+      consume(Vocabulary.dsirSelect(tgt, raw, "doc_id", "text", k = 1000))
+    }
     docs.unpersist()
   }
 
