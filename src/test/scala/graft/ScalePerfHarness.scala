@@ -223,6 +223,17 @@ object ScalePerfHarness {
     time("dsirSelect(top-1000)", n) {
       consume(Vocabulary.dsirSelect(tgt, raw, "doc_id", "text", k = 1000))
     }
+    Persisted.unpersistAll()
+    // the stateless scorer (model as a map literal, no explode/join) —
+    // the per-probe cost once the model is a staged artifact, and the
+    // per-row cost bound for the streaming ingest-time scorer
+    val wmap = Vocabulary.dsirWeightsMap(
+      Vocabulary.dsirBucketWeights(tgt, raw, "text"))
+    Persisted.unpersistAll()
+    time("dsirScoreCol(expr scan)", n) {
+      consume(raw.select(col("doc_id"),
+        Vocabulary.dsirScoreCol(col("text"), wmap).as("s")))
+    }
     docs.unpersist()
   }
 

@@ -39,6 +39,28 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("stateless streaming DSIR scoring == batch dsirScores, fold == join") {
+    import spark.implicits._
+    val target = Seq("spark shuffle join", "spark agg plan").toDF("text")
+    val raw = Seq((1L, "spark shuffle join agg"), (2L, "goat cheese herbs"),
+      (3L, "plan"), (4L, "")).toDF("doc_id", "text")
+    val weights = graft.text.Vocabulary.dsirBucketWeights(target, raw, "text")
+    val expected = graft.text.Vocabulary
+      .dsirScores(raw, "doc_id", "text", weights)
+      .collect().map(_.toSeq).toSet
+
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dsir_stream"
+    raw.coalesce(1).write.mode("overwrite").parquet(s"$root/src")
+    val wmap = graft.text.Vocabulary.dsirWeightsMap(weights)
+    val got = StreamingOps.runToParquetSink(
+      StreamingOps.streamingDsirScores(spark, s"$root/src",
+        spark.read.parquet(s"$root/src"), "doc_id", "text", wmap),
+      s"$root/sink")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected, s"streaming $got != batch $expected")
+    assert(got.size == 4, "every raw doc scores — the model is total")
+  }
+
   test("streaming hourly histogram == batch histogram (incremental sketch)") {
     val batchDf = spark.read.parquet(eventsMicros)
     val expected = StreamingOps.hourlyValueHistogram(batchDf)
