@@ -251,4 +251,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"the corpus token stream must not shuffle into the scoring join:\n$p")
   }
+
+  test("DSIR scoring broadcasts the staged model — feature stream never shuffles for lookup") {
+    val p = planOf("x_curate_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-bounded model must broadcast onto the feature stream:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the raw feature stream must not shuffle into the scoring join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the selection must be an ordered limit, not a global sort:\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
+  test("prototypicality pruning broadcasts centroids and windows per cluster, vectors stay out of the rank shuffle") {
+    val p = planOf("x_curate_prototypes")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the centroid relation must broadcast into the assignment:\n$p")
+    // the within-cluster window must partition by the cluster id (a
+    // per-cluster sort), never an empty partition spec (global sort)
+    assert(p.contains("Window") && !p.contains("Window [")
+      || p.split("\n").exists(l => l.contains("windowspecdefinition(cluster")
+      || l.contains("windowspecdefinition(_cid")),
+      s"prototypicality rank must window per cluster:\n$p")
+    // skinny ranking: no embedding payload inside any Exchange row
+    val exchanges = p.split("\n").filter(_.contains("Exchange"))
+    assert(!exchanges.exists(_.contains("embedding#")),
+      s"vector payload must not ride the ranking shuffles:\n${exchanges.mkString("\n")}")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
 }

@@ -21,8 +21,11 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // per-pid path, like Bench/Verify: the k7 bucketed TABLE's location
+      // persists across test JVMs while the in-memory catalog does not,
+      // and recreating a table over an existing location is an error
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_test_${ProcessHandle.current().pid()}")
       // the deployment route for the custom expressions; GraftExtensionsSpec
       // asserts they resolve from plain SQL text
       .withExtensions(new graft.GraftExtensions)
