@@ -1574,6 +1574,16 @@ object SparkEntry {
         MixWeights, defaultWeight = 0.1)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // temperature-scaled corpus mixing (mT5-style alpha=0.5): per-domain
+    // rates COMPUTED from corpus counts (exact integer isqrt + pinned
+    // IEEE threshold ops), applied as content-hash membership — the
+    // corpus never shuffles, thresholds broadcast
+    "x_sample_temperature" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMixSample(
+        DerivedModel.table(s, dir, "documents"), "source", "doc_id",
+        targetRows = 1500L)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     // deterministic train/val/test assignment: hash-band label as a pure
     // scan expression — stable under re-runs, ablation splits nest
     "x_sample_split" -> ((s, dir) =>
@@ -2782,6 +2792,11 @@ object SparkEntry {
         s"""SELECT doc_id, lang, ${graft.ops.Sampling.datasetSplitSql(
               "doc_id", trainFrac = 0.8, valFrac = 0.1)} AS split
            |FROM documents""".stripMargin,
+
+      "x_sample_temperature" ->
+        graft.ops.Sampling.temperatureMixSampleSql(
+          "documents", "source", "doc_id", targetRows = 1500L,
+          selectCols = "d.doc_id, d.source, d.n_chars"),
 
       // final per-user totals — the Spark side accumulated them in
       // RocksDB ValueState across a real update-mode StreamingQuery

@@ -93,6 +93,85 @@ object Sampling {
     s"CASE ${cases.mkString(" ")} ELSE ${keep(defaultWeight)} END"
   }
 
+  /** Temperature-scaled corpus mixing at α = 0.5 (the mT5/multilingual
+    * recipe, Xue et al. 2021: sample domain d with probability
+    * ∝ count_d^α, upweighting small domains so big ones don't drown
+    * them): per-domain keep rate `r_d = min(1, target·√c_d / (Σ√c · c_d))`
+    * applied as a [[hashSample]]-style content-hash threshold, so the
+    * drawn mixture is a pure function of the data — re-runnable,
+    * auditable, engine-independent. Unlike [[weightedSample]] the rates
+    * are COMPUTED from corpus stats, not supplied.
+    *
+    * Determinism contract: `√c_d` is the EXACT integer isqrt (a
+    * floor(sqrt) seed ±1-corrected by integer comparison — immune to the
+    * double sqrt's rounding at any magnitude); the threshold then takes
+    * one pinned IEEE op sequence (int64→double divide, scale by 2^32,
+    * floor) that every IEEE-754 engine evaluates identically, and
+    * membership compares the first 8 md5 hex chars against the
+    * threshold rendered in hex. Rate-1 domains short-circuit (a 9-hex
+    * threshold would compare wrong as a string).
+    *
+    * Scale shape: one domain-bounded count agg (map-side combined), the
+    * isqrt/threshold arithmetic over the ≤|domains| relation, then a
+    * broadcast join + scan predicate — the corpus itself never shuffles.
+    * Rows out ≈ `targetRows` in expectation (hash-binomial per domain).
+    */
+  def temperatureMixSample(df: DataFrame, domainCol: String, keyCol: String,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_cd"))
+    val seeded = counts
+      .withColumn("_s0", floor(sqrt(col("_cd").cast("double"))).cast("long"))
+      .withColumn("_sd",
+        when((col("_s0") + 1) * (col("_s0") + 1) <= col("_cd"), col("_s0") + 1)
+          .when(col("_s0") * col("_s0") > col("_cd"), col("_s0") - 1)
+          .otherwise(col("_s0")))
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thresholds = seeded
+      .withColumn("_ss", sum(col("_sd")).over(w))
+      .withColumn("_thr", floor(
+        (lit(targetRows) * col("_sd")).cast("double") /
+          (col("_ss") * col("_cd")).cast("double") * lit(4294967296.0))
+        .cast("long"))
+      .select(col(domainCol), col("_thr"))
+    df.join(broadcast(thresholds), Seq(domainCol))
+      .filter(col("_thr") >= lit(4294967296L) ||
+        substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8) <
+          lpad(lower(hex(col("_thr"))), 8, "0"))
+      .drop("_thr")
+  }
+
+  /** DuckDB twin of [[temperatureMixSample]] over a table: identical
+    * integer isqrt correction, identical pinned IEEE threshold ops,
+    * identical hex-string membership compare.
+    */
+  def temperatureMixSampleSql(table: String, domainCol: String,
+      keyCol: String, targetRows: Long, selectCols: String): String =
+    s"""WITH _c AS (
+       |  SELECT $domainCol AS _dom, CAST(count(*) AS BIGINT) AS _cd
+       |  FROM $table GROUP BY $domainCol),
+       |_s AS (
+       |  SELECT _dom, _cd,
+       |    CAST(floor(sqrt(CAST(_cd AS DOUBLE))) AS BIGINT) AS _s0
+       |  FROM _c),
+       |_e AS (
+       |  SELECT _dom, _cd,
+       |    CASE WHEN (_s0 + 1) * (_s0 + 1) <= _cd THEN _s0 + 1
+       |         WHEN _s0 * _s0 > _cd THEN _s0 - 1
+       |         ELSE _s0 END AS _sd
+       |  FROM _s),
+       |_t AS (
+       |  SELECT _dom,
+       |    CAST(floor(CAST($targetRows * _sd AS DOUBLE) /
+       |      CAST(sum(_sd) OVER () * _cd AS DOUBLE) * 4294967296.0)
+       |      AS BIGINT) AS _thr
+       |  FROM _e)
+       |SELECT $selectCols FROM $table d JOIN _t ON d.$domainCol = _t._dom
+       |WHERE _thr >= 4294967296 OR
+       |  substr(md5(CAST(d.$keyCol AS VARCHAR)), 1, 8) <
+       |    lpad(lower(to_hex(_thr)), 8, '0')""".stripMargin
+
   /** Deterministic train/val/test split: assign each row a split label by
     * where the first 8 hex chars of md5(key) fall in `[0, 2^32)` —
     * `[0, train)` / `[train, train+val)` / the rest. Membership is a pure

@@ -120,4 +120,63 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       .sortBy(i => (org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString), i))
     assert(got == want)
   }
+
+  test("temperatureMixSample: small domains upweighted, rate-1 cap keeps " +
+    "all, membership matches the driver-side formula") {
+    import spark.implicits._
+    // domains: tiny (3 rows) and big (1000 rows). alpha=0.5 weights:
+    // s_tiny = isqrt(3) = 1, s_big = isqrt(1000) = 31, S = 32.
+    // target 500 => r_tiny = 500*1/(32*3) > 1 (capped: keep all),
+    // r_big = 500*31/(32*1000) ~ 0.484
+    val df = ((0L until 3L).map(i => (i, "tiny")) ++
+      (100L until 1100L).map(i => (i, "big"))).toDF("id", "dom")
+    val kept = Sampling.temperatureMixSample(df, "dom", "id", targetRows = 500L)
+      .collect().map(r => (r.getLong(1), r.getString(0)))
+    val tinyKept = kept.count(_._2 == "tiny")
+    val bigKept = kept.count(_._2 == "big")
+    assert(tinyKept == 3, s"rate >= 1 must keep the whole tiny domain, got $tinyKept")
+    assert(bigKept > 350 && bigKept < 600,
+      s"big domain should keep ~48%, got $bigKept/1000")
+    // membership is the driver-replayable hash threshold
+    val thrBig = math.floor(500.0 * 31 / (32.0 * 1000) * 4294967296.0).toLong
+    val wantBig = (100L until 1100L).filter { i =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString)
+        .substring(0, 8) < f"$thrBig%08x"
+    }.toSet
+    assert(kept.filter(_._2 == "big").map(_._1).toSet == wantBig,
+      "big-domain membership must equal the md5-threshold formula")
+    // determinism
+    val again = Sampling.temperatureMixSample(df, "dom", "id", targetRows = 500L)
+      .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(again == kept.toSet)
+  }
+
+  test("temperatureMixSample integer isqrt is exact around perfect squares") {
+    import spark.implicits._
+    // counts 15, 16, 17 -> isqrt 3, 4, 4; with target big enough every
+    // rate caps at 1, so the observable is just that nothing crashes and
+    // all rows survive; the isqrt exactness is observed through the keep
+    // RATES at a non-capping target: r_d ∝ isqrt(c_d)/c_d
+    val df = ((0L until 15L).map(i => (i, "a")) ++
+      (100L until 116L).map(i => (i, "b")) ++
+      (200L until 217L).map(i => (i, "c"))).toDF("id", "dom")
+    val all = Sampling.temperatureMixSample(df, "dom", "id",
+      targetRows = 1000L).count()
+    assert(all == 48L, "all three domains cap at rate 1")
+    // non-capping: s = (3,4,4), S = 11; thresholds floor-scale exactly
+    val kept = Sampling.temperatureMixSample(df, "dom", "id", targetRows = 10L)
+      .collect().map(r => (r.getLong(1), r.getString(0)))
+    def thr(sd: Long, cd: Long): Long =
+      math.floor(10.0 * sd / (11.0 * cd) * 4294967296.0).toLong
+    val want = (
+      (0L until 15L).filter(i => org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(i.toString).substring(0, 8) < f"${thr(3, 15)}%08x").map((_, "a")) ++
+      (100L until 116L).filter(i => org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(i.toString).substring(0, 8) < f"${thr(4, 16)}%08x").map((_, "b")) ++
+      (200L until 217L).filter(i => org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(i.toString).substring(0, 8) < f"${thr(4, 17)}%08x").map((_, "c"))
+    ).toSet
+    assert(kept.toSet == want,
+      s"isqrt-derived thresholds must replay exactly: got ${kept.toSet}, want $want")
+  }
 }
