@@ -70,6 +70,7 @@ object ScalePerfHarness {
       case "spans" => spansMode(spark, count)
       case "bpe"   => bpeMode(spark, count)
       case "signals" => signalsMode(spark, count)
+      case "proto" => protoMode(spark, count)
       case "groups10m" => groupsMode(spark, count)
       case "phash" => phashMode(spark, count)
       case "simhash10m" => simhash10mMode(spark, count)
@@ -235,6 +236,29 @@ object ScalePerfHarness {
         Vocabulary.dsirScoreCol(col("text"), wmap).as("s")))
     }
     docs.unpersist()
+  }
+
+  /** Prototypicality pruning at scale (r9): the assignment join scores
+    * n × numClusters skinny rows — the same coarse-assignment cost IVF
+    * pays (amortized at ingest in production, here measured per run with
+    * pre-trained centroids passed in, isolating assignment + rank from
+    * training). numClusters ~ sqrt(n) per the IVF sizing rule.
+    */
+  private def protoMode(spark: SparkSession, count: Long): Unit = {
+    import graft.sim.Similarity
+    val emb = corpus(spark, count).persist()
+    val n = emb.count()
+    val c = math.max(16, math.sqrt(n.toDouble).toInt / 2)
+    val cent = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      numClusters = c, iterations = 1).persist()
+    val nc = cent.count()
+    time(s"prototypesPrune(c=$nc, drop=25%)", n) {
+      Similarity.prototypesPrune(emb, "vec_id", "embedding",
+        dropPerMille = 250, precomputedCentroids = Some(cent))
+        .write.mode("overwrite").format("noop").save(); 0L
+    }
+    Persisted.unpersistAll()
+    cent.unpersist(); emb.unpersist(): Unit
   }
 
   /** The distributed union-find fallback measured at 10M+ pairs (r8
