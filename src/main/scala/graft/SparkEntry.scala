@@ -1527,6 +1527,13 @@ object SparkEntry {
         docs.filter(col("lang") =!= "en"), "text")
     }),
 
+    // CCNet-style perplexity bucketing: head/middle/tail thirds by mean
+    // unigram surprisal, thresholds from the fixed-grid sketch — every
+    // step integer, so the bucket each doc lands in replays bit-for-bit
+    "x_curate_ppl_buckets" -> ((s, dir) =>
+      graft.text.Vocabulary.surprisalBuckets(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
+
     // DSIR importance-weighted selection (Xie et al. 2023): pick the raw
     // documents whose hashed-ngram distribution is most target-like —
     // per-bucket signed fixed-point log ratios (bucket-bounded model,
@@ -2764,6 +2771,8 @@ object SparkEntry {
 
       "x_text_drift" -> graft.text.Vocabulary.unigramDriftSql(
         "lang = 'en'", "lang <> 'en'"),
+
+      "x_curate_ppl_buckets" -> graft.text.Vocabulary.surprisalBucketsSql(),
 
       "x_curate_dsir" -> graft.text.Vocabulary.dsirSelectSql(
         "source = 'src0'", "source <> 'src0'", k = 500),

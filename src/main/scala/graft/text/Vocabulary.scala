@@ -536,7 +536,15 @@ object Vocabulary {
          |      THEN 1 ELSE 0 END AS frac
          |  FROM it$p)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS MATERIALIZED (
+    s"""WITH ${surprisalSqlCtes(eSum, iters)}
+       |$surprisalSqlFinal""".stripMargin
+  }
+
+  /** The CTE chain of [[surprisalSql]] (no leading WITH), reusable by
+    * composing oracles ([[surprisalBucketsSql]]).
+    */
+  private def surprisalSqlCtes(eSum: String, iters: String): String =
+    s"""tok AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
        |  FROM documents),
        |cnt AS MATERIALIZED (
@@ -551,12 +559,97 @@ object Vocabulary {
        |$iters,
        |sup AS (
        |  SELECT token, e * (CAST(1 AS BIGINT) << $FracBits) + frac AS s
-       |  FROM it$FracBits)
-       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  FROM it$FracBits)""".stripMargin
+
+  private def surprisalSqlFinal: String =
+    s"""SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |  CAST(sum(s) AS BIGINT) AS surprisal_fp,
        |  CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_surprisal_fp
        |FROM tok t JOIN sup USING (token)
        |GROUP BY t.doc_id""".stripMargin
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020: split the
+    * crawl into head/middle/tail thirds by LM quality and train on the
+    * head): label every document by its [[surprisalScore]] mean against
+    * the corpus tercile thresholds (percentile ranks 33/66 — with the
+    * integer-CEILING rank target, 67 would overshoot into the top third
+    * on small corpora), where the thresholds come from the
+    * [[graft.sketch.QuantileSketch]] fixed grid — a corpus-size-
+    * independent summary, matching CCNet's own use of approximate
+    * percentiles. head = lowest mean surprisal (most LM-predictable).
+    *
+    * Every step is integer arithmetic (fixed-point surprisal, integer
+    * grid cells, integer-ceiling rank targets, cell-edge thresholds,
+    * integer compares), so the bucket assignment — the thing a curation
+    * pipeline acts on — replays bit-for-bit in the oracle. Scale shape:
+    * the scored relation is [[surprisalScore]]'s (vocab-bounded model +
+    * broadcast-scored scan); the sketch shuffle is cell-bounded; the
+    * thresholds cross-join back as a broadcast 1-row relation.
+    */
+  def surprisalBuckets(df: DataFrame, idCol: String, textCol: String,
+      binWidth: Long = 256L,
+      maxValue: Long = (1L << 24) - 1): DataFrame = {
+    val scored = surprisalScore(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Persisted.track(scored)
+    val qs = graft.sketch.QuantileSketch.valueQuantiles(
+      scored, "mean_surprisal_fp", Seq(33, 66), binWidth, maxValue)
+    val thr = qs.agg(
+      max(when(col("pct") === 33, col("est_hi"))).as("_t33"),
+      max(when(col("pct") === 66, col("est_hi"))).as("_t67"))
+    scored.crossJoin(broadcast(thr))
+      .select(col(idCol), col("n_tokens"), col("mean_surprisal_fp"),
+        when(col("mean_surprisal_fp") <= col("_t33"), "head")
+          .when(col("mean_surprisal_fp") <= col("_t67"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  /** DuckDB twin of [[surprisalBuckets]] over `documents`: the
+    * [[surprisalSql]] CTE chain, the identical integer grid/cumulative/
+    * rank-target/cell-edge sequence, the identical label compares.
+    */
+  def surprisalBucketsSql(binWidth: Long = 256L,
+      maxValue: Long = (1L << 24) - 1): String = {
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT token, e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${surprisalSqlCtes(eSum, iters)},
+       |sc AS MATERIALIZED (
+       |$surprisalSqlFinal),
+       |cells AS (
+       |  SELECT least(greatest(mean_surprisal_fp, 0), $maxValue) // $binWidth AS cell,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM sc GROUP BY 1),
+       |cum AS (
+       |  SELECT cell, CAST(sum(cnt) OVER (ORDER BY cell) AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+       |  FROM cells),
+       |qr AS (
+       |  SELECT pct, min(cell) AS qcell
+       |  FROM (SELECT * FROM (VALUES (CAST(33 AS BIGINT)), (CAST(66 AS BIGINT))) v(pct)) q
+       |  JOIN cum ON cum >= (n * pct + 99) // 100
+       |  GROUP BY pct),
+       |thr AS (
+       |  SELECT
+       |    max(CASE WHEN pct = 33
+       |      THEN least((qcell + 1) * $binWidth - 1, $maxValue) END) AS t33,
+       |    max(CASE WHEN pct = 66
+       |      THEN least((qcell + 1) * $binWidth - 1, $maxValue) END) AS t67
+       |  FROM qr)
+       |SELECT sc.doc_id, sc.n_tokens, sc.mean_surprisal_fp,
+       |  CASE WHEN sc.mean_surprisal_fp <= thr.t33 THEN 'head'
+       |       WHEN sc.mean_surprisal_fp <= thr.t67 THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM sc CROSS JOIN thr""".stripMargin
   }
 
   /** DuckDB twin of [[searchByTokens]] over `documents`. */

@@ -133,6 +133,23 @@ class VocabularySpec extends AnyFunSuite with SparkTestBase {
     assert(enc(2L) == "-1 0", s"got ${enc(2L)}")
   }
 
+  test("surprisalBuckets: exact thirds land head/middle/tail by " +
+    "common/mid/rare vocabulary") {
+    import spark.implicits._
+    // 21 tokens: 'c' x12 (3 docs), m1-m3 x2 each (3 docs), r1-r3 x1 (3
+    // docs) -> three clearly separated mean-surprisal levels, 3 docs each
+    val docs = Seq(
+      (1L, "c c c c"), (2L, "c c c c"), (3L, "c c c c"),
+      (4L, "m1 m1"), (5L, "m2 m2"), (6L, "m3 m3"),
+      (7L, "r1"), (8L, "r2"), (9L, "r3")).toDF("doc_id", "text")
+    val got = Vocabulary.surprisalBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    Persisted.unpersistAll()
+    assert((1L to 3L).forall(got(_) == "head"), s"got $got")
+    assert((4L to 6L).forall(got(_) == "middle"), s"got $got")
+    assert((7L to 9L).forall(got(_) == "tail"), s"got $got")
+  }
+
   // -------------------------------------------------------------- DSIR
 
   /** Driver-side replica of the per-bucket DSIR log ratio (same add-one
