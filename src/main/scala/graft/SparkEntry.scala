@@ -1527,6 +1527,22 @@ object SparkEntry {
         docs.filter(col("lang") =!= "en"), "text")
     }),
 
+    // curation pipeline v2, the data-SELECTION composition (v1 gates on
+    // per-doc signals): perplexity head third -> exact dedup ->
+    // temperature-mixed domain sample. Three operator families composed,
+    // every keep/drop decision integer/hash-replayable end to end
+    "x_pipeline_curate2" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      val head = graft.text.Vocabulary.surprisalBuckets(docs, "doc_id", "text")
+        .filter(col("ppl_bucket") === "head")
+        .select(col("doc_id"))
+        .join(docs, Seq("doc_id"))
+      val deduped = graft.dedup.Dedup.exactDedup(head, "doc_id", "text")
+      graft.ops.Sampling.temperatureMixSample(deduped, "source", "doc_id",
+        targetRows = 800L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // CCNet-style perplexity bucketing: head/middle/tail thirds by mean
     // unigram surprisal, thresholds from the fixed-grid sketch — every
     // step integer, so the bucket each doc lands in replays bit-for-bit
@@ -2773,6 +2789,26 @@ object SparkEntry {
         "lang = 'en'", "lang <> 'en'"),
 
       "x_curate_ppl_buckets" -> graft.text.Vocabulary.surprisalBucketsSql(),
+
+      // head third (sc vs thr) -> keep-first exact dedup -> temperature
+      // mix over the survivors; composed from the per-stage CTE chains
+      "x_pipeline_curate2" ->
+        s"""WITH ${graft.text.Vocabulary.surprisalBucketsSqlCtes(
+                binWidth = 256L, maxValue = (1L << 24) - 1)},
+           |hd AS MATERIALIZED (
+           |  SELECT dd.* FROM documents dd
+           |  JOIN sc ON dd.doc_id = sc.doc_id CROSS JOIN thr
+           |  WHERE sc.mean_surprisal_fp <= thr.t33),
+           |ddup AS MATERIALIZED (
+           |  SELECT * FROM (
+           |    SELECT hd.*, row_number() OVER (PARTITION BY md5(text)
+           |      ORDER BY doc_id) AS _rn FROM hd) q
+           |  WHERE _rn = 1),
+           |${graft.ops.Sampling.temperatureMixSqlCtes(
+               "ddup", "source", targetRows = 800L)}
+           |SELECT d.doc_id, d.source, d.n_chars
+           |FROM ddup d JOIN _t ON d.source = _t._dom
+           |WHERE ${graft.ops.Sampling.temperatureMixSqlWhere("doc_id")}""".stripMargin,
 
       "x_curate_dsir" -> graft.text.Vocabulary.dsirSelectSql(
         "source = 'src0'", "source <> 'src0'", k = 500),

@@ -148,7 +148,17 @@ object Sampling {
     */
   def temperatureMixSampleSql(table: String, domainCol: String,
       keyCol: String, targetRows: Long, selectCols: String): String =
-    s"""WITH _c AS (
+    s"""WITH ${temperatureMixSqlCtes(table, domainCol, targetRows)}
+       |SELECT $selectCols FROM $table d JOIN _t ON d.$domainCol = _t._dom
+       |WHERE ${temperatureMixSqlWhere(keyCol)}""".stripMargin
+
+  /** The CTE chain of [[temperatureMixSampleSql]] (no leading WITH) and
+    * its membership predicate — composable into larger oracle pipelines
+    * (`table` may be an earlier CTE name).
+    */
+  private[graft] def temperatureMixSqlCtes(table: String, domainCol: String,
+      targetRows: Long): String =
+    s"""_c AS (
        |  SELECT $domainCol AS _dom, CAST(count(*) AS BIGINT) AS _cd
        |  FROM $table GROUP BY $domainCol),
        |_s AS (
@@ -166,9 +176,10 @@ object Sampling {
        |    CAST(floor(CAST($targetRows * _sd AS DOUBLE) /
        |      CAST(sum(_sd) OVER () * _cd AS DOUBLE) * 4294967296.0)
        |      AS BIGINT) AS _thr
-       |  FROM _e)
-       |SELECT $selectCols FROM $table d JOIN _t ON d.$domainCol = _t._dom
-       |WHERE _thr >= 4294967296 OR
+       |  FROM _e)""".stripMargin
+
+  private[graft] def temperatureMixSqlWhere(keyCol: String): String =
+    s"""_thr >= 4294967296 OR
        |  substr(md5(CAST(d.$keyCol AS VARCHAR)), 1, 8) <
        |    lpad(lower(to_hex(_thr)), 8, '0')""".stripMargin
 

@@ -610,6 +610,20 @@ object Vocabulary {
     */
   def surprisalBucketsSql(binWidth: Long = 256L,
       maxValue: Long = (1L << 24) - 1): String = {
+    s"""WITH ${surprisalBucketsSqlCtes(binWidth, maxValue)}
+       |SELECT sc.doc_id, sc.n_tokens, sc.mean_surprisal_fp,
+       |  CASE WHEN sc.mean_surprisal_fp <= thr.t33 THEN 'head'
+       |       WHEN sc.mean_surprisal_fp <= thr.t67 THEN 'middle'
+       |       ELSE 'tail' END AS ppl_bucket
+       |FROM sc CROSS JOIN thr""".stripMargin
+  }
+
+  /** The CTE chain of [[surprisalBucketsSql]] (tok … sup, sc, grid,
+    * thresholds; no leading WITH) — composable into larger oracle
+    * pipelines that act on the `sc`-vs-`thr` comparison.
+    */
+  private[graft] def surprisalBucketsSqlCtes(binWidth: Long,
+      maxValue: Long): String = {
     val eSum = (1 to EMax).map(kk =>
       s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
     val iters = (1 to FracBits).map { i =>
@@ -622,7 +636,7 @@ object Vocabulary {
          |      THEN 1 ELSE 0 END AS frac
          |  FROM it$p)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${surprisalSqlCtes(eSum, iters)},
+    s"""${surprisalSqlCtes(eSum, iters)},
        |sc AS MATERIALIZED (
        |$surprisalSqlFinal),
        |cells AS (
@@ -644,12 +658,7 @@ object Vocabulary {
        |      THEN least((qcell + 1) * $binWidth - 1, $maxValue) END) AS t33,
        |    max(CASE WHEN pct = 66
        |      THEN least((qcell + 1) * $binWidth - 1, $maxValue) END) AS t67
-       |  FROM qr)
-       |SELECT sc.doc_id, sc.n_tokens, sc.mean_surprisal_fp,
-       |  CASE WHEN sc.mean_surprisal_fp <= thr.t33 THEN 'head'
-       |       WHEN sc.mean_surprisal_fp <= thr.t67 THEN 'middle'
-       |       ELSE 'tail' END AS ppl_bucket
-       |FROM sc CROSS JOIN thr""".stripMargin
+       |  FROM qr)""".stripMargin
   }
 
   /** DuckDB twin of [[searchByTokens]] over `documents`. */
