@@ -1517,6 +1517,15 @@ object SparkEntry {
       graft.text.Vocabulary.surprisalScore(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
 
+    // bigram stupid-backoff surprisal (Brants et al. 2007): the
+    // perplexity upgrade over the unigram signal — pruned top-256 bigram
+    // model + alpha=2/5 backoff, both model tables broadcast, token and
+    // bigram streams generated at scan speed (no per-doc window)
+    "x_text_surprisal_bigram" -> ((s, dir) =>
+      graft.text.Vocabulary.bigramSurprisal(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        topN = 256)),
+
     // unigram drift audit: corpus A (english docs) scored against corpus
     // B's smoothed unigram model — per-token signed fixed-point log
     // ratios whose weighted sum is add-one-smoothed KL(A||B)
@@ -2784,6 +2793,9 @@ object SparkEntry {
         graft.sketch.CountMinOracle.heavyHittersSql(k = 25, widthBits = 8),
 
       "x_text_surprisal" -> graft.text.Vocabulary.surprisalSql,
+
+      "x_text_surprisal_bigram" ->
+        graft.text.Vocabulary.bigramSurprisalSql(topN = 256),
 
       "x_text_drift" -> graft.text.Vocabulary.unigramDriftSql(
         "lang = 'en'", "lang <> 'en'"),

@@ -674,6 +674,166 @@ object Vocabulary {
        |ORDER BY distinct_terms DESC, matches DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Per-document bigram LM surprisal with STUPID BACKOFF (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the
+    * web-scale LM smoothing: no discounting, a fixed backoff factor
+    * α = 0.4) as EXACT INTEGER arithmetic — the perplexity upgrade over
+    * [[surprisalScore]]'s unigram signal. Per token position:
+    *
+    *  - position 1 (no context): unigram surprisal
+    *    `log2fp(TOTAL, c(t1))`
+    *  - position i ≥ 2, bigram (w1, w2) IN the pruned model:
+    *    `−log2 S = log2fp(c(w1), c12(w1,w2))`
+    *  - otherwise (unseen OR pruned — stupid backoff treats both alike):
+    *    `−log2(α·c(w2)/TOTAL) = log2fp(5·TOTAL, 2·c(w2))` (α = 2/5)
+    *
+    * with [[log2Fixed]]'s fixed-point log2, so every contribution is an
+    * integer and the DuckDB twin ([[bigramSurprisalSql]]) hash-matches
+    * bit-for-bit. Output per doc matches [[surprisalScore]]'s shape:
+    * `(id, n_tokens, surprisal_fp, mean_surprisal_fp)`.
+    *
+    * Scale shape: the bigram model is PRUNED to the `topN`
+    * highest-count bigrams (count desc, w1, w2 — a deterministic total
+    * order, executed as TakeOrdered, never a single-partition sort), the
+    * standard count-cutoff pruning a web-scale stupid-backoff LM ships
+    * with — so both model tables (vocab + topN bigrams) broadcast, and
+    * the token/bigram streams themselves never shuffle: the only wide
+    * ops are the two count aggs (map-side combined, bounded by vocab /
+    * distinct-bigram cardinality). Bigram pairs are generated in the
+    * scan projection (`transform` over the token array), not via a
+    * per-doc window — no ordering shuffle. Magnitude precondition
+    * (mirrors [[surprisalScore]]): `5·TOTAL < 2^33` — shard larger
+    * corpora and merge counts, or floor-rescale (TOTAL, counts) by a
+    * common factor first.
+    */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 256): DataFrame = {
+    val tokArr = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Persisted.track(tokArr)
+    val cnt = tokArr.select(explode(col("_toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("_c"))
+    val tot = cnt.agg(sum(col("_c")).as("_tot"))
+    // vocab-bounded model relation: per token, the position-1 unigram
+    // surprisal and the stupid-backoff surprisal (two log chains over
+    // the same ≤|vocab|-row relation)
+    val uni = log2FixedCols(
+      log2FixedCols(cnt.crossJoin(broadcast(tot))
+        .withColumn("_num", col("_tot"))
+        .withColumn("_den", col("_c")))
+        .withColumnRenamed("_idf_fp", "_u_fp")
+        .withColumn("_num", lit(5L) * col("_tot"))
+        .withColumn("_den", lit(2L) * col("_c")))
+      .select(col("token"), col("_u_fp"), col("_idf_fp").as("_bo_fp"))
+    // bigram stream at scan speed; size >= 2 guard keeps sequence()
+    // ascending (sequence(2, 1) runs DESCENDING — the BPE length-1 trap)
+    val bigrams = tokArr.filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(2, size(_toks)), " +
+          "i -> struct(_toks[i-2] AS w1, _toks[i-1] AS w2))")).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
+    val bgTop = bigrams.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_c12"))
+      .orderBy(col("_c12").desc, col("_w1"), col("_w2"))
+      .limit(topN)
+    val bgModel = log2FixedCols(
+      bgTop.join(broadcast(cnt.select(col("token").as("_w1"),
+          col("_c").as("_c1"))), Seq("_w1"))
+        .withColumn("_num", col("_c1"))
+        .withColumn("_den", col("_c12")))
+      .select(col("_w1"), col("_w2"), col("_idf_fp").as("_bg_fp"))
+    val firstContrib = tokArr
+      .select(col(idCol), col("_toks").getItem(0).as("token"))
+      .join(broadcast(uni), Seq("token"))
+      .select(col(idCol), col("_u_fp").as("_contrib"))
+    val bigramContrib = bigrams
+      .join(broadcast(uni.select(col("token").as("_w2"), col("_bo_fp"))),
+        Seq("_w2"))
+      .join(broadcast(bgModel), Seq("_w1", "_w2"), "left")
+      .select(col(idCol),
+        coalesce(col("_bg_fp"), col("_bo_fp")).as("_contrib"))
+    firstContrib.unionByName(bigramContrib)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_contrib")).as("surprisal_fp"))
+      .withColumn("mean_surprisal_fp", expr("surprisal_fp DIV n_tokens"))
+  }
+
+  /** DuckDB twin of [[bigramSurprisal]] over `documents`: the three
+    * ratio families (unigram, backoff, kept-bigram) union into ONE
+    * uniform `(kind, k1, k2, num, den)` relation so a single unrolled
+    * log2 chain scores them all with the identical integer op sequence;
+    * the pruning cut is the same deterministic
+    * `ORDER BY count DESC, w1, w2 LIMIT topN`.
+    */
+  def bigramSurprisalSql(topN: Int = 256): String = {
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT kind, k1, k2, e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk,
+       |    len(string_split(trim(text), ' ')) AS n
+       |  FROM documents),
+       |cnt AS MATERIALIZED (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(tk) AS token FROM t) GROUP BY token),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cnt),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2
+       |  FROM (SELECT doc_id, tk, unnest(range(n - 1)) AS i
+       |        FROM t WHERE n >= 2)),
+       |bgtop AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM bg GROUP BY w1, w2
+       |  ORDER BY c12 DESC, w1, w2 LIMIT $topN),
+       |nrm AS MATERIALIZED (
+       |  SELECT 'u' AS kind, token AS k1, '' AS k2, tt AS num, c AS den
+       |  FROM cnt CROSS JOIN tot
+       |  UNION ALL
+       |  SELECT 'b' AS kind, token AS k1, '' AS k2,
+       |    5 * tt AS num, 2 * c AS den
+       |  FROM cnt CROSS JOIN tot
+       |  UNION ALL
+       |  SELECT 'g' AS kind, g.w1 AS k1, g.w2 AS k2, c.c AS num,
+       |    g.c12 AS den
+       |  FROM bgtop g JOIN cnt c ON c.token = g.w1),
+       |it0 AS (
+       |  SELECT kind, k1, k2, ($eSum) AS e,
+       |    (num << $MantBits) // (den << ($eSum)) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM nrm),
+       |$iters,
+       |sup AS MATERIALIZED (
+       |  SELECT kind, k1, k2,
+       |    e * (CAST(1 AS BIGINT) << $FracBits) + frac AS s
+       |  FROM it$FracBits),
+       |contrib AS (
+       |  SELECT f.doc_id, s.s
+       |  FROM (SELECT doc_id, tk[1] AS k1 FROM t) f
+       |  JOIN sup s ON s.kind = 'u' AND s.k1 = f.k1
+       |  UNION ALL
+       |  SELECT b.doc_id, COALESCE(gs.s, bs.s) AS s
+       |  FROM bg b
+       |  LEFT JOIN sup gs
+       |    ON gs.kind = 'g' AND gs.k1 = b.w1 AND gs.k2 = b.w2
+       |  JOIN sup bs ON bs.kind = 'b' AND bs.k1 = b.w2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(s) AS BIGINT) AS surprisal_fp,
+       |  CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |    AS mean_surprisal_fp
+       |FROM contrib GROUP BY doc_id""".stripMargin
+  }
+
   /** Canonical greedy application of ONE BPE merge (`a`,`b`) to a symbol
     * array: scan left to right, replacing each non-overlapping adjacent
     * (a, b) with the concatenation. A left fold is exactly this scan —

@@ -150,6 +150,29 @@ class VocabularySpec extends AnyFunSuite with SparkTestBase {
     assert((7L to 9L).forall(got(_) == "tail"), s"got $got")
   }
 
+  test("bigramSurprisal: seen-bigram, pruned-backoff, and first-token " +
+    "paths each match the driver-side fixed-point replica") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=1, d=1, TOTAL=7; bigrams (a,b)x2, (a,c)x1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    def fp(num: Long, den: Long) = Vocabulary.log2Fixed(num, den)
+    // topN=1 keeps only (a,b): doc3's (a,c) is PRUNED -> stupid backoff
+    val got1 = Vocabulary.bigramSurprisal(docs, "doc_id", "text", topN = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Persisted.unpersistAll()
+    assert(got1(1L) == (2L, fp(7, 3) + fp(3, 2)), s"got ${got1(1L)}")
+    assert(got1(3L) == (2L, fp(7, 3) + fp(5 * 7, 2 * 1)), s"got ${got1(3L)}")
+    assert(got1(4L) == (1L, fp(7, 1)), s"got ${got1(4L)}")
+    // topN large keeps (a,c) too: its position scores the bigram ratio
+    val got2 = Vocabulary.bigramSurprisal(docs, "doc_id", "text", topN = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Persisted.unpersistAll()
+    assert(got2(3L) == fp(7, 3) + fp(3, 1), s"got ${got2(3L)}")
+    // predictable continuation scores BELOW the backoff of a rare token
+    assert(got1(1L)._2 < got1(3L)._2)
+  }
+
   // -------------------------------------------------------------- DSIR
 
   /** Driver-side replica of the per-bucket DSIR log ratio (same add-one
