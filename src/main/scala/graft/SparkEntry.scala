@@ -286,6 +286,20 @@ object SparkEntry {
     root
   }
 
+  /** The arriving-batch finite stream source for the ingest-time dedup
+    * gate — the `doc_id % 5 == 0` slice the batch-side gates treat as
+    * "new data" (no watermark sentinel: the probe keeps no state).
+    */
+  private def stagedBatchDocsSource(s: SparkSession, dir: String): String = {
+    val root = s"${tmpPath(dir, "docs_batch_src")}/src"
+    stageOnce(root) {
+      DerivedModel.table(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .write.mode("overwrite").parquet(root)
+    }
+    root
+  }
+
   /** The incremental-dedup corpus index (content hashes, band buckets,
     * shingles), staged once per (sf, process) — the three relations a
     * deployment persists and appends per accepted batch, so each batch
@@ -1668,6 +1682,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // ingest-time near-dedup (10th real StreamingQuery): every arriving
+    // micro-batch probes the staged corpus dedup index inside
+    // foreachBatch and survivors append to the sink — the
+    // dedup-on-ingest deployment shape. Stateless across batches, so
+    // the oracle truth is x_dedup_incremental's (identical survivors)
+    "x_stream_neardedup_exec" -> ((s, dir) => {
+      val srcPath = stagedBatchDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      graft.streaming.StreamingOps.streamingIncrementalDedup(
+        s, srcPath, src, "doc_id", "text",
+        incrementalIndexDims(s, dir),
+        s"${tmpPath(dir, "stream_exec_neardedup")}/sink")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     // time-series resample: dense per-user hourly grid (explicit zero
     // rows on gaps) + forward-filled last observation
     "x_ts_gapfill" -> ((s, dir) =>
@@ -1796,6 +1825,32 @@ object SparkEntry {
 
   /** Mixing recipe for `x_sample_weighted` (shared with its oracle). */
   private val MixWeights = Map("en" -> 0.5, "zh" -> 0.25, "de" -> 1.0)
+
+  /** Exact cross-side-Jaccard survivor truth for the batch-vs-corpus
+    * probe — shared by `x_dedup_incremental` (batch form) and
+    * `x_stream_neardedup_exec` (the stateless streaming ingest form,
+    * whose per-document decisions are identical by construction).
+    */
+  private val incrementalDedupOracle: String =
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      |batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      |bclean AS (
+      |  SELECT * FROM batch WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+      |btoks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM bclean),
+      |bng AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM btoks)),
+      |ctoks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM corpus),
+      |cng AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM ctoks)),
+      |bcnt AS (SELECT doc_id, count(*) AS n FROM bng GROUP BY doc_id),
+      |ccnt AS (SELECT doc_id, count(*) AS n FROM cng GROUP BY doc_id),
+      |inter AS (SELECT b.doc_id AS id_b, c.doc_id AS id_c, count(*) AS i
+      |          FROM bng b JOIN cng c ON b.ngram = c.ngram GROUP BY 1, 2),
+      |drops AS (SELECT DISTINCT id_b FROM inter
+      |          JOIN bcnt ON id_b = bcnt.doc_id JOIN ccnt ON id_c = ccnt.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (bcnt.n + ccnt.n - i) >= 0.8)
+      |SELECT doc_id, lang, source, n_chars FROM bclean
+      |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin
 
   def oracleSql: Map[String, String] =
     referenceOracleSql ++ analyticsOracleSql ++ extensionOracleSql
@@ -2395,26 +2450,11 @@ object SparkEntry {
 
       // exact cross-side jaccard as truth (banding recall covers tau=0.8,
       // the x_dedup_minhash setting); exact branch = md5 NOT IN corpus
-      "x_dedup_incremental" ->
-        """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-          |batch AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-          |bclean AS (
-          |  SELECT * FROM batch WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
-          |btoks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM bclean),
-          |bng AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
-          |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM btoks)),
-          |ctoks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM corpus),
-          |cng AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
-          |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM ctoks)),
-          |bcnt AS (SELECT doc_id, count(*) AS n FROM bng GROUP BY doc_id),
-          |ccnt AS (SELECT doc_id, count(*) AS n FROM cng GROUP BY doc_id),
-          |inter AS (SELECT b.doc_id AS id_b, c.doc_id AS id_c, count(*) AS i
-          |          FROM bng b JOIN cng c ON b.ngram = c.ngram GROUP BY 1, 2),
-          |drops AS (SELECT DISTINCT id_b FROM inter
-          |          JOIN bcnt ON id_b = bcnt.doc_id JOIN ccnt ON id_c = ccnt.doc_id
-          |          WHERE CAST(i AS DOUBLE) / (bcnt.n + ccnt.n - i) >= 0.8)
-          |SELECT doc_id, lang, source, n_chars FROM bclean
-          |WHERE doc_id NOT IN (SELECT id_b FROM drops)""".stripMargin,
+      "x_dedup_incremental" -> incrementalDedupOracle,
+
+      // the streaming ingest gate is stateless per document, so its
+      // survivor set IS the batch probe's — one shared truth
+      "x_stream_neardedup_exec" -> incrementalDedupOracle,
 
       "x_text_shingles" ->
         """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)

@@ -185,6 +185,54 @@ object StreamingOps {
         graft.text.Vocabulary.dsirScoreCol(col(textCol), weights)
           .as("dsir_logw_fp"))
 
+  /** Ingest-time near-dedup as a REAL StreamingQuery: every arriving
+    * micro-batch is cleaned against the STAGED corpus dedup index
+    * ([[graft.dedup.Dedup.CorpusDedupIndex]] — the persisted, appendable
+    * deployment artifact) and survivors append to the parquet sink. The
+    * per-batch probe is [[graft.dedup.Dedup.incrementalDedup]]'s O(batch)
+    * equi-join plan, run inside `foreachBatch` — required because the
+    * probe composes joins and aggregations append-mode streaming cannot
+    * run natively, and exactly the per-batch shape a dedup-on-ingest
+    * deployment uses. No watermark and no state store: each document's
+    * keep/drop decision is a pure function of (document, index), so
+    * per-batch probing of any micro-batch split equals the one-shot batch
+    * probe (spec-asserted under `maxFilesPerTrigger = 1`). The index is
+    * frozen for the query's lifetime; a deployment appends accepted
+    * survivors to the persisted index and restarts the query on its
+    * re-staging cadence (the staged-model pattern the DSIR scorer uses).
+    * The `corpus` argument [[graft.dedup.Dedup.incrementalDedup]] would
+    * derive indexes from is passed EMPTY — with a precomputed index the
+    * corpus is never scanned, which is the entire point at 100 TB.
+    */
+  def streamingIncrementalDedup(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, idCol: String, textCol: String,
+      index: graft.dedup.Dedup.CorpusDedupIndex, outRoot: String,
+      n: Int = 3, tau: Double = 0.8, numHashes: Int = 32,
+      rowsPerBand: Int = 2, maxFilesPerTrigger: Option[Int] = None,
+      timeoutMs: Long = 600000L): DataFrame = {
+    deleteRecursively(new java.io.File(outRoot))
+    val emptyCorpus = schemaFrom.limit(0)
+    val reader = spark.readStream.schema(schemaFrom.schema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    val sq = reader.parquet(sourcePath)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.dedup.Dedup.incrementalDedup(emptyCorpus, batch, idCol,
+          textCol, n, tau, numHashes, rowsPerBand, Some(index))
+          .write.mode("append").parquet(s"$outRoot/data")
+      }
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$outRoot/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!sq.awaitTermination(timeoutMs)) {
+      sq.stop()
+      throw new IllegalStateException(
+        s"streaming query did not terminate within ${timeoutMs} ms")
+    }
+    spark.read.parquet(s"$outRoot/data")
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

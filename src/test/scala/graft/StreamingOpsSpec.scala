@@ -138,6 +138,52 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     docs.unpersist(): Unit
   }
 
+  test("streaming incremental near-dedup == batch probe, per-file batches") {
+    // the ingest-time dedup gate's contract: each document's keep/drop is
+    // a pure function of (document, frozen index), so per-micro-batch
+    // probing under maxFilesPerTrigger=1 must equal the one-shot batch
+    // probe over the same arriving set
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_incr_stream"
+    locally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = DerivedModel.table(spark, dir, "documents").limit(300).cache()
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val arriving = docs.filter(col("doc_id") % 5 === 0)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/src"))
+    Seq(arriving.filter(col("doc_id") % 2 === 0),
+      arriving.filter(col("doc_id") % 2 =!= 0)).zipWithIndex.foreach {
+      case (half, i) =>
+        val tmp = s"$root/_stage"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$root/src", f"f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        assert(dst.setLastModified(1700000000000L + i * 10000L))
+    }
+    val idx = Dedup.buildCorpusDedupIndex(corpus, "doc_id", "text")
+    val got = graft.streaming.StreamingOps.streamingIncrementalDedup(
+      spark, s"$root/src", arriving, "doc_id", "text", idx,
+      s"$root/sink", maxFilesPerTrigger = Some(1))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val want = Dedup.incrementalDedup(corpus, arriving, "doc_id", "text",
+        precomputedIndex = Some(idx))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    Persisted.unpersistAll()
+    docs.unpersist()
+    assert(got == want,
+      s"streaming survivors != batch: only-stream=${got -- want}, " +
+        s"only-batch=${want -- got}")
+    assert(got.nonEmpty, "degenerate fixture: no survivors at all")
+  }
+
   test("streaming dedup drops replayed events, watermark-bounded state") {
     val batchDf = spark.read.parquet(eventsMicros)
     // replay the source twice (at-least-once delivery) into one stream dir
