@@ -264,6 +264,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("bigram surprisal broadcasts both model tables — token and bigram streams never shuffle for lookup") {
+    val p = planOf("x_text_surprisal_bigram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab + top-N bigram models must broadcast onto the streams:\n$p")
+    // the only sort-merge-free exception would be the TakeOrdered prune
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus token/bigram streams must not shuffle into scoring joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-N model prune must be an ordered limit, not a global sort:\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
   test("prototypicality pruning broadcasts centroids and windows per cluster, vectors stay out of the rank shuffle") {
     val p = planOf("x_curate_prototypes")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

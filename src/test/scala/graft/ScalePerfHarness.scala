@@ -224,6 +224,14 @@ object ScalePerfHarness {
     time("dsirSelect(top-1000)", n) {
       consume(Vocabulary.dsirSelect(tgt, raw, "doc_id", "text", k = 1000))
     }
+    // bigram stupid-backoff surprisal (r9): one extra corpus pass over
+    // unigram surprisal (the bigram count agg) + the TakeOrdered model
+    // prune; scoring is still broadcast-model-onto-stream, so the claim
+    // is ~2x the unigram scoring cost, never super-linear
+    time("bigramSurprisal(topN=65536)", n) {
+      consume(Vocabulary.bigramSurprisal(docs, "doc_id", "text",
+        topN = 65536))
+    }
     Persisted.unpersistAll()
     // the stateless scorer (model as a map literal, no explode/join) —
     // the per-probe cost once the model is a staged artifact, and the
