@@ -116,6 +116,48 @@ object DerivedModel {
             lpad(((col("doc_id") * 13) % 10000).cast("string"), 4, "0")))
           .otherwise(lit(""))).as("text"))
 
+  /** Documents with deterministically planted page artifacts — the raw
+    * corpus is punctuation-free word soup, so every C4/Gopher-style rule
+    * would fire identically on all rows (a filter gate over it would be
+    * degenerate). Terminal punctuation, boilerplate phrases and a code
+    * fragment are appended from pure doc_id-mod arithmetic, so the DuckDB
+    * oracle replays the planting exactly ([[DerivedSql
+    * .documentsBoilerplate]]) and the rule gate checks real keep/drop
+    * decisions (~25% of rows gain terminal punctuation; 13/17/23-mod
+    * subsets gain boilerplate / lorem-ipsum / braces).
+    */
+  def documentsBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").select(col("doc_id"), col("lang"),
+      col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 17 === 0,
+          lit(" lorem ipsum dolor sit amet")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" click here to subscribe now")).otherwise(lit("")),
+        when(col("doc_id") % 23 === 0,
+          lit(" function f() { return 1; }")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(".")).otherwise(lit("")))
+        .as("text"))
+
+  /** Planted deterministic link graph over the document-id space (the
+    * corpus carries no hyperlinks, so a graph-centrality gate needs a
+    * planted one, like the PII / boilerplate fixtures): every doc has
+    * out-degree exactly 2 via two affine maps mod n over the contiguous
+    * 0..n-1 id domain — no dangling nodes, dup/self edges allowed (they
+    * are legal multigraph edges and keep out-degrees uniform). n rides a
+    * broadcast 1-row count relation, the established stats-crossJoin
+    * shape.
+    */
+  def linkGraph(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("_graft_n"))
+    val withN = docs.crossJoin(broadcast(n))
+    withN.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 13) % col("_graft_n")).as("dst"))
+      .unionByName(withN.select(col("doc_id").as("src"),
+        ((col("doc_id") * 31 + 5) % col("_graft_n")).as("dst")))
+  }
+
   def occurrence(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .join(broadcast(table(spark, dir, "nation")),
@@ -200,6 +242,27 @@ object DerivedSql {
       |        || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
       |      ELSE '' END AS text
       |  FROM documents)""".stripMargin
+
+  /** Twin of [[DerivedModel.documentsBoilerplate]]. */
+  val documentsBoilerplate: String =
+    """documents_boiler AS (
+      |  SELECT doc_id, lang, source,
+      |    text ||
+      |    CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum dolor sit amet' ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN ' click here to subscribe now' ELSE '' END ||
+      |    CASE WHEN doc_id % 23 = 0 THEN ' function f() { return 1; }' ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '.' ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+
+  /** Twin of [[DerivedModel.linkGraph]] — a CTE BODY (no name) for
+    * [[graft.graph.PageRank.pageRankSql]]'s `edgesCte` slot.
+    */
+  val linkGraphEdgesBody: String =
+    """SELECT doc_id AS src, (doc_id * 7 + 13) % n AS dst
+      |  FROM documents, (SELECT count(*) AS n FROM documents)
+      |UNION ALL
+      |SELECT doc_id AS src, (doc_id * 31 + 5) % n AS dst
+      |  FROM documents, (SELECT count(*) AS n FROM documents)""".stripMargin
 
   /** Strict name resolution (J1 semantics, TaxonomyResolver scaladoc):
     * unique-candidate match with rank constraint, synonym chase, taxid

@@ -1653,6 +1653,39 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("lang_id"), col("n_tokens"), col("repetition"))),
 
+    // C4/Gopher heuristic rule filter over planted page artifacts
+    // (terminal punctuation, boilerplate phrases, code braces): per-doc
+    // boolean rule signals + the composite keep decision, all pure scan
+    // expressions — no shuffle, no UDF
+    "x_curate_rules" -> ((s, dir) =>
+      graft.text.Curation.ruleFilter(
+        DerivedModel.documentsBoilerplate(s, dir), "doc_id", "text")),
+
+    // greedy token-budget fill: best-quality-first selection until the
+    // running token total hits the budget — the global weighted cumsum
+    // runs over order-convex (score, md5-prefix) buckets with broadcast
+    // offsets, never a one-partition window
+    "x_curate_token_budget" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.text.TextFunctions.stopwordScore(col("text")).cast("long")
+            .as("quality"),
+          graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_toks"))
+      graft.ops.Sampling.tokenBudgetSelect(docs, "doc_id", "n_toks",
+        "quality", budget = 12000L)
+    }),
+
+    // link-graph centrality: fixed-point integer PageRank (8 rounds,
+    // d = 17/20) over the planted 2-out-regular doc graph — the
+    // curation-time quality weight a hyperlink graph yields at web scale.
+    // Per round: one join against the once-partitioned edge relation +
+    // one key agg; every round replays bit-for-bit in the oracle
+    "x_graph_pagerank" -> ((s, dir) =>
+      graft.graph.PageRank.pageRank(
+        DerivedModel.table(s, dir, "documents").select(col("doc_id").as("node")),
+        DerivedModel.linkGraph(s, dir), iters = 8)),
+
     // substring-granularity exact dedup (Lee et al. 2022 ExactSubstr):
     // every duplicated 8-token span removed from all but its globally
     // first occurrence, overlaps merged — linear in corpus tokens
@@ -2366,6 +2399,29 @@ object SparkEntry {
 
       "x_pipeline_curate" ->
         graft.text.Curation.basicCurationSql("documents", "doc_id", "text"),
+
+      // planted artifacts replayed in the CTE, signals formula-identical
+      "x_curate_rules" ->
+        graft.text.Curation.ruleFilterSql("documents_boiler", "doc_id",
+          "text", ctes = Seq(DerivedSql.documentsBoilerplate)),
+
+      // semantics stated independently: ONE global window over the
+      // (score desc, md5, id) total order — stronger than replaying the
+      // bucket decomposition
+      "x_curate_token_budget" ->
+        graft.ops.Sampling.tokenBudgetSelectSql(
+          "(SELECT doc_id, " +
+            s"CAST(${graft.text.TextFunctions.stopwordScoreSql("text")} AS BIGINT) AS quality, " +
+            s"CAST(${graft.text.TextFunctions.tokenCountSql("text")} AS BIGINT) AS n_toks " +
+            "FROM documents)",
+          "doc_id", "n_toks", "quality", 12000L,
+          "doc_id, quality, n_toks"),
+
+      // 8 unrolled MATERIALIZED rank CTEs, integer arithmetic end to end
+      "x_graph_pagerank" ->
+        graft.graph.PageRank.pageRankSql(
+          "SELECT doc_id AS node FROM documents",
+          DerivedSql.linkGraphEdgesBody, iters = 8),
 
       "x_ts_gapfill" ->
         """WITH hourly AS (

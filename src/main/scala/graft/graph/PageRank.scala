@@ -1,0 +1,107 @@
+package graft.graph
+
+import graft.Persisted
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative link-graph centrality — the quality-weighting signal web-scale
+  * corpus curation derives from a hyperlink/citation graph (Common Crawl
+  * practice: rank domains/pages, weight or gate documents by centrality).
+  *
+  * PageRank as fixed-point INTEGER power iteration so every round replays
+  * bit-for-bit in the DuckDB oracle: ranks are BIGINT fixed-point at
+  * `scale` (default 2^32); one iteration is
+  *
+  *   rank'(v) = floor(3*scale/20) + floor(17 * sum_{u->v} floor(rank(u) / outdeg(u)) / 20)
+  *
+  * i.e. damping d = 17/20 = 0.85 as an exact rational, divisions as
+  * integer floor (all quantities non-negative). Nodes without out-edges
+  * leak their mass (the common "dangling mass dropped" variant —
+  * deterministic, and exact for graphs where every node has out-degree
+  * >= 1, like the planted gate graph).
+  *
+  * Scale design: the per-iteration plan is the canonical distributed
+  * PageRank shape — join(edges, ranks on src) + groupBy(dst) — two key
+  * shuffles per round over the edge list, nothing else. The edge relation
+  * (with out-degrees folded in, so the degree join happens ONCE, not per
+  * round) is repartitioned by src and persisted up front: the cached
+  * partitioning is recognized by every subsequent iteration's join, so
+  * only the (much smaller) rank relation shuffles per round. Rank lineage
+  * is cut with `localCheckpoint` each round — plan growth, not data, is
+  * the driver-side failure mode for iteration (the label-propagation
+  * lesson, NOTES.md r3).
+  *
+  * Overflow headroom: sum of all rank mass is <= n*scale; at scale=2^32
+  * and n = 2^20 (1M nodes) the worst single rank is < 2^52 and the *17
+  * stays under 2^56 — safe in BIGINT in both engines for any corpus this
+  * library targets (guarded by `require`).
+  */
+object PageRank {
+
+  val DefaultScale: Long = 1L << 32
+
+  /** Power-iterate `iters` rounds over `edges` (src, dst) for the node set
+    * `nodes` (one column `node`). Returns (node, rank) with rank in
+    * fixed-point `scale` units. Multi-edges contribute multiply; nodes
+    * absent from `edges.src` contribute nothing (dangling).
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+      scale: Long = DefaultScale): DataFrame = {
+    require(iters >= 1 && iters <= 64, "iters in [1, 64]")
+    require(scale >= 1L && scale <= (1L << 40), "scale <= 2^40 for overflow headroom")
+    val base = 3L * scale / 20L
+    // Fold out-degrees into the edge list once; repartition by the join
+    // key and persist so every iteration's join reuses the partitioning.
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("_graft_outdeg"))
+    val edgesDeg = Persisted.track(
+      edges.join(deg, "src")
+        .select(col("src"), col("dst"), col("_graft_outdeg"))
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          // integer division: `/` on longs is double division, which
+          // silently loses precision past 2^53 — use DIV
+          expr("rank DIV _graft_outdeg").as("_graft_c"))
+      ranks = nodes
+        .join(contribs.groupBy(col("node")).agg(sum(col("_graft_c")).as("_graft_cs")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("_graft_cs"), lit(0L)).as("_graft_cs0"))
+        .select(col("node"),
+          expr(s"CAST($base + (17 * _graft_cs0) DIV 20 AS BIGINT)").as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** DuckDB twin of [[pageRank]]: `iters` unrolled `AS MATERIALIZED` CTEs
+    * (DuckDB inlines plain CTEs — an iteration chain explodes
+    * exponentially without MATERIALIZED, the BPE-oracle lesson). Callers
+    * supply the `nodes(node)` / `edges(src, dst)` CTE bodies; emits CTEs
+    * `deg`, `r0..r{iters}` and a final SELECT of (node, rank).
+    */
+  def pageRankSql(nodesCte: String, edgesCte: String, iters: Int,
+      scale: Long = DefaultScale): String = {
+    val base = 3L * scale / 20L
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CAST($base + CAST(17 * COALESCE(c.csum, 0) AS BIGINT) // 20 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(r.rank // g.outdeg) AS BIGINT) AS csum
+         |    FROM edges e JOIN deg g ON e.src = g.src
+         |      JOIN r${k - 1} r ON e.src = r.node
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }
+    s"""WITH nodes AS MATERIALIZED ($nodesCte),
+       |edges AS MATERIALIZED ($edgesCte),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),
+       |${iterCtes.mkString(",\n")}
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
+}

@@ -261,4 +261,69 @@ object Sampling {
       .withColumn("position", (col("_graft_offset") + localRank).cast("long") - 1L)
       .drop("_graft_bkt", "_graft_offset")
   }
+
+  /** Greedy token-budget fill: rank rows best-first by (`scoreCol` desc,
+    * hashed id, id) and keep every row whose running token total BEFORE it
+    * is still under `budget` — the "fill a 1T-token training budget by
+    * quality rank" selection step. The straddling row is kept (overshoot
+    * is at most one document), all later rows drop. `scoreCol` must be an
+    * integral type (the repo's fixed-point score convention); ties at
+    * equal score are broken by the md5 of the id — an unbiased,
+    * partition-stable tie-break, not an id-order bias.
+    *
+    * Scale: a single `sum() over (order by ...)` window would funnel the
+    * corpus through ONE partition. Instead the [[withGlobalPosition]]
+    * construction generalizes to a weighted cumsum over a composite
+    * order: rows bucket by (exact score, md5-prefix of the id) — buckets
+    * are order-convex w.r.t. (score desc, md5, id), a pure function of
+    * the data, and sized n / (|score values| * 16^prefixChars). Per-bucket
+    * token totals (a tiny relation) broadcast back as exclusive offsets;
+    * within-bucket running sums are one windowed pass partitioned by
+    * bucket. Cost: one hash exchange + one small agg + one broadcast
+    * join, at any corpus size.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, tokensCol: String,
+      scoreCol: String, budget: Long, prefixChars: Int = 2): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 8)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+        .contains(df.schema(scoreCol).dataType),
+      s"scoreCol $scoreCol must be integral (fixed-point) for exact replay")
+    val b = df
+      .withColumn("_graft_sk", shuffleKey(col(idCol)))
+      .withColumn("_graft_bkt", substring(col("_graft_sk"), 1, prefixChars))
+    val offsets = b.groupBy(col(scoreCol).as("_graft_s"), col("_graft_bkt"))
+      .agg(sum(col(tokensCol).cast("long")).as("_graft_t"))
+      .withColumn("_graft_offset",
+        coalesce(sum(col("_graft_t")).over(
+          Window.orderBy(col("_graft_s").desc, col("_graft_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_graft_s"), col("_graft_bkt").as("_graft_b2"), col("_graft_offset"))
+    val localBefore = coalesce(sum(col(tokensCol).cast("long")).over(
+      Window.partitionBy(col(scoreCol), col("_graft_bkt"))
+        .orderBy(col("_graft_sk"), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    b.withColumn("_graft_local", localBefore)
+      .join(broadcast(offsets),
+        col(scoreCol) === col("_graft_s") && col("_graft_bkt") === col("_graft_b2"))
+      .withColumn("tokens_before", col("_graft_offset") + col("_graft_local"))
+      .filter(col("tokens_before") < budget)
+      .drop("_graft_sk", "_graft_bkt", "_graft_s", "_graft_b2",
+        "_graft_offset", "_graft_local")
+  }
+
+  /** DuckDB twin of [[tokenBudgetSelect]]: the bucket decomposition is
+    * exactly consistent with the (score desc, md5, id) total order, so
+    * the oracle states the SEMANTICS independently with one global
+    * window — a stronger check than replaying the decomposition.
+    */
+  def tokenBudgetSelectSql(table: String, idCol: String, tokensCol: String,
+      scoreExpr: String, budget: Long, selectCols: String): String =
+    s"""SELECT $selectCols, tokens_before FROM (
+       |  SELECT *, CAST(COALESCE(SUM(CAST($tokensCol AS BIGINT)) OVER (
+       |      ORDER BY $scoreExpr DESC, md5(CAST($idCol AS VARCHAR)), $idCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+       |  FROM $table)
+       |WHERE tokens_before < $budget""".stripMargin
 }

@@ -58,4 +58,60 @@ object Curation {
        |    AND repetition < $maxRepetition)
        |SELECT $idCol, lang_id, n_tokens, repetition FROM gated
        |QUALIFY row_number() OVER (PARTITION BY md5($textCol) ORDER BY $idCol) = 1""".stripMargin
+
+  /** C4/Gopher-style heuristic rule filter (Raffel et al. 2020 §2.2;
+    * Rae et al. 2021 A1.1): per-document boolean rule signals plus the
+    * composite keep decision —
+    *   - terminal punctuation: the document must end in `.` `!` or `?`
+    *   - no curly braces (code fragments)
+    *   - no boilerplate phrases ("lorem ipsum", "click here")
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [minAvgWordLen, maxAvgWordLen]
+    *
+    * Every signal is a pure scan expression (codegen, no shuffle, no
+    * UDF) — at 100 TB this runs at scan speed and the keep flag pipelines
+    * into whatever selection follows. The mean-word-length bound compares
+    * a double that is one exact int/int division on both engines
+    * (identical op order — the repo determinism convention), so the
+    * DuckDB twin replays every decision bit-for-bit.
+    */
+  def ruleFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 40, maxWords: Int = 100000,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0): DataFrame = {
+    val t = col(textCol)
+    val sig = df.select(col(idCol),
+      TextFunctions.tokenCount(t).cast("long").as("n_words"),
+      TextFunctions.avgWordLen(t).as("avg_word_len"),
+      substring(t, -1, 1).isin(".", "!", "?").as("ends_punct"),
+      (instr(t, "{") > 0).as("has_brace"),
+      (instr(t, "lorem ipsum") > 0 || instr(t, "click here") > 0)
+        .as("has_boilerplate"))
+    sig.withColumn("keep",
+      col("ends_punct") && !col("has_brace") && !col("has_boilerplate") &&
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("avg_word_len") >= minAvgWordLen &&
+        col("avg_word_len") <= maxAvgWordLen)
+  }
+
+  /** DuckDB twin of [[ruleFilter]] — formula-identical signals over a
+    * `(idCol, textCol)` relation (compose the planted-artifact CTE in
+    * front via `DerivedSql.withCtes`).
+    */
+  def ruleFilterSql(table: String, idCol: String, textCol: String,
+      minWords: Int = 40, maxWords: Int = 100000,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+      ctes: Seq[String] = Nil): String =
+    s"""WITH ${ctes.map(_ + ",\n").mkString}sig AS (
+       |  SELECT $idCol,
+       |    CAST(${TextFunctions.tokenCountSql(textCol)} AS BIGINT) AS n_words,
+       |    ${TextFunctions.avgWordLenSql(textCol)} AS avg_word_len,
+       |    right($textCol, 1) IN ('.', '!', '?') AS ends_punct,
+       |    instr($textCol, '{') > 0 AS has_brace,
+       |    (instr($textCol, 'lorem ipsum') > 0 OR instr($textCol, 'click here') > 0) AS has_boilerplate
+       |  FROM $table)
+       |SELECT *,
+       |  (ends_punct AND NOT has_brace AND NOT has_boilerplate
+       |    AND n_words >= $minWords AND n_words <= $maxWords
+       |    AND avg_word_len >= $minAvgWordLen AND avg_word_len <= $maxAvgWordLen) AS keep
+       |FROM sig""".stripMargin
 }

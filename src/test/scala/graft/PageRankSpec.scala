@@ -1,0 +1,74 @@
+package graft
+
+import graft.graph.PageRank
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PageRankSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Exact driver-side reference of the fixed-point iteration — same
+    * integer arithmetic, same rounding, so equality is bit-for-bit.
+    */
+  private def ref(n: Int, edges: Seq[(Int, Int)], iters: Int,
+      scale: Long): Array[Long] = {
+    val outdeg = Array.fill(n)(0L)
+    edges.foreach { case (s, _) => outdeg(s) += 1 }
+    var rank = Array.fill(n)(scale)
+    val base = 3L * scale / 20L
+    for (_ <- 1 to iters) {
+      val contrib = Array.fill(n)(0L)
+      edges.foreach { case (s, d) => contrib(d) += rank(s) / outdeg(s) }
+      rank = Array.tabulate(n)(v => base + (17L * contrib(v)) / 20L)
+    }
+    rank
+  }
+
+  private def run(n: Int, edges: Seq[(Int, Int)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = (0 until n).map(_.toLong).toDF("node")
+    val e = edges.map { case (s, d) => (s.toLong, d.toLong) }.toDF("src", "dst")
+    val out = PageRank.pageRank(nodes, e, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Persisted.unpersistAll()
+    out
+  }
+
+  test("matches the exact integer reference on a star graph") {
+    // 1..4 all point at 0; 0 points back at 1 — no dangling nodes
+    val edges = Seq(1 -> 0, 2 -> 0, 3 -> 0, 4 -> 0, 0 -> 1)
+    val got = run(5, edges, iters = 8)
+    val want = ref(5, edges, 8, PageRank.DefaultScale)
+    assert(got == want.zipWithIndex.map { case (r, i) => i.toLong -> r }.toMap)
+    // the hub dominates the leaf spokes (node 1 oscillates with the hub
+    // at even iteration counts — star graphs are periodic, not a bug)
+    assert(Seq(2L, 3L, 4L).forall(v => got(0L) > got(v)))
+  }
+
+  test("matches the reference on a multigraph with self/dup edges") {
+    val edges = Seq(0 -> 1, 0 -> 1, 1 -> 1, 1 -> 2, 2 -> 0, 2 -> 2, 3 -> 0, 3 -> 2)
+    val got = run(4, edges, iters = 6)
+    val want = ref(4, edges, 6, PageRank.DefaultScale)
+    assert(got == want.zipWithIndex.map { case (r, i) => i.toLong -> r }.toMap)
+  }
+
+  test("rank mass is conserved up to rounding when no node dangles") {
+    // ring + chords: out-degree >= 1 everywhere
+    val n = 50
+    val edges = (0 until n).flatMap(i => Seq(i -> ((i + 1) % n), i -> ((i * 3 + 7) % n)))
+    val got = run(n, edges, iters = 8)
+    val total = got.values.map(BigInt(_)).sum
+    val exact = BigInt(n) * PageRank.DefaultScale
+    // each node loses < 20 units/round to the two floors, each edge < 1
+    assert(total <= exact)
+    assert(exact - total < BigInt(8 * (20 * n + 2 * n)), s"lost ${exact - total}")
+  }
+
+  test("dangling nodes leak mass deterministically") {
+    // 1 -> 0, and 0 has no out-edges: repeated runs agree exactly
+    val edges = Seq(1 -> 0)
+    val a = run(2, edges, iters = 4)
+    val b = run(2, edges, iters = 4)
+    assert(a == b)
+    assert(a(0L) > a(1L))
+  }
+}

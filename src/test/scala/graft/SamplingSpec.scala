@@ -179,4 +179,40 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.toSet == want,
       s"isqrt-derived thresholds must replay exactly: got ${kept.toSet}, want $want")
   }
+
+  test("tokenBudgetSelect equals the single-window reference order") {
+    import spark.implicits._
+    val df = (0L until 1000L)
+      .map(i => (i, i % 7, i % 13 + 1))
+      .toDF("id", "score", "toks")
+    val out = Sampling.tokenBudgetSelect(df, "id", "toks", "score",
+        budget = 2000L)
+      .select("id", "tokens_before").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference: one global window over the (score desc, md5, id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, Sampling.shuffleKey(col("id")), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = df.withColumn("tb", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .filter(col("tb") < 2000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == ref)
+    // greedy-fill contract: running totals stay under budget, and the
+    // selected set's total overshoots by at most one row's tokens
+    val total = out.keys.toSeq.map(i => i % 13 + 1).sum
+    assert(out.values.max < 2000L)
+    assert(total >= 2000L && total - 2000L < 13L, s"total $total")
+  }
+
+  test("tokenBudgetSelect: budget >= corpus keeps everything; partitioning-invariant") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, i % 3, 5L)).toDF("id", "score", "toks")
+    assert(Sampling.tokenBudgetSelect(df, "id", "toks", "score", 100000L).count() == 300L)
+    val a = Sampling.tokenBudgetSelect(df.repartition(7), "id", "toks", "score", 500L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.tokenBudgetSelect(df.coalesce(1), "id", "toks", "score", 500L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 100, "100 docs of 5 tokens fill a 500-token budget")
+  }
 }

@@ -419,4 +419,29 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(hits.toSeq == Seq((1L, 1L, 4L)),
       "doc 1 shares exactly its 4 trigrams with one benchmark doc; doc 2 is clean")
   }
+
+  test("ruleFilter: each C4/Gopher rule fires independently") {
+    import spark.implicits._
+    val longWords = Seq.fill(45)("alpha").mkString(" ") // 45 words, awl ~5
+    val df = Seq(
+      (1L, longWords + " omega."),              // all rules pass
+      (2L, longWords + " { omega."),            // brace
+      (3L, longWords + " lorem ipsum omega."),  // boilerplate phrase
+      (4L, longWords + " click here omega."),   // boilerplate phrase
+      (5L, longWords + " omega"),               // no terminal punctuation
+      (6L, "short doc."),                       // under min words
+      (7L, Seq.fill(45)("ab").mkString(" ") + " x.") // mean word len < 3
+    ).toDF("doc_id", "text")
+    val out = graft.text.Curation.ruleFilter(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap // (ends_punct, has_brace, has_boilerplate, keep)
+    assert(out(1L) == ((true, false, false, true)))
+    assert(out(2L) == ((true, true, false, false)))
+    assert(out(3L) == ((true, false, true, false)))
+    assert(out(4L) == ((true, false, true, false)))
+    assert(out(5L) == ((false, false, false, false)))
+    assert(out(6L)._4 == false)
+    assert(out(7L)._4 == false)
+  }
 }
