@@ -1516,6 +1516,24 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         query = Seq("join", "hash", "scan"), k = 25)),
 
+    // hybrid retrieval: BM25 sparse arm + IVF dense arm fused by
+    // reciprocal-rank fusion in fixed-point integers — only RANKS mix
+    // (no cross-arm score calibration), each arm keeps its own
+    // scale-designed plan, the fuse itself touches k rows per arm
+    "x_search_hybrid" -> ((s, dir) => {
+      val sparse = graft.text.Vocabulary.bm25SearchFixed(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        query = Seq("join", "hash", "scan"), k = 50)
+      val dense = graft.sim.Similarity.ivfTopK(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 50, numClusters = 16, nProbe = 4)
+        .select(col("vec_id").as("doc_id"), col("cosine"))
+      graft.sim.HybridSearch.rrfFuse(Seq(
+        sparse -> Seq(col("bm25_fp").desc, col("doc_id")),
+        dense -> Seq(col("cosine").desc, col("doc_id"))),
+        "doc_id", k = 25)
+    }),
+
     // count-min sketch heavy hitters: fixed-size frequency summary (the
     // only shuffle carries <= partitions * depth * 2^widthBits combiner
     // rows regardless of corpus size), estimates beside exact counts
@@ -2884,6 +2902,17 @@ object SparkEntry {
       "x_search_bm25" ->
         graft.text.Vocabulary.bm25SearchFixedSql(
           query = Seq("join", "hash", "scan"), k = 25),
+
+      // both arm queries embed verbatim as nested-WITH CTE bodies; ranks
+      // fuse with the same fixed-point reciprocal formula
+      "x_search_hybrid" ->
+        graft.sim.HybridSearch.rrfFuseSql(Seq(
+          (graft.text.Vocabulary.bm25SearchFixedSql(
+            query = Seq("join", "hash", "scan"), k = 50),
+            "doc_id", "bm25_fp DESC, doc_id"),
+          (graft.sim.Similarity.ivfTopKSql(64, 0L, 50, 16, 4),
+            "vec_id", "cosine DESC, vec_id")),
+          k = 25),
 
       "x_sketch_cms_topk" ->
         graft.sketch.CountMinOracle.heavyHittersSql(k = 25, widthBits = 8),

@@ -60,7 +60,7 @@ object PageRank {
         .repartition(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contribs = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
@@ -73,7 +73,10 @@ object PageRank {
         .select(col("node"), coalesce(col("_graft_cs"), lit(0L)).as("_graft_cs0"))
         .select(col("node"),
           expr(s"CAST($base + (17 * _graft_cs0) DIV 20 AS BIGINT)").as("rank"))
-        .localCheckpoint(true)
+      // cut lineage between rounds, but leave the LAST round lazy — the
+      // caller materializes it, and an eager checkpoint there would just
+      // compute the result twice
+      if (it < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

@@ -294,4 +294,46 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
     spark.catalog.clearCache()
   }
+
+  test("token-budget cumsum windows per (score, bucket) and broadcasts offsets") {
+    val p = planOf("x_curate_token_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket token offsets must broadcast back onto the data:\n$p")
+    // the running-sum window over the DATA (the one sorting by the md5
+    // key) must be bucket-partitioned; the only global window allowed is
+    // the one over the tiny offsets relation
+    val dataWindows = p.split("\n").filter(l =>
+      l.contains("Window") && l.contains("_graft_sk"))
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("_graft_bkt")),
+      s"the corpus running sum must window per (score, md5-prefix) bucket:\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
+  test("PageRank iteration joins reuse the cached edge partitioning") {
+    val dir001 = dir
+    val nodes = DerivedModel.table(spark, dir001, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("node"))
+    val edges = DerivedModel.linkGraph(spark, dir001)
+    // materialize ONE iteration lazily (the gated query checkpoints per
+    // round, which hides the iteration internals from its final plan)
+    val oneIter = graft.graph.PageRank.pageRank(nodes, edges, iters = 1)
+    val p = oneIter.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"pagerank must equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the degree-folded edge relation must be cached:\n$p")
+    // the cached edge build carries its own two exchanges (the deliberate
+    // one-time REPARTITION_BY_COL on src + the degree agg) — those lines
+    // print under the InMemoryTableScan but execute once. Per ROUND the
+    // only shuffles allowed are the contribution agg and the node
+    // left-join (the rank relation broadcasts or shuffles, never edges)
+    assert(p.contains("REPARTITION_BY_COL"),
+      s"edges must be explicitly pre-partitioned by src in the cache:\n$p")
+    val exchanges = p.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges.length <= 5,
+      s"one pagerank round must not re-shuffle the cached edges, got ${exchanges.length}:\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
 }

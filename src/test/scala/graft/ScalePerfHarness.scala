@@ -70,6 +70,7 @@ object ScalePerfHarness {
       case "spans" => spansMode(spark, count)
       case "bpe"   => bpeMode(spark, count)
       case "signals" => signalsMode(spark, count)
+      case "graph" => graphMode(spark, count)
       case "proto" => protoMode(spark, count)
       case "groups10m" => groupsMode(spark, count)
       case "phash" => phashMode(spark, count)
@@ -178,6 +179,41 @@ object ScalePerfHarness {
       expr(s"array_join(concat(slice(${words("id")}, 1, 39), array('wdup')), ' ')")
         .as("text"))
     base.unionByName(copies)
+  }
+
+  /** r9 iterative-graph + budget-selection operators at scale: PageRank
+    * over a 2-out-regular n-node/2n-edge planted graph (the gate's graph
+    * at 200-2000x), and token-budget selection over a hash-scored corpus.
+    * The bounds to confirm: per-iteration cost is ~flat (two key shuffles
+    * over the cached pre-partitioned edge relation), and the budget
+    * cumsum never funnels the corpus through one window partition.
+    */
+  private def graphMode(spark: SparkSession, count: Long): Unit = {
+    import graft.graph.PageRank
+    def consume(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    val nodes = spark.range(count).select(col("id").as("node")).persist()
+    val n = nodes.count()
+    val edges = nodes.select(col("node").as("src"),
+        ((col("node") * 7 + 13) % count).as("dst"))
+      .unionByName(nodes.select(col("node").as("src"),
+        ((col("node") * 31 + 5) % count).as("dst")))
+    for (iters <- Seq(2, 8)) time(s"pageRank($iters iters)", n) {
+      val out = consume(PageRank.pageRank(nodes, edges, iters))
+      Persisted.unpersistAll()
+      out
+    }
+    val docs = textCorpus(spark, count).select(col("doc_id"),
+      pmod(xxhash64(col("doc_id")), lit(1000)).as("quality"),
+      graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+      .persist()
+    docs.count()
+    time("tokenBudgetSelect(~half the tokens)", n) {
+      consume(graft.ops.Sampling.tokenBudgetSelect(docs, "doc_id", "n_toks",
+        "quality", budget = count * 20L, prefixChars = 1))
+    }
+    docs.unpersist()
   }
 
   /** r8 signal operators at scale: surprisal, drift, quantile sketch.

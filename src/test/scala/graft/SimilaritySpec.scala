@@ -367,4 +367,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
     assert(none == 0L, "dropPerMille=1000 drops every row")
   }
+
+  test("rrfFuse: fixed-point reciprocal ranks, overlap wins, arm order respected") {
+    import spark.implicits._
+    val S = graft.sim.HybridSearch.RrfScale
+    // arm A ranks docs 1,2,3 (by score desc); arm B ranks 3,4 — doc 3
+    // appears in both and must out-rank every single-arm doc here
+    val armA = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("doc_id", "score")
+    val armB = Seq((3L, 9L), (4L, 5L)).toDF("doc_id", "sim")
+    val fused = graft.sim.HybridSearch.rrfFuse(Seq(
+        armA -> Seq(col("score").desc, col("doc_id")),
+        armB -> Seq(col("sim").desc, col("doc_id"))),
+        "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = Map(
+      1L -> S / 61, 2L -> S / 62,
+      3L -> (S / 63 + S / 61), 4L -> S / 62)
+    assert(fused.map(t => t._1 -> t._2).toMap == want)
+    assert(fused.head._1 == 3L, "the both-arms doc ranks first")
+    assert(fused.map(_._1).toSeq == Seq(3L, 1L, 2L, 4L),
+      "equal scores tie-break by id (docs 2 and 4 both at S/62)")
+    assert(fused.find(_._1 == 3L).get._3 == 2L, "n_arms counts contributing arms")
+  }
 }
