@@ -42,9 +42,11 @@ object PageRank {
   val DefaultScale: Long = 1L << 32
 
   /** Power-iterate `iters` rounds over `edges` (src, dst) for the node set
-    * `nodes` (one column `node`). Returns (node, rank) with rank in
-    * fixed-point `scale` units. Multi-edges contribute multiply; nodes
-    * absent from `edges.src` contribute nothing (dangling).
+    * `nodes` (one column `node`, ids UNIQUE — `nodes` is the authority:
+    * contributions to ids outside it are dropped by the per-round left
+    * join). Returns (node, rank) with rank in fixed-point `scale` units.
+    * Multi-edges contribute multiply; nodes absent from `edges.src`
+    * contribute nothing (dangling).
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
       scale: Long = DefaultScale): DataFrame = {

@@ -267,8 +267,9 @@ object Sampling {
     * is still under `budget` — the "fill a 1T-token training budget by
     * quality rank" selection step. The straddling row is kept (overshoot
     * is at most one document), all later rows drop. `scoreCol` must be an
-    * integral type (the repo's fixed-point score convention); ties at
-    * equal score are broken by the md5 of the id — an unbiased,
+    * integral type (the repo's fixed-point score convention) and non-null
+    * (null-score rows are silently excluded — the offsets join is inner);
+    * ties at equal score are broken by the md5 of the id — an unbiased,
     * partition-stable tie-break, not an id-order bias.
     *
     * Scale: a single `sum() over (order by ...)` window would funnel the

@@ -31,7 +31,9 @@ object HybridSearch {
 
   /** Fuse `arms` — each a (top-k DataFrame, its deterministic total
     * ordering) pair sharing the id column `idCol` — into the RRF top-k.
-    * Output: (idCol, rrf_fp, n_arms), ranked (rrf_fp desc, id).
+    * Each arm must be a RANKING: one row per id (a duplicate id would
+    * contribute once per occurrence). Output: (idCol, rrf_fp, n_arms),
+    * ranked (rrf_fp desc, id).
     */
   def rrfFuse(arms: Seq[(DataFrame, Seq[Column])], idCol: String, k: Int,
       k0: Int = 60): DataFrame = {
