@@ -286,6 +286,19 @@ object SparkEntry {
     root
   }
 
+  /** Finite stream source for the ingest-time rule gate: the planted
+    * boilerplate corpus as one parquet staging (stateless op — no
+    * watermark sentinel needed).
+    */
+  private def stagedBoilerDocsSource(s: SparkSession, dir: String): String = {
+    val root = s"${tmpPath(dir, "docs_boiler_src")}/src"
+    stageOnce(root) {
+      DerivedModel.documentsBoilerplate(s, dir)
+        .write.mode("overwrite").parquet(root)
+    }
+    root
+  }
+
   /** The arriving-batch finite stream source for the ingest-time dedup
     * gate — the `doc_id % 5 == 0` slice the batch-side gates treat as
     * "new data" (no watermark sentinel: the probe keeps no state).
@@ -1610,6 +1623,19 @@ object SparkEntry {
     // stateless streaming DSIR scoring: the staged model rides the scan
     // as a map literal — no join, no shuffle, no watermark, no state;
     // ingest-time selection at scan speed (9th real StreamingQuery)
+    // stateless streaming rule gate (11th real StreamingQuery): every
+    // arriving document passes or fails the C4/Gopher rules at scan
+    // speed — the drop-at-the-door ingest filter; keep decisions are
+    // row-pure, so the sink equals the batch filter exactly
+    "x_stream_rules_exec" -> ((s, dir) => {
+      val srcPath = stagedBoilerDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      graft.streaming.StreamingOps.runToParquetSink(
+        graft.streaming.StreamingOps.streamingRuleFilter(
+          s, srcPath, src, "doc_id", "text"),
+        s"${tmpPath(dir, "stream_exec_rules")}/sink")
+    }),
+
     "x_stream_dsir_exec" -> ((s, dir) => {
       val srcPath = stagedRawDocsSource(s, dir)
       val src = s.read.parquet(srcPath)
@@ -2422,6 +2448,14 @@ object SparkEntry {
       "x_curate_rules" ->
         graft.text.Curation.ruleFilterSql("documents_boiler", "doc_id",
           "text", ctes = Seq(DerivedSql.documentsBoilerplate)),
+
+      // stateless streaming == batch: the oracle is the batch rule
+      // filter's kept rows
+      "x_stream_rules_exec" ->
+        ("SELECT * FROM (\n" +
+          graft.text.Curation.ruleFilterSql("documents_boiler", "doc_id",
+            "text", ctes = Seq(DerivedSql.documentsBoilerplate)) +
+          "\n) WHERE keep"),
 
       // semantics stated independently: ONE global window over the
       // (score desc, md5, id) total order — stronger than replaying the

@@ -164,6 +164,24 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col(dimAttr),
         col("n_events"), col("value_cents"))
 
+  /** STATELESS streaming C4/Gopher rule gate: an unbounded document
+    * ingest filtered row-by-row by [[graft.text.Curation.ruleFilter]]'s
+    * pure scan expressions — no join, no shuffle, no watermark, no state
+    * store; the ingest-time quality gate a curation deployment runs
+    * before anything stateful sees the stream (dropping rule-failures at
+    * the door is the cheapest token you never process downstream). Each
+    * keep decision is a pure function of the row, so any micro-batch
+    * split equals the batch filter (spec-asserted).
+    */
+  def streamingRuleFilter(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, idCol: String, textCol: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame =
+    graft.text.Curation.ruleFilter(
+        spark.readStream.schema(schemaFrom.schema).options(sourceOptions)
+          .parquet(sourcePath),
+        idCol, textCol)
+      .filter(col("keep"))
+
   /** STATELESS streaming DSIR scoring: an unbounded document ingest
     * scored row-by-row against a staged importance model embedded as a
     * map literal ([[graft.text.Vocabulary.dsirScoreCol]]) — no join, no

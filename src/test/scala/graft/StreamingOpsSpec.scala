@@ -184,6 +184,45 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty, "degenerate fixture: no survivors at all")
   }
 
+  test("streaming rule filter == batch filter, per-file batches") {
+    // stateless scan gate: keep decisions are row-pure, so any
+    // micro-batch split must produce exactly the batch filter's rows
+    import org.apache.spark.sql.functions._
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_rules_stream"
+    locally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val docs = DerivedModel.documentsBoilerplate(spark, dir).limit(300).cache()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/src"))
+    Seq(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0)).zipWithIndex.foreach {
+      case (half, i) =>
+        val tmp = s"$root/_stage"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$root/src", f"f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        assert(dst.setLastModified(1700000000000L + i * 10000L))
+    }
+    val got = graft.streaming.StreamingOps.runToParquetSink(
+      graft.streaming.StreamingOps.streamingRuleFilter(
+        spark, s"$root/src", docs, "doc_id", "text",
+        sourceOptions = Map("maxFilesPerTrigger" -> "1")),
+      s"$root/sink")
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    val want = graft.text.Curation.ruleFilter(docs, "doc_id", "text")
+      .filter(col("keep"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toSet
+    docs.unpersist()
+    assert(got == want && got.nonEmpty,
+      s"streaming keep set != batch (sizes ${got.size}/${want.size})")
+  }
+
   test("streaming dedup drops replayed events, watermark-bounded state") {
     val batchDf = spark.read.parquet(eventsMicros)
     // replay the source twice (at-least-once delivery) into one stream dir
