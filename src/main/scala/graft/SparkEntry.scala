@@ -1730,6 +1730,19 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents").select(col("doc_id").as("node")),
         DerivedModel.linkGraph(s, dir), iters = 8)),
 
+    // TrustRank (personalized PageRank): the (1-d) restart mass lands
+    // only on a trusted seed set — rank becomes graph proximity to the
+    // seeds, the spam-filtering / source-trust weighting signal; same
+    // per-round plan as x_graph_pagerank
+    "x_graph_trustrank" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      graft.graph.PageRank.pageRank(
+        docs.select(col("doc_id").as("node")),
+        DerivedModel.linkGraph(s, dir), iters = 6,
+        seeds = Some(docs.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("node"))))
+    }),
+
     // substring-granularity exact dedup (Lee et al. 2022 ExactSubstr):
     // every duplicated 8-token span removed from all but its globally
     // first occurrence, overlaps merged — linear in corpus tokens
@@ -2474,6 +2487,14 @@ object SparkEntry {
         graft.graph.PageRank.pageRankSql(
           "SELECT doc_id AS node FROM documents",
           DerivedSql.linkGraphEdgesBody, iters = 8),
+
+      // seed-teleport base via one HUGEINT floor of 3*n*scale/(20*|S|)
+      "x_graph_trustrank" ->
+        graft.graph.PageRank.pageRankSql(
+          "SELECT doc_id AS node FROM documents",
+          DerivedSql.linkGraphEdgesBody, iters = 6,
+          seedsCte = Some(
+            "SELECT doc_id AS node FROM documents WHERE doc_id % 37 = 0")),
 
       "x_ts_gapfill" ->
         """WITH hourly AS (

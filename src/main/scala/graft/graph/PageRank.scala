@@ -47,12 +47,40 @@ object PageRank {
     * join). Returns (node, rank) with rank in fixed-point `scale` units.
     * Multi-edges contribute multiply; nodes absent from `edges.src`
     * contribute nothing (dangling).
+    *
+    * `seeds` (one column `node`, a subset of `nodes`) switches the
+    * teleport term to PERSONALIZED PageRank — TrustRank (Gyongyi et al.
+    * 2004): the (1−d) restart mass lands only on the seed set, scaled by
+    * n/|seeds| so total mass is conserved — rank becomes proximity to
+    * the trusted seeds, the web-spam / corpus-quality weighting signal.
+    * Costs two driver-side counts (n, |seeds|) to fix the integer base
+    * literal; the per-round base attach is a broadcast left join (the
+    * seed set must be broadcastable — pre-join a flag column upstream if
+    * it is not).
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
-      scale: Long = DefaultScale): DataFrame = {
+      scale: Long = DefaultScale, seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
     require(scale >= 1L && scale <= (1L << 40), "scale <= 2^40 for overflow headroom")
-    val base = 3L * scale / 20L
+    val nodesBase = seeds match {
+      case None =>
+        nodes.select(col("node"), lit(3L * scale / 20L).as("_graft_base"))
+      case Some(sd) =>
+        val n = nodes.count()
+        val sCount = sd.count()
+        require(sCount > 0, "seed set is empty")
+        // one floor of the exact rational 3*n*scale / (20*|S|), matching
+        // the oracle's single HUGEINT `//`
+        val seedBase = BigInt(3) * n * scale / (BigInt(20) * sCount)
+        require(seedBase < (BigInt(1) << 57),
+          s"seed base $seedBase too large: 17x headroom needed in int64")
+        nodes.join(
+            broadcast(sd.select(col("node"), lit(1L).as("_graft_isseed"))),
+            Seq("node"), "left")
+          .select(col("node"),
+            when(col("_graft_isseed").isNotNull, lit(seedBase.toLong))
+              .otherwise(lit(0L)).as("_graft_base"))
+    }
     // Fold out-degrees into the edge list once; repartition by the join
     // key and persist so every iteration's join reuses the partitioning.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("_graft_outdeg"))
@@ -69,12 +97,13 @@ object PageRank {
           // integer division: `/` on longs is double division, which
           // silently loses precision past 2^53 — use DIV
           expr("rank DIV _graft_outdeg").as("_graft_c"))
-      ranks = nodes
+      ranks = nodesBase
         .join(contribs.groupBy(col("node")).agg(sum(col("_graft_c")).as("_graft_cs")),
           Seq("node"), "left")
-        .select(col("node"), coalesce(col("_graft_cs"), lit(0L)).as("_graft_cs0"))
+        .select(col("node"), col("_graft_base"),
+          coalesce(col("_graft_cs"), lit(0L)).as("_graft_cs0"))
         .select(col("node"),
-          expr(s"CAST($base + (17 * _graft_cs0) DIV 20 AS BIGINT)").as("rank"))
+          expr("CAST(_graft_base + (17 * _graft_cs0) DIV 20 AS BIGINT)").as("rank"))
       // cut lineage between rounds, but leave the LAST round lazy — the
       // caller materializes it, and an eager checkpoint there would just
       // compute the result twice
@@ -90,13 +119,26 @@ object PageRank {
     * `deg`, `r0..r{iters}` and a final SELECT of (node, rank).
     */
   def pageRankSql(nodesCte: String, edgesCte: String, iters: Int,
-      scale: Long = DefaultScale): String = {
-    val base = 3L * scale / 20L
+      scale: Long = DefaultScale, seedsCte: Option[String] = None): String = {
+    val nbCte = seedsCte match {
+      case None =>
+        s"nb AS MATERIALIZED (SELECT node, CAST(${3L * scale / 20L} AS BIGINT) AS base FROM nodes)"
+      case Some(sc) =>
+        // single HUGEINT floor of 3*n*scale / (20*|S|) — the op order the
+        // Spark side's BigInt computation states
+        s"""seeds AS MATERIALIZED ($sc),
+           |sb AS (SELECT CAST((3 * CAST((SELECT count(*) FROM nodes) AS HUGEINT) * $scale)
+           |  // (20 * (SELECT count(*) FROM seeds)) AS BIGINT) AS v),
+           |nb AS MATERIALIZED (
+           |  SELECT n.node,
+           |    CASE WHEN s.node IS NOT NULL THEN (SELECT v FROM sb) ELSE CAST(0 AS BIGINT) END AS base
+           |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node)""".stripMargin
+    }
     val iterCtes = (1 to iters).map { k =>
       s"""r$k AS MATERIALIZED (
          |  SELECT n.node,
-         |    CAST($base + CAST(17 * COALESCE(c.csum, 0) AS BIGINT) // 20 AS BIGINT) AS rank
-         |  FROM nodes n LEFT JOIN (
+         |    CAST(n.base + CAST(17 * COALESCE(c.csum, 0) AS BIGINT) // 20 AS BIGINT) AS rank
+         |  FROM nb n LEFT JOIN (
          |    SELECT e.dst AS node, CAST(SUM(r.rank // g.outdeg) AS BIGINT) AS csum
          |    FROM edges e JOIN deg g ON e.src = g.src
          |      JOIN r${k - 1} r ON e.src = r.node
@@ -105,6 +147,7 @@ object PageRank {
     s"""WITH nodes AS MATERIALIZED ($nodesCte),
        |edges AS MATERIALIZED ($edgesCte),
        |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |$nbCte,
        |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),
        |${iterCtes.mkString(",\n")}
        |SELECT node, rank FROM r$iters""".stripMargin

@@ -63,6 +63,35 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(exact - total < BigInt(8 * (20 * n + 2 * n)), s"lost ${exact - total}")
   }
 
+  test("trustrank: seed-teleport matches the exact reference; trust decays with distance") {
+    import spark.implicits._
+    // chain 0 -> 1 -> 2 -> 3 -> 0 (ring) with seed {0}: rank must
+    // strictly decrease with hop distance from the seed
+    val n = 4
+    val edges = Seq(0 -> 1, 1 -> 2, 2 -> 3, 3 -> 0)
+    val nodes = (0 until n).map(_.toLong).toDF("node")
+    val e = edges.map { case (s, d) => (s.toLong, d.toLong) }.toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = PageRank.pageRank(nodes, e, iters = 6, seeds = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Persisted.unpersistAll()
+    // exact reference with per-node base: seed gets 3*n*scale/(20*|S|)
+    val scale = PageRank.DefaultScale
+    val seedBase = (BigInt(3) * n * scale / (BigInt(20) * 1)).toLong
+    val outdeg = Array.fill(n)(0L)
+    edges.foreach { case (s, _) => outdeg(s) += 1 }
+    var rank = Array.fill(n)(scale)
+    for (_ <- 1 to 6) {
+      val contrib = Array.fill(n)(0L)
+      edges.foreach { case (s, d) => contrib(d) += rank(s) / outdeg(s) }
+      rank = Array.tabulate(n)(v =>
+        (if (v == 0) seedBase else 0L) + (17L * contrib(v)) / 20L)
+    }
+    assert(got == rank.zipWithIndex.map { case (r, i) => i.toLong -> r }.toMap)
+    assert(got(0L) > got(1L) && got(1L) > got(2L) && got(2L) > got(3L),
+      s"trust must decay along the chain: $got")
+  }
+
   test("dangling nodes leak mass deterministically") {
     // 1 -> 0, and 0 has no out-edges: repeated runs agree exactly
     val edges = Seq(1 -> 0)
