@@ -1623,6 +1623,16 @@ object SparkEntry {
     // stateless streaming DSIR scoring: the staged model rides the scan
     // as a map literal — no join, no shuffle, no watermark, no state;
     // ingest-time selection at scan speed (9th real StreamingQuery)
+    "x_stream_dsir_exec" -> ((s, dir) => {
+      val srcPath = stagedRawDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val wmap = graft.text.Vocabulary.dsirWeightsMap(dsirWeightsDim(s, dir))
+      graft.streaming.StreamingOps.runToParquetSink(
+        graft.streaming.StreamingOps.streamingDsirScores(
+          s, srcPath, src, "doc_id", "text", wmap),
+        s"${tmpPath(dir, "stream_exec_dsir")}/sink")
+    }),
+
     // stateless streaming rule gate (11th real StreamingQuery): every
     // arriving document passes or fails the C4/Gopher rules at scan
     // speed — the drop-at-the-door ingest filter; keep decisions are
@@ -1634,16 +1644,6 @@ object SparkEntry {
         graft.streaming.StreamingOps.streamingRuleFilter(
           s, srcPath, src, "doc_id", "text"),
         s"${tmpPath(dir, "stream_exec_rules")}/sink")
-    }),
-
-    "x_stream_dsir_exec" -> ((s, dir) => {
-      val srcPath = stagedRawDocsSource(s, dir)
-      val src = s.read.parquet(srcPath)
-      val wmap = graft.text.Vocabulary.dsirWeightsMap(dsirWeightsDim(s, dir))
-      graft.streaming.StreamingOps.runToParquetSink(
-        graft.streaming.StreamingOps.streamingDsirScores(
-          s, srcPath, src, "doc_id", "text", wmap),
-        s"${tmpPath(dir, "stream_exec_dsir")}/sink")
     }),
 
     // fixed-grid quantile sketch: bounded histogram (shuffle carries

@@ -32,10 +32,12 @@ import org.apache.spark.storage.StorageLevel
   * the driver-side failure mode for iteration (the label-propagation
   * lesson, NOTES.md r3).
   *
-  * Overflow headroom: sum of all rank mass is <= n*scale; at scale=2^32
-  * and n = 2^20 (1M nodes) the worst single rank is < 2^52 and the *17
-  * stays under 2^56 — safe in BIGINT in both engines for any corpus this
-  * library targets (guarded by `require`).
+  * Overflow headroom: sum of all rank mass is <= n*scale (conserved up
+  * to floor loss), so every intermediate is < n*scale and the *17 stays
+  * in int64 iff 17*n*scale < 2^63 — checked with a real node count at
+  * call time (Spark would wrap silently where DuckDB errors). At
+  * scale=2^32 that admits n up to ~2^26 (64M nodes); larger graphs lower
+  * `scale`.
   */
 object PageRank {
 
@@ -62,11 +64,18 @@ object PageRank {
       scale: Long = DefaultScale, seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 64, "iters in [1, 64]")
     require(scale >= 1L && scale <= (1L << 40), "scale <= 2^40 for overflow headroom")
+    // total mass stays <= n*scale (conserved up to floor loss), so every
+    // intermediate — including a worst-case star hub's contribution sum —
+    // is < n*scale and the *17 stays in int64 iff 17*n*scale < 2^63.
+    // Check it for real (one count job): Spark would WRAP silently on
+    // overflow (non-ANSI) while the DuckDB twin errors — fail fast instead
+    val n = nodes.count()
+    require(BigInt(17) * n * scale < (BigInt(1) << 63),
+      s"17 * n * scale overflows int64 (n=$n, scale=$scale) — lower scale")
     val nodesBase = seeds match {
       case None =>
         nodes.select(col("node"), lit(3L * scale / 20L).as("_graft_base"))
       case Some(sd) =>
-        val n = nodes.count()
         val sCount = sd.count()
         require(sCount > 0, "seed set is empty")
         // one floor of the exact rational 3*n*scale / (20*|S|), matching

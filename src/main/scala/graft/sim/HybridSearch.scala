@@ -54,25 +54,27 @@ object HybridSearch {
   /** DuckDB twin of [[rrfFuse]]: each arm is a complete SQL query
     * (nested-WITH bodies compose fine in DuckDB) with `idExpr` naming its
     * id column and `orderBy` its deterministic total order — the same
-    * order the Spark arm was ranked with.
+    * order the Spark arm was ranked with. `outIdCol` must equal the
+    * Spark side's `idCol` (the twins are column-name-identical for the
+    * hash compare).
     */
   def rrfFuseSql(arms: Seq[(String, String, String)], k: Int,
-      k0: Int = 60): String = {
+      k0: Int = 60, outIdCol: String = "doc_id"): String = {
     val armCtes = arms.zipWithIndex.map { case ((sql, _, _), i) =>
       s"arm$i AS MATERIALIZED (\n$sql)"
     }
     val rankCtes = arms.zipWithIndex.map { case ((_, idExpr, orderBy), i) =>
-      s"r$i AS (SELECT $idExpr AS doc_id, " +
+      s"r$i AS (SELECT $idExpr AS $outIdCol, " +
         s"row_number() OVER (ORDER BY $orderBy) AS rnk FROM arm$i)"
     }
     val union = arms.indices
-      .map(i => s"SELECT doc_id, $RrfScale // ($k0 + rnk) AS c FROM r$i")
+      .map(i => s"SELECT $outIdCol, $RrfScale // ($k0 + rnk) AS c FROM r$i")
       .mkString("\nUNION ALL\n")
     s"""WITH ${(armCtes ++ rankCtes).mkString(",\n")},
        |u AS ($union)
-       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_fp,
+       |SELECT $outIdCol, CAST(SUM(c) AS BIGINT) AS rrf_fp,
        |  CAST(count(*) AS BIGINT) AS n_arms
-       |FROM u GROUP BY doc_id
-       |ORDER BY rrf_fp DESC, doc_id LIMIT $k""".stripMargin
+       |FROM u GROUP BY $outIdCol
+       |ORDER BY rrf_fp DESC, $outIdCol LIMIT $k""".stripMargin
   }
 }

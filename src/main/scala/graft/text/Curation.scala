@@ -94,8 +94,10 @@ object Curation {
   }
 
   /** DuckDB twin of [[ruleFilter]] — formula-identical signals over a
-    * `(idCol, textCol)` relation (compose the planted-artifact CTE in
-    * front via `DerivedSql.withCtes`).
+    * `(idCol, textCol)` relation. This emits its own `WITH`, so prefix
+    * CTEs (e.g. the planted-artifact relation) go in the `ctes`
+    * parameter, NOT around it via `DerivedSql.withCtes` (nesting two
+    * WITH clauses is a parse error).
     */
   def ruleFilterSql(table: String, idCol: String, textCol: String,
       minWords: Int = 40, maxWords: Int = 100000,

@@ -214,6 +214,7 @@ object ScalePerfHarness {
         "quality", budget = count * 20L, prefixChars = 1))
     }
     docs.unpersist()
+    nodes.unpersist()
   }
 
   /** r8 signal operators at scale: surprisal, drift, quantile sketch.
