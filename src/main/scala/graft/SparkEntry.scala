@@ -1720,6 +1720,19 @@ object SparkEntry {
         "quality", budget = 12000L)
     }),
 
+    // chunk -> document embedding pooling: element-wise mean folded in
+    // chunk order (deterministic float sum sequence — a per-dim
+    // groupBy-sum would add in arrival order); gated in the fixed-point
+    // projection so the checker compares exact integers
+    "x_embed_pool" -> ((s, dir) =>
+      graft.sim.Similarity.meanPoolVectors(
+        DerivedModel.table(s, dir, "embeddings")
+          .withColumn("grp", col("vec_id") % 100),
+        "grp", "vec_id", "embedding")
+        .select(col("grp"), col("n_chunks"),
+          expr("transform(mean_vec, x -> CAST(floor(x * 1048576.0D + 0.5D) AS BIGINT))")
+            .as("mean_vec_fp"))),
+
     // link-graph centrality: fixed-point integer PageRank (8 rounds,
     // d = 17/20) over the planted 2-out-regular doc graph — the
     // curation-time quality weight a hyperlink graph yields at web scale.
@@ -2481,6 +2494,11 @@ object SparkEntry {
             "FROM documents)",
           "doc_id", "n_toks", "quality", 12000L,
           "doc_id, quality, n_toks"),
+
+      // per-(group, dim) ordered list_reduce fold == the Spark aggregate
+      // fold's add sequence; identical divide/scale/floor op order
+      "x_embed_pool" ->
+        graft.sim.Similarity.meanPoolVectorsSqlFixed(64, "vec_id % 100"),
 
       // 8 unrolled MATERIALIZED rank CTEs, integer arithmetic end to end
       "x_graph_pagerank" ->

@@ -25,6 +25,66 @@ object Similarity {
     SimExpressions.dot(a, b) /
       (sqrt(SimExpressions.dot(a, a)) * sqrt(SimExpressions.dot(b, b)))
 
+  /** Chunk→document embedding pooling: the element-wise MEAN of each
+    * group's vectors, folded in ascending `orderCol` order so the float
+    * sum sequence is deterministic (a plain per-dim groupBy-sum would add
+    * in partition-arrival order — different every run). This is the
+    * standard doc-vector construction from chunk/passage embeddings
+    * (retrieval corpora, SemDeDup-style doc-level dedup over chunked
+    * encoders).
+    *
+    * Output: (groupCol, n_chunks, mean_vec array<double>).
+    *
+    * Scale shape: ONE key shuffle of the vector payload (unavoidable —
+    * pooling is an aggregation OF the vectors; collect_list partials
+    * combine map-side). The per-group ordered fold runs as zip_with /
+    * aggregate HOFs — CodegenFallback (the known HOF trap), but bounded
+    * by a group's own chunk count, not the corpus; with ~10-100 chunks
+    * per doc the fallback cost is noise next to the exchange. Groups must
+    * fit in executor memory (chunks-per-doc bounded — true for any real
+    * chunking config).
+    */
+  def meanPoolVectors(df: DataFrame, groupCol: String, orderCol: String,
+      vecCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        sort_array(collect_list(struct(
+          col(orderCol).as("_o"), col(vecCol).cast("array<double>").as("_v"))))
+          .as("_graft_chunks"),
+        count(lit(1)).as("n_chunks"))
+      .select(col(groupCol), col("n_chunks"),
+        expr("""transform(
+                 aggregate(_graft_chunks,
+                   CAST(array_repeat(0.0D, size(_graft_chunks[0]._v)) AS array<double>),
+                   (acc, ch) -> zip_with(acc, ch._v, (a, b) -> a + b)),
+                 x -> x / CAST(n_chunks AS DOUBLE))""").as("mean_vec"))
+
+  /** DuckDB twin of [[meanPoolVectors]] over `embeddings`, in the gate's
+    * fixed-point projection (`floor(mean * 2^20 + 0.5)` per element —
+    * array-of-double replay would be repr-lossy in the checker, integers
+    * are not): per (group, dim) the chunk values fold via
+    * `list_reduce(list(x ORDER BY ord))` — the same left-to-right add
+    * sequence as the Spark `aggregate` fold — then the identical
+    * divide/scale/floor op order, elements reassembled in dim order.
+    */
+  def meanPoolVectorsSqlFixed(dim: Int, groupExpr: String): String =
+    s"""WITH ch AS (
+       |  SELECT $groupExpr AS grp, vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |cnt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY grp),
+       |dims AS (SELECT unnest(range(1, ${dim + 1})) AS d),
+       |sums AS (
+       |  SELECT grp, d,
+       |    list_reduce(list(v[d] ORDER BY vec_id), (a, b) -> a + b) AS s
+       |  FROM ch CROSS JOIN dims GROUP BY grp, d),
+       |fp AS (
+       |  SELECT s.grp, s.d,
+       |    CAST(floor((s.s / CAST(c.n_chunks AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS x
+       |  FROM sums s JOIN cnt c ON s.grp = c.grp)
+       |SELECT f.grp, c.n_chunks, list(f.x ORDER BY f.d) AS mean_vec_fp
+       |FROM fp f JOIN cnt c ON f.grp = c.grp
+       |GROUP BY f.grp, c.n_chunks""".stripMargin
+
   /** DuckDB twin of [[cosine]] for a known dimensionality: explicit
     * left-associated sum, 1-based list indexing — identical op order.
     */

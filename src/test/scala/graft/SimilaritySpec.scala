@@ -368,6 +368,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(none == 0L, "dropPerMille=1000 drops every row")
   }
 
+  test("meanPoolVectors: ordered fold equals reference, partition-invariant") {
+    import spark.implicits._
+    val rows = (0L until 120L).map { i =>
+      (i, i % 10, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toDouble - 6.0))
+    }
+    val df = rows.toDF("cid", "doc", "vec")
+    def pool(d: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPoolVectors(d, "doc", "cid", "vec")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Double](2).toVector)).toSet
+    val a = pool(df.repartition(7))
+    val b = pool(df.coalesce(1))
+    assert(a == b, "pooled vectors must be bit-identical at any parallelism")
+    // exact reference: left fold in cid order, then divide
+    val want = rows.groupBy(_._2).map { case (doc, chunk) =>
+      val sorted = chunk.sortBy(_._1).map(_._3)
+      val sum = sorted.foldLeft(Array.fill(8)(0.0))((acc, v) =>
+        acc.zip(v).map { case (x, y) => x + y })
+      (doc, chunk.size.toLong, sum.map(_ / chunk.size.toDouble).toVector)
+    }.toSet
+    assert(a == want)
+  }
+
   test("rrfFuse: fixed-point reciprocal ranks, overlap wins, arm order respected") {
     import spark.implicits._
     val S = graft.sim.HybridSearch.RrfScale
