@@ -1720,6 +1720,27 @@ object SparkEntry {
         "quality", budget = 12000L)
     }),
 
+    // curation pipeline v3 — the GRAPH-AWARE selection composition:
+    // C4/Gopher rule gate -> TrustRank scoring over the link graph ->
+    // greedy token-budget fill most-trusted-first. Three r9 operator
+    // families composing in one plan, every decision integer-replayable
+    "x_pipeline_curate3" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      val kept = graft.text.Curation.ruleFilter(
+          DerivedModel.documentsBoilerplate(s, dir), "doc_id", "text")
+        .filter(col("keep"))
+        .select(col("doc_id"), col("n_words"))
+      val trust = graft.graph.PageRank.pageRank(
+        docs.select(col("doc_id").as("node")),
+        DerivedModel.linkGraph(s, dir), iters = 6,
+        seeds = Some(docs.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("node"))))
+      val scored = kept.join(trust, col("doc_id") === col("node"))
+        .select(col("doc_id"), col("rank").as("trust_fp"), col("n_words"))
+      graft.ops.Sampling.tokenBudgetSelect(scored, "doc_id", "n_words",
+        "trust_fp", budget = 2000L)
+    }),
+
     // chunk -> document embedding pooling: element-wise mean folded in
     // chunk order (deterministic float sum sequence — a per-dim
     // groupBy-sum would add in arrival order); gated in the fixed-point
@@ -2499,6 +2520,31 @@ object SparkEntry {
       // fold's add sequence; identical divide/scale/floor op order
       "x_embed_pool" ->
         graft.sim.Similarity.meanPoolVectorsSqlFixed(64, "vec_id % 100"),
+
+      // the three r9 oracles composed: rules kept-rows and trustrank as
+      // nested-WITH CTE bodies, joined, then the budget fill's single
+      // global window over (trust desc, md5, id)
+      "x_pipeline_curate3" ->
+        s"""WITH rf AS MATERIALIZED (
+           |SELECT * FROM (
+           |${graft.text.Curation.ruleFilterSql("documents_boiler", "doc_id",
+                "text", ctes = Seq(DerivedSql.documentsBoilerplate))}
+           |) WHERE keep),
+           |tr AS MATERIALIZED (
+           |${graft.graph.PageRank.pageRankSql(
+                "SELECT doc_id AS node FROM documents",
+                DerivedSql.linkGraphEdgesBody, iters = 6,
+                seedsCte = Some("SELECT doc_id AS node FROM documents WHERE doc_id % 37 = 0"))}
+           |),
+           |j AS (
+           |  SELECT rf.doc_id, tr.rank AS trust_fp, rf.n_words
+           |  FROM rf JOIN tr ON rf.doc_id = tr.node)
+           |SELECT doc_id, trust_fp, n_words, tokens_before FROM (
+           |  SELECT *, CAST(COALESCE(SUM(n_words) OVER (
+           |      ORDER BY trust_fp DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+           |  FROM j)
+           |WHERE tokens_before < 2000""".stripMargin,
 
       // 8 unrolled MATERIALIZED rank CTEs, integer arithmetic end to end
       "x_graph_pagerank" ->
