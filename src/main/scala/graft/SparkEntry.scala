@@ -1674,6 +1674,16 @@ object SparkEntry {
         targetRows = 1500L)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // fractional epoch upsampling (Pile/LLaMA recipe): per-domain repeat
+    // factors with hash-selected fractional copies — pure scan-level row
+    // generation, the complement of weightedSample's downsampling
+    "x_sample_epochs" -> ((s, dir) =>
+      graft.ops.Sampling.epochRepeat(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "source",
+        epochs = Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.5),
+        defaultEpochs = 1.0)
+        .select(col("doc_id"), col("source"), col("epoch_idx"))),
+
     // deterministic train/val/test assignment: hash-band label as a pure
     // scan expression — stable under re-runs, ablation splits nest
     "x_sample_split" -> ((s, dir) =>
@@ -2520,6 +2530,11 @@ object SparkEntry {
       // fold's add sequence; identical divide/scale/floor op order
       "x_embed_pool" ->
         graft.sim.Similarity.meanPoolVectorsSqlFixed(64, "vec_id % 100"),
+
+      "x_sample_epochs" ->
+        graft.ops.Sampling.epochRepeatSql("documents", "doc_id", "source",
+          epochs = Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.5),
+          defaultEpochs = 1.0, selectCols = "doc_id, source"),
 
       // the three r9 oracles composed: rules kept-rows and trustrank as
       // nested-WITH CTE bodies, joined, then the budget fill's single

@@ -93,6 +93,64 @@ object Sampling {
     s"CASE ${cases.mkString(" ")} ELSE ${keep(defaultWeight)} END"
   }
 
+  /** Fractional epoch UPSAMPLING — the complement of [[weightedSample]]'s
+    * downsampling: each domain repeats by its epoch factor `e_d` (e.g.
+    * Wikipedia 3.5 epochs, web 1.0 — the Pile/LLaMA-style pretraining
+    * recipe). A row emits `floor(e_d)` copies plus one extra iff its md5
+    * hash falls below `frac(e_d)` — [[weightedSample]]'s membership test
+    * exactly, so the extra-copy population for fraction f nests inside
+    * that of f' > f (recipes tighten without re-drawing). Output rows
+    * carry `epoch_idx` (0-based copy index) so downstream shuffles can
+    * still dedup or stratify by physical copy.
+    *
+    * Scale shape: pure scan-level row generation (an explode of a
+    * per-row integer sequence) — no shuffle, no state; the upsampled
+    * stream feeds whatever comes next, which is the recipe's point.
+    * NOTE the `> 0` filter runs BEFORE the explode: Spark's
+    * `sequence(0, -1)` is a DESCENDING 2-element sequence, not empty
+    * (the BPE ANSI trap) — zero-copy rows must never reach it.
+    */
+  def epochRepeat(df: DataFrame, keyCol: String, groupCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(defaultEpochs)).forall(e => e >= 0.0 && e <= 100.0),
+      "epoch factors in [0, 100]")
+    def copies(e: Double): Column = {
+      val base = math.floor(e).toLong
+      val frac = e - base
+      if (frac == 0.0) lit(base)
+      else lit(base) + when(substring(shuffleKey(col(keyCol)), 1, 8) <
+        lit(weightThresholdHex(frac)), 1L).otherwise(0L)
+    }
+    val n = epochs.toSeq.sortBy(_._1).foldRight(copies(defaultEpochs)) {
+      case ((g, e), els) => when(col(groupCol) === g, copies(e)).otherwise(els)
+    }
+    df.withColumn("_graft_copies", n)
+      .filter(col("_graft_copies") > 0)
+      .withColumn("epoch_idx", explode(expr("sequence(0, _graft_copies - 1)")))
+      .drop("_graft_copies")
+  }
+
+  /** DuckDB twin of [[epochRepeat]] over `table` — same thresholds, same
+    * hex compare, `unnest(range(0, n))` for the copy expansion (empty at
+    * n <= 0, matching the pre-explode filter).
+    */
+  def epochRepeatSql(table: String, keyCol: String, groupCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+      selectCols: String = "*"): String = {
+    def copies(e: Double): String = {
+      val base = math.floor(e).toLong
+      val frac = e - base
+      if (frac == 0.0) s"CAST($base AS BIGINT)"
+      else s"CAST($base AS BIGINT) + CASE WHEN substr(md5(CAST($keyCol AS VARCHAR)), 1, 8) " +
+        s"< '${weightThresholdHex(frac)}' THEN 1 ELSE 0 END"
+    }
+    val cases = epochs.toSeq.sortBy(_._1)
+      .map { case (g, e) => s"WHEN $groupCol = '$g' THEN ${copies(e)}" }
+    s"""SELECT $selectCols, CAST(unnest(range(0, n_copies)) AS BIGINT) AS epoch_idx FROM (
+       |  SELECT *, CASE ${cases.mkString(" ")} ELSE ${copies(defaultEpochs)} END AS n_copies
+       |  FROM $table) WHERE n_copies > 0""".stripMargin
+  }
+
   /** Temperature-scaled corpus mixing at α = 0.5 (the mT5/multilingual
     * recipe, Xue et al. 2021: sample domain d with probability
     * ∝ count_d^α, upweighting small domains so big ones don't drown

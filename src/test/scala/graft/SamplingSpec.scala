@@ -180,6 +180,28 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       s"isqrt-derived thresholds must replay exactly: got ${kept.toSet}, want $want")
   }
 
+  test("epochRepeat: integer copies exact, fractional copies hash-nested, zero drops") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, s"d${i % 3}")).toDF("id", "dom")
+    def out(e: Map[String, Double]) =
+      Sampling.epochRepeat(df, "id", "dom", e, defaultEpochs = 1.0)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // integer factors: exactly e copies per row, epoch_idx 0..e-1
+    val twice = out(Map("d0" -> 2.0, "d1" -> 0.0))
+    val byId = twice.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert((0L until 3000L by 3L).forall(byId(_) == Seq(0L, 1L)), "d0 rows twice")
+    assert((1L until 3000L by 3L).forall(i => !byId.contains(i)), "d1 rows dropped")
+    assert((2L until 3000L by 3L).forall(byId(_) == Seq(0L)), "default once")
+    // fractional: ~f of the domain gains the extra copy, and the extra
+    // population NESTS across fractions (same hash threshold machinery)
+    def extras(f: Double) = out(Map("d0" -> (1.0 + f)))
+      .groupBy(_._1).collect { case (i, c) if i % 3 == 0 && c.length == 2 => i }.toSet
+    val e25 = extras(0.25); val e75 = extras(0.75)
+    assert(e25.subsetOf(e75), "fractional-copy population must nest")
+    assert(math.abs(e25.size - 250) < 60 && math.abs(e75.size - 750) < 60,
+      s"fractions off: ${e25.size}/1000 for 0.25, ${e75.size}/1000 for 0.75")
+  }
+
   test("tokenBudgetSelect equals the single-window reference order") {
     import spark.implicits._
     val df = (0L until 1000L)
