@@ -139,6 +139,25 @@ object DerivedModel {
         when(col("doc_id") % 4 === 0, lit(".")).otherwise(lit("")))
         .as("text"))
 
+  /** A deterministically perturbed second corpus snapshot for the
+    * release-diff gate: every 31st doc removed, every 13th survivor's
+    * text modified, a shifted copy of every 41st doc added under a new
+    * id — so the diff output exercises all three statuses from pure
+    * id-mod arithmetic the oracle replays.
+    */
+  def documentsSnapshotV2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val kept = docs.filter(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+    val added = docs.filter(col("doc_id") % 41 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+    kept.unionByName(added)
+  }
+
   /** Planted deterministic link graph over the document-id space (the
     * corpus carries no hyperlinks, so a graph-centrality gate needs a
     * planted one, like the PII / boilerplate fixtures): every doc has
@@ -253,6 +272,17 @@ object DerivedSql {
       |    CASE WHEN doc_id % 23 = 0 THEN ' function f() { return 1; }' ELSE '' END ||
       |    CASE WHEN doc_id % 4 = 0 THEN '.' ELSE '' END AS text
       |  FROM documents)""".stripMargin
+
+  /** Twin of [[DerivedModel.documentsSnapshotV2]]. */
+  val documentsSnapshotV2: String =
+    """documents_v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text,
+      |    lang, source
+      |  FROM documents WHERE doc_id % 31 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source
+      |  FROM documents WHERE doc_id % 41 = 0)""".stripMargin
 
   /** Twin of [[DerivedModel.linkGraph]] — a CTE BODY (no name) for
     * [[graft.graph.PageRank.pageRankSql]]'s `edgesCte` slot.

@@ -1831,6 +1831,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    // corpus release diff: added/removed/changed between two snapshots —
+    // one full-outer join on the key, shuffle carries (key, 32-byte
+    // content hash), never the payload; identical rows drop out
+    "x_merge_snapshot_diff" -> ((s, dir) =>
+      graft.ops.Merge.snapshotDiff(
+        DerivedModel.table(s, dir, "documents"),
+        DerivedModel.documentsSnapshotV2(s, dir),
+        "doc_id", Seq("text", "lang", "source"))),
+
     // time-series resample: dense per-user hourly grid (explicit zero
     // rows on gaps) + forward-filled last observation
     "x_ts_gapfill" -> ((s, dir) =>
@@ -2535,6 +2544,12 @@ object SparkEntry {
         graft.ops.Sampling.epochRepeatSql("documents", "doc_id", "source",
           epochs = Map("src0" -> 3.0, "src1" -> 1.5, "src2" -> 0.5),
           defaultEpochs = 1.0, selectCols = "doc_id, source"),
+
+      // planted v2 snapshot replayed in the CTE; identical hash formula
+      "x_merge_snapshot_diff" ->
+        withCtes(DerivedSql.documentsSnapshotV2)(
+          graft.ops.Merge.snapshotDiffSql("documents", "documents_v2",
+            "doc_id", Seq("text", "lang", "source"))),
 
       // the three r9 oracles composed: rules kept-rows and trustrank as
       // nested-WITH CTE bodies, joined, then the budget fill's single

@@ -116,4 +116,47 @@ object Merge {
        |  epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_ms,
        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
        |FROM c""".stripMargin
+
+  /** Corpus snapshot diff — the dataset-version comparison a curation
+    * pipeline audits releases with: keys present only in `newer` are
+    * `added`, only in `older` are `removed`, present in both with a
+    * different content hash are `changed` (identical rows drop out —
+    * the diff is the small relation, not the corpus). One full-outer
+    * equi-join on the key; content compares by md5 of the concatenated
+    * `hashCols`, so the shuffle carries (key, 32-byte hash), never the
+    * payload.
+    */
+  def snapshotDiff(older: DataFrame, newer: DataFrame, keyCol: String,
+      hashCols: Seq[String]): DataFrame = {
+    require(hashCols.nonEmpty)
+    def hashed(df: DataFrame) = df.select(col(keyCol),
+      md5(concat_ws("\u0001", hashCols.map(c => col(c).cast("string")): _*)
+        .cast("binary")).as("_graft_h"))
+    hashed(older).withColumnRenamed("_graft_h", "_graft_h_old")
+      .join(hashed(newer).withColumnRenamed("_graft_h", "_graft_h_new"),
+        Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("_graft_h_old").isNull, lit("added"))
+          .when(col("_graft_h_new").isNull, lit("removed"))
+          .when(col("_graft_h_old") =!= col("_graft_h_new"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(keyCol), col("status"))
+  }
+
+  /** DuckDB twin of [[snapshotDiff]] for two relations `olderRel` /
+    * `newerRel` exposing (keyCol, hashCols...): identical separator,
+    * cast-to-string, and md5.
+    */
+  def snapshotDiffSql(olderRel: String, newerRel: String, keyCol: String,
+      hashCols: Seq[String]): String = {
+    val h = s"md5(concat_ws(chr(1), ${hashCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ")}))"
+    s"""SELECT COALESCE(o.$keyCol, n.$keyCol) AS $keyCol,
+       |  CASE WHEN o.$keyCol IS NULL THEN 'added'
+       |       WHEN n.$keyCol IS NULL THEN 'removed'
+       |       WHEN o.h <> n.h THEN 'changed' END AS status
+       |FROM (SELECT $keyCol, $h AS h FROM $olderRel) o
+       |FULL OUTER JOIN (SELECT $keyCol, $h AS h FROM $newerRel) n
+       |  ON o.$keyCol = n.$keyCol
+       |WHERE (o.$keyCol IS NULL OR n.$keyCol IS NULL OR o.h <> n.h)""".stripMargin
+  }
 }

@@ -70,6 +70,30 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getBoolean(3)).toSeq === Seq(false, false, true))
   }
 
+  test("snapshotDiff: statuses exact, identical rows drop, boundary shifts detected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val older = Seq(
+      (1L, "same", "x"), (2L, "will change", "x"), (3L, "removed", "x"),
+      (4L, "ab", "c")                          // boundary case
+    ).toDF("id", "a", "b")
+    val newer = Seq(
+      (1L, "same", "x"), (2L, "changed!", "x"), (5L, "fresh", "x"),
+      (4L, "a", "bc")                          // same concat, shifted boundary
+    ).toDF("id", "a", "b")
+    val got = Merge.snapshotDiff(older, newer, "id", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 5L -> "added",
+      4L -> "changed"),
+      s"got $got — id 1 must drop out, id 4's boundary shift must register")
+    // payload never rides the shuffle: exchanges carry the 32-byte hash
+    val plan = Merge.snapshotDiff(older, newer, "id", Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(!exchanges.exists(l => l.contains("a#") && !l.contains("_graft_h")),
+      s"hash columns only through the join:\n${exchanges.mkString("\n")}")
+  }
+
   test("scd2 plans one exchange (filter between the windows is narrow)") {
     val ev = DerivedModel.events(spark, "/root/testdata/sf0.001")
     val plan = Merge.scd2(ev, "user_id", "ts", "event_id", "event_type")
