@@ -215,6 +215,15 @@ object ScalePerfHarness {
     }
     docs.unpersist()
     nodes.unpersist()
+    // chunk->doc pooling: 1M 64-dim chunk vectors into count/100 docs —
+    // the per-group HOF fold (CodegenFallback) is the cost to watch
+    val vecs = corpus(spark, count)
+      .select(col("vec_id"), (col("vec_id") % (count / 100L)).as("doc"),
+        col("embedding"))
+    time("meanPoolVectors(100 chunks/doc)", count) {
+      consume(graft.sim.Similarity.meanPoolVectors(vecs, "doc", "vec_id",
+        "embedding"))
+    }
   }
 
   /** r8 signal operators at scale: surprisal, drift, quantile sketch.
