@@ -1646,6 +1646,15 @@ object SparkEntry {
         s"${tmpPath(dir, "stream_exec_rules")}/sink")
     }),
 
+    // sketch-driven outlier winsorization: keep the [p1, p99] length
+    // band from the fixed-grid sketch — bounds broadcast, one scan
+    // predicate, no global sort at any corpus size
+    "x_curate_outliers" -> ((s, dir) =>
+      graft.sketch.QuantileSketch.clipByQuantiles(
+        DerivedModel.table(s, dir, "documents"), "n_chars",
+        loPct = 1, hiPct = 99, binWidth = 64L, maxValue = 8191L)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))),
+
     // fixed-grid quantile sketch: bounded histogram (shuffle carries
     // <= partitions * cells combiner rows at any corpus size), integer
     // cell grid + integer-ceiling rank target so the quantile answers
@@ -3108,6 +3117,10 @@ object SparkEntry {
         graft.sketch.QuantileOracle.quantilesSql(
           pcts = Seq(1, 10, 25, 50, 75, 90, 99),
           binWidth = 64L, maxValue = 8191L),
+
+      // the quantile replay as a CTE + the same band predicate
+      "x_curate_outliers" ->
+        graft.sketch.QuantileOracle.clipSql(1, 99, 64L, 8191L),
 
       "x_export_shuffle" ->
         """SELECT doc_id,

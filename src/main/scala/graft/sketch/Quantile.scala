@@ -100,6 +100,27 @@ object QuantileSketch {
   def valueQuantiles(df: DataFrame, valueCol: String, pcts: Seq[Int],
       binWidth: Long, maxValue: Long): DataFrame =
     quantiles(sketch(df, valueCol, binWidth, maxValue), pcts, binWidth, maxValue)
+
+  /** Sketch-driven outlier gate: keep rows whose value lies within the
+    * [loPct, hiPct] sketch-quantile band — winsorizing length/score
+    * outliers (a standard curation rule) WITHOUT an exact global sort.
+    * The kept band is [est_lo(loPct), est_hi(hiPct)] — cell edges, so
+    * the cut is conservative by at most one grid cell on each side,
+    * deterministic, and corpus-size-independent. Cost: the sketch's
+    * bounded agg + a 1-row broadcast of the bounds + one scan predicate.
+    */
+  def clipByQuantiles(df: DataFrame, valueCol: String, loPct: Int,
+      hiPct: Int, binWidth: Long, maxValue: Long): DataFrame = {
+    require(loPct < hiPct)
+    val bounds = valueQuantiles(df, valueCol, Seq(loPct, hiPct), binWidth, maxValue)
+      .agg(
+        min(when(col("pct") === loPct, col("est_lo"))).as("_graft_lo"),
+        min(when(col("pct") === hiPct, col("est_hi"))).as("_graft_hi"))
+    df.crossJoin(broadcast(bounds))
+      .filter(col(valueCol).cast("long") >= col("_graft_lo") &&
+        col(valueCol).cast("long") <= col("_graft_hi"))
+      .drop("_graft_lo", "_graft_hi")
+  }
 }
 
 /** DuckDB-SQL replay of [[QuantileSketch]]: identical integer grid
@@ -127,4 +148,18 @@ object QuantileOracle {
        |GROUP BY q.pct, t.n
        |ORDER BY q.pct""".stripMargin
   }
+
+  /** Oracle for `x_curate_outliers`: [[QuantileSketch.clipByQuantiles]]
+    * over `documents.n_chars` — the quantile replay as a CTE, bounds
+    * pivoted to one row, same band predicate.
+    */
+  def clipSql(loPct: Int, hiPct: Int, binWidth: Long, maxValue: Long): String =
+    s"""WITH qb AS MATERIALIZED (
+       |${quantilesSql(Seq(loPct, hiPct), binWidth, maxValue)}
+       |),
+       |b AS (SELECT min(CASE WHEN pct = $loPct THEN est_lo END) AS lo,
+       |             min(CASE WHEN pct = $hiPct THEN est_hi END) AS hi FROM qb)
+       |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+       |FROM documents d, b
+       |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi""".stripMargin
 }

@@ -89,6 +89,28 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     assert(q.getLong(1) === 90L && q.getLong(2) === 99L)
   }
 
+  test("clipByQuantiles drops tails, keeps the band, cell-edge conservative") {
+    import spark.implicits._
+    // 1000 values in [100, 199] plus planted extreme tails
+    val vals = (0L until 1000L).map(i => (i, 100L + i % 100)) ++
+      Seq((2000L, 5L), (2001L, 7L), (2002L, 9000L), (2003L, 9999L))
+    val df = vals.toDF("id", "v")
+    val kept = graft.sketch.QuantileSketch.clipByQuantiles(
+        df, "v", loPct = 1, hiPct = 99, binWidth = 16L, maxValue = 16383L)
+      .collect().map(_.getLong(0)).toSet
+    // the low tail (5, 7) sits below the p1 cell and the high tail
+    // (9000, 9999) above the p99 cell; the [100, 199] band survives
+    assert((0L until 1000L).forall(kept.contains), "the body must survive")
+    assert(!kept.contains(2000L) && !kept.contains(2001L), "low tail clipped")
+    assert(!kept.contains(2002L) && !kept.contains(2003L), "high tail clipped")
+    // conservative contract: anything sharing the p1/p99 CELL survives —
+    // the cut is at cell edges, never inside a cell
+    val bounds = graft.sketch.QuantileSketch.valueQuantiles(
+        df, "v", Seq(1, 99), 16L, 16383L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bounds(1L)._1 % 16 == 0 && (bounds(99L)._2 + 1) % 16 == 0)
+  }
+
   test("bucket expression matches a direct xxhash64 multiply-shift") {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.StringType
