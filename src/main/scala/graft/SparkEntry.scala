@@ -192,6 +192,7 @@ object SparkEntry {
       "kmeans_cent" -> (() => { kmeansCentroidsDim(s, dir); () }),
       "incr_index" -> (() => { incrementalIndexDims(s, dir); () }),
       "dsir_model" -> (() => { dsirWeightsDim(s, dir); () }),
+      "sup_model" -> (() => { surprisalModelDim(s, dir); () }),
       "docs_raw_src" -> (() => { stagedRawDocsSource(s, dir); () }),
       "events_src" -> (() => { stagedEventsSource(s, dir); () }),
       "events_dbl" -> (() => { stagedDoubledEventsSource(s, dir); () }))
@@ -264,6 +265,17 @@ object SparkEntry {
     * Longs round-trip parquet losslessly, so probes over the staged
     * model are hash-identical to model-per-query.
     */
+  /** The vocab-bounded unigram surprisal model, staged once per session
+    * — three gates (surprisal, ppl buckets, pipeline v2) otherwise each
+    * rebuild the identical token agg + log chain. The staged-LM
+    * deployment shape; hash-identical by construction.
+    */
+  private def surprisalModelDim(s: SparkSession, dir: String): DataFrame =
+    stagedFixture(s, dir, "sup_model") {
+      graft.text.Vocabulary.surprisalModel(
+        DerivedModel.table(s, dir, "documents"), "text")
+    }
+
   private def dsirWeightsDim(s: SparkSession, dir: String): DataFrame =
     stagedFixture(s, dir, "dsir_w") {
       val docs = DerivedModel.table(s, dir, "documents")
@@ -1560,7 +1572,8 @@ object SparkEntry {
     // a broadcast join on the token stream — integers end to end
     "x_text_surprisal" -> ((s, dir) =>
       graft.text.Vocabulary.surprisalScore(
-        DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        precomputedModel = Some(surprisalModelDim(s, dir)))),
 
     // bigram stupid-backoff surprisal (Brants et al. 2007): the
     // perplexity upgrade over the unigram signal — pruned top-256 bigram
@@ -1587,7 +1600,8 @@ object SparkEntry {
     // every keep/drop decision integer/hash-replayable end to end
     "x_pipeline_curate2" -> ((s, dir) => {
       val docs = DerivedModel.table(s, dir, "documents")
-      val head = graft.text.Vocabulary.surprisalBuckets(docs, "doc_id", "text")
+      val head = graft.text.Vocabulary.surprisalBuckets(docs, "doc_id", "text",
+          precomputedModel = Some(surprisalModelDim(s, dir)))
         .filter(col("ppl_bucket") === "head")
         .select(col("doc_id"))
         .join(docs, Seq("doc_id"))
@@ -1602,7 +1616,8 @@ object SparkEntry {
     // step integer, so the bucket each doc lands in replays bit-for-bit
     "x_curate_ppl_buckets" -> ((s, dir) =>
       graft.text.Vocabulary.surprisalBuckets(
-        DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        precomputedModel = Some(surprisalModelDim(s, dir)))),
 
     // DSIR importance-weighted selection (Xie et al. 2023): pick the raw
     // documents whose hashed-ngram distribution is most target-like —

@@ -368,17 +368,28 @@ object Vocabulary {
     * perturbs each surprisal by < 2^-FracBits relative — same note as
     * [[bm25SearchFixed]]'s SDL rescale.
     */
-  def surprisalScore(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("token"))
+  /** The vocab-bounded unigram surprisal model (token, _sup_fp) — the
+    * stageable artifact [[surprisalScore]] probes. In a deployment this
+    * is built once per corpus snapshot and persisted (the staged-model
+    * pattern the DSIR weights use); every scoring pass then broadcasts
+    * it instead of re-aggregating the token stream.
+    */
+  def surprisalModel(df: DataFrame, textCol: String): DataFrame = {
+    val toks = df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("_cnt"))
     val total = counts.agg(sum(col("_cnt")).as("_tot"))
-    val scored = log2FixedCols(
+    log2FixedCols(
       counts.crossJoin(broadcast(total))
         .withColumn("_num", col("_tot"))
         .withColumn("_den", col("_cnt")))
       .select(col("token"), col("_idf_fp").as("_sup_fp"))
+  }
+
+  def surprisalScore(df: DataFrame, idCol: String, textCol: String,
+      precomputedModel: Option[DataFrame] = None): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val scored = precomputedModel.getOrElse(surprisalModel(df, textCol))
     toks.join(broadcast(scored), Seq("token"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -588,8 +599,9 @@ object Vocabulary {
     */
   def surprisalBuckets(df: DataFrame, idCol: String, textCol: String,
       binWidth: Long = 256L,
-      maxValue: Long = (1L << 24) - 1): DataFrame = {
-    val scored = surprisalScore(df, idCol, textCol)
+      maxValue: Long = (1L << 24) - 1,
+      precomputedModel: Option[DataFrame] = None): DataFrame = {
+    val scored = surprisalScore(df, idCol, textCol, precomputedModel)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.Persisted.track(scored)
     val qs = graft.sketch.QuantileSketch.valueQuantiles(
