@@ -224,6 +224,23 @@ object ScalePerfHarness {
       consume(graft.sim.Similarity.meanPoolVectors(vecs, "doc", "vec_id",
         "embedding"))
     }
+    // hybrid retrieval at scale: BM25 arm over the text corpus + IVF arm
+    // over the vector corpus, RRF-fused — the fuse itself is k rows/arm,
+    // so the wall is the two arms' own (already-measured) plans
+    val hdocs = textCorpus(spark, count).persist()
+    hdocs.count()
+    val hvecs = corpus(spark, count)
+    time("hybridSearch(bm25 + ivf, k=25)", count) {
+      val sparse = graft.text.Vocabulary.bm25SearchFixed(hdocs, "doc_id",
+        "text", query = Seq("w100", "w2000", "w30000"), k = 50)
+      val dense = graft.sim.Similarity.ivfTopK(hvecs, "vec_id", "embedding",
+        queryId = 0L, k = 50, numClusters = 64, nProbe = 4)
+        .select(col("vec_id").as("doc_id"), col("cosine"))
+      consume(graft.sim.HybridSearch.rrfFuse(Seq(
+        sparse -> Seq(col("bm25_fp").desc, col("doc_id")),
+        dense -> Seq(col("cosine").desc, col("doc_id"))), "doc_id", k = 25))
+    }
+    hdocs.unpersist()
   }
 
   /** r8 signal operators at scale: surprisal, drift, quantile sketch.
