@@ -1584,6 +1584,15 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         topN = 256)),
 
+    // interpolated Kneser-Ney bigram surprisal (Kneser & Ney 1995):
+    // principled discount smoothing with continuation counts, exact
+    // D=3/4 rational -> Q40 fixed-point probability -> integer log
+    // chain; model relations are bigram-type-bounded, scoring join is
+    // the one content-keyed shuffle
+    "x_text_surprisal_kn" -> ((s, dir) =>
+      graft.text.Vocabulary.knSurprisal(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
+
     // unigram drift audit: corpus A (english docs) scored against corpus
     // B's smoothed unigram model — per-token signed fixed-point log
     // ratios whose weighted sum is add-one-smoothed KL(A||B)
@@ -3094,6 +3103,8 @@ object SparkEntry {
 
       "x_text_surprisal_bigram" ->
         graft.text.Vocabulary.bigramSurprisalSql(topN = 256),
+
+      "x_text_surprisal_kn" -> graft.text.Vocabulary.knSurprisalSql,
 
       "x_text_drift" -> graft.text.Vocabulary.unigramDriftSql(
         "lang = 'en'", "lang <> 'en'"),

@@ -215,8 +215,15 @@ object Vocabulary {
     * projections — the relation here is the ≤|query|-row per-term df
     * table, so the unrolled plan is trivially small.
     */
-  private def log2FixedCols(df: DataFrame): DataFrame = {
-    val two = lit(2L << MantBits)
+  private def log2FixedCols(df: DataFrame): DataFrame =
+    log2FixedColsM(df, MantBits)
+
+  /** [[log2FixedCols]] with a caller-chosen mantissa width. A narrower
+    * mantissa (e.g. [[KnMantBits]] = 20) admits larger `_num` operands
+    * (`_num < 2^(63 - mantBits)`) at proportionally coarser precision —
+    * [[knSurprisal]] feeds a constant `2^40` numerator through it. */
+  private def log2FixedColsM(df: DataFrame, mantBits: Int): DataFrame = {
+    val two = lit(2L << mantBits)
     var cur = df
       // den*2^k <= num  ⟺  den <= floor(num / 2^k) for integers — the
       // shift-right form never overflows, where den << k would for
@@ -225,11 +232,11 @@ object Vocabulary {
         when(shiftright(col("_num"), k) >= col("_den"), 1L).otherwise(0L))
         .reduce(_ + _))
       .withColumn("_m",
-        expr(s"shiftleft(_num, $MantBits) DIV shiftleft(_den, CAST(_e AS INT))"))
+        expr(s"shiftleft(_num, $mantBits) DIV shiftleft(_den, CAST(_e AS INT))"))
       .withColumn("_frac", lit(0L))
     for (_ <- 1 to FracBits) {
       cur = cur
-        .withColumn("_msq", shiftright(col("_m") * col("_m"), MantBits))
+        .withColumn("_msq", shiftright(col("_m") * col("_m"), mantBits))
         .withColumn("_frac",
           col("_frac") * 2 + when(col("_msq") >= two, 1L).otherwise(0L))
         .withColumn("_m",
@@ -848,6 +855,212 @@ object Vocabulary {
        |  LEFT JOIN sup gs
        |    ON gs.kind = 'g' AND gs.k1 = b.w1 AND gs.k2 = b.w2
        |  JOIN sup bs ON bs.kind = 'b' AND bs.k1 = b.w2)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(s) AS BIGINT) AS surprisal_fp,
+       |  CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |    AS mean_surprisal_fp
+       |FROM contrib GROUP BY doc_id""".stripMargin
+  }
+
+  /** Mantissa width for [[knSurprisal]]'s log chain: 20 bits admit the
+    * constant `2^40` numerator (`num < 2^43`) that the Q40 probability
+    * fixed point needs; precision `~FracBits·2^-20` is ample for a
+    * quality signal. */
+  private[graft] val KnMantBits = 20
+
+  /** Q40 probability scale for [[knSurprisal]]: probabilities are held
+    * as `floor(P · 2^40)`, clamped up to 1 (a `2^-40` probability floor
+    * — the fixed-point analogue of float underflow, reached only when
+    * `c(v)·Ntypes > 3·2^38`). */
+  private[graft] val KnProbScale = 1L << 40
+
+  /** Per-document INTERPOLATED KNESER-NEY bigram surprisal (Kneser &
+    * Ney 1995; Chen & Goodman 1999's interpolated form) as EXACT INTEGER
+    * arithmetic — the principled-smoothing upgrade over
+    * [[bigramSurprisal]]'s stupid backoff. With discount `D = 3/4`
+    * (exact rational, multiplied through by 4):
+    *
+    * {{{
+    * P(w|v) = max(c(vw) − D, 0)/c(v) + D·N1+(v·)/c(v) · N1+(·w)/Ntypes
+    *        = [max(4·c(vw) − 3, 0)·Ntypes + 3·N1+(v·)·N1+(·w)]
+    *          / [4·c(v)·Ntypes]
+    * }}}
+    *
+    * where `c(v) = Σ_w c(vw)` is the bigram-context count, `N1+(v·)` /
+    * `N1+(·w)` are distinct continuation/context type counts, and
+    * `Ntypes` the total distinct-bigram count (`Σ_w N1+(·w) = Ntypes`,
+    * which is what makes the continuation distribution — and hence every
+    * P(w|v) — a true probability). Scoring the corpus against its own
+    * model means every scored bigram is in-model (`c(vw) ≥ 1`), so the
+    * unseen-context fallback chain never triggers; position 1 scores
+    * against the MLE unigram (the [[bigramSurprisal]] convention).
+    *
+    * Exactness across engines: each family's probability is ONE exact
+    * integer rational, floored onto the Q40 grid `pfp =
+    * max(1, (pnum · 2^40) div pden)` — the multiply runs in
+    * DECIMAL(34,0) on the Spark side and HUGEINT in DuckDB, both exact —
+    * and surprisal is `log2fp(2^40, pfp)` on a [[KnMantBits]]-bit
+    * mantissa chain, integer ops only, so [[knSurprisalSql]]
+    * hash-matches bit-for-bit.
+    *
+    * Scale shape: the model relations (unigram counts, bigram-type
+    * counts, context/continuation stats) are all vocab- or
+    * bigram-type-bounded aggs with map-side combine; the token and
+    * bigram streams are generated in the scan projection (no per-doc
+    * window). The scoring join keys the corpus bigram stream against the
+    * bigram-type model — a content-keyed shuffle, the honest shape when
+    * the model is too large to broadcast (unlike [[bigramSurprisal]]'s
+    * pruned top-N, KN needs the full type table for its continuation
+    * counts). Magnitude precondition: `c(v)·Ntypes < 2^60` (then `pden =
+    * 4·c(v)·Ntypes < 2^63`; the Q40 multiply itself is 128-bit-safe to
+    * `pnum < 2^63`). Larger corpora shard and floor-rescale counts by a
+    * common factor first.
+    */
+  def knSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokArr = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Persisted.track(tokArr)
+    val cnt = tokArr.select(explode(col("_toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("_c"))
+    val tot = cnt.agg(sum(col("_c")).as("_tot"))
+    // bigram stream at scan speed (size >= 2 keeps sequence() ascending)
+    val bigrams = tokArr.filter(size(col("_toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(2, size(_toks)), " +
+          "i -> struct(_toks[i-2] AS w1, _toks[i-1] AS w2))")).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
+    val bgm = bigrams.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Persisted.track(bgm)
+    val vst = bgm.groupBy(col("_w1"))
+      .agg(sum(col("_c12")).as("_cv"), count(lit(1)).as("_n1v"))
+    val wst = bgm.groupBy(col("_w2")).agg(count(lit(1)).as("_n1w"))
+    val nt = bgm.agg(count(lit(1)).as("_nt"))
+    // one uniform (kind, k1, k2, pnum, pden) relation -> one log chain
+    // (the bigramSurprisal merged-chain lesson: per-family chains
+    // triple the unrolled plan for nothing)
+    val fam = cnt.crossJoin(broadcast(tot))
+      .select(lit("u").as("_kind"), col("token").as("_k1"), lit("").as("_k2"),
+        col("_c").as("_pnum"), col("_tot").as("_pden"))
+      .unionByName(bgm
+        .join(vst, Seq("_w1")).join(wst, Seq("_w2"))
+        .crossJoin(broadcast(nt))
+        .select(lit("k").as("_kind"), col("_w1").as("_k1"),
+          col("_w2").as("_k2"),
+          (greatest(lit(4L) * col("_c12") - lit(3L), lit(0L)) * col("_nt")
+            + lit(3L) * col("_n1v") * col("_n1w")).as("_pnum"),
+          (lit(4L) * col("_cv") * col("_nt")).as("_pden")))
+    // Q40 floor: DECIMAL(20,0) * DECIMAL(13,0) = DECIMAL(34,0), exact
+    // (wider operand types would trip Spark's 38-precision loss rules)
+    val scored = log2FixedColsM(
+      fam.withColumn("_pfp", expr(
+        s"greatest(1L, CAST(_pnum AS DECIMAL(20,0)) " +
+          s"* CAST($KnProbScale AS DECIMAL(13,0)) DIV _pden)"))
+        .withColumn("_num", lit(KnProbScale))
+        .withColumn("_den", col("_pfp")), KnMantBits)
+      .select(col("_kind"), col("_k1"), col("_k2"),
+        col("_idf_fp").as("_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Persisted.track(scored)
+    val uni = scored.filter(col("_kind") === "u")
+      .select(col("_k1").as("token"), col("_s"))
+    val knModel = scored.filter(col("_kind") === "k")
+      .select(col("_k1").as("_w1"), col("_k2").as("_w2"), col("_s"))
+    val firstContrib = tokArr
+      .select(col(idCol), col("_toks").getItem(0).as("token"))
+      .join(broadcast(uni), Seq("token"))
+      .select(col(idCol), col("_s").as("_contrib"))
+    val bigramContrib = bigrams
+      .join(knModel, Seq("_w1", "_w2"))
+      .select(col(idCol), col("_s").as("_contrib"))
+    firstContrib.unionByName(bigramContrib)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_contrib")).as("surprisal_fp"))
+      .withColumn("mean_surprisal_fp", expr("surprisal_fp DIV n_tokens"))
+  }
+
+  /** DuckDB twin of [[knSurprisal]] over `documents`: identical model
+    * counts, the identical Q40 floor (HUGEINT multiply, `//` on positive
+    * operands = Spark's `DIV`), and the identical [[KnMantBits]]-bit
+    * square-and-truncate chain. */
+  def knSurprisalSql: String = {
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN ($KnProbScale >> $kk) >= pfp THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT kind, k1, k2, e,
+         |    CASE WHEN ((m * m) >> $KnMantBits) >= (CAST(2 AS BIGINT) << $KnMantBits)
+         |      THEN ((m * m) >> $KnMantBits) >> 1 ELSE (m * m) >> $KnMantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $KnMantBits) >= (CAST(2 AS BIGINT) << $KnMantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk,
+       |    len(string_split(trim(text), ' ')) AS n
+       |  FROM documents),
+       |cnt AS MATERIALIZED (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(tk) AS token FROM t) GROUP BY token),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cnt),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2
+       |  FROM (SELECT doc_id, tk, unnest(range(n - 1)) AS i
+       |        FROM t WHERE n >= 2)),
+       |bgm AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM bg GROUP BY w1, w2),
+       |vst AS MATERIALIZED (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS cv,
+       |    CAST(count(*) AS BIGINT) AS n1v
+       |  FROM bgm GROUP BY w1),
+       |wst AS MATERIALIZED (
+       |  SELECT w2, CAST(count(*) AS BIGINT) AS n1w
+       |  FROM bgm GROUP BY w2),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM bgm),
+       |fam AS MATERIALIZED (
+       |  SELECT 'u' AS kind, token AS k1, '' AS k2,
+       |    c AS pnum, tt AS pden
+       |  FROM cnt CROSS JOIN tot
+       |  UNION ALL
+       |  SELECT 'k' AS kind, g.w1 AS k1, g.w2 AS k2,
+       |    greatest(4 * g.c12 - 3, CAST(0 AS BIGINT)) * n.ntypes
+       |      + 3 * v.n1v * w.n1w AS pnum,
+       |    4 * v.cv * n.ntypes AS pden
+       |  FROM bgm g
+       |  JOIN vst v ON v.w1 = g.w1
+       |  JOIN wst w ON w.w2 = g.w2
+       |  CROSS JOIN nt n),
+       |pf AS MATERIALIZED (
+       |  SELECT kind, k1, k2,
+       |    greatest(CAST(1 AS BIGINT),
+       |      CAST(CAST(pnum AS HUGEINT) * $KnProbScale // pden AS BIGINT))
+       |      AS pfp
+       |  FROM fam),
+       |it0 AS (
+       |  SELECT kind, k1, k2, ($eSum) AS e,
+       |    (CAST($KnProbScale AS BIGINT) << $KnMantBits)
+       |      // (pfp << e) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM pf),
+       |$iters,
+       |sup AS MATERIALIZED (
+       |  SELECT kind, k1, k2,
+       |    e * (CAST(1 AS BIGINT) << $FracBits) + frac AS s
+       |  FROM it$FracBits),
+       |contrib AS (
+       |  SELECT f.doc_id, s.s
+       |  FROM (SELECT doc_id, tk[1] AS k1 FROM t) f
+       |  JOIN sup s ON s.kind = 'u' AND s.k1 = f.k1
+       |  UNION ALL
+       |  SELECT b.doc_id, s.s
+       |  FROM bg b
+       |  JOIN sup s ON s.kind = 'k' AND s.k1 = b.w1 AND s.k2 = b.w2)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |  CAST(sum(s) AS BIGINT) AS surprisal_fp,
        |  CAST(sum(s) AS BIGINT) // CAST(count(*) AS BIGINT)

@@ -173,6 +173,42 @@ class VocabularySpec extends AnyFunSuite with SparkTestBase {
     assert(got1(1L)._2 < got1(3L)._2)
   }
 
+  /** Driver-side replica of [[Vocabulary.knSurprisal]]'s Q40 floor +
+    * 20-bit-mantissa log chain (identical integer op sequence). */
+  private def knFp(pnum: Long, pden: Long): Long = {
+    val q = 1L << 40
+    val pfp = math.max(1L, (BigInt(pnum) * q / pden).toLong)
+    var e = 0
+    while (e < 40 && (pfp << (e + 1)) <= q) e += 1
+    var m = (q << 20) / (pfp << e)
+    var frac = 0L
+    for (_ <- 1 to 20) {
+      val msq = (m * m) >> 20
+      frac = frac * 2 + (if (msq >= (2L << 20)) 1L else 0L)
+      m = if (msq >= (2L << 20)) msq >> 1 else msq
+    }
+    (e.toLong << 20) + frac
+  }
+
+  test("knSurprisal: interpolated KN probabilities (discount mass " +
+    "redistributed via continuation counts) match the fixed-point replica") {
+    import spark.implicits._
+    // counts: a=3,b=2,c=1,d=1, TOTAL=7; bigram types (a,b):2, (a,c):1
+    // -> c(a)=3, N1+(a.)=2, N1+(.b)=N1+(.c)=1, Ntypes=2
+    // P(b|a) = (2-3/4)/3 + (3/4)(2/3)(1/2) = 16/24; P(c|a) = 8/24
+    // (sums to 1 over the seen continuations: mass exactly conserved)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val got = Vocabulary.knSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Persisted.unpersistAll()
+    assert(got(1L) == (2L, knFp(3, 7) + knFp(16, 24)), s"got ${got(1L)}")
+    assert(got(3L) == (2L, knFp(3, 7) + knFp(8, 24)), s"got ${got(3L)}")
+    assert(got(4L) == (1L, knFp(1, 7)), s"got ${got(4L)}")
+    // the frequent continuation is less surprising than the rare one
+    assert(got(1L)._2 < got(3L)._2)
+  }
+
   // -------------------------------------------------------------- DSIR
 
   /** Driver-side replica of the per-bucket DSIR log ratio (same add-one
