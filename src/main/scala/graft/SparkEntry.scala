@@ -996,6 +996,17 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.8,
         maxDfFraction = None)),
 
+    // prefix-filtered exact ssjoin (AllPairs/PPJoin): candidates join
+    // only each doc's rarest-first prefix shingles + length filter —
+    // lossless (same pair set as the all-shingle join, which the oracle
+    // and the x_dedup_ngram_jaccard twin pin), with candidate volume cut
+    // from sum(df^2) to prefix occurrences only — the exact ssjoin shape
+    // that survives the frequent-shingle tail at 100 TB
+    "x_dedup_jaccard_prefix" -> ((s, dir) =>
+      graft.dedup.Dedup.jaccardPrefixPairs(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        n = 3, tauNum = 4, tauDen = 5)),
+
     // stop-shingle guard: shingles in more than maxDf docs are dropped on
     // BOTH sides of the Jaccard (numerator and denominator use the same
     // filtered universe) — the knob that bounds the self-join blowup on
@@ -1004,6 +1015,16 @@ object SparkEntry {
       graft.dedup.Dedup.ngramJaccardPairs(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         n = 3, tau = 0.8, maxDf = Some(10))),
+
+    // character-level near-dup verify: loose (tau=1/2) prefix-ssjoin
+    // candidates confirmed by exact Levenshtein under a relative cap
+    // (10*lev <= max(len)) — set similarity is permutation-blind, edit
+    // distance is not; the composition is the standard cheap-candidates
+    // -> expensive-verify shape
+    "x_dedup_edit_distance" -> ((s, dir) =>
+      graft.dedup.Dedup.editDistanceNearDup(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        n = 3, tauNum = 1, tauDen = 2)),
 
     "x_dedup_minhash" -> ((s, dir) =>
       minhashPairsRawDim(s, dir)), // unguarded: must equal the exact truth set
@@ -1593,6 +1614,17 @@ object SparkEntry {
       graft.text.Vocabulary.knSurprisal(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
 
+    // character-distribution entropy (gibberish/padding signal): ONE
+    // codegen'd per-row scalar at scan speed — no char explode, no
+    // shuffle; fixed-point log2 so the relational DuckDB unroll
+    // hash-matches bit-for-bit
+    "x_text_char_entropy" -> ((s, dir) =>
+      DerivedModel.table(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          graft.text.CharEntropyExpr.entropyCol(col("text")).as("entropy_fp"))),
+
     // unigram drift audit: corpus A (english docs) scored against corpus
     // B's smoothed unigram model — per-token signed fixed-point log
     // ratios whose weighted sum is add-one-smoothed KL(A||B)
@@ -1696,6 +1728,16 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "lang",
         MixWeights, defaultWeight = 0.1)
         .select(col("doc_id"), col("lang"), col("source"))),
+
+    // per-domain host cap (CommonCrawl/C4 curation): at most 18 docs per
+    // source in deterministic (md5, id) order — per-(domain, md5-prefix)
+    // bucket offsets broadcast, over-cap buckets pruned BEFORE any rank
+    // window, so only ~cap rows per domain are ever ranked
+    "x_sample_domain_cap" -> ((s, dir) =>
+      graft.ops.Sampling.domainCapSample(
+        DerivedModel.table(s, dir, "documents"), "source", "doc_id",
+        cap = 18L)
+        .select(col("doc_id"), col("source"), col("lang"))),
 
     // temperature-scaled corpus mixing (mT5-style alpha=0.5): per-domain
     // rates COMPUTED from corpus counts (exact integer isqrt + pinned
@@ -2413,6 +2455,48 @@ object SparkEntry {
   private val ngramJaccardOracle: String =
     s"WITH $ngramJaccardCtes\nSELECT id_a, id_b, jaccard FROM simpairs"
 
+  /** Oracle for the prefix-filtered ssjoin: replays the WHOLE algorithm
+    * (df-ranked canonical order, prefix cut `s − ceil(4s/5) + 1`, length
+    * filter, exact intersection verify, integer-τ threshold) — which by
+    * the prefix-filter completeness lemma must also equal
+    * [[ngramJaccardOracle]]'s pair set.
+    */
+  private def jaccardPrefixCtes(tn: Int, td: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |ng AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+       |dfc AS (SELECT ngram, CAST(count(*) AS BIGINT) AS df FROM ng GROUP BY ngram),
+       |cnt AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ng GROUP BY doc_id),
+       |pref AS MATERIALIZED (
+       |  SELECT doc_id, ngram, n FROM (
+       |    SELECT ng.doc_id, ng.ngram, c.n,
+       |      row_number() OVER (PARTITION BY ng.doc_id ORDER BY d.df, ng.ngram) AS pos
+       |    FROM ng JOIN dfc d USING (ngram) JOIN cnt c ON c.doc_id = ng.doc_id)
+       |  WHERE pos <= n - ($tn * n + ${td - 1}) // $td + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pref a JOIN pref b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       |    AND $td * b.n >= $tn * a.n AND $td * a.n >= $tn * b.n),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+       |  FROM cand c
+       |  JOIN ng a ON a.doc_id = c.id_a
+       |  JOIN ng b ON b.doc_id = c.id_b AND b.ngram = a.ngram
+       |  GROUP BY c.id_a, c.id_b),
+       |ppairs AS MATERIALIZED (
+       |  SELECT id_a, id_b, i, ca.n AS na, cb.n AS nb
+       |  FROM inter
+       |  JOIN cnt ca ON id_a = ca.doc_id
+       |  JOIN cnt cb ON id_b = cb.doc_id
+       |  WHERE $td * i >= $tn * (ca.n + cb.n - i))""".stripMargin
+
+  private val jaccardPrefixOracle: String =
+    s"""WITH ${jaccardPrefixCtes(4, 5)}
+       |SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+       |FROM ppairs""".stripMargin
+
   /** [[ngramJaccardCtes]] with the DEFAULT corpus-fraction stop-shingle
     * guard applied (Dedup.DefaultMaxDfFraction = 0.5): `ng` keeps only
     * shingles whose document frequency is <= ceil(0.5 x distinct docs).
@@ -2504,6 +2588,18 @@ object SparkEntry {
           |FROM sh WHERE n_shared >= 4 GROUP BY doc_id""".stripMargin,
 
       "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
+
+      "x_dedup_jaccard_prefix" -> jaccardPrefixOracle,
+
+      "x_dedup_edit_distance" ->
+        s"""WITH ${jaccardPrefixCtes(1, 2)}
+           |SELECT p.id_a, p.id_b,
+           |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+           |FROM ppairs p
+           |JOIN documents a ON a.doc_id = p.id_a
+           |JOIN documents b ON b.doc_id = p.id_b
+           |WHERE 10 * levenshtein(a.text, b.text)
+           |  <= greatest(length(a.text), length(b.text))""".stripMargin,
 
       "x_dedup_ngram_jaccard_maxdf" ->
         """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -3106,6 +3202,8 @@ object SparkEntry {
 
       "x_text_surprisal_kn" -> graft.text.Vocabulary.knSurprisalSql,
 
+      "x_text_char_entropy" -> graft.text.Vocabulary.charEntropySql,
+
       "x_text_drift" -> graft.text.Vocabulary.unigramDriftSql(
         "lang = 'en'", "lang <> 'en'"),
 
@@ -3157,6 +3255,15 @@ object SparkEntry {
         s"""SELECT doc_id, lang, source FROM documents
            |WHERE ${graft.ops.Sampling.weightedSampleSql(
                      "doc_id", "lang", MixWeights, defaultWeight = 0.1)}""".stripMargin,
+
+      // oracle states the SEMANTICS (one per-domain rank window); the
+      // Spark side's bucket-offset construction must agree exactly
+      "x_sample_domain_cap" ->
+        """SELECT doc_id, source, lang FROM (
+          |  SELECT doc_id, source, lang,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents) WHERE rk <= 18""".stripMargin,
 
       "x_sample_split" ->
         s"""SELECT doc_id, lang, ${graft.ops.Sampling.datasetSplitSql(

@@ -235,6 +235,115 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** PREFIX-FILTERED exact set-similarity self-join (the AllPairs /
+    * PPJoin family — Bayardo et al. 2007, Xiao et al. 2008): the same
+    * exact Jaccard-pairs result as [[ngramJaccardPairs]] (unguarded),
+    * with candidate generation joining only each document's PREFIX
+    * shingles instead of all of them.
+    *
+    * Canonical order: shingles globally ordered by (document frequency
+    * asc, shingle asc) — rare-first, a total order shared by every doc.
+    * A doc with `s` shingles keeps its first `s − ceil(τ·s) + 1` as the
+    * prefix. Completeness (no pair above τ is missed): `J(x,y) ≥ τ ⟹
+    * |x∩y| ≥ ceil(τ·max(|x|,|y|))`, and if `|x∩y| ≥ α` the smallest
+    * common shingle in the canonical order has rank `≤ |x|−α+1` in x and
+    * `≤ |y|−α+1` in y — so it lies in BOTH prefixes. The candidate join
+    * also applies the length filter `τ·|x| ≤ |y| ≤ |x|/τ`. Verification
+    * is exact set intersection over the FULL shingle relation, and the
+    * τ threshold is evaluated in exact integers
+    * (`τd·i ≥ τn·(|x|+|y|−i)`), so the output is bit-identical to the
+    * all-shingle join's.
+    *
+    * Scale: the all-shingle self-join shuffles Σ df² candidate rows —
+    * at 100 TB the frequent-shingle tail dominates. The prefix join
+    * shuffles only prefix occurrences (the RAREST ~(1−τ) fraction of
+    * each doc's shingles), cutting candidates by orders of magnitude
+    * while staying lossless — the standard exact ssjoin at scale. Costs
+    * added: one df agg (shingle-bounded, map-side combined) and one
+    * per-doc rank window (docs are small; the window never sees the
+    * corpus). τ is passed as the exact rational `tauNum/tauDen`.
+    */
+  def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"tau must be a rational in (0, 1], got $tauNum/$tauDen")
+    val ng = Persisted.track(shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfc = ng.groupBy(col("ngram")).agg(count(lit(1)).as("_df"))
+    val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("ngram"))
+    val prefix = Persisted.track(ng
+      .join(dfc, Seq("ngram"))
+      .join(cnt, Seq("_id"))
+      .withColumn("_pos", row_number().over(w))
+      .filter(col("_pos") <= col("n_shingles")
+        - expr(s"($tauNum * n_shingles + ${tauDen - 1}) DIV $tauDen") + 1)
+      .select(col("_id"), col("ngram"), col("n_shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = prefix.select(col("_id").as("id_a"), col("ngram"),
+        col("n_shingles").as("n_a"))
+      .hint("shuffle_hash")
+      .join(prefix.select(col("_id").as("id_b"), col("ngram"),
+        col("n_shingles").as("n_b")).hint("shuffle_hash"), Seq("ngram"))
+      .filter(col("id_a") < col("id_b")
+        && lit(tauDen) * col("n_b") >= lit(tauNum) * col("n_a")
+        && lit(tauDen) * col("n_a") >= lit(tauNum) * col("n_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand
+      .join(ng.select(col("_id").as("id_a"), col("ngram")), Seq("id_a"))
+      .join(ng.select(col("_id").as("id_b"), col("ngram")), Seq("id_b", "ngram"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.select(col("_id").as("id_a"), col("n_shingles").as("n_a")), Seq("id_a"))
+      .join(cnt.select(col("_id").as("id_b"), col("n_shingles").as("n_b")), Seq("id_b"))
+      .filter(lit(tauDen.toLong) * col("n_inter")
+        >= lit(tauNum.toLong) * (col("n_a") + col("n_b") - col("n_inter")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** CHARACTER-LEVEL near-duplicate verify: [[jaccardPrefixPairs]]
+    * candidates at a loose token-set threshold, confirmed with exact
+    * Levenshtein edit distance under a RELATIVE cap
+    * (`distDen·lev ≤ distNum·max(len_a, len_b)`, exact integers).
+    *
+    * Why both levels: token-set Jaccard is permutation-blind — a
+    * shuffled bag of the same words scores 1.0 — while edit distance
+    * charges every reordering; conversely edit distance alone is
+    * O(len²) per pair and can never run all-pairs. The standard
+    * composition is cheap set-similarity candidates → expensive
+    * character verify on the survivors, exactly this operator. Output:
+    * `(id_a, id_b, edit_dist)`.
+    *
+    * Scale: candidate volume is the prefix join's (lossless at
+    * `tauNum/tauDen`); the Levenshtein runs once per CANDIDATE, not per
+    * pair of documents. In production cap the quadratic cost with
+    * Spark's thresholded `levenshtein(l, r, k)` (early-exits above k,
+    * returns −1) or truncate to a fixed character budget first; the
+    * gated form keeps the plain call so the emitted distance replays
+    * exactly in the oracle.
+    */
+  def editDistanceNearDup(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tauNum: Int, tauDen: Int,
+      distNum: Int = 1, distDen: Int = 10): DataFrame = {
+    val cands = jaccardPrefixPairs(df, idCol, textCol, n, tauNum, tauDen)
+      .select(col("id_a"), col("id_b"))
+    val texts = df.select(col(idCol).as("_tid"), col(textCol).as("_txt"),
+      length(col(textCol)).cast("long").as("_len"))
+    cands
+      .join(texts.select(col("_tid").as("id_a"), col("_txt").as("_ta"),
+        col("_len").as("_la")), Seq("id_a"))
+      .join(texts.select(col("_tid").as("id_b"), col("_txt").as("_tb"),
+        col("_len").as("_lb")), Seq("id_b"))
+      .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .filter(lit(distDen.toLong) * col("edit_dist")
+        <= lit(distNum.toLong) * greatest(col("_la"), col("_lb")))
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   // ---------------- MinHash + LSH ----------------
 
   /** MinHash signatures: per document, the element-wise minimum of

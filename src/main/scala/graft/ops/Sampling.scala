@@ -320,6 +320,50 @@ object Sampling {
       .drop("_graft_bkt", "_graft_offset")
   }
 
+  /** Per-domain document cap (the CommonCrawl/C4 host-cap curation
+    * step: no single domain may contribute more than `cap` documents,
+    * survivors chosen by deterministic hash order, not arrival order).
+    * Keeps each domain's first `cap` rows in `(md5(key), key)` order —
+    * an unbiased, partition-stable sample that is STABLE UNDER CORPUS
+    * GROWTH: a doc kept at cap k is kept at any cap ≥ k, and re-running
+    * after appending new docs only swaps survivors where new hashes
+    * rank earlier.
+    *
+    * Scale: a per-domain `row_number` window funnels each domain — at
+    * web scale, billions of rows — through one partition. This is the
+    * [[withGlobalPosition]] construction per domain: rows bucket by the
+    * md5 PREFIX (order-convex w.r.t. the (md5, key) order), per-(domain,
+    * bucket) counts broadcast back as exclusive offsets, and — the cap's
+    * extra trick — buckets whose offset already exceeds `cap` are
+    * PRUNED before any ranking window runs: only ~cap rows per domain
+    * ever reach the window, regardless of corpus size. Cost: one count
+    * agg + one broadcast join + a window over the ≤cap·16^prefixChars
+    * surviving rows per domain.
+    */
+  def domainCapSample(df: DataFrame, domainCol: String, keyCol: String,
+      cap: Long, prefixChars: Int = 2): DataFrame = {
+    require(cap >= 1 && prefixChars >= 1 && prefixChars <= 8)
+    val bucket = substring(shuffleKey(col(keyCol)), 1, prefixChars)
+    val bucketed = df.withColumn("_graft_bkt", bucket)
+    val offsets = bucketed.groupBy(col(domainCol), col("_graft_bkt"))
+      .agg(count(lit(1)).as("_graft_n"))
+      .withColumn("_graft_offset",
+        coalesce(sum(col("_graft_n")).over(
+          Window.partitionBy(col(domainCol)).orderBy(col("_graft_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(domainCol), col("_graft_bkt"), col("_graft_offset"))
+    val localRank = row_number().over(
+      Window.partitionBy(col(domainCol), col("_graft_bkt"))
+        .orderBy(shuffleKey(col(keyCol)), col(keyCol)))
+    bucketed.join(broadcast(offsets), Seq(domainCol, "_graft_bkt"))
+      // bucket-level prune BEFORE the rank window: a bucket starting at
+      // or past the cap contributes nothing — drop its rows unranked
+      .filter(col("_graft_offset") < cap)
+      .withColumn("_graft_rank", col("_graft_offset") + localRank)
+      .filter(col("_graft_rank") <= cap)
+      .drop("_graft_bkt", "_graft_offset", "_graft_rank")
+  }
+
   /** Greedy token-budget fill: rank rows best-first by (`scoreCol` desc,
     * hashed id, id) and keep every row whose running token total BEFORE it
     * is still under `budget` — the "fill a 1T-token training budget by

@@ -1068,6 +1068,57 @@ object Vocabulary {
        |FROM contrib GROUP BY doc_id""".stripMargin
   }
 
+  /** DuckDB twin of [[CharEntropyExpr]] over `documents`: the per-row
+    * scalar unrolls relationally — per-(doc, char) counts, ONE
+    * [[MantBits]]-bit log chain over the union of the count family and
+    * the length family, then `log2fp(n) − (Σ k·s_k) // n`.
+    */
+  def charEntropySql: String = {
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN (num >> $kk) >= 1 THEN 1 ELSE 0 END").mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT kind, doc_id, ckey, cnt, e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ch AS MATERIALIZED (
+       |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+       |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+       |        FROM documents WHERE length(text) > 0)
+       |  GROUP BY doc_id, c),
+       |nn AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM ch GROUP BY doc_id),
+       |fam AS MATERIALIZED (
+       |  SELECT 'c' AS kind, doc_id, c AS ckey, k AS cnt, k AS num FROM ch
+       |  UNION ALL
+       |  SELECT 'n' AS kind, doc_id, '' AS ckey, CAST(1 AS BIGINT) AS cnt,
+       |    n AS num
+       |  FROM nn),
+       |it0 AS (
+       |  SELECT kind, doc_id, ckey, cnt, ($eSum) AS e,
+       |    (num << $MantBits) // (CAST(1 AS BIGINT) << e) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM fam),
+       |$iters,
+       |sup AS MATERIALIZED (
+       |  SELECT kind, doc_id, cnt,
+       |    e * (CAST(1 AS BIGINT) << $FracBits) + frac AS s
+       |  FROM it$FracBits),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(cnt * s) AS BIGINT) AS acc
+       |  FROM sup WHERE kind = 'c' GROUP BY doc_id)
+       |SELECT a.doc_id, nn.n AS n_chars,
+       |  sn.s - (a.acc // nn.n) AS entropy_fp
+       |FROM agg a
+       |JOIN nn ON nn.doc_id = a.doc_id
+       |JOIN sup sn ON sn.kind = 'n' AND sn.doc_id = a.doc_id""".stripMargin
+  }
+
   /** Canonical greedy application of ONE BPE merge (`a`,`b`) to a symbol
     * array: scan left to right, replacing each non-overlapping adjacent
     * (a, b) with the concatenation. A left fold is exactly this scan —

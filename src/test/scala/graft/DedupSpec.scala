@@ -38,6 +38,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtered ssjoin equals the all-shingle exact join (lossless)") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      tau = 0.8, maxDfFraction = None)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Persisted.unpersistAll()
+    val pref = Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3,
+      tauNum = 4, tauDen = 5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Persisted.unpersistAll()
+    assert(pref == exact, s"prefix ${pref.size} pairs vs exact ${exact.size}")
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    // the tau=1 prefix (single rarest shingle per doc) still finds the
+    // exact-duplicate pairs: identical sets share every shingle
+    val exactDups = Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3,
+      tauNum = 1, tauDen = 1)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Persisted.unpersistAll()
+    assert(exactDups == exact.filter { case (a, b) => exactDups.contains((a, b)) })
+    assert(exactDups.subsetOf(exact))
+  }
+
   test("minhash LSH reproduces the exact-jaccard truth set on documents") {
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8)

@@ -336,4 +336,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
     spark.catalog.clearCache()
   }
+
+  test("char entropy runs inside the scan — no exchange anywhere") {
+    val p = planOf("x_text_char_entropy")
+    assert(!p.contains("Exchange"),
+      s"char entropy must be a pure scan projection:\n$p")
+    assert(p.contains("graft_char_entropy"),
+      s"plan lost the codegen entropy expression:\n$p")
+    Persisted.unpersistAll()
+  }
+
+  test("domain cap windows per (domain, bucket) and broadcasts offsets") {
+    val p = planOf("x_sample_domain_cap")
+    // the rank window must include the md5-prefix bucket in its
+    // partition spec — a per-domain-only window funnels each domain
+    // through one partition
+    val winLines = p.split("\n").filter(_.contains("row_number()"))
+    assert(winLines.exists(l => l.contains("_graft_bkt")),
+      s"cap window must partition by (domain, bucket):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-(domain, bucket) offsets must broadcast:\n$p")
+    Persisted.unpersistAll()
+  }
 }

@@ -202,6 +202,30 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       s"fractions off: ${e25.size}/1000 for 0.25, ${e75.size}/1000 for 0.75")
   }
 
+  test("domainCapSample equals the per-domain reference window; caps nest") {
+    import spark.implicits._
+    val df = (0L until 900L).map(i => (i, s"dom${i % 4}")).toDF("id", "dom")
+    val got = Sampling.domainCapSample(df, "dom", "id", cap = 50L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // reference: one row_number window per domain over the (md5, id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dom"))
+      .orderBy(Sampling.shuffleKey(col("id")), col("id"))
+    val ref = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == ref)
+    assert(got.size == 200, s"4 domains x 50 = 200, got ${got.size}")
+    // a tighter cap selects a SUBSET (stability under cap changes)
+    val tight = Sampling.domainCapSample(df, "dom", "id", cap = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(tight.size == 40 && tight.subsetOf(got))
+    // under-cap domains keep everything
+    val all = Sampling.domainCapSample(df, "dom", "id", cap = 300L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all.size == 900)
+  }
+
   test("tokenBudgetSelect equals the single-window reference order") {
     import spark.implicits._
     val df = (0L until 1000L)

@@ -70,6 +70,7 @@ object ScalePerfHarness {
       case "spans" => spansMode(spark, count)
       case "bpe"   => bpeMode(spark, count)
       case "signals" => signalsMode(spark, count)
+      case "ssjoin" => ssjoinMode(spark, count)
       case "graph" => graphMode(spark, count)
       case "proto" => protoMode(spark, count)
       case "groups10m" => groupsMode(spark, count)
@@ -363,6 +364,96 @@ object ScalePerfHarness {
       }
   }
 
+  /** Exact ssjoin head-to-head: all-shingle self-join vs the
+    * prefix-filtered join (identical pair sets — asserted), plus the
+    * prefix candidate volume against the self-join's Σdf² bound.
+    */
+  private def ssjoinMode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    val docs = textCorpus(spark, count).persist()
+    val n = docs.count()
+    var selfJoin = 0L
+    time("ngramJaccardPairs(self-join)", n) {
+      selfJoin = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        tau = 0.8, maxDfFraction = None).count()
+      selfJoin
+    }
+    Persisted.unpersistAll()
+    var prefJoin = 0L
+    time("jaccardPrefixPairs(tau=4/5)", n) {
+      prefJoin = Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3,
+        tauNum = 4, tauDen = 5).count()
+      prefJoin
+    }
+    Persisted.unpersistAll()
+    require(selfJoin == prefJoin,
+      s"prefix join must be lossless: $prefJoin vs $selfJoin")
+    // candidate volumes: Σdf² over all shingles (self-join) vs over the
+    // prefix relation only (what the prefix filter actually joins)
+    val ng = Dedup.shingles(docs, "doc_id", "text", 3).persist()
+    val all = ng.groupBy(col("ngram"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) / 2"))).head().getDouble(0)
+    val dfc = ng.groupBy(col("ngram"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_df"))
+    val cnt = ng.groupBy(col("_id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_shingles"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("ngram"))
+    val pref = ng.join(dfc, Seq("ngram")).join(cnt, Seq("_id"))
+      .withColumn("_pos", row_number().over(w))
+      .filter(col("_pos") <= col("n_shingles")
+        - expr("(4 * n_shingles + 4) DIV 5") + 1)
+    val prefCand = pref.groupBy(col("ngram"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) / 2"))).head().getDouble(0)
+    println(s"[occupancy] ssjoin candidates: all-shingle=$all prefix=$prefCand " +
+      f"cut=${all / math.max(prefCand, 1.0)}%.1fx")
+    ng.unpersist()
+
+    // BOILERPLATE regime — the corpus shape the prefix filter exists
+    // for: every 5th doc carries an identical 12-token tail, so each of
+    // its ~12 shingles has df = n/5 and the all-shingle join's candidate
+    // volume gains ~12·(n/5)²/2 pairs (quadratic in the tail df), while
+    // the rare-first prefix never reaches shingles that common. The
+    // all-shingle join is only PREDICTED here (Σdf²); running it at 1M
+    // would be ~5 orders beyond the uniform corpus's volume. Unlike the
+    // maxDf guard (which drops frequent shingles and redefines the
+    // Jaccard universe), the prefix join keeps Jaccard EXACT over the
+    // full universe.
+    val boiler = docs.withColumn("text",
+      when(col("doc_id") % 5 === 0, concat(col("text"),
+        lit(" common boilerplate tail shared by very many documents in" +
+          " this corpus exactly"))).otherwise(col("text"))).persist()
+    boiler.count()
+    val ngB = Dedup.shingles(boiler, "doc_id", "text", 3).persist()
+    val allB = ngB.groupBy(col("ngram"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) / 2"))).head().getDouble(0)
+    val dfcB = ngB.groupBy(col("ngram"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_df"))
+    val cntB = ngB.groupBy(col("_id"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_shingles"))
+    val prefB = ngB.join(dfcB, Seq("ngram")).join(cntB, Seq("_id"))
+      .withColumn("_pos", row_number().over(w))
+      .filter(col("_pos") <= col("n_shingles")
+        - expr("(4 * n_shingles + 4) DIV 5") + 1)
+    val prefCandB = prefB.groupBy(col("ngram"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .agg(sum(expr("c * (c - 1) / 2"))).head().getDouble(0)
+    println(f"[occupancy] ssjoin+boilerplate candidates: " +
+      f"all-shingle=$allB%.3g (predicted, not run) prefix=$prefCandB%.3g " +
+      f"cut=${allB / math.max(prefCandB, 1.0)}%.1fx")
+    ngB.unpersist()
+    time("jaccardPrefixPairs(tau=4/5,boilerplate)", n) {
+      Dedup.jaccardPrefixPairs(boiler, "doc_id", "text", n = 3,
+        tauNum = 4, tauDen = 5).count()
+    }
+    Persisted.unpersistAll()
+    boiler.unpersist()
+    docs.unpersist()
+  }
+
   /** simhashPairs / minhashNearDuplicates / ngramJaccardPairs at scale,
     * plus the posting-list pair-generation alternative (NOTES round-4
     * candidate) measured head-to-head against the shingle self-join.
@@ -440,6 +531,13 @@ object ScalePerfHarness {
     time("ngramJaccardPairs(self-join)", n) {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8,
         maxDfFraction = None).count()
+    }
+    Persisted.unpersistAll()
+    // prefix-filtered exact ssjoin: same pair set, candidates generated
+    // from only the rarest ~(1-tau) shingles per doc
+    time("jaccardPrefixPairs(tau=4/5)", n) {
+      Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3,
+        tauNum = 4, tauDen = 5).count()
     }
     Persisted.unpersistAll()
     // posting-list alternative: group each shingle's posting list once,

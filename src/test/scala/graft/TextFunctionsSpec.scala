@@ -38,6 +38,24 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(rhA == RollingHashExpr.hashBytes("b a c".getBytes("UTF-8")))
   }
 
+  test("char entropy: uniform pair = 1 bit, constant = 0, codegen " +
+    "expression equals the static replica") {
+    import spark.implicits._
+    import graft.text.CharEntropyExpr
+    val f = 1L << 20 // FracBits fixed point
+    val got = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"), (4L, "mixed bag!"))
+      .toDF("id", "t")
+      .select(col("id"), CharEntropyExpr.entropyCol(col("t")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == f, s"H(aabb)=1 bit, got ${got(1L)}")  // 2x2 uniform
+    assert(got(2L) == 0L)                                   // constant run
+    assert(got(3L) == 2L * f)                               // 4-way uniform
+    // arbitrary text matches the shared static entry point exactly
+    assert(got(4L) == CharEntropyExpr.entropyFp(
+      org.apache.spark.unsafe.types.UTF8String.fromString("mixed bag!")))
+    assert(got(4L) > 2L * f && got(4L) < 4L * f) // 9 distinct chars in 10
+  }
+
   test("quality signals") {
     assert(one(TextFunctions.wordCount(col("t")), "one two three") == 3)
     assert(one(TextFunctions.avgWordLen(col("t")), "ab abcd") == 3.0)
