@@ -193,6 +193,7 @@ object SparkEntry {
       "incr_index" -> (() => { incrementalIndexDims(s, dir); () }),
       "dsir_model" -> (() => { dsirWeightsDim(s, dir); () }),
       "sup_model" -> (() => { surprisalModelDim(s, dir); () }),
+      "drift_counts" -> (() => { driftCountsDim(s, dir); () }),
       "docs_raw_src" -> (() => { stagedRawDocsSource(s, dir); () }),
       "events_src" -> (() => { stagedEventsSource(s, dir); () }),
       "events_dbl" -> (() => { stagedDoubledEventsSource(s, dir); () }))
@@ -274,6 +275,14 @@ object SparkEntry {
     stagedFixture(s, dir, "sup_model") {
       graft.text.Vocabulary.surprisalModel(
         DerivedModel.table(s, dir, "documents"), "text")
+    }
+
+  private def driftCountsDim(s: SparkSession, dir: String): DataFrame =
+    stagedFixture(s, dir, "drift_counts") {
+      val docs = DerivedModel.table(s, dir, "documents")
+      graft.text.Vocabulary.unigramDriftCounts(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
     }
 
   private def dsirWeightsDim(s: SparkSession, dir: String): DataFrame =
@@ -1026,6 +1035,16 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         n = 3, tauNum = 1, tauDen = 2)),
 
+    // winnowing fingerprints (MOSS): window-min local fingerprinting —
+    // detects SHARED SUBSTRINGS (>= w+k-1 tokens guarantee) between
+    // otherwise-dissimilar docs, with a 2/(w+1)-density fingerprint set
+    // instead of every occurrence; rightmost-min tie-break rides one
+    // orderable string so both engines select identically
+    "x_dedup_winnow" -> ((s, dir) =>
+      graft.dedup.Dedup.winnowPairs(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 4, minShared = 2L)),
+
     "x_dedup_minhash" -> ((s, dir) =>
       minhashPairsRawDim(s, dir)), // unguarded: must equal the exact truth set
 
@@ -1632,7 +1651,8 @@ object SparkEntry {
       val docs = DerivedModel.table(s, dir, "documents")
       graft.text.Vocabulary.unigramDrift(
         docs.filter(col("lang") === "en"),
-        docs.filter(col("lang") =!= "en"), "text")
+        docs.filter(col("lang") =!= "en"), "text",
+        precomputedCounts = Some(driftCountsDim(s, dir)))
     }),
 
     // curation pipeline v2, the data-SELECTION composition (v1 gates on
@@ -2590,6 +2610,9 @@ object SparkEntry {
       "x_dedup_ngram_jaccard" -> ngramJaccardOracle,
 
       "x_dedup_jaccard_prefix" -> jaccardPrefixOracle,
+
+      "x_dedup_winnow" -> graft.dedup.Dedup.winnowPairsSql(
+        "documents", "doc_id", "text", k = 4, w = 4, minShared = 2L),
 
       "x_dedup_edit_distance" ->
         s"""WITH ${jaccardPrefixCtes(1, 2)}

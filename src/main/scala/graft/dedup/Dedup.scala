@@ -344,6 +344,93 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
+  /** WINNOWING fingerprint pairs (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local fingerprinting algorithm): per document, hash every
+    * positional `k`-token gram, slide a window of `w` consecutive gram
+    * positions, and select each window's MINIMUM hash (ties to the
+    * RIGHTMOST position — the standard rule that keeps consecutive
+    * windows re-selecting one fingerprint). Documents sharing at least
+    * `minShared` distinct selected fingerprints pair.
+    *
+    * The winnowing guarantee: any shared token run of length
+    * ≥ `w + k − 1` forces at least one SHARED selected fingerprint —
+    * unlike MinHash (whole-document similarity) this detects LOCAL
+    * overlap (a copied paragraph inside otherwise-unrelated documents),
+    * and unlike span dedup it emits a bounded fingerprint set
+    * (expected density `2/(w+1)` per gram) instead of every duplicated
+    * occurrence. Output: `(id_a, id_b, n_shared)`.
+    *
+    * Exact replay: gram hash is the positional md5 of [[spanDedup]];
+    * rightmost-min tie-break rides ONE orderable string
+    * `h ‖ lpad(99999999 − pos)` (min = smallest hash, then largest
+    * position; fixed-width decimal compares like the integer in both
+    * engines — requires docs < 10^8 grams). Window minima are a
+    * `ROWS BETWEEN CURRENT ROW AND w−1 FOLLOWING` frame per doc —
+    * per-doc windows, never corpus-wide. The fingerprint join is a
+    * content-keyed equi-join; at web scale apply the stop-shingle maxDf
+    * analogue to boilerplate fingerprints before pairing.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 2L): DataFrame = {
+    require(k >= 2 && w >= 1 && minShared >= 1)
+    val occ = Persisted.track(df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_graft_toks"))
+      .withColumn("_graft_n", size(col("_graft_toks")).cast("long"))
+      .filter(col("_graft_n") >= k + w - 1)
+      .select(col(idCol), col("_graft_n"), posexplode(transform(
+        sequence(lit(0), (col("_graft_n") - k).cast("int")),
+        i => md5(array_join(slice(col("_graft_toks"), i + 1, lit(k)), " ")
+          .cast("binary")))))
+      .withColumnRenamed("pos", "_graft_pos")
+      .withColumnRenamed("col", "_graft_h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("_graft_pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = occ
+      .withColumn("_graft_wk", concat(col("_graft_h"),
+        lpad((lit(99999999L) - col("_graft_pos")).cast("string"), 8, "0")))
+      .withColumn("_graft_sel", min(col("_graft_wk")).over(win))
+      // full windows only: the tail frames see < w grams
+      .filter(col("_graft_pos") <= col("_graft_n") - k - (w - 1))
+      .select(col(idCol), substring(col("_graft_sel"), 1, 32).as("_graft_h"))
+      .distinct()
+    fps.select(col(idCol).as("id_a"), col("_graft_h"))
+      .join(fps.select(col(idCol).as("id_b"), col("_graft_h")), Seq("_graft_h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB twin of [[winnowPairs]] over a table: identical gram md5,
+    * identical rightmost-min window selection, identical pair count. */
+  def winnowPairsSql(table: String, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 2L): String =
+    s"""WITH _t AS (
+       |  SELECT $idCol, string_split(trim($textCol), ' ') AS tk,
+       |         CAST(len(string_split(trim($textCol), ' ')) AS BIGINT) AS n
+       |  FROM $table),
+       |_occ0 AS (SELECT $idCol, n, tk, unnest(range(n - ${k - 1})) AS pos
+       |          FROM _t WHERE n >= ${k + w - 1}),
+       |_occ AS (SELECT $idCol, n, CAST(pos AS BIGINT) AS pos,
+       |    md5(array_to_string(list_slice(tk, CAST(pos + 1 AS BIGINT),
+       |      CAST(pos + $k AS BIGINT)), ' ')) AS h
+       |  FROM _occ0),
+       |_keyed AS (SELECT $idCol, n, pos,
+       |    h || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0') AS wk
+       |  FROM _occ),
+       |_win AS (SELECT $idCol, n, pos,
+       |    min(wk) OVER (PARTITION BY $idCol ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
+       |  FROM _keyed),
+       |_fp AS (SELECT DISTINCT $idCol, substr(sel, 1, 32) AS h
+       |        FROM _win WHERE pos <= n - $k - ${w - 1})
+       |SELECT a.$idCol AS id_a, b.$idCol AS id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM _fp a JOIN _fp b ON a.h = b.h AND a.$idCol < b.$idCol
+       |GROUP BY a.$idCol, b.$idCol
+       |HAVING count(*) >= $minShared""".stripMargin
+
   // ---------------- MinHash + LSH ----------------
 
   /** MinHash signatures: per document, the element-wise minimum of

@@ -219,9 +219,10 @@ object Vocabulary {
     log2FixedColsM(df, MantBits)
 
   /** [[log2FixedCols]] with a caller-chosen mantissa width. A narrower
-    * mantissa (e.g. [[KnMantBits]] = 20) admits larger `_num` operands
-    * (`_num < 2^(63 - mantBits)`) at proportionally coarser precision —
-    * [[knSurprisal]] feeds a constant `2^40` numerator through it. */
+    * mantissa admits larger `_num` operands (`_num < 2^(63 - mantBits)`)
+    * at proportionally coarser precision. Right for vocab-bounded
+    * relations; at corpus-scale row counts use a codegen scalar instead
+    * (the [[KnScoreExpr]] lesson: the unrolled chain costs ~66 µs/row). */
   private def log2FixedColsM(df: DataFrame, mantBits: Int): DataFrame = {
     val two = lit(2L << mantBits)
     var cur = df
@@ -438,19 +439,15 @@ object Vocabulary {
     * merge]]-style combine the per-shard drift rows, or pre-scale counts.
     */
   def unigramDrift(dfA: DataFrame, dfB: DataFrame,
-      textCol: String): DataFrame = {
+      textCol: String,
+      precomputedCounts: Option[DataFrame] = None): DataFrame = {
     // positive-long `a * b` that raises a named error instead of silently
     // wrapping int64 (Spark non-ANSI) — see the precondition above; both
     // operands are ≥ 1 here, so `div` never sees a zero divisor
     def checkedMul(a: String, b: String, what: String) =
       checkedMulExpr(a, b, "unigramDrift", what)
-    def counts(df: DataFrame, as: String) =
-      df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as(as))
-    val joined = counts(dfA, "_ca0").join(counts(dfB, "_cb0"),
-        Seq("token"), "full_outer")
-      .select(col("token"), coalesce(col("_ca0"), lit(0L)).as("_ca"),
-        coalesce(col("_cb0"), lit(0L)).as("_cb"))
+    val joined = precomputedCounts
+      .getOrElse(unigramDriftCounts(dfA, dfB, textCol))
     val w = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val prep = joined
@@ -476,6 +473,22 @@ object Vocabulary {
         when(col("_pos"), col("_idf_fp")).otherwise(-col("_idf_fp"))
           .as("log_ratio_fp"))
       .withColumn("contrib_fp", col("cnt_a") * col("log_ratio_fp"))
+  }
+
+  /** The corpus-touching half of [[unigramDrift]]: both token-count aggs
+    * full-outer-joined into one `(token, _ca, _cb)` relation — the
+    * stageable model artifact (the `surprisalModel` pattern); everything
+    * after it is vocab-bounded.
+    */
+  def unigramDriftCounts(dfA: DataFrame, dfB: DataFrame,
+      textCol: String): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(as))
+    counts(dfA, "_ca0").join(counts(dfB, "_cb0"),
+        Seq("token"), "full_outer")
+      .select(col("token"), coalesce(col("_ca0"), lit(0L)).as("_ca"),
+        coalesce(col("_cb0"), lit(0L)).as("_cb"))
   }
 
   /** DuckDB twin of [[unigramDrift]] over `documents` split by the given
@@ -952,16 +965,14 @@ object Vocabulary {
           (greatest(lit(4L) * col("_c12") - lit(3L), lit(0L)) * col("_nt")
             + lit(3L) * col("_n1v") * col("_n1w")).as("_pnum"),
           (lit(4L) * col("_cv") * col("_nt")).as("_pden")))
-    // Q40 floor: DECIMAL(20,0) * DECIMAL(13,0) = DECIMAL(34,0), exact
-    // (wider operand types would trip Spark's 38-precision loss rules)
-    val scored = log2FixedColsM(
-      fam.withColumn("_pfp", expr(
-        s"greatest(1L, CAST(_pnum AS DECIMAL(20,0)) " +
-          s"* CAST($KnProbScale AS DECIMAL(13,0)) DIV _pden)"))
-        .withColumn("_num", lit(KnProbScale))
-        .withColumn("_den", col("_pfp")), KnMantBits)
+    // Q40 floor + log chain as ONE codegen scalar ([[KnScoreExpr]]): the
+    // model relation is bigram-type-scale, where the unrolled
+    // DECIMAL + 20-projection Column chain costs ~66 µs/row (measured
+    // 162.8 s at 1.06M docs; the expression form runs the identical op
+    // sequence at a fraction of that — see KnScoreExpr scaladoc)
+    val scored = fam
       .select(col("_kind"), col("_k1"), col("_k2"),
-        col("_idf_fp").as("_s"))
+        KnScoreExpr.knScoreCol(col("_pnum"), col("_pden")).as("_s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.Persisted.track(scored)
     val uni = scored.filter(col("_kind") === "u")

@@ -38,6 +38,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("winnowing: shared >= w+k-1 token run guarantees a pair; " +
+    "unrelated docs don't pair") {
+    import spark.implicits._
+    // docs 1/2 share a 7-token run (= w+k-1 at k=4,w=4) inside unrelated
+    // text; docs 3/4 share nothing
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg xx yy zz qq ww rr tt"),
+      (2L, "mm nn oo pp aa bb cc dd ee ff gg uu vv kk"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "red green blue cyan pink gray black white teal navy")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 4, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Persisted.unpersistAll()
+    assert(pairs.contains((1L, 2L)), s"guaranteed local-overlap pair, got $pairs")
+    assert(pairs == Set((1L, 2L)), s"no spurious pairs, got $pairs")
+    // below the guarantee length (6 shared tokens), sharing is possible
+    // but not guaranteed; the algorithm must still run without error
+    val short = Seq((1L, "aa bb cc dd ee ff zz"), (2L, "aa bb cc dd ee ff"))
+      .toDF("doc_id", "text")
+    Dedup.winnowPairs(short, "doc_id", "text", k = 4, w = 4, minShared = 1L)
+      .collect()
+    Persisted.unpersistAll()
+  }
+
   test("prefix-filtered ssjoin equals the all-shingle exact join (lossless)") {
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,

@@ -297,6 +297,16 @@ object ScalePerfHarness {
         topN = 65536))
     }
     Persisted.unpersistAll()
+    // interpolated KN (r10): unlike the pruned stupid-backoff model, KN
+    // carries the FULL bigram-type table (continuation counts need it),
+    // so scoring joins the bigram stream on (w1,w2) — one content-keyed
+    // shuffle bounded by the bigram stream, plus the type-bounded model
+    // aggs; claim: small constant over bigramSurprisal, never
+    // super-linear
+    time("knSurprisal", n) {
+      consume(Vocabulary.knSurprisal(docs, "doc_id", "text"))
+    }
+    Persisted.unpersistAll()
     // the stateless scorer (model as a map literal, no explode/join) —
     // the per-probe cost once the model is a staged artifact, and the
     // per-row cost bound for the streaming ingest-time scorer
