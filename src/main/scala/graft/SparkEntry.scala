@@ -1709,6 +1709,18 @@ object SparkEntry {
         s"${tmpPath(dir, "stream_exec_dsir")}/sink")
     }),
 
+    // stateless streaming entropy scoring (12th real StreamingQuery):
+    // the char-entropy codegen scalar on the unbounded ingest — no
+    // model, no state; sink equals the batch twin exactly
+    "x_stream_entropy_exec" -> ((s, dir) => {
+      val srcPath = stagedRawDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      graft.streaming.StreamingOps.runToParquetSink(
+        graft.streaming.StreamingOps.streamingEntropyScores(
+          s, srcPath, src, "doc_id", "text"),
+        s"${tmpPath(dir, "stream_exec_entropy")}/sink")
+    }),
+
     // stateless streaming rule gate (11th real StreamingQuery): every
     // arriving document passes or fails the C4/Gopher rules at scan
     // speed — the drop-at-the-door ingest filter; keep decisions are
@@ -3226,6 +3238,11 @@ object SparkEntry {
       "x_text_surprisal_kn" -> graft.text.Vocabulary.knSurprisalSql,
 
       "x_text_char_entropy" -> graft.text.Vocabulary.charEntropySql,
+
+      // stateless streaming == batch: the oracle is the batch entropy
+      // relation over the staged source's subset (raw docs = non-src0)
+      "x_stream_entropy_exec" ->
+        graft.text.Vocabulary.charEntropySql("source <> 'src0'"),
 
       "x_text_drift" -> graft.text.Vocabulary.unigramDriftSql(
         "lang = 'en'", "lang <> 'en'"),

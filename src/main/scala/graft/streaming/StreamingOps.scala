@@ -182,6 +182,23 @@ object StreamingOps {
         idCol, textCol)
       .filter(col("keep"))
 
+  /** STATELESS streaming char-entropy scoring: every arriving document
+    * gets its fixed-point character-distribution entropy
+    * ([[graft.text.CharEntropyExpr]]) at scan speed — the codegen scalar
+    * needs no model, no join, no state, so the streaming form IS the
+    * batch expression on an unbounded scan; micro-batch output equals
+    * the batch twin row-for-row.
+    */
+  def streamingEntropyScores(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, idCol: String, textCol: String): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        graft.text.CharEntropyExpr.entropyCol(col(textCol)).as("entropy_fp"))
+
   /** STATELESS streaming DSIR scoring: an unbounded document ingest
     * scored row-by-row against a staged importance model embedded as a
     * map literal ([[graft.text.Vocabulary.dsirScoreCol]]) — no join, no

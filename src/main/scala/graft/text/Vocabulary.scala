@@ -1084,7 +1084,12 @@ object Vocabulary {
     * [[MantBits]]-bit log chain over the union of the count family and
     * the length family, then `log2fp(n) − (Σ k·s_k) // n`.
     */
-  def charEntropySql: String = {
+  def charEntropySql: String = charEntropySql("TRUE")
+
+  /** [[charEntropySql]] over the subset of `documents` matching `pred`
+    * (the streaming gate's staged source excludes the DSIR target
+    * domain). */
+  def charEntropySql(pred: String): String = {
     val eSum = (1 to EMax).map(kk =>
       s"CASE WHEN (num >> $kk) >= 1 THEN 1 ELSE 0 END").mkString(" + ")
     val iters = (1 to FracBits).map { i =>
@@ -1100,7 +1105,7 @@ object Vocabulary {
     s"""WITH ch AS MATERIALIZED (
        |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
-       |        FROM documents WHERE length(text) > 0)
+       |        FROM documents WHERE length(text) > 0 AND ($pred))
        |  GROUP BY doc_id, c),
        |nn AS MATERIALIZED (
        |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM ch GROUP BY doc_id),
