@@ -1035,6 +1035,15 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         n = 3, tauNum = 1, tauDen = 2)),
 
+    // asymmetric containment (near-subset duplication): C(a->b) =
+    // |a ∩ b| / |a| >= 9/10 — catches a doc quoted/embedded inside a
+    // larger one, which symmetric Jaccard structurally misses when
+    // sizes differ (J <= |a|/|b|)
+    "x_dedup_containment" -> ((s, dir) =>
+      graft.dedup.Dedup.containmentPairs(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        n = 3, tauNum = 9, tauDen = 10, maxDfFraction = None)),
+
     // winnowing fingerprints (MOSS): window-min local fingerprinting —
     // detects SHARED SUBSTRINGS (>= w+k-1 tokens guarantee) between
     // otherwise-dissimilar docs, with a 2/(w+1)-density fingerprint set
@@ -1748,6 +1757,30 @@ object SparkEntry {
     // cell grid + integer-ceiling rank target so the quantile answers
     // replay bit-exactly in the oracle (unlike KLL/t-digest, whose
     // summaries depend on partitioning)
+    // KMV distinct-count sketch: the gateable distinct sketch (HLL's
+    // registers are engine-opaque; KMV's k smallest hashes replay
+    // byte-for-byte). One row: est beside exact, plus the lossless
+    // parity-split merge witness
+    "x_sketch_kmv" -> ((s, dir) => {
+      val k = 512
+      val hs = graft.sketch.Kmv.kmvHashes(
+        DerivedModel.table(s, dir, "lineitem"), "l_partkey")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Persisted.track(hs)
+      val est = graft.sketch.Kmv.kmvEstimate(
+        graft.sketch.Kmv.kmvSketch(hs, k), k)
+      val merged = graft.sketch.Kmv.kmvMerge(Seq(
+          graft.sketch.Kmv.kmvSketch(hs.filter(col("h") % 2 === 0), k),
+          graft.sketch.Kmv.kmvSketch(hs.filter(col("h") % 2 === 1), k)), k)
+        .agg(max(col("h")).as("kth_m"))
+      val exact = DerivedModel.table(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      est.crossJoin(broadcast(exact)).crossJoin(broadcast(merged))
+        .select(col("n_sketch"), col("kth_h"), col("est_distinct"),
+          col("exact_distinct"),
+          (col("kth_m") === col("kth_h")).as("merge_matches"))
+    }),
+
     "x_sketch_quantile" -> ((s, dir) =>
       graft.sketch.QuantileSketch.valueQuantiles(
         DerivedModel.table(s, dir, "documents"), "n_chars",
@@ -1841,6 +1874,27 @@ object SparkEntry {
     // C4/Gopher rule gate -> TrustRank scoring over the link graph ->
     // greedy token-budget fill most-trusted-first. Three r9 operator
     // families composing in one plan, every decision integer-replayable
+    // curation pipeline v4 (signal-fusion e2e, the round-10 families
+    // composing in one plan): char-entropy band gate (drop both tails:
+    // gibberish-high and repetitive-low) -> interpolated-KN fluency
+    // scoring -> token-budget fill most-fluent-first (lowest mean
+    // surprisal). One corpus LM scores all survivors — the staged-model
+    // production shape
+    "x_pipeline_curate4" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      val ent = docs.filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          graft.text.CharEntropyExpr.entropyCol(col("text")).as("_ent"))
+        .filter(col("_ent") >= 4200000L && col("_ent") <= 4380000L)
+        .select(col("doc_id"))
+      val kn = graft.text.Vocabulary.knSurprisal(docs, "doc_id", "text")
+      val scored = kn.join(ent, Seq("doc_id"))
+        .select(col("doc_id"),
+          (-col("mean_surprisal_fp")).as("fluency_fp"), col("n_tokens"))
+      graft.ops.Sampling.tokenBudgetSelect(scored, "doc_id", "n_tokens",
+        "fluency_fp", budget = 6000L)
+    }),
+
     "x_pipeline_curate3" -> ((s, dir) => {
       val docs = DerivedModel.table(s, dir, "documents")
       val kept = graft.text.Curation.ruleFilter(
@@ -2626,6 +2680,25 @@ object SparkEntry {
       "x_dedup_winnow" -> graft.dedup.Dedup.winnowPairsSql(
         "documents", "doc_id", "text", k = 4, w = 4, minShared = 2L),
 
+      "x_dedup_containment" ->
+        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+          |ng AS MATERIALIZED (
+          |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+          |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+          |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ng GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CAST(count(*) AS BIGINT) AS i, ca.n AS na, cb.n AS nb
+          |  FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+          |  JOIN cnt ca ON ca.doc_id = a.doc_id
+          |  JOIN cnt cb ON cb.doc_id = b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id, ca.n, cb.n)
+          |SELECT id_a AS id_sub, id_b AS id_super, i AS n_inter, na AS n_sub
+          |FROM inter WHERE 10 * i >= 9 * na
+          |UNION ALL
+          |SELECT id_b AS id_sub, id_a AS id_super, i AS n_inter, nb AS n_sub
+          |FROM inter WHERE 10 * i >= 9 * nb""".stripMargin,
+
       "x_dedup_edit_distance" ->
         s"""WITH ${jaccardPrefixCtes(1, 2)}
            |SELECT p.id_a, p.id_b,
@@ -2718,6 +2791,26 @@ object SparkEntry {
       // the three r9 oracles composed: rules kept-rows and trustrank as
       // nested-WITH CTE bodies, joined, then the budget fill's single
       // global window over (trust desc, md5, id)
+      "x_pipeline_curate4" ->
+        s"""WITH ent AS MATERIALIZED (
+           |  SELECT doc_id FROM (
+           |${graft.text.Vocabulary.charEntropySql}
+           |) WHERE entropy_fp >= 4200000 AND entropy_fp <= 4380000),
+           |kn AS MATERIALIZED (
+           |  SELECT * FROM (
+           |${graft.text.Vocabulary.knSurprisalSql}
+           |)),
+           |j AS (
+           |  SELECT kn.doc_id, -kn.mean_surprisal_fp AS fluency_fp,
+           |    kn.n_tokens
+           |  FROM kn JOIN ent ON ent.doc_id = kn.doc_id)
+           |SELECT doc_id, fluency_fp, n_tokens, tokens_before FROM (
+           |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+           |      ORDER BY fluency_fp DESC, md5(CAST(doc_id AS VARCHAR)), doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+           |  FROM j)
+           |WHERE tokens_before < 6000""".stripMargin,
+
       "x_pipeline_curate3" ->
         s"""WITH rf AS MATERIALIZED (
            |SELECT * FROM (
@@ -3276,6 +3369,9 @@ object SparkEntry {
       // staged model; scores are the same integer fold
       "x_stream_dsir_exec" -> graft.text.Vocabulary.dsirScoresSql(
         "source = 'src0'", "source <> 'src0'"),
+
+      "x_sketch_kmv" ->
+        graft.sketch.Kmv.kmvGateSql("lineitem", "l_partkey", k = 512),
 
       "x_sketch_quantile" ->
         graft.sketch.QuantileOracle.quantilesSql(

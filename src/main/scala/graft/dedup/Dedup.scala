@@ -344,6 +344,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
+  /** ASYMMETRIC containment pairs: `(id_sub, id_super)` where the sub
+    * document's shingle set is ≥ `tauNum/tauDen` contained in the super
+    * document's (`C(a→b) = |a∩b| / |a|`). Near-SUBSET duplication —
+    * a quoted paragraph, a doc embedded in a larger page — scores LOW
+    * symmetric Jaccard when sizes differ (J ≤ |a|/|b|), so a Jaccard
+    * dedup never sees it; containment is the right asymmetric measure.
+    * Threshold evaluated in exact integers (`tauDen·i ≥ tauNum·n_sub`);
+    * both directions of each unordered candidate pair are tested.
+    *
+    * Scale: same shingle equi-join bound (Σ df²) as
+    * [[ngramJaccardPairs]] — apply the `maxDf` guard on boilerplate
+    * corpora, or generate candidates from a containment-adapted prefix
+    * (only the sub side's prefix length may depend on τ; the super side
+    * must join on ALL its shingles, since containment puts no lower
+    * bound on the super's similarity).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tauNum: Int, tauDen: Int,
+      maxDf: Option[Int] = None,
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen)
+    val ng = Persisted.track(shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ngF =
+      if (maxDf.isEmpty && maxDfFraction.isEmpty) ng
+      else Persisted.track(applyMaxDf(ng, maxDf, maxDfFraction)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cnt = ngF.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = ngF.select(col("_id").as("id_a"), col("ngram"))
+      .hint("shuffle_hash")
+      .join(ngF.select(col("_id").as("id_b"), col("ngram"))
+        .hint("shuffle_hash"), Seq("ngram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(cnt.select(col("_id").as("id_a"), col("n_shingles").as("n_a")), Seq("id_a"))
+      .join(cnt.select(col("_id").as("id_b"), col("n_shingles").as("n_b")), Seq("id_b"))
+    // each direction independently: a contained in b, b contained in a
+    inter.filter(lit(tauDen.toLong) * col("n_inter")
+        >= lit(tauNum.toLong) * col("n_a"))
+      .select(col("id_a").as("id_sub"), col("id_b").as("id_super"),
+        col("n_inter"), col("n_a").as("n_sub"))
+      .unionByName(inter.filter(lit(tauDen.toLong) * col("n_inter")
+          >= lit(tauNum.toLong) * col("n_b"))
+        .select(col("id_b").as("id_sub"), col("id_a").as("id_super"),
+          col("n_inter"), col("n_b").as("n_sub")))
+  }
+
   /** WINNOWING fingerprint pairs (Schleimer, Wilkerson & Aiken 2003 —
     * the MOSS local fingerprinting algorithm): per document, hash every
     * positional `k`-token gram, slide a window of `w` consecutive gram

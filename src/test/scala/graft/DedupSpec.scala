@@ -38,6 +38,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment: embedded doc found in both directions, " +
+    "symmetric Jaccard misses it") {
+    import spark.implicits._
+    val inner = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, inner), // 6 trigrams, all inside doc 2
+      (2L, s"intro words here $inner closing words follow after this end"),
+      (3L, "unrelated text about completely different things entirely now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+      tauNum = 9, tauDen = 10, maxDfFraction = None)
+      .select("id_sub", "id_super").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Persisted.unpersistAll()
+    assert(got == Set((1L, 2L)), s"got $got")
+    // the same pair scores J = 6/14 < 0.8 — invisible to the Jaccard gate
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      tau = 0.8, maxDfFraction = None).collect()
+    Persisted.unpersistAll()
+    assert(jac.isEmpty)
+  }
+
   test("winnowing: shared >= w+k-1 token run guarantees a pair; " +
     "unrelated docs don't pair") {
     import spark.implicits._

@@ -71,6 +71,7 @@ object ScalePerfHarness {
       case "bpe"   => bpeMode(spark, count)
       case "signals" => signalsMode(spark, count)
       case "ssjoin" => ssjoinMode(spark, count)
+      case "winnow" => winnowMode(spark, count)
       case "graph" => graphMode(spark, count)
       case "proto" => protoMode(spark, count)
       case "groups10m" => groupsMode(spark, count)
@@ -461,6 +462,27 @@ object ScalePerfHarness {
     }
     Persisted.unpersistAll()
     boiler.unpersist()
+    docs.unpersist()
+  }
+
+  /** Winnowing at scale: fingerprint generation is scan + one per-doc
+    * window; the pair join is content-keyed on the selected minima
+    * (density 2/(w+1) per gram — the compression knob).
+    */
+  private def winnowMode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    val docs = textCorpus(spark, count).persist()
+    val n = docs.count()
+    time("winnowPairs(k=4,w=4,m=2)", n) {
+      Dedup.winnowPairs(docs, "doc_id", "text", k = 4, w = 4,
+        minShared = 2L).count()
+    }
+    Persisted.unpersistAll()
+    time("winnowPairs(k=4,w=8,m=2)", n) {
+      Dedup.winnowPairs(docs, "doc_id", "text", k = 4, w = 8,
+        minShared = 2L).count()
+    }
+    Persisted.unpersistAll()
     docs.unpersist()
   }
 
