@@ -194,6 +194,7 @@ object SparkEntry {
       "dsir_model" -> (() => { dsirWeightsDim(s, dir); () }),
       "sup_model" -> (() => { surprisalModelDim(s, dir); () }),
       "drift_counts" -> (() => { driftCountsDim(s, dir); () }),
+      "pp12_cands" -> (() => { prefixCandidatesDim(s, dir); () }),
       "docs_raw_src" -> (() => { stagedRawDocsSource(s, dir); () }),
       "events_src" -> (() => { stagedEventsSource(s, dir); () }),
       "events_dbl" -> (() => { stagedDoubledEventsSource(s, dir); () }))
@@ -275,6 +276,14 @@ object SparkEntry {
     stagedFixture(s, dir, "sup_model") {
       graft.text.Vocabulary.surprisalModel(
         DerivedModel.table(s, dir, "documents"), "text")
+    }
+
+  private def prefixCandidatesDim(s: SparkSession, dir: String): DataFrame =
+    stagedFixture(s, dir, "pp12_cands") {
+      graft.dedup.Dedup.jaccardPrefixPairs(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        n = 3, tauNum = 1, tauDen = 2)
+        .select(col("id_a"), col("id_b"))
     }
 
   private def driftCountsDim(s: SparkSession, dir: String): DataFrame =
@@ -1033,7 +1042,8 @@ object SparkEntry {
     "x_dedup_edit_distance" -> ((s, dir) =>
       graft.dedup.Dedup.editDistanceNearDup(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, tauNum = 1, tauDen = 2)),
+        n = 3, tauNum = 1, tauDen = 2,
+        precomputedCandidates = Some(prefixCandidatesDim(s, dir)))),
 
     // asymmetric containment (near-subset duplication): C(a->b) =
     // |a ∩ b| / |a| >= 9/10 — catches a doc quoted/embedded inside a
@@ -1716,6 +1726,29 @@ object SparkEntry {
         graft.streaming.StreamingOps.streamingDsirScores(
           s, srcPath, src, "doc_id", "text", wmap),
         s"${tmpPath(dir, "stream_exec_dsir")}/sink")
+    }),
+
+    // streaming KMV sketch maintenance (13th real StreamingQuery):
+    // update-mode bucket-min aggregation with EXACTLY k rows of state;
+    // last update per bucket = the batch sketch bit-for-bit (min is
+    // associative and duplicate-immune)
+    "x_stream_kmv_exec" -> ((s, dir) => {
+      val k = 64
+      val srcPath = stagedRawDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
+        graft.streaming.StreamingOps.streamingBucketMinSketch(
+          s, srcPath, src, "doc_id", k),
+        s"${tmpPath(dir, "stream_exec_kmv")}/sink")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"))
+        .orderBy(col("_graft_batch_id").desc, col("min_h").asc)
+      val fin = upd.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("bucket"), col("min_h"))
+      val exact = src.agg(countDistinct(col("doc_id")).as("exact_distinct"))
+      graft.sketch.Kmv.bucketMinEstimate(fin, k)
+        .crossJoin(broadcast(exact))
     }),
 
     // stateless streaming entropy scoring (12th real StreamingQuery):
@@ -3372,6 +3405,23 @@ object SparkEntry {
 
       "x_sketch_kmv" ->
         graft.sketch.Kmv.kmvGateSql("lineitem", "l_partkey", k = 512),
+
+      // streaming == batch for the bucket-min sketch (min is
+      // associative); the oracle is the batch sketch + estimator over
+      // the staged source's subset
+      "x_stream_kmv_exec" ->
+        s"""WITH hs AS (
+           |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+           |  FROM documents WHERE source <> 'src0'),
+           |sk AS (SELECT h % 64 AS bucket, min(h) AS min_h FROM hs GROUP BY 1),
+           |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           |               CAST(sum(min_h) AS BIGINT) AS sum_min FROM sk),
+           |ex AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct
+           |       FROM documents WHERE source <> 'src0')
+           |SELECT n_buckets, sum_min,
+           |  (4096 * ${graft.sketch.Kmv.HashSpace}) // sum_min AS est_distinct,
+           |  exact_distinct
+           |FROM agg CROSS JOIN ex""".stripMargin,
 
       "x_sketch_quantile" ->
         graft.sketch.QuantileOracle.quantilesSql(

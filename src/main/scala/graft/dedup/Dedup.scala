@@ -328,8 +328,13 @@ object Dedup {
     */
   def editDistanceNearDup(df: DataFrame, idCol: String, textCol: String,
       n: Int, tauNum: Int, tauDen: Int,
-      distNum: Int = 1, distDen: Int = 10): DataFrame = {
-    val cands = jaccardPrefixPairs(df, idCol, textCol, n, tauNum, tauDen)
+      distNum: Int = 1, distDen: Int = 10,
+      precomputedCandidates: Option[DataFrame] = None): DataFrame = {
+    // candidates are a stageable pair relation (the minhash-pairs
+    // staging pattern): a deployment persists them once and re-verifies
+    // at several distance thresholds without re-running the ssjoin
+    val cands = precomputedCandidates
+      .getOrElse(jaccardPrefixPairs(df, idCol, textCol, n, tauNum, tauDen))
       .select(col("id_a"), col("id_b"))
     val texts = df.select(col(idCol).as("_tid"), col(textCol).as("_txt"),
       length(col(textCol)).cast("long").as("_len"))

@@ -34,13 +34,45 @@ object Kmv {
 
   val HashSpace: Long = 1L << 48
 
+  /** The shared 48-bit hash: first 12 md5 hex chars as an integer. */
+  def kmvHashCol(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(value.cast("string").cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+
   /** 48-bit hash relation `h` of the column's distinct values. */
   def kmvHashes(df: DataFrame, valueCol: String): DataFrame =
     df.select(col(valueCol).as("_v")).distinct()
-      .select(expr(
-        "CAST(conv(substring(md5(CAST(CAST(_v AS STRING) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
-        .as("h"))
+      .select(kmvHashCol(col("_v")).as("h"))
       .distinct()
+
+  /** STOCHASTIC-AVERAGING variant (one minimum per `h mod k` bucket —
+    * the Flajolet/minCount shape): strictly bounded k-row state whose
+    * per-bucket `min` is an ASSOCIATIVE aggregate, which makes it the
+    * streaming-maintainable form ([[graft.streaming.StreamingOps
+    * .streamingBucketMinSketch]]): bottom-k needs the whole distinct
+    * set re-ranked per update; a bucket min folds row-by-row in update
+    * mode with no dedup state at all (duplicates can't change a min).
+    * Estimator: `n̂ = k²·S div Σ(bucket minima)` — for uniform hashes
+    * `E[min] ≈ S·k/n` per bucket, so the sum inverts to n; biased when
+    * `n ≲ k` (sparse buckets — `n_buckets` beside the estimate flags
+    * that regime). Exactly replayable: one integer division, in-range
+    * for `k ≤ 181` at S = 2^48 (beyond that, drop to the DECIMAL
+    * multiply the KN gate uses).
+    */
+  def bucketMinSketch(hashes: DataFrame, k: Int): DataFrame =
+    hashes.groupBy((col("h") % k).as("bucket")).agg(min(col("h")).as("min_h"))
+
+  /** One-row `(n_buckets, sum_min, est_distinct)` for a bucket-min
+    * sketch. */
+  def bucketMinEstimate(sketch: DataFrame, k: Int): DataFrame = {
+    require(k.toLong * k <= Long.MaxValue / HashSpace,
+      s"k^2 * 2^48 must stay in int64, got k=$k (max k = 181)")
+    sketch.agg(count(lit(1)).as("n_buckets"),
+        sum(col("min_h")).as("sum_min"))
+      .select(col("n_buckets"), col("sum_min"),
+        expr(s"CAST((${k.toLong * k}L * ${HashSpace}L) DIV sum_min AS BIGINT)")
+          .as("est_distinct"))
+  }
 
   /** The sketch: `k` smallest hashes (TakeOrdered — no global sort). */
   def kmvSketch(hashes: DataFrame, k: Int): DataFrame =

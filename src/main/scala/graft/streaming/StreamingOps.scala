@@ -182,6 +182,24 @@ object StreamingOps {
         idCol, textCol)
       .filter(col("keep"))
 
+  /** Streaming KMV bucket-min sketch maintenance: the distinct-count
+    * sketch as a live update-mode aggregation — state is EXACTLY k rows
+    * (one min per `h mod k` bucket), duplicates can't move a min so no
+    * dedup state exists, and the per-bucket min after the last batch
+    * equals the batch sketch bit-for-bit (min is associative and
+    * arrival-order-free). The incremental-sketch complement of the
+    * hourly histogram gate: that one windows state by time; this one
+    * holds a corpus-lifetime summary in O(k).
+    */
+  def streamingBucketMinSketch(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, valueCol: String, k: Int): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .select(graft.sketch.Kmv.kmvHashCol(col(valueCol)).as("h"))
+      .groupBy((col("h") % k).as("bucket"))
+      .agg(min(col("h")).as("min_h"))
+
   /** STATELESS streaming char-entropy scoring: every arriving document
     * gets its fixed-point character-distribution entropy
     * ([[graft.text.CharEntropyExpr]]) at scan speed — the codegen scalar

@@ -23,6 +23,36 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
       s"estimate $est too far from 50000")
   }
 
+  test("bucket-min sketch: streaming over 3 micro-batches equals the " +
+    "batch sketch (min is associative and duplicate-immune)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kmv_stream").toString
+    val src = s"$dir/src"
+    // 3 files with overlapping values — duplicates must not move minima
+    (0 until 3).foreach { i =>
+      (i * 600L until i * 600L + 900L).map(Tuple1(_)).toDF("v")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val batchDf = spark.read.parquet(src)
+    val expected = Kmv.bucketMinSketch(
+        Kmv.kmvHashes(batchDf, "v").withColumnRenamed("h", "h"), 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
+      spark.readStream.schema(batchDf.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(Kmv.kmvHashCol(col("v")).as("h"))
+        .groupBy((col("h") % 32).as("bucket")).agg(min(col("h")).as("min_h")),
+      s"$dir/sink")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col("_graft_batch_id").desc, col("min_h").asc)
+    val got = upd.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"streaming minima diverge: ${got.size} vs ${expected.size} buckets")
+  }
+
   test("KMV merge of shard sketches equals the whole-corpus sketch (lossless)") {
     import spark.implicits._
     val df = (1L to 30000L).map(i => Tuple1(i)).toDF("v")

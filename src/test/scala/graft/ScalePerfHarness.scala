@@ -72,6 +72,7 @@ object ScalePerfHarness {
       case "signals" => signalsMode(spark, count)
       case "ssjoin" => ssjoinMode(spark, count)
       case "winnow" => winnowMode(spark, count)
+      case "graphxl" => graphXlMode(spark, count)
       case "graph" => graphMode(spark, count)
       case "proto" => protoMode(spark, count)
       case "groups10m" => groupsMode(spark, count)
@@ -190,6 +191,26 @@ object ScalePerfHarness {
     * over the cached pre-partitioned edge relation), and the budget
     * cumsum never funnels the corpus through one window partition.
     */
+  /** PageRank alone at the scale=2^32 guard's ceiling (~2^26 nodes):
+    * pins the per-round wall-clock slope beyond the 1M/10M graph rows
+    * (NOTES r9 candidate). 2-out-regular synthetic graph, 2 rounds.
+    */
+  private def graphXlMode(spark: SparkSession, count: Long): Unit = {
+    import graft.graph.PageRank
+    val nodes = spark.range(count).select(col("id").as("node")).persist()
+    val n = nodes.count()
+    val edges = nodes.select(col("node").as("src"),
+        ((col("node") * 7 + 13) % count).as("dst"))
+      .unionByName(nodes.select(col("node").as("src"),
+        ((col("node") * 31 + 5) % count).as("dst")))
+    time("pageRank(2 iters)", n) {
+      val out = PageRank.pageRank(nodes, edges, iters = 2)
+      out.write.mode("overwrite").format("noop").save()
+      Persisted.unpersistAll(); 0L
+    }
+    nodes.unpersist()
+  }
+
   private def graphMode(spark: SparkSession, count: Long): Unit = {
     import graft.graph.PageRank
     def consume(df: DataFrame): Long = {
