@@ -429,6 +429,17 @@ object SparkEntry {
           graft.sources.Layout.zorderKey(
             col("l_orderkey"), col("l_partkey")).as("zkey"))),
 
+    // small-file compaction (the OPTIMIZE maintenance op): deterministic
+    // (md5, key)-ordered rows -> ceil(n/rowsPerFile) exact-size shards,
+    // one file per shard (one hash repartition co-locates each shard in
+    // one task); the gate checks the READ-BACK per-file row counts from
+    // input_file_name(), not the intended arithmetic
+    "x_layout_compact" -> ((s, dir) =>
+      graft.sources.Layout.compactByRows(
+        DerivedModel.table(s, dir, "documents"), "doc_id",
+        rowsPerFile = 250L,
+        outPath = s"${tmpPath(dir, "compact_out")}/docs")),
+
     // ---- J7: big-big sort-merge join (hinted; no broadcast side) ------
     "j7_sort_merge" -> ((s, dir) => {
       val li = DerivedModel.table(s, dir, "lineitem")
@@ -3405,6 +3416,15 @@ object SparkEntry {
 
       "x_sketch_kmv" ->
         graft.sketch.Kmv.kmvGateSql("lineitem", "l_partkey", k = 512),
+
+      // the audit row is fully determined by the row count: ceil(n/250)
+      // files, all exactly 250 rows except the remainder file
+      "x_layout_compact" ->
+        """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+          |SELECT (n + 249) // 250 AS n_files, n AS n_rows,
+          |  least(n, CAST(250 AS BIGINT)) AS max_per_file,
+          |  n - 250 * ((n + 249) // 250 - 1) AS min_per_file
+          |FROM n""".stripMargin,
 
       // streaming == batch for the bucket-min sketch (min is
       // associative); the oracle is the batch sketch + estimator over

@@ -81,4 +81,40 @@ object Layout {
     df.withColumn("_graft_zkey", zorderKey(x, y, bitsPerDim))
       .orderBy(col("_graft_zkey"))
       .drop("_graft_zkey")
+
+  /** SMALL-FILE COMPACTION (the `OPTIMIZE` table-maintenance op): rewrite
+    * a relation as `ceil(n / rowsPerFile)` files of exactly `rowsPerFile`
+    * rows each (last file takes the remainder), in the deterministic
+    * global (md5(key), key) order — the fix for the many-tiny-files
+    * state every streaming sink and over-parallel write accumulates,
+    * which at 100 TB throttles scans on file-open overhead and NameNode
+    * metadata pressure.
+    *
+    * Shard assignment is [[graft.ops.Sampling.withGlobalPosition]]'s
+    * contiguous position DIV `rowsPerFile` (never a one-partition
+    * window), shards co-locate via one hash repartition on the shard id
+    * (every shard's rows land in exactly one task → exactly one file per
+    * shard), and the write is a partitioned layout keyed by shard.
+    * Returns the READ-BACK audit — one row
+    * `(n_files, n_rows, max_per_file, min_per_file)` computed from
+    * `input_file_name()` over the compacted output, so the gate checks
+    * what actually landed on disk, not the intended arithmetic.
+    */
+  def compactByRows(df: DataFrame, keyCol: String, rowsPerFile: Long,
+      outPath: String): DataFrame = {
+    require(rowsPerFile >= 1)
+    val spark = df.sparkSession
+    graft.ops.Sampling.withGlobalPosition(df, keyCol)
+      .withColumn("_graft_shard", expr(s"position DIV ${rowsPerFile}L"))
+      .drop("position")
+      .repartition(col("_graft_shard"))
+      .write.mode("overwrite").partitionBy("_graft_shard").parquet(outPath)
+    val perFile = spark.read.parquet(outPath)
+      .groupBy(input_file_name().as("_f"))
+      .agg(count(lit(1)).as("_rows"))
+    perFile.agg(count(lit(1)).as("n_files"),
+      sum(col("_rows")).as("n_rows"),
+      max(col("_rows")).as("max_per_file"),
+      min(col("_rows")).as("min_per_file"))
+  }
 }

@@ -346,6 +346,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
   }
 
+  test("KMV sketch ranks via TakeOrdered, never a global sort") {
+    val p = planOf("x_sketch_kmv")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k-minima must plan as TakeOrdered:\n$p")
+    // a global Sort followed by a limit would funnel the hash relation
+    // through one partition before truncating
+    assert(!p.split("\n").exists(l =>
+      l.trim.startsWith("Sort") && l.contains("global=true")),
+      s"no global sort in the sketch build:\n$p")
+    Persisted.unpersistAll()
+  }
+
   test("domain cap windows per (domain, bucket) and broadcasts offsets") {
     val p = planOf("x_sample_domain_cap")
     // the rank window must include the md5-prefix bucket in its
