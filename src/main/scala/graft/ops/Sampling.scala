@@ -329,39 +329,27 @@ object Sampling {
     * after appending new docs only swaps survivors where new hashes
     * rank earlier.
     *
-    * Scale: a per-domain `row_number` window funnels each domain — at
-    * web scale, billions of rows — through one partition. This is the
-    * [[withGlobalPosition]] construction per domain: rows bucket by the
-    * md5 PREFIX (order-convex w.r.t. the (md5, key) order), per-(domain,
-    * bucket) counts broadcast back as exclusive offsets, and — the cap's
-    * extra trick — buckets whose offset already exceeds `cap` are
-    * PRUNED before any ranking window runs: only ~cap rows per domain
-    * ever reach the window, regardless of corpus size. Cost: one count
-    * agg + one broadcast join + a window over the ≤cap·16^prefixChars
-    * surviving rows per domain.
+    * Scale: deliberately the PLAIN rank window — Catalyst plans a
+    * `row_number ≤ k` filter as WindowGroupLimit (map-side per-domain
+    * top-k BEFORE the shuffle, since Spark 3.5), so only
+    * ~tasks·cap rows per domain ever shuffle and the single-partition-
+    * per-domain failure mode never materializes (the plan audit pins
+    * the operator). A hand-built md5-prefix bucket-offset construction
+    * (the [[withGlobalPosition]] pattern, which IS required for cumsum
+    * shapes where no limit can push down) was measured 5× SLOWER here —
+    * 32.9 s vs 6.3 s at 20M rows × 256 B payload in one domain
+    * (`ScalePerfHarness cap`, r10): it pays two extra full passes for a
+    * prune the optimizer already performs. Don't hand-schedule what
+    * Catalyst does.
     */
   def domainCapSample(df: DataFrame, domainCol: String, keyCol: String,
-      cap: Long, prefixChars: Int = 2): DataFrame = {
-    require(cap >= 1 && prefixChars >= 1 && prefixChars <= 8)
-    val bucket = substring(shuffleKey(col(keyCol)), 1, prefixChars)
-    val bucketed = df.withColumn("_graft_bkt", bucket)
-    val offsets = bucketed.groupBy(col(domainCol), col("_graft_bkt"))
-      .agg(count(lit(1)).as("_graft_n"))
-      .withColumn("_graft_offset",
-        coalesce(sum(col("_graft_n")).over(
-          Window.partitionBy(col(domainCol)).orderBy(col("_graft_bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(domainCol), col("_graft_bkt"), col("_graft_offset"))
-    val localRank = row_number().over(
-      Window.partitionBy(col(domainCol), col("_graft_bkt"))
-        .orderBy(shuffleKey(col(keyCol)), col(keyCol)))
-    bucketed.join(broadcast(offsets), Seq(domainCol, "_graft_bkt"))
-      // bucket-level prune BEFORE the rank window: a bucket starting at
-      // or past the cap contributes nothing — drop its rows unranked
-      .filter(col("_graft_offset") < cap)
-      .withColumn("_graft_rank", col("_graft_offset") + localRank)
-      .filter(col("_graft_rank") <= cap)
-      .drop("_graft_bkt", "_graft_offset", "_graft_rank")
+      cap: Long): DataFrame = {
+    require(cap >= 1)
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(shuffleKey(col(keyCol)), col(keyCol))
+    df.withColumn("_graft_rk", row_number().over(w))
+      .filter(col("_graft_rk") <= cap)
+      .drop("_graft_rk")
   }
 
   /** Greedy token-budget fill: rank rows best-first by (`scoreCol` desc,

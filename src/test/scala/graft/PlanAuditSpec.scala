@@ -358,16 +358,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
   }
 
-  test("domain cap windows per (domain, bucket) and broadcasts offsets") {
+  test("domain cap plans a WindowGroupLimit — top-k prunes BEFORE the shuffle") {
     val p = planOf("x_sample_domain_cap")
-    // the rank window must include the md5-prefix bucket in its
-    // partition spec — a per-domain-only window funnels each domain
-    // through one partition
-    val winLines = p.split("\n").filter(_.contains("row_number()"))
-    assert(winLines.exists(l => l.contains("_graft_bkt")),
-      s"cap window must partition by (domain, bucket):\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"per-(domain, bucket) offsets must broadcast:\n$p")
+    // rank <= k must trigger Catalyst's map-side per-group top-k; if
+    // this disappears, each domain funnels its FULL row set (payload
+    // included) through one partition
+    assert(p.contains("WindowGroupLimit"),
+      s"cap must plan map-side group limits:\n$p")
     Persisted.unpersistAll()
   }
 }

@@ -73,6 +73,7 @@ object ScalePerfHarness {
       case "ssjoin" => ssjoinMode(spark, count)
       case "winnow" => winnowMode(spark, count)
       case "graphxl" => graphXlMode(spark, count)
+      case "cap" => capMode(spark, count)
       case "graph" => graphMode(spark, count)
       case "proto" => protoMode(spark, count)
       case "groups10m" => groupsMode(spark, count)
@@ -191,6 +192,53 @@ object ScalePerfHarness {
     * over the cached pre-partitioned edge relation), and the budget
     * cumsum never funnels the corpus through one window partition.
     */
+  /** Domain cap at scale: the bucket-pruned construction vs the naive
+    * per-domain window. Few huge domains is the adversarial shape — the
+    * naive window funnels each domain through ONE task.
+    */
+  private def capMode(spark: SparkSession, count: Long): Unit = {
+    import graft.ops.Sampling
+    // payload toggle: thin rows measure the rank machinery alone; wide
+    // rows (the real shape — documents) expose the naive window's
+    // full-payload single-task shuffle
+    val payload = sys.env.getOrElse("SPARK_GRAFT_CAP_PAYLOAD", "0").toInt
+    val docs = spark.range(count)
+      .select(col("id"), concat(lit("dom"), (col("id") % lit(sys.env.getOrElse("SPARK_GRAFT_CAP_DOMAINS", "4").toLong))).as("dom"),
+        (if (payload > 0) expr(s"repeat(md5(CAST(id AS STRING)), ${payload / 32 + 1})")
+         else lit("")).as("payload"))
+      .persist()
+    val n = docs.count()
+    // the shipped form: plain rank window -> Catalyst WindowGroupLimit
+    // (map-side per-domain top-k before the shuffle)
+    time("domainCapSample(cap=1000)", n) {
+      Sampling.domainCapSample(docs, "dom", "id", cap = 1000L).count()
+    }
+    Persisted.unpersistAll()
+    // the hand-built md5-prefix bucket-offset construction (rejected
+    // r10: 5x slower — it pays two extra full passes for a prune the
+    // optimizer already performs via WindowGroupLimit)
+    time("probe:hand-bucket-offsets", n) {
+      val bucket = substring(Sampling.shuffleKey(col("id")), 1, 2)
+      val bucketed = docs.withColumn("bkt", bucket)
+      val offsets = bucketed.groupBy(col("dom"), col("bkt"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("dom"))
+            .orderBy(col("bkt")).rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("dom"), col("bkt"), col("off"))
+      val localRank = row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dom"), col("bkt"))
+          .orderBy(Sampling.shuffleKey(col("id")), col("id")))
+      bucketed.join(broadcast(offsets), Seq("dom", "bkt"))
+        .filter(col("off") < 1000L)
+        .withColumn("rk", col("off") + localRank)
+        .filter(col("rk") <= 1000L).count()
+    }
+    docs.unpersist()
+  }
+
   /** PageRank alone at the scale=2^32 guard's ceiling (~2^26 nodes):
     * pins the per-round wall-clock slope beyond the 1M/10M graph rows
     * (NOTES r9 candidate). 2-out-regular synthetic graph, 2 rounds.
