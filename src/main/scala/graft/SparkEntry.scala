@@ -1663,6 +1663,17 @@ object SparkEntry {
       graft.text.Vocabulary.knSurprisal(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
 
+    // length-bucketed batching: rank by (token count desc, md5, id) via
+    // order-convex bucket offsets, cut into fixed-size batches — the
+    // padding-minimizing batch prep (per-batch pad audit as the output)
+    "x_text_length_batches" -> ((s, dir) =>
+      graft.text.Chunking.lengthBatchStats(
+        DerivedModel.table(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.text.TextFunctions.tokenCount(col("text")).cast("long")
+              .as("n_toks")),
+        "doc_id", "n_toks", batchSize = 32)),
+
     // character-distribution entropy (gibberish/padding signal): ONE
     // codegen'd per-row scalar at scan speed — no char explode, no
     // shuffle; fixed-point log2 so the relational DuckDB unroll
@@ -2040,6 +2051,19 @@ object SparkEntry {
     // corpus release diff: added/removed/changed between two snapshots —
     // one full-outer join on the key, shuffle carries (key, 32-byte
     // content hash), never the payload; identical rows drop out
+    // right-to-erasure propagation: one delete-key list audited across
+    // every relation it reaches (documents + the embedding store —
+    // erasure that misses the vector index resurrects deleted content);
+    // same broadcast key join the purge anti-join deletes with
+    "x_merge_purge" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      val keys = docs.filter(col("doc_id") % 97 === 0).select(col("doc_id"))
+      graft.ops.Merge.purgeAudit(Seq(
+        ("documents", docs, "doc_id"),
+        ("embeddings", DerivedModel.table(s, dir, "embeddings"), "vec_id")),
+        keys, "doc_id")
+    }),
+
     "x_merge_snapshot_diff" -> ((s, dir) =>
       graft.ops.Merge.snapshotDiff(
         DerivedModel.table(s, dir, "documents"),
@@ -2828,6 +2852,20 @@ object SparkEntry {
           defaultEpochs = 1.0, selectCols = "doc_id, source"),
 
       // planted v2 snapshot replayed in the CTE; identical hash formula
+      "x_merge_purge" ->
+        """WITH ks AS (SELECT doc_id AS k FROM documents WHERE doc_id % 97 = 0)
+          |SELECT 'documents' AS relation,
+          |  CAST(count(*) AS BIGINT) AS rows_before,
+          |  CAST(count(k) AS BIGINT) AS removed,
+          |  CAST(count(*) AS BIGINT) - CAST(count(k) AS BIGINT) AS rows_after
+          |FROM documents LEFT JOIN ks ON doc_id = k
+          |UNION ALL
+          |SELECT 'embeddings',
+          |  CAST(count(*) AS BIGINT),
+          |  CAST(count(k) AS BIGINT),
+          |  CAST(count(*) AS BIGINT) - CAST(count(k) AS BIGINT)
+          |FROM embeddings LEFT JOIN ks ON vec_id = k""".stripMargin,
+
       "x_merge_snapshot_diff" ->
         withCtes(DerivedSql.documentsSnapshotV2)(
           graft.ops.Merge.snapshotDiffSql("documents", "documents_v2",
@@ -3376,6 +3414,25 @@ object SparkEntry {
       "x_text_surprisal_kn" -> graft.text.Vocabulary.knSurprisalSql,
 
       "x_text_char_entropy" -> graft.text.Vocabulary.charEntropySql,
+
+      // semantics stated independently with one global window (the
+      // tokenBudgetSelect oracle convention)
+      "x_text_length_batches" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(${graft.text.TextFunctions.tokenCountSql("text")} AS BIGINT) AS n_toks
+           |  FROM documents),
+           |r AS (
+           |  SELECT n_toks,
+           |    CAST(row_number() OVER (
+           |      ORDER BY n_toks DESC, md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+           |      AS BIGINT) AS pos
+           |  FROM t)
+           |SELECT pos // 32 AS batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+           |  max(n_toks) AS max_tokens, CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+           |  max(n_toks) * CAST(count(*) AS BIGINT)
+           |    - CAST(sum(n_toks) AS BIGINT) AS pad_tokens
+           |FROM r GROUP BY pos // 32""".stripMargin,
 
       // stateless streaming == batch: the oracle is the batch entropy
       // relation over the staged source's subset (raw docs = non-src0)

@@ -147,6 +147,36 @@ object Merge {
     * `newerRel` exposing (keyCol, hashCols...): identical separator,
     * cast-to-string, and md5.
     */
+  /** Right-to-erasure purge: drop every row whose key appears in the
+    * delete list — ONE broadcast anti-join per relation (delete batches
+    * are small; at 100 TB the rewrite cost is the data files, which a
+    * deployment bounds by partitioning on the key's bucket and
+    * rewriting only affected files — the [[compact]]-adjacent
+    * maintenance shape).
+    */
+  def purgeKeys(df: DataFrame, keyCol: String, keys: DataFrame,
+      keysCol: String): DataFrame =
+    df.join(broadcast(keys.select(col(keysCol).as("_graft_k")).distinct()),
+      col(keyCol) === col("_graft_k"), "left_anti")
+
+  /** Purge-propagation audit across every relation a key reaches
+    * (documents, embeddings, derived indexes — erasure must propagate
+    * or the vector store resurrects deleted content): one row per
+    * relation `(relation, rows_before, removed, rows_after)`, computed
+    * with the same broadcast key join [[purgeKeys]] deletes with.
+    */
+  def purgeAudit(relations: Seq[(String, DataFrame, String)],
+      keys: DataFrame, keysCol: String): DataFrame = {
+    val ks = broadcast(keys.select(col(keysCol).as("_graft_k")).distinct())
+    relations.map { case (name, df, kc) =>
+      df.join(ks, col(kc) === col("_graft_k"), "left")
+        .agg(count(lit(1)).as("rows_before"),
+          count(col("_graft_k")).as("removed"))
+        .select(lit(name).as("relation"), col("rows_before"), col("removed"),
+          (col("rows_before") - col("removed")).as("rows_after"))
+    }.reduce(_.unionByName(_))
+  }
+
   def snapshotDiffSql(olderRel: String, newerRel: String, keyCol: String,
       hashCols: Seq[String]): String = {
     val h = s"md5(concat_ws(chr(1), ${hashCols.map(c => s"CAST($c AS VARCHAR)").mkString(", ")}))"

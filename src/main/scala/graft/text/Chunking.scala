@@ -108,6 +108,61 @@ object Chunking {
     * because the bucket prefix is order-aligned with the (md5, id) sort),
     * then the same integer slice arithmetic. Keep formula-identical.
     */
+  /** LENGTH-BUCKETED BATCHING (padding-minimizing batch assignment for
+    * inference / padded training): rank documents by (token count desc,
+    * md5, id) and cut the order into fixed-`batchSize` batches — similar
+    * lengths land together, so per-batch padding
+    * `max(len)·|batch| − Σ len` collapses versus random batching (the
+    * descending order also front-loads the longest sequences, the
+    * standard OOM-early convention). Returns per-batch stats
+    * `(batch_id, n_docs, max_tokens, sum_tokens, pad_tokens)`.
+    *
+    * Scale: the global rank rides the [[graft.ops.Sampling
+    * .tokenBudgetSelect]] construction — (token count, md5-prefix)
+    * buckets are order-convex w.r.t. the total order, per-bucket counts
+    * broadcast back as exclusive offsets, the within-bucket rank window
+    * never sees the corpus. (A rank-limit pushdown can't help here —
+    * every row gets a batch, nothing truncates — so the bucket cumsum
+    * IS the right tool, unlike the domain cap.)
+    */
+  def lengthBatches(df: DataFrame, idCol: String, tokensCol: String,
+      batchSize: Int, prefixChars: Int = 2): DataFrame = {
+    require(batchSize >= 1 && prefixChars >= 1 && prefixChars <= 8)
+    val b = df
+      .withColumn("_graft_sk", graft.ops.Sampling.shuffleKey(col(idCol)))
+      .withColumn("_graft_bkt", substring(col("_graft_sk"), 1, prefixChars))
+    val offsets = b.groupBy(col(tokensCol).as("_graft_s"), col("_graft_bkt"))
+      .agg(count(lit(1)).as("_graft_c"))
+      .withColumn("_graft_offset",
+        coalesce(sum(col("_graft_c")).over(
+          Window.orderBy(col("_graft_s").desc, col("_graft_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_graft_s"), col("_graft_bkt").as("_graft_b2"),
+        col("_graft_offset"))
+    val localRank = row_number().over(
+      Window.partitionBy(col(tokensCol), col("_graft_bkt"))
+        .orderBy(col("_graft_sk"), col(idCol)))
+    b.join(broadcast(offsets),
+        col(tokensCol) === col("_graft_s")
+          && col("_graft_bkt") === col("_graft_b2"))
+      .withColumn("_graft_pos",
+        col("_graft_offset") + localRank.cast("long") - 1L)
+      .withColumn("batch_id", expr(s"_graft_pos DIV ${batchSize}L"))
+      .drop("_graft_sk", "_graft_bkt", "_graft_s", "_graft_b2",
+        "_graft_offset", "_graft_pos")
+  }
+
+  /** Per-batch padding audit over [[lengthBatches]]. */
+  def lengthBatchStats(df: DataFrame, idCol: String, tokensCol: String,
+      batchSize: Int): DataFrame =
+    lengthBatches(df, idCol, tokensCol, batchSize)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(tokensCol)).as("max_tokens"),
+        sum(col(tokensCol)).as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("max_tokens") * col("n_docs") - col("sum_tokens"))
+
   def packSequencesSql(table: String, idCol: String, textCol: String,
       seqTokens: Int): String = {
     val L = seqTokens

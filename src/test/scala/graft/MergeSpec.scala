@@ -70,6 +70,24 @@ class MergeSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getBoolean(3)).toSeq === Seq(false, false, true))
   }
 
+  test("purge: anti-join removal matches the audit's counts per relation") {
+    import spark.implicits._
+    val a = (1L to 100L).map(i => (i, s"row$i")).toDF("id", "v")
+    val b = (50L to 200L).map(i => (i, i * 2.0)).toDF("rid", "x")
+    val keys = Seq(7L, 14L, 21L, 50L, 150L, 999L).toDF("k") // 999 hits nothing
+    val audit = graft.ops.Merge.purgeAudit(
+      Seq(("a", a, "id"), ("b", b, "rid")), keys, "k")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(audit("a") == (100L, 4L, 96L), s"got ${audit("a")}") // 7,14,21,50
+    assert(audit("b") == (151L, 2L, 149L), s"got ${audit("b")}") // 50,150
+    // the actual purge removes exactly what the audit counted
+    val purgedA = graft.ops.Merge.purgeKeys(a, "id", keys, "k")
+    assert(purgedA.count() == 96L)
+    assert(purgedA.filter(col("id").isin(7L, 14L, 21L, 50L)).isEmpty)
+    assert(graft.ops.Merge.purgeKeys(b, "rid", keys, "k").count() == 149L)
+  }
+
   test("snapshotDiff: statuses exact, identical rows drop, boundary shifts detected") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

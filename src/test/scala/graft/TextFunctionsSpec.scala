@@ -63,6 +63,32 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
       .asInstanceOf[Int] > 0)
   }
 
+  test("length batches equal the global-window reference and cut padding " +
+    "vs arrival-order batching") {
+    import spark.implicits._
+    import graft.text.Chunking
+    val docs = (0L until 320L).map(i => (i, (i * 37 % 100) + 10)).toDF("id", "toks")
+    val got = Chunking.lengthBatches(docs, "id", "toks", batchSize = 32)
+      .select("id", "batch_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: one global row_number over (toks desc, md5, id)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("toks").desc, graft.ops.Sampling.shuffleKey(col("id")), col("id"))
+    val ref = docs.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("b", expr("(rn - 1) DIV 32"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == ref)
+    // padding property: length-sorted batches waste less than id-order ones
+    val sortedPad = Chunking.lengthBatchStats(docs, "id", "toks", 32)
+      .agg(sum(col("pad_tokens"))).head().getLong(0)
+    val arrivalPad = docs.withColumn("batch_id", expr("id DIV 32"))
+      .groupBy("batch_id")
+      .agg((max(col("toks")) * count(lit(1)) - sum(col("toks"))).as("p"))
+      .agg(sum(col("p"))).head().getLong(0)
+    assert(sortedPad < arrivalPad,
+      s"length batching must cut padding: $sortedPad vs $arrivalPad")
+  }
+
   test("chunking: every token in exactly one chunk, in order, within budget") {
     import spark.implicits._
     val docs = Seq(
