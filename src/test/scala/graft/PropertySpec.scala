@@ -50,6 +50,60 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("prefix-filtered ssjoin is lossless on random corpora at random tau") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = Gen.choose(5, 14).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.choose(8, 20).flatMap(n => Gen.listOfN(n, docGen))
+    // small vocab forces heavy shingle sharing — the adversarial shape
+    // for a broken prefix bound (many ties in the df order, shared
+    // frequent shingles)
+    val taus = Seq((1, 2), (2, 3), (4, 5), (9, 10), (1, 1))
+    (1L to 4L).foreach { seed =>
+      val docs = sample(corpusGen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      taus.foreach { case (tn, td) =>
+        // double tau is exact here: shingle counts are tiny integers,
+        // so distinct rationals never collide onto one double
+        val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
+          tau = tn.toDouble / td, maxDfFraction = None)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        Persisted.unpersistAll()
+        val pref = Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 2,
+          tauNum = tn, tauDen = td)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        Persisted.unpersistAll()
+        assert(pref == exact, s"seed $seed tau $tn/$td: " +
+          s"prefix ${pref.size} vs exact ${exact.size}")
+      }
+    }
+  }
+
+  test("winnowing guarantee: random pairs sharing a >= w+k-1 run always pair") {
+    import spark.implicits._
+    val wordGen = Gen.choose(0, 500).map(i => s"w$i")
+    val padGen = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, wordGen))
+    (1L to 6L).foreach { seed =>
+      val shared = sample(Gen.listOfN(7, wordGen), seed) // w+k-1 at 4/4
+      val p1 = sample(padGen, seed * 31 + 1)
+      val p2 = sample(padGen, seed * 31 + 2)
+      val p3 = sample(padGen, seed * 31 + 3)
+      val p4 = sample(padGen, seed * 31 + 4)
+      val docs = Seq(
+        (1L, (p1 ++ shared ++ p2).mkString(" ")),
+        (2L, (p3 ++ shared ++ p4).mkString(" "))).toDF("doc_id", "text")
+      val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 4, w = 4, minShared = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Persisted.unpersistAll()
+      assert(pairs.contains((1L, 2L)),
+        s"seed $seed: shared 7-token run must force a shared fingerprint")
+    }
+  }
+
   test("as-of join equals the quadratic formulation on random event sets") {
     import spark.implicits._
     val caseGen = for {
