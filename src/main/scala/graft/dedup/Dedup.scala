@@ -417,15 +417,44 @@ object Dedup {
     * rightmost-min tie-break rides ONE orderable string
     * `h ‖ lpad(99999999 − pos)` (min = smallest hash, then largest
     * position; fixed-width decimal compares like the integer in both
-    * engines — requires docs < 10^8 grams). Window minima are a
-    * `ROWS BETWEEN CURRENT ROW AND w−1 FOLLOWING` frame per doc —
-    * per-doc windows, never corpus-wide. The fingerprint join is a
-    * content-keyed equi-join; at web scale apply the stop-shingle maxDf
-    * analogue to boilerplate fingerprints before pairing.
+    * engines — requires docs < 10^8 grams). Two formulations, spec- and
+    * gate-pinned equal: the SHIPPED default computes each doc's
+    * fingerprint set inside the scan ([[WinnowExpr]], one codegen
+    * scalar — winnowing is a pure per-doc function, the [[SimHashExpr]]
+    * argument); the relational form ([[winnowFingerprints]]: gram
+    * explode + `ROWS BETWEEN CURRENT ROW AND w−1 FOLLOWING` per-doc
+    * window) is what the DuckDB oracle replays. The fingerprint join is
+    * a content-keyed equi-join; at web scale apply the stop-shingle
+    * maxDf analogue to boilerplate fingerprints before pairing.
     */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 4, w: Int = 4, minShared: Long = 2L): DataFrame = {
+      k: Int = 4, w: Int = 4, minShared: Long = 2L,
+      useExpr: Boolean = true): DataFrame = {
     require(k >= 2 && w >= 1 && minShared >= 1)
+    val fps =
+      if (useExpr) winnowFingerprintsFast(df, idCol, textCol, k, w)
+      else winnowFingerprints(df, idCol, textCol, k, w)
+    fps.select(col(idCol).as("id_a"), col("_graft_h"))
+      .join(fps.select(col(idCol).as("id_b"), col("_graft_h")), Seq("_graft_h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Distinct selected fingerprints per doc, SCAN-SPEED form: the whole
+    * winnowing selection as one codegen scalar ([[WinnowExpr]]) — no
+    * occurrence explode, no per-doc window shuffle. */
+  def winnowFingerprintsFast(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame =
+    df.select(col(idCol),
+      explode(WinnowExpr.fingerprintsCol(col(textCol), k, w)).as("_graft_h"))
+
+  /** Distinct selected fingerprints per doc, RELATIONAL form (gram
+    * occurrence explode + per-doc window min) — the formulation the
+    * DuckDB oracle replays; spec-pinned equal to the expression form. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
     val occ = Persisted.track(df
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_graft_toks"))
       .withColumn("_graft_n", size(col("_graft_toks")).cast("long"))
@@ -439,7 +468,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val win = Window.partitionBy(col(idCol)).orderBy(col("_graft_pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    val fps = occ
+    occ
       .withColumn("_graft_wk", concat(col("_graft_h"),
         lpad((lit(99999999L) - col("_graft_pos")).cast("string"), 8, "0")))
       .withColumn("_graft_sel", min(col("_graft_wk")).over(win))
@@ -447,12 +476,6 @@ object Dedup {
       .filter(col("_graft_pos") <= col("_graft_n") - k - (w - 1))
       .select(col(idCol), substring(col("_graft_sel"), 1, 32).as("_graft_h"))
       .distinct()
-    fps.select(col(idCol).as("id_a"), col("_graft_h"))
-      .join(fps.select(col(idCol).as("id_b"), col("_graft_h")), Seq("_graft_h"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
   }
 
   /** DuckDB twin of [[winnowPairs]] over a table: identical gram md5,

@@ -60,6 +60,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(jac.isEmpty)
   }
 
+  test("winnowing: scan-speed expression equals the relational window form") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    for ((k, w) <- Seq((4, 4), (3, 5), (2, 1))) {
+      val rel = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      Persisted.unpersistAll()
+      val fast = Dedup.winnowFingerprintsFast(docs, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(fast == rel, s"k=$k w=$w: ${fast.size} vs ${rel.size} fingerprints")
+    }
+  }
+
   test("winnowing: shared >= w+k-1 token run guarantees a pair; " +
     "unrelated docs don't pair") {
     import spark.implicits._
