@@ -1750,6 +1750,19 @@ object SparkEntry {
         s"${tmpPath(dir, "stream_exec_dsir")}/sink")
     }),
 
+    // stateless streaming winnow fingerprinting (14th real
+    // StreamingQuery): fingerprint-at-ingest via the codegen scalar —
+    // the index-build half of dedup-on-arrival; sink equals the batch
+    // fingerprint relation exactly
+    "x_stream_winnow_exec" -> ((s, dir) => {
+      val srcPath = stagedRawDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      graft.streaming.StreamingOps.runToParquetSink(
+        graft.streaming.StreamingOps.streamingWinnowFingerprints(
+          s, srcPath, src, "doc_id", "text", k = 4, w = 4),
+        s"${tmpPath(dir, "stream_exec_winnow")}/sink")
+    }),
+
     // streaming KMV sketch maintenance (13th real StreamingQuery):
     // update-mode bucket-min aggregation with EXACTLY k rows of state;
     // last update per bucket = the batch sketch bit-for-bit (min is
@@ -2748,6 +2761,12 @@ object SparkEntry {
 
       "x_dedup_winnow" -> graft.dedup.Dedup.winnowPairsSql(
         "documents", "doc_id", "text", k = 4, w = 4, minShared = 2L),
+
+      // stateless streaming == batch: the relational fingerprint
+      // relation over the staged source's subset
+      "x_stream_winnow_exec" -> graft.dedup.Dedup.winnowFingerprintsSql(
+        "documents", "doc_id", "text", k = 4, w = 4,
+        pred = "source <> 'src0'"),
 
       "x_dedup_containment" ->
         """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),

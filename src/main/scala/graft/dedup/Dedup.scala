@@ -478,6 +478,30 @@ object Dedup {
       .distinct()
   }
 
+  /** DuckDB twin of [[winnowFingerprints]] (the relational form) over
+    * the rows of `table` matching `pred`: `(idCol, fingerprint)`. */
+  def winnowFingerprintsSql(table: String, idCol: String, textCol: String,
+      k: Int, w: Int, pred: String = "TRUE"): String =
+    s"""WITH _t AS (
+       |  SELECT $idCol, string_split(trim($textCol), ' ') AS tk,
+       |         CAST(len(string_split(trim($textCol), ' ')) AS BIGINT) AS n
+       |  FROM $table WHERE $pred),
+       |_occ0 AS (SELECT $idCol, n, tk, unnest(range(n - ${k - 1})) AS pos
+       |          FROM _t WHERE n >= ${k + w - 1}),
+       |_occ AS (SELECT $idCol, n, CAST(pos AS BIGINT) AS pos,
+       |    md5(array_to_string(list_slice(tk, CAST(pos + 1 AS BIGINT),
+       |      CAST(pos + $k AS BIGINT)), ' ')) AS h
+       |  FROM _occ0),
+       |_keyed AS (SELECT $idCol, n, pos,
+       |    h || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0') AS wk
+       |  FROM _occ),
+       |_win AS (SELECT $idCol, n, pos,
+       |    min(wk) OVER (PARTITION BY $idCol ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
+       |  FROM _keyed)
+       |SELECT DISTINCT $idCol, substr(sel, 1, 32) AS fingerprint
+       |FROM _win WHERE pos <= n - $k - ${w - 1}""".stripMargin
+
   /** DuckDB twin of [[winnowPairs]] over a table: identical gram md5,
     * identical rightmost-min window selection, identical pair count. */
   def winnowPairsSql(table: String, idCol: String, textCol: String,

@@ -200,6 +200,24 @@ object StreamingOps {
       .groupBy((col("h") % k).as("bucket"))
       .agg(min(col("h")).as("min_h"))
 
+  /** STATELESS streaming winnow fingerprint extraction: each arriving
+    * document emits its MOSS fingerprint set ([[graft.dedup.WinnowExpr]]
+    * — one codegen scalar, so the whole selection runs at ingest scan
+    * speed with no state). The deployment shape: fingerprints land in
+    * the dedup index on arrival; the candidate join happens downstream
+    * against the accumulated index (the [[streamingIncrementalDedup]]
+    * cadence), never against the unbounded stream itself.
+    */
+  def streamingWinnowFingerprints(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .parquet(sourcePath)
+      .select(col(idCol),
+        explode(graft.dedup.WinnowExpr.fingerprintsCol(col(textCol), k, w))
+          .as("fingerprint"))
+
   /** STATELESS streaming char-entropy scoring: every arriving document
     * gets its fixed-point character-distribution entropy
     * ([[graft.text.CharEntropyExpr]]) at scan speed — the codegen scalar
