@@ -263,23 +263,35 @@ object Dedup {
     * per-doc rank window (docs are small; the window never sees the
     * corpus). τ is passed as the exact rational `tauNum/tauDen`.
     */
+  /** The `(_id, ngram, n_shingles)` PREFIX relation of a shingle set:
+    * each doc's first `s − ceil(τ·s) + 1` shingles in the global
+    * (df, shingle) canonical order. Shared by [[jaccardPrefixPairs]]
+    * and the `ssjoin` harness probes, so a change to the prefix-length
+    * formula can never leave the measured candidate volume describing a
+    * different relation than the shipped operator joins.
+    */
+  private[graft] def prefixShingleRelation(ng: DataFrame,
+      tauNum: Int, tauDen: Int): DataFrame = {
+    val dfc = ng.groupBy(col("ngram")).agg(count(lit(1)).as("_df"))
+    val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_df"), col("ngram"))
+    ng.join(dfc, Seq("ngram"))
+      .join(cnt, Seq("_id"))
+      .withColumn("_pos", row_number().over(w))
+      .filter(col("_pos") <= col("n_shingles")
+        - expr(s"($tauNum * n_shingles + ${tauDen - 1}) DIV $tauDen") + 1)
+      .select(col("_id"), col("ngram"), col("n_shingles"))
+  }
+
   def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1], got $tauNum/$tauDen")
     val ng = Persisted.track(shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val dfc = ng.groupBy(col("ngram")).agg(count(lit(1)).as("_df"))
     val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_id")).orderBy(col("_df"), col("ngram"))
-    val prefix = Persisted.track(ng
-      .join(dfc, Seq("ngram"))
-      .join(cnt, Seq("_id"))
-      .withColumn("_pos", row_number().over(w))
-      .filter(col("_pos") <= col("n_shingles")
-        - expr(s"($tauNum * n_shingles + ${tauDen - 1}) DIV $tauDen") + 1)
-      .select(col("_id"), col("ngram"), col("n_shingles"))
+    val prefix = Persisted.track(prefixShingleRelation(ng, tauNum, tauDen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = prefix.select(col("_id").as("id_a"), col("ngram"),
         col("n_shingles").as("n_a"))
@@ -506,28 +518,17 @@ object Dedup {
     * identical rightmost-min window selection, identical pair count. */
   def winnowPairsSql(table: String, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4, minShared: Long = 2L): String =
-    s"""WITH _t AS (
-       |  SELECT $idCol, string_split(trim($textCol), ' ') AS tk,
-       |         CAST(len(string_split(trim($textCol), ' ')) AS BIGINT) AS n
-       |  FROM $table),
-       |_occ0 AS (SELECT $idCol, n, tk, unnest(range(n - ${k - 1})) AS pos
-       |          FROM _t WHERE n >= ${k + w - 1}),
-       |_occ AS (SELECT $idCol, n, CAST(pos AS BIGINT) AS pos,
-       |    md5(array_to_string(list_slice(tk, CAST(pos + 1 AS BIGINT),
-       |      CAST(pos + $k AS BIGINT)), ' ')) AS h
-       |  FROM _occ0),
-       |_keyed AS (SELECT $idCol, n, pos,
-       |    h || lpad(CAST(99999999 - pos AS VARCHAR), 8, '0') AS wk
-       |  FROM _occ),
-       |_win AS (SELECT $idCol, n, pos,
-       |    min(wk) OVER (PARTITION BY $idCol ORDER BY pos
-       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
-       |  FROM _keyed),
-       |_fp AS (SELECT DISTINCT $idCol, substr(sel, 1, 32) AS h
-       |        FROM _win WHERE pos <= n - $k - ${w - 1})
+    // ONE winnowing definition: the pair query nests the fingerprint
+    // statement verbatim, so the x_dedup_winnow and x_stream_winnow_exec
+    // oracles can never assert different selections
+    s"""WITH _fp AS MATERIALIZED (
+       |  SELECT * FROM (
+       |${winnowFingerprintsSql(table, idCol, textCol, k, w)}
+       |))
        |SELECT a.$idCol AS id_a, b.$idCol AS id_b,
        |  CAST(count(*) AS BIGINT) AS n_shared
-       |FROM _fp a JOIN _fp b ON a.h = b.h AND a.$idCol < b.$idCol
+       |FROM _fp a JOIN _fp b
+       |  ON a.fingerprint = b.fingerprint AND a.$idCol < b.$idCol
        |GROUP BY a.$idCol, b.$idCol
        |HAVING count(*) >= $minShared""".stripMargin
 

@@ -37,9 +37,23 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
 
 object SimHashExpr {
 
+  /** SQL-`trim` semantics: strip SPACES only. Java's `String.trim`
+    * strips every char ≤ U+0020 (tabs, newlines), which would silently
+    * diverge from the relational forms and the DuckDB oracles on
+    * whitespace-edged text — the expression twins must tokenize
+    * byte-identically to `trim(col)` + `split(..., " ")`.
+    */
+  private[dedup] def spaceTrim(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
   /** Static entry point shared by interpreted eval and generated code. */
   def simhash(s: UTF8String): Long = {
-    val toks = s.toString.trim.split(" ")
+    val toks = spaceTrim(s.toString).split(" ")
     val seen = new java.util.HashSet[String]()
     val counts = new Array[Int](64)
     var i = 0

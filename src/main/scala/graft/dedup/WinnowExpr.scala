@@ -51,7 +51,7 @@ object WinnowExpr {
     * same rightmost-min tie rule.
     */
   def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
-    val toks = s.toString.trim.split(" ", -1)
+    val toks = SimHashExpr.spaceTrim(s.toString).split(" ", -1)
     val g = toks.length - k + 1
     if (toks.length < k + w - 1) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -215,15 +215,11 @@ object Vocabulary {
     * projections — the relation here is the ≤|query|-row per-term df
     * table, so the unrolled plan is trivially small.
     */
-  private def log2FixedCols(df: DataFrame): DataFrame =
-    log2FixedColsM(df, MantBits)
-
-  /** [[log2FixedCols]] with a caller-chosen mantissa width. A narrower
-    * mantissa admits larger `_num` operands (`_num < 2^(63 - mantBits)`)
-    * at proportionally coarser precision. Right for vocab-bounded
-    * relations; at corpus-scale row counts use a codegen scalar instead
-    * (the [[KnScoreExpr]] lesson: the unrolled chain costs ~66 µs/row). */
-  private def log2FixedColsM(df: DataFrame, mantBits: Int): DataFrame = {
+  // right for vocab-bounded relations; at corpus-scale row counts use a
+  // codegen scalar instead (the [[KnScoreExpr]] lesson: this unrolled
+  // chain costs ~66 µs/row)
+  private def log2FixedCols(df: DataFrame): DataFrame = {
+    val mantBits = MantBits
     val two = lit(2L << mantBits)
     var cur = df
       // den*2^k <= num  ⟺  den <= floor(num / 2^k) for integers — the

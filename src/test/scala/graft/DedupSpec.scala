@@ -110,14 +110,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
     assert(pref == exact, s"prefix ${pref.size} pairs vs exact ${exact.size}")
     assert(exact.nonEmpty, "test data should contain planted near-dups")
-    // the tau=1 prefix (single rarest shingle per doc) still finds the
-    // exact-duplicate pairs: identical sets share every shingle
-    val exactDups = Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3,
+    // the tau=1 prefix (single rarest shingle per doc) still finds
+    // exact-duplicate pairs — on the fixture corpus, which has one
+    // (sf0.001 documents plant near-dups only: its tau=1 set is empty)
+    val exactDups = Dedup.jaccardPrefixPairs(corpus, "doc_id", "text", n = 3,
       tauNum = 1, tauDen = 1)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     Persisted.unpersistAll()
-    assert(exactDups == exact.filter { case (a, b) => exactDups.contains((a, b)) })
-    assert(exactDups.subsetOf(exact))
+    assert(exactDups == Set((1L, 2L)), s"exact-dup pair at tau=1, got $exactDups")
   }
 
   test("minhash LSH reproduces the exact-jaccard truth set on documents") {

@@ -34,8 +34,7 @@ class KmvSpec extends AnyFunSuite with SparkTestBase {
         .coalesce(1).write.mode("append").parquet(src)
     }
     val batchDf = spark.read.parquet(src)
-    val expected = Kmv.bucketMinSketch(
-        Kmv.kmvHashes(batchDf, "v").withColumnRenamed("h", "h"), 32)
+    val expected = Kmv.bucketMinSketch(Kmv.kmvHashes(batchDf, "v"), 32)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
       spark.readStream.schema(batchDf.schema)

@@ -474,17 +474,7 @@ object ScalePerfHarness {
     val all = ng.groupBy(col("ngram"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
       .agg(sum(expr("c * (c - 1) / 2"))).head().getDouble(0)
-    val dfc = ng.groupBy(col("ngram"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_df"))
-    val cnt = ng.groupBy(col("_id"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_shingles"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_id")).orderBy(col("_df"), col("ngram"))
-    val pref = ng.join(dfc, Seq("ngram")).join(cnt, Seq("_id"))
-      .withColumn("_pos", row_number().over(w))
-      .filter(col("_pos") <= col("n_shingles")
-        - expr("(4 * n_shingles + 4) DIV 5") + 1)
-    val prefCand = pref.groupBy(col("ngram"))
+    val prefCand = Dedup.prefixShingleRelation(ng, 4, 5).groupBy(col("ngram"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
       .agg(sum(expr("c * (c - 1) / 2"))).head().getDouble(0)
     println(s"[occupancy] ssjoin candidates: all-shingle=$all prefix=$prefCand " +
@@ -510,15 +500,7 @@ object ScalePerfHarness {
     val allB = ngB.groupBy(col("ngram"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
       .agg(sum(expr("c * (c - 1) / 2"))).head().getDouble(0)
-    val dfcB = ngB.groupBy(col("ngram"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_df"))
-    val cntB = ngB.groupBy(col("_id"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_shingles"))
-    val prefB = ngB.join(dfcB, Seq("ngram")).join(cntB, Seq("_id"))
-      .withColumn("_pos", row_number().over(w))
-      .filter(col("_pos") <= col("n_shingles")
-        - expr("(4 * n_shingles + 4) DIV 5") + 1)
-    val prefCandB = prefB.groupBy(col("ngram"))
+    val prefCandB = Dedup.prefixShingleRelation(ngB, 4, 5).groupBy(col("ngram"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
       .agg(sum(expr("c * (c - 1) / 2"))).head().getDouble(0)
     println(f"[occupancy] ssjoin+boilerplate candidates: " +
