@@ -1065,6 +1065,15 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         n = 3, tauNum = 9, tauDen = 10, maxDfFraction = None)),
 
+    // sub-side-prefix containment: the asymmetric prefix filter — only
+    // the contained side can prune (no lower bound exists on the
+    // super's similarity); lossless, proven per run by sharing the
+    // exact gate's oracle
+    "x_dedup_containment_prefix" -> ((s, dir) =>
+      graft.dedup.Dedup.containmentPrefixPairs(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        n = 3, tauNum = 9, tauDen = 10)),
+
     // winnowing fingerprints (MOSS): window-min local fingerprinting —
     // detects SHARED SUBSTRINGS (>= w+k-1 tokens guarantee) between
     // otherwise-dissimilar docs, with a 2/(w+1)-density fingerprint set
@@ -2660,6 +2669,25 @@ object SparkEntry {
        |  JOIN cnt cb ON id_b = cb.doc_id
        |  WHERE $td * i >= $tn * (ca.n + cb.n - i))""".stripMargin
 
+  private val containmentOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+          |ng AS MATERIALIZED (
+          |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+          |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+          |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ng GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CAST(count(*) AS BIGINT) AS i, ca.n AS na, cb.n AS nb
+          |  FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+          |  JOIN cnt ca ON ca.doc_id = a.doc_id
+          |  JOIN cnt cb ON cb.doc_id = b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id, ca.n, cb.n)
+          |SELECT id_a AS id_sub, id_b AS id_super, i AS n_inter, na AS n_sub
+          |FROM inter WHERE 10 * i >= 9 * na
+          |UNION ALL
+          |SELECT id_b AS id_sub, id_a AS id_super, i AS n_inter, nb AS n_sub
+          |FROM inter WHERE 10 * i >= 9 * nb""".stripMargin
+
   private val jaccardPrefixOracle: String =
     s"""WITH ${jaccardPrefixCtes(4, 5)}
        |SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
@@ -2768,24 +2796,11 @@ object SparkEntry {
         "documents", "doc_id", "text", k = 4, w = 4,
         pred = "source <> 'src0'"),
 
-      "x_dedup_containment" ->
-        """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-          |ng AS MATERIALIZED (
-          |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
-          |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
-          |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ng GROUP BY doc_id),
-          |inter AS (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |    CAST(count(*) AS BIGINT) AS i, ca.n AS na, cb.n AS nb
-          |  FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
-          |  JOIN cnt ca ON ca.doc_id = a.doc_id
-          |  JOIN cnt cb ON cb.doc_id = b.doc_id
-          |  GROUP BY a.doc_id, b.doc_id, ca.n, cb.n)
-          |SELECT id_a AS id_sub, id_b AS id_super, i AS n_inter, na AS n_sub
-          |FROM inter WHERE 10 * i >= 9 * na
-          |UNION ALL
-          |SELECT id_b AS id_sub, id_a AS id_super, i AS n_inter, nb AS n_sub
-          |FROM inter WHERE 10 * i >= 9 * nb""".stripMargin,
+      "x_dedup_containment" -> containmentOracle,
+
+      // the SAME oracle: hash equality re-proves the sub-side prefix
+      // filter lossless on every run
+      "x_dedup_containment_prefix" -> containmentOracle,
 
       "x_dedup_edit_distance" ->
         s"""WITH ${jaccardPrefixCtes(1, 2)}

@@ -409,6 +409,45 @@ object Dedup {
           col("n_inter"), col("n_b").as("n_sub")))
   }
 
+  /** [[containmentPairs]] with SUB-SIDE prefix filtering — the
+    * asymmetric adaptation of the AllPairs prefix filter: `C(a→b) ≥ τ ⟹
+    * |a∩b| ≥ ceil(τ·|a|)`, so the smallest common shingle (global
+    * (df, shingle) order) has rank `≤ |a| − ceil(τ·|a|) + 1` in `a` —
+    * joining only a's prefix against ALL of b's shingles is LOSSLESS
+    * (the gated query's oracle is [[containmentPairs]]' own SQL, so
+    * every hash pass re-proves it). Only the SUB side can prefix:
+    * containment puts no lower bound on the super's similarity, so the
+    * super side must expose every shingle — the candidate cut is
+    * ~(1−τ) of the sub side's join volume (10× at τ = 9/10), not the
+    * symmetric join's square. No length filter exists either (any
+    * |super| is admissible).
+    */
+  def containmentPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen)
+    val ng = Persisted.track(shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+    val pref = prefixShingleRelation(ng, tauNum, tauDen)
+    val cand = pref.select(col("_id").as("id_sub"), col("ngram"))
+      .hint("shuffle_hash")
+      .join(ng.select(col("_id").as("id_super"), col("ngram"))
+        .hint("shuffle_hash"), Seq("ngram"))
+      .filter(col("id_sub") =!= col("id_super"))
+      .select(col("id_sub"), col("id_super")).distinct()
+    cand
+      .join(ng.select(col("_id").as("id_sub"), col("ngram")), Seq("id_sub"))
+      .join(ng.select(col("_id").as("id_super"), col("ngram")),
+        Seq("id_super", "ngram"))
+      .groupBy(col("id_sub"), col("id_super"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(cnt.select(col("_id").as("id_sub"), col("n_shingles").as("n_sub")),
+        Seq("id_sub"))
+      .filter(lit(tauDen.toLong) * col("n_inter")
+        >= lit(tauNum.toLong) * col("n_sub"))
+      .select(col("id_sub"), col("id_super"), col("n_inter"), col("n_sub"))
+  }
+
   /** WINNOWING fingerprint pairs (Schleimer, Wilkerson & Aiken 2003 —
     * the MOSS local fingerprinting algorithm): per document, hash every
     * positional `k`-token gram, slide a window of `w` consecutive gram

@@ -82,6 +82,32 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("sub-side-prefix containment is lossless on random corpora") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = Gen.choose(5, 16).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    val corpusGen = Gen.choose(8, 18).flatMap(n => Gen.listOfN(n, docGen))
+    (1L to 4L).foreach { seed =>
+      val docs = sample(corpusGen, seed).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      for ((tn, td) <- Seq((1, 2), (3, 4), (9, 10))) {
+        val exact = Dedup.containmentPairs(docs, "doc_id", "text", n = 2,
+          tauNum = tn, tauDen = td, maxDfFraction = None)
+          .select("id_sub", "id_super").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        Persisted.unpersistAll()
+        val pref = Dedup.containmentPrefixPairs(docs, "doc_id", "text",
+          n = 2, tauNum = tn, tauDen = td)
+          .select("id_sub", "id_super").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        Persisted.unpersistAll()
+        assert(pref == exact, s"seed $seed tau $tn/$td: " +
+          s"${pref.size} vs ${exact.size}")
+      }
+    }
+  }
+
   test("winnowing guarantee: random pairs sharing a >= w+k-1 run always pair") {
     import spark.implicits._
     val wordGen = Gen.choose(0, 500).map(i => s"w$i")
