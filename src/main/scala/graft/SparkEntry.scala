@@ -1654,6 +1654,12 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         precomputedModel = Some(surprisalModelDim(s, dir)))),
 
+    // per-doc top-k TF-IDF key terms (salient-term tagging); the rank
+    // cut plans as WindowGroupLimit (map-side per-group top-k)
+    "x_text_tfidf_terms" -> ((s, dir) =>
+      graft.text.Vocabulary.tfidfKeyTerms(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text", k = 5)),
+
     // bigram stupid-backoff surprisal (Brants et al. 2007): the
     // perplexity upgrade over the unigram signal — pruned top-256 bigram
     // model + alpha=2/5 backoff, both model tables broadcast, token and
@@ -3441,6 +3447,8 @@ object SparkEntry {
         graft.sketch.CountMinOracle.heavyHittersSql(k = 25, widthBits = 8),
 
       "x_text_surprisal" -> graft.text.Vocabulary.surprisalSql,
+
+      "x_text_tfidf_terms" -> graft.text.Vocabulary.tfidfKeyTermsSql(k = 5),
 
       "x_text_surprisal_bigram" ->
         graft.text.Vocabulary.bigramSurprisalSql(topN = 256),

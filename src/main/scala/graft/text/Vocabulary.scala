@@ -1859,4 +1859,97 @@ object Vocabulary {
        |FROM rf f JOIN w USING (bkt)
        |GROUP BY f.doc_id""".stripMargin
   }
+
+  /** Per-document top-k key terms by TF-IDF as EXACT INTEGER arithmetic —
+    * the tagging/indexing primitive (salient-term extraction for corpus
+    * cards, topic routing, and keyword indexes; Salton & Buckley 1988's
+    * tf·idf weighting with the idf as [[log2Fixed]]):
+    *
+    *   `score_fp(d, t) = tf(d,t) · log2fp(N / df(t))`
+    *
+    * with `N` the doc count and `df(t)` the number of docs containing
+    * `t` — both integers, so `1 <= df <= N` keeps the log operands in
+    * [[log2FixedCols]]'s domain. A corpus-wide term (df = N) scores 0,
+    * which is tf-idf's own statement that it carries no signal; ranking
+    * tie-break is (score desc, term asc), so the gate replays bit-for-bit.
+    *
+    * Scale shape: the doc-frequency relation is vocab-bounded (one
+    * map-side-combined agg over distinct (doc, term) pairs) and the idf
+    * table broadcasts; the wide work is the tf agg — the [[buildVocab]]
+    * token-agg shape — and the per-doc top-k, a rank window that Catalyst
+    * plans as WindowGroupLimit (map-side per-group top-k BEFORE the
+    * shuffle — the domain-cap lesson, NOTES r10: never hand-schedule a
+    * rank prune). The token stream itself never shuffles twice.
+    * Magnitude: `tf · idf_fp < 2^63` holds while `tf < 2^36` — no real
+    * document approaches it.
+    */
+  def tfidfKeyTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val tf = df.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = df.agg(count(lit(1)).as("_n"))
+    val idf = log2FixedCols(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("_num", col("_n"))
+        .withColumn("_den", col("_df")))
+      .select(col("term"), col("_idf_fp"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_fp").desc, col("term"))
+    tf.join(broadcast(idf), Seq("term"))
+      .withColumn("score_fp", col("tf") * col("_idf_fp"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score_fp"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
+  /** DuckDB twin of [[tfidfKeyTerms]] over `documents`: the identical
+    * integer op sequence — per-(doc, term) tf, vocab-bounded df, the
+    * [[FracBits]] unrolled square-and-truncate log rounds keyed by term
+    * with num = N and den = df, then the same rank window and cut.
+    */
+  def tfidfKeyTermsSql(k: Int): String = {
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT term, e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+       |  FROM documents),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY doc_id, term),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |nrm AS (SELECT term, n AS num, df AS den FROM dft CROSS JOIN nd),
+       |it0 AS (
+       |  SELECT term, ($eSum) AS e,
+       |    (num << $MantBits) // (den << ($eSum)) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM nrm),
+       |$iters,
+       |idf AS (
+       |  SELECT term, e * (CAST(1 AS BIGINT) << $FracBits) + frac AS idf_fp
+       |  FROM it$FracBits),
+       |scored AS (
+       |  SELECT t.doc_id, t.term, t.tf, t.tf * i.idf_fp AS score_fp
+       |  FROM tf t JOIN idf i USING (term))
+       |SELECT doc_id, term, tf, score_fp, rnk FROM (
+       |  SELECT doc_id, term, tf, score_fp,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score_fp DESC, term) AS INTEGER) AS rnk
+       |  FROM scored) WHERE rnk <= $k""".stripMargin
+  }
 }

@@ -367,4 +367,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"cap must plan map-side group limits:\n$p")
     Persisted.unpersistAll()
   }
+
+  test("tfidf key terms: idf broadcasts and the rank cut plans WindowGroupLimit") {
+    val p = planOf("x_text_tfidf_terms")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-doc top-k must prune map-side:\n$p")
+    // the vocab-bounded idf table must ride a broadcast join — a hash
+    // shuffle here would re-shuffle the full (doc, term) stream on term
+    assert(p.contains("BroadcastHashJoin"),
+      s"idf join must broadcast:\n$p")
+    Persisted.unpersistAll()
+  }
 }

@@ -298,6 +298,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L)._3 > got(2L)._3 && got(1L)._3 > got(2L)._3)
   }
 
+  test("tfidfKeyTerms: corpus-wide terms score 0, rare terms rank first, " +
+      "ties break on term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "the cat ran ran")
+    ).toDF("doc_id", "text")
+    val got = graft.text.Vocabulary.tfidfKeyTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // df: the=3 (idf 0), cat=2, sat=2, dog=1, ran=1; N=3
+    val frac = 1L << 20
+    def idf(df: Long): Long =
+      math.floor(math.log(3.0 / df) / math.log(2.0) * frac).toLong
+    // doc 2: dog (tf1 * idf1) beats sat (tf1 * idf2); "the" scores 0
+    assert(got((2L, 1))._1 == "dog" && got((2L, 2))._1 == "sat")
+    assert(math.abs(got((2L, 1))._3 - idf(1)) <= 1,
+      s"dog score ${got((2L, 1))._3} vs ${idf(1)}")
+    // doc 3: ran tf=2 doubles its idf; cat second
+    assert(got((3L, 1))._1 == "ran" && got((3L, 1))._2 == 2L)
+    assert(got((3L, 2))._1 == "cat")
+    // doc 1: cat and sat share idf and tf=1 -> tie breaks on term asc
+    assert(got((1L, 1))._1 == "cat" && got((1L, 2))._1 == "sat")
+    // idf(N/df) with df=N is exactly 0 -> "the" can never outrank a
+    // positive-score term even at tf=2
+    assert(!Seq(got((1L, 1))._1, got((1L, 2))._1).contains("the"))
+  }
+
   test("unigram drift: self-drift ~ 0, disjoint corpora strongly positive") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma alpha"), (2L, "alpha beta delta"))
