@@ -2019,6 +2019,17 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents").select(col("doc_id").as("node")),
         DerivedModel.linkGraph(s, dir), iters = 8)),
 
+    // community detection by synchronous label propagation (Raghavan et
+    // al. 2007): most-frequent neighbor label, smallest-id tie-break,
+    // symmetrized edges — link-structure clustering for per-community
+    // caps/sampling; per round one join against the once-partitioned
+    // edge relation + two map-side-combinable aggs (argmax as
+    // max-of-struct, not a window)
+    "x_graph_labelprop" -> ((s, dir) =>
+      graft.graph.LabelProp.labelPropagate(
+        DerivedModel.table(s, dir, "documents").select(col("doc_id").as("node")),
+        DerivedModel.linkGraph(s, dir), iters = 5)),
+
     // TrustRank (personalized PageRank): the (1-d) restart mass lands
     // only on a trusted seed set — rank becomes graph proximity to the
     // seeds, the spam-filtering / source-trust weighting signal; same
@@ -2961,6 +2972,12 @@ object SparkEntry {
         graft.graph.PageRank.pageRankSql(
           "SELECT doc_id AS node FROM documents",
           DerivedSql.linkGraphEdgesBody, iters = 8),
+
+      // 5 unrolled rounds: count → max → min-label-among-maxima CTEs
+      "x_graph_labelprop" ->
+        graft.graph.LabelProp.labelPropagateSql(
+          "SELECT doc_id AS node FROM documents",
+          DerivedSql.linkGraphEdgesBody, iters = 5),
 
       // seed-teleport base via one HUGEINT floor of 3*n*scale/(20*|S|)
       "x_graph_trustrank" ->

@@ -100,4 +100,41 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
     assert(a(0L) > a(1L))
   }
+
+  private def runLp(n: Int, edges: Seq[(Int, Int)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = (0 until n).map(_.toLong).toDF("node")
+    val e = edges.map { case (s, d) => (s.toLong, d.toLong) }.toDF("src", "dst")
+    val out = graft.graph.LabelProp.labelPropagate(nodes, e, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Persisted.unpersistAll()
+    out
+  }
+
+  test("label propagation: two triangles joined by a bridge settle into " +
+      "two communities") {
+    // triangles {0,1,2} and {3,4,5}, one bridge 2-3 (edges are
+    // symmetrized inside, so direction is irrelevant)
+    val edges = Seq(0 -> 1, 1 -> 2, 2 -> 0, 3 -> 4, 4 -> 5, 5 -> 3, 2 -> 3)
+    val got = runLp(6, edges, iters = 4)
+    // min-label tie-break floods each triangle from its smallest id
+    assert(Set(got(0L), got(1L), got(2L)).size == 1, s"left: $got")
+    assert(Set(got(3L), got(4L), got(5L)).size == 1, s"right: $got")
+    assert(got(0L) != got(4L), s"bridge must not merge the triangles: $got")
+  }
+
+  test("label propagation: majority beats smaller label id; isolated " +
+      "nodes keep their own label") {
+    // node 4's neighbors: {0} once, {5} twice -> label 5 wins by count
+    // despite 0 < 5; node 6 has no edges at all
+    val edges = Seq(0 -> 4, 5 -> 4, 5 -> 4, 1 -> 0, 2 -> 5, 3 -> 5)
+    val got = runLp(7, edges, iters = 1)
+    assert(got(4L) == 5L, s"majority must win over smaller id: $got")
+    assert(got(6L) == 6L, s"isolated node keeps own label: $got")
+    // equal counts fall back to the smaller label: 1 sees {0 once, 2
+    // once} after symmetrization? no — give 1 neighbors 0 and 2, one
+    // edge each, and the tie goes to 0
+    val tie = runLp(3, Seq(0 -> 1, 2 -> 1), iters = 1)
+    assert(tie(1L) == 0L, s"tie must break to the smaller label: $tie")
+  }
 }

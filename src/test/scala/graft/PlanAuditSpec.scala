@@ -337,6 +337,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("label propagation reuses the cached symmetrized edges; argmax is an agg, not a window") {
+    val nodes = DerivedModel.table(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("node"))
+    val edges = DerivedModel.linkGraph(spark, dir)
+    val oneIter = graft.graph.LabelProp.labelPropagate(nodes, edges, iters = 1)
+    val p = oneIter.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"labelprop must equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the symmetrized edge relation must be cached:\n$p")
+    assert(p.contains("REPARTITION_BY_COL"),
+      s"edges must be explicitly pre-partitioned by src in the cache:\n$p")
+    // the per-node argmax must be the max-of-struct HashAggregate — a
+    // Window here would sort every node's label multiset
+    assert(!p.split("\n").exists(_.trim.startsWith("Window")),
+      s"argmax must not plan a window:\n$p")
+    Persisted.unpersistAll()
+    spark.catalog.clearCache()
+  }
+
   test("char entropy runs inside the scan — no exchange anywhere") {
     val p = planOf("x_text_char_entropy")
     assert(!p.contains("Exchange"),
