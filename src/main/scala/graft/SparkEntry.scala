@@ -1167,6 +1167,15 @@ object SparkEntry {
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10, numClusters = 16, nProbe = 4)),
 
+    // index-quality audit: recall@10 of the IVF arm vs exact brute force
+    // over the deterministic query sample id % 100 == 0 — the monitoring
+    // number a production ANN index is judged by; query set broadcasts,
+    // both arms' rank cuts prune map-side (WindowGroupLimit)
+    "x_eval_ann_recall" -> ((s, dir) =>
+      graft.sim.Similarity.annRecallAudit(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 10, queryStep = 100L, numClusters = 16, nProbe = 4)),
+
     // deterministic training (ordered-fold means): bit-reproducible index
     // builds, and the oracle can replay the full k-means + probe + top-k
     "x_ann_ivf_kmeans" -> ((s, dir) =>
@@ -3170,6 +3179,8 @@ object SparkEntry {
       // replay the full deterministic ANN algorithms (seeded hyperplanes
       // as exact double literals; lowest-id IVF centroids + argmax ranks)
       "x_ann_ivf" -> graft.sim.Similarity.ivfTopKSql(64, 0L, 10, 16, 4),
+      "x_eval_ann_recall" ->
+        graft.sim.Similarity.annRecallAuditSql(64, 10, 100L, 16, 4),
       "x_ann_lsh" -> graft.sim.Similarity.lshTopKSql(64, 0L, 10),
       "x_ann_ivf_kmeans" -> graft.sim.Similarity.ivfTopKTrainedSql(64, 0L, 10, 16, 4, 2),
 

@@ -1610,4 +1610,109 @@ object Similarity {
          |SELECT vec_id, cluster, CAST(proto_rank AS BIGINT) AS proto_rank
          |FROM rk WHERE proto_rank > (csz * $dropPerMille + 999) // 1000""".stripMargin
   }
+
+  /** Index-quality audit: recall@k of the IVF arm against exact brute
+    * force, per query — the number a production ANN deployment monitors
+    * (recall drifts when the data distribution moves away from the
+    * index's cluster structure; an audit like this is how you notice
+    * BEFORE retrieval quality degrades downstream training/serving).
+    *
+    * Queries are the deterministic sample `id % queryStep == 0`. Both
+    * arms use the same (cosine desc, id) tie-break, and the intersection
+    * count is pure integer arithmetic, so the gate replays bit-for-bit.
+    * Output per query: (query_id, hits, k) — hits/k is the recall.
+    *
+    * Scale shape: the QUERY SET is the bounded side (pick `queryStep` so
+    * it broadcasts) — the exact arm is then a broadcast pair scan + a
+    * per-query rank window (WindowGroupLimit prunes map-side), i.e.
+    * Q·n/partitions work per task, NOT all-pairs n²; the IVF arm is the
+    * [[ivfTopK]] plan generalized to the query set (probed (query,
+    * cluster) pairs broadcast against the assigned relation). At 100 TB
+    * you audit with Q in the hundreds against the live index — the same
+    * plan, still one corpus scan per audit.
+    */
+  def annRecallAudit(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, queryStep: Long, numClusters: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    require(k >= 1 && queryStep >= 1, "k, queryStep >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val queries = embeddings.filter(col(idCol) % queryStep === 0)
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qvec"))
+    def topkPerQuery(cands: DataFrame): DataFrame = {
+      val w = W.partitionBy(col("_qid"))
+        .orderBy(col("_cos").desc, col(idCol))
+      cands.filter(col(idCol) =!= col("_qid"))
+        .withColumn("_cos", cosine(col(vecCol), col("_qvec")))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .select(col("_qid"), col(idCol))
+    }
+    val exact = topkPerQuery(embeddings.crossJoin(broadcast(queries)))
+    val probed = ivfCentroids(embeddings, idCol, vecCol, numClusters)
+      .crossJoin(broadcast(queries))
+      .withColumn("_qsim", cosine(col("_cvec"), col("_qvec")))
+      .withColumn("_qrn", row_number().over(
+        W.partitionBy(col("_qid")).orderBy(col("_qsim").desc, col("_cid"))))
+      .filter(col("_qrn") <= nProbe)
+      .select(col("_cid").as("cluster"), col("_qid"), col("_qvec"))
+    val approx = topkPerQuery(
+      ivfAssign(embeddings, idCol, vecCol, numClusters)
+        .join(broadcast(probed), Seq("cluster")))
+    val hits = exact.join(approx, Seq("_qid", idCol))
+      .groupBy(col("_qid")).agg(count(lit(1)).as("_h"))
+    queries.select(col("_qid"))
+      .join(hits, Seq("_qid"), "left")
+      .select(col("_qid").as("query_id"),
+        coalesce(col("_h"), lit(0L)).as("hits"),
+        lit(k).cast("int").as("k"))
+  }
+
+  /** DuckDB twin of [[annRecallAudit]] over `embeddings`: the exact arm,
+    * the [[ivfTopKSql]]-shaped assignment + probe + per-query rank, the
+    * same intersection count.
+    */
+  def annRecallAuditSql(dim: Int, k: Int, queryStep: Long,
+      numClusters: Int, nProbe: Int): String = {
+    val cosEC = cosineSql("e.embedding", "c.cvec", dim)
+    val cosCQ = cosineSql("c.cvec", "q.qvec", dim)
+    val cosAQ = cosineSql("a.embedding", "q.qvec", dim)
+    val cosAP = cosineSql("a.embedding", "p.qvec", dim)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qvec FROM e
+       |  WHERE vec_id % $queryStep = 0),
+       |exact AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, a.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY $cosAQ DESC, a.vec_id) AS rn
+       |    FROM e a CROSS JOIN q WHERE a.vec_id <> q.qid)
+       |  WHERE rn <= $k),
+       |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM e ORDER BY vec_id LIMIT $numClusters),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.cid) AS crn
+       |    FROM e CROSS JOIN cent c) WHERE crn = 1),
+       |probed AS MATERIALIZED (
+       |  SELECT cid AS cluster, qid, qvec FROM (
+       |    SELECT q.qid, q.qvec, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY $cosCQ DESC, c.cid) AS qrn
+       |    FROM cent c CROSS JOIN q) WHERE qrn <= $nProbe),
+       |approx AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT p.qid, a.vec_id,
+       |      row_number() OVER (PARTITION BY p.qid
+       |        ORDER BY $cosAP DESC, a.vec_id) AS rn
+       |    FROM assigned a JOIN probed p USING (cluster)
+       |    WHERE a.vec_id <> p.qid)
+       |  WHERE rn <= $k),
+       |hits AS (
+       |  SELECT x.qid, CAST(count(*) AS BIGINT) AS h
+       |  FROM exact x JOIN approx a ON x.qid = a.qid AND x.vec_id = a.vec_id
+       |  GROUP BY x.qid)
+       |SELECT q.qid AS query_id, COALESCE(h.h, CAST(0 AS BIGINT)) AS hits,
+       |  CAST($k AS INTEGER) AS k
+       |FROM q LEFT JOIN hits h ON q.qid = h.qid""".stripMargin
+  }
 }

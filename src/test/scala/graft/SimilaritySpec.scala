@@ -68,6 +68,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(partial.size == 10)
   }
 
+  test("annRecallAudit: nProbe=all audits perfect recall; partial probe " +
+      "agrees with the hand-computed intersection") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    // probing every cluster makes the IVF arm exact -> hits == k for
+    // every sampled query
+    val full = Similarity.annRecallAudit(emb, "vec_id", "embedding",
+      k = 5, queryStep = 100L, numClusters = 8, nProbe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.nonEmpty && full.values.forall(_ == 5L),
+      s"nProbe = numClusters must audit 5/5: $full")
+    // partial probe: the audit's hits must equal the intersection of the
+    // two arms computed independently
+    val partial = Similarity.annRecallAudit(emb, "vec_id", "embedding",
+      k = 5, queryStep = 100L, numClusters = 8, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((qid, hits) <- partial) {
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qid, 5)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding", qid, 5,
+        numClusters = 8, nProbe = 2).collect().map(_.getLong(0)).toSet
+      assert(hits == (exact & approx).size.toLong,
+        s"query $qid: audit says $hits, arms intersect in ${(exact & approx).size}")
+    }
+    assert(partial.keySet == full.keySet)
+  }
+
   test("k-means IVF: nProbe=all equals brute force; centroids balanced") {
     val emb = DerivedModel.table(spark, dir, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
