@@ -440,6 +440,22 @@ object SparkEntry {
         rowsPerFile = 250L,
         outPath = s"${tmpPath(dir, "compact_out")}/docs")),
 
+    // ---- K8: parquet schema evolution on read (mergeSchema) -----------
+    // two written generations (v2 adds the lang column), one unified
+    // read; old rows surface lang as NULL and the summary proves the
+    // merged relation holds every row of both generations
+    "k8_schema_evolution" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      graft.sources.Layout.schemaEvolvedRead(
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("lang")),
+        s"${tmpPath(dir, "evolve_out")}/docs")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("chars"))
+    }),
+
     // ---- J7: big-big sort-merge join (hinted; no broadcast side) ------
     "j7_sort_merge" -> ((s, dir) => {
       val li = DerivedModel.table(s, dir, "lineitem")
@@ -3547,6 +3563,19 @@ object SparkEntry {
 
       // the audit row is fully determined by the row count: ceil(n/250)
       // files, all exactly 250 rows except the remainder file
+      // the merged-read summary restated from the base table: even rows
+      // are generation 1 (no lang column -> NULL), odd rows generation 2
+      "k8_schema_evolution" ->
+        """WITH u AS (
+          |  SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang
+          |  FROM documents WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          |  CAST(sum(length(text)) AS BIGINT) AS chars
+          |FROM u GROUP BY lang""".stripMargin,
+
       "x_layout_compact" ->
         """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
           |SELECT (n + 249) // 250 AS n_files, n AS n_rows,

@@ -100,6 +100,29 @@ object Layout {
     * `input_file_name()` over the compacted output, so the gate checks
     * what actually landed on disk, not the intended arithmetic.
     */
+  /** Parquet schema evolution on read: write two dataset generations —
+    * the later one carrying columns the earlier one lacks — then read
+    * them as ONE relation with `mergeSchema`, the lakehouse
+    * add-a-column-without-rewriting contract (a corpus that gains a
+    * `lang`/`quality` column mid-life must stay queryable across the
+    * whole history; rewriting 100 TB of v1 files to add a null column
+    * is not an option). Old-generation rows surface the new columns as
+    * NULL — exactly the semantics the unified query plans against.
+    *
+    * Merge cost note: `mergeSchema` reconciles footers at planning time
+    * (one footer read per file — cheap next to the data scan, but list
+    * it once: at millions of files pin the merged schema in a metastore
+    * or pass `schema(...)` explicitly instead of re-merging per query).
+    */
+  def schemaEvolvedRead(v1: DataFrame, v2: DataFrame,
+      outPath: String): DataFrame = {
+    val spark = v1.sparkSession
+    v1.write.mode("overwrite").parquet(s"$outPath/gen1")
+    v2.write.mode("overwrite").parquet(s"$outPath/gen2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$outPath/gen1", s"$outPath/gen2")
+  }
+
   def compactByRows(df: DataFrame, keyCol: String, rowsPerFile: Long,
       outPath: String): DataFrame = {
     require(rowsPerFile >= 1)

@@ -75,4 +75,21 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(sorted.toSeq == grid.sortBy(p => keys(p)).toSeq,
       "zorderBy must order rows by the morton key")
   }
+
+  test("schemaEvolvedRead: merged relation holds both generations, old " +
+      "rows surface the new column as NULL") {
+    import spark.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_evolve_spec_" +
+      ProcessHandle.current().pid()
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val v2 = Seq((3L, "c", "en"), (4L, "d", "de")).toDF("id", "text", "lang")
+    val merged = Layout.schemaEvolvedRead(v1, v2, out)
+    assert(merged.columns.sorted.toSeq == Seq("id", "lang", "text"),
+      s"merged schema must union the generations: ${merged.columns.toSeq}")
+    val rows = merged.collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        Option(r.getAs[String]("lang"))).toMap
+    assert(rows == Map(1L -> None, 2L -> None,
+      3L -> Some("en"), 4L -> Some("de")), s"got $rows")
+  }
 }
