@@ -1964,6 +1964,21 @@ object SparkEntry {
       graft.text.Curation.ruleFilter(
         DerivedModel.documentsBoilerplate(s, dir), "doc_id", "text")),
 
+    // fastText-style supervised quality classifier: naive-Bayes token
+    // log-likelihood ratios (symmetric add-one smoothing) trained on the
+    // planted clean-vs-boilerplate split, then every doc scored by the
+    // broadcast weight table — the GPT-3/LLaMA/FineWeb-Edu classifier
+    // shape; model build is vocab-bounded, scoring is scan speed
+    "x_curate_classifier" -> ((s, dir) => {
+      val docs = DerivedModel.documentsBoilerplate(s, dir)
+      val isNeg = col("doc_id") % 17 === 0 || col("doc_id") % 13 === 0 ||
+        col("doc_id") % 23 === 0
+      graft.text.Vocabulary.nbClassify(docs, "doc_id", "text",
+        graft.text.Vocabulary.nbTokenWeights(
+          graft.text.Vocabulary.unigramDriftCounts(
+            docs.filter(!isNeg), docs.filter(isNeg), "text")))
+    }),
+
     // greedy token-budget fill: best-quality-first selection until the
     // running token total hits the budget — the global weighted cumsum
     // runs over order-convex (score, md5-prefix) buckets with broadcast
@@ -2896,6 +2911,12 @@ object SparkEntry {
       "x_curate_rules" ->
         graft.text.Curation.ruleFilterSql("documents_boiler", "doc_id",
           "text", ctes = Seq(DerivedSql.documentsBoilerplate)),
+
+      "x_curate_classifier" ->
+        graft.text.Vocabulary.nbClassifierSql(
+          DerivedSql.documentsBoilerplate, "documents_boiler",
+          predPos = "NOT (doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 23 = 0)",
+          predNeg = "doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 23 = 0"),
 
       // stateless streaming == batch: the oracle is the batch rule
       // filter's kept rows

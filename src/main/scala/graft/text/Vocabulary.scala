@@ -1860,6 +1860,134 @@ object Vocabulary {
        |GROUP BY f.doc_id""".stripMargin
   }
 
+  /** Multinomial naive-Bayes token weights from a two-class token-count
+    * relation — the fastText-linear-classifier shape every major corpus
+    * pipeline uses for quality filtering (GPT-3's WebText-vs-crawl
+    * classifier, LLaMA's Wikipedia-reference classifier, FineWeb-Edu):
+    * per token,
+    *
+    *   `w_fp = ±log2fp( (ca+1)·(totB+V) , (cb+1)·(totA+V) )`
+    *
+    * i.e. the add-one-smoothed log likelihood ratio
+    * `log2 P(t|A) / P(t|B)` — [[unigramDrift]]'s machinery with
+    * SYMMETRIC smoothing (both classes smoothed, no `ca > 0` filter:
+    * a classifier needs a total weight function over the union vocab).
+    * Input is [[unigramDriftCounts]]'s `(token, _ca, _cb)` relation —
+    * the staged-model artifact; A is the positive class.
+    *
+    * Same overflow posture as drift: products guarded with an exact
+    * check (Spark would wrap silently), magnitudes above the log
+    * mantissa bound floor-shifted in lockstep on both sides.
+    */
+  def nbTokenWeights(counts: DataFrame): DataFrame = {
+    def checkedMul(a: String, b: String, what: String) =
+      checkedMulExpr(a, b, "nbTokenWeights", what)
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val prep = counts
+      .withColumn("_tot_a", sum(col("_ca")).over(w))
+      .withColumn("_tot_b", sum(col("_cb")).over(w))
+      .withColumn("_v", count(lit(1)).over(w))
+      .withColumn("_num0", checkedMul("_ca + 1", "_tot_b + _v", "(ca+1)*(totB+V)"))
+      .withColumn("_den0", checkedMul("_cb + 1", "_tot_a + _v", "(cb+1)*(totA+V)"))
+      .withColumn("_pos", col("_num0") >= col("_den0"))
+      .withColumn("_big", when(col("_pos"), col("_num0")).otherwise(col("_den0")))
+      .withColumn("_small", when(col("_pos"), col("_den0")).otherwise(col("_num0")))
+      .withColumn("_sh", greatest(lit(0), length(bin(col("_big"))) - lit(33)))
+      .withColumn("_num", expr("shiftright(_big, CAST(_sh AS INT))"))
+      .withColumn("_den",
+        greatest(expr("shiftright(_small, CAST(_sh AS INT))"), lit(1L)))
+    log2FixedCols(prep)
+      .select(col("token"),
+        when(col("_pos"), col("_idf_fp")).otherwise(-col("_idf_fp"))
+          .as("w_fp"))
+  }
+
+  /** Score documents with a [[nbTokenWeights]] table: per doc the token-
+    * multiplicity-weighted sum of weights — the balanced-prior NB
+    * decision score, positive ⇒ class A. Tokens outside the weight vocab
+    * drop out of the inner join, i.e. carry zero weight (the standard
+    * OOV fallback). Scale shape is [[surprisalScore]]'s: the weight
+    * table is vocab-bounded and broadcasts; the token stream never
+    * shuffles — scoring is scan + one map-side-combined per-doc sum.
+    */
+  def nbClassify(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame): DataFrame =
+    df.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .join(broadcast(weights), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_fp")).as("nb_score_fp"))
+      .withColumn("predicted_pos", col("nb_score_fp") >= 0L)
+
+  /** DuckDB twin of [[nbTokenWeights]] + [[nbClassify]]: `docsCte` is a
+    * named CTE (e.g. the boilerplate fixture) whose rows split into
+    * positive/negative training classes by `predPos`/`predNeg`; every
+    * doc is then scored. Identical integer op sequence to drift's
+    * replay, with the symmetric smoothing above.
+    */
+  def nbClassifierSql(docsCte: String, docsName: String,
+      predPos: String, predNeg: String): String = {
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT token, e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $docsCte,
+       |ta AS MATERIALIZED (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS token
+       |  FROM $docsName WHERE $predPos),
+       |tb AS MATERIALIZED (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS token
+       |  FROM $docsName WHERE $predNeg),
+       |ca AS (SELECT token, CAST(count(*) AS BIGINT) AS cca FROM ta GROUP BY token),
+       |cb AS (SELECT token, CAST(count(*) AS BIGINT) AS ccb FROM tb GROUP BY token),
+       |j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+       |        COALESCE(cca, 0) AS cca, COALESCE(ccb, 0) AS ccb
+       |      FROM ca FULL OUTER JOIN cb USING (token)),
+       |st AS (SELECT token, cca, ccb,
+       |        sum(cca) OVER () AS tot_a, sum(ccb) OVER () AS tot_b,
+       |        count(*) OVER () AS v
+       |      FROM j),
+       |sg AS (SELECT token,
+       |        (cca + 1) * (tot_b + v) AS num0, (ccb + 1) * (tot_a + v) AS den0
+       |      FROM st),
+       |rs AS (SELECT token, num0 >= den0 AS pos,
+       |        CASE WHEN num0 >= den0 THEN num0 ELSE den0 END AS big,
+       |        CASE WHEN num0 >= den0 THEN den0 ELSE num0 END AS small
+       |      FROM sg),
+       |nrm AS (SELECT token, pos,
+       |        big >> greatest(0, length(bin(big)) - 33) AS num,
+       |        greatest(small >> greatest(0, length(bin(big)) - 33), 1) AS den
+       |      FROM rs),
+       |it0 AS (
+       |  SELECT token, ($eSum) AS e,
+       |    (num << $MantBits) // (den << ($eSum)) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM nrm),
+       |$iters,
+       |wt AS (
+       |  SELECT r.token,
+       |    CAST(CASE WHEN r.pos THEN s ELSE -s END AS BIGINT) AS w
+       |  FROM (SELECT token, e * (CAST(1 AS BIGINT) << $FracBits) + frac AS s
+       |        FROM it$FracBits) sv JOIN rs r USING (token)),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+       |  FROM $docsName)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(w.w) AS BIGINT) AS nb_score_fp,
+       |  CAST(sum(w.w) AS BIGINT) >= 0 AS predicted_pos
+       |FROM tok t JOIN wt w USING (token)
+       |GROUP BY t.doc_id""".stripMargin
+  }
+
   /** Per-document top-k key terms by TF-IDF as EXACT INTEGER arithmetic —
     * the tagging/indexing primitive (salient-term extraction for corpus
     * cards, topic routing, and keyword indexes; Salton & Buckley 1988's

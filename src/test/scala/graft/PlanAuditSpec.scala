@@ -387,6 +387,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
   }
 
+  test("NB classifier scoring broadcasts the weight table — token stream never shuffles for lookup") {
+    val p = planOf("x_curate_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weights must broadcast onto the token stream:\n$p")
+    Persisted.unpersistAll()
+  }
+
   test("tfidf key terms: idf broadcasts and the rank cut plans WindowGroupLimit") {
     val p = planOf("x_text_tfidf_terms")
     assert(p.contains("WindowGroupLimit"),

@@ -327,6 +327,35 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!Seq(got((1L, 1))._1, got((1L, 2))._1).contains("the"))
   }
 
+  test("nbClassify: marker tokens weigh negative, clean docs score " +
+      "positive, OOV tokens carry zero weight") {
+    import spark.implicits._
+    val pos = Seq((1L, "good clean prose here"), (2L, "more clean prose"))
+      .toDF("doc_id", "text")
+    val neg = Seq((3L, "click spam click spam"), (4L, "spam click now"))
+      .toDF("doc_id", "text")
+    val weights = graft.text.Vocabulary.nbTokenWeights(
+      graft.text.Vocabulary.unigramDriftCounts(pos, neg, "text"))
+    val w = weights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // class-exclusive tokens get the right sign
+    assert(w("clean") > 0L && w("prose") > 0L, s"positive-class tokens: $w")
+    assert(w("spam") < 0L && w("click") < 0L, s"negative-class tokens: $w")
+    // scoring the training rows separates the classes at threshold 0
+    val all = pos.unionByName(neg)
+    val scored = graft.text.Vocabulary.nbClassify(all, "doc_id", "text", weights)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(scored == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false),
+      s"got $scored")
+    // an unseen token is dropped by the join: a doc of pure OOV tokens
+    // simply produces no row (zero evidence), a mixed doc scores only
+    // its known tokens
+    val oov = Seq((9L, "zzz yyy"), (10L, "zzz clean")).toDF("doc_id", "text")
+    val oovScored = graft.text.Vocabulary.nbClassify(oov, "doc_id", "text", weights)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!oovScored.contains(9L), s"all-OOV doc must yield no row: $oovScored")
+    assert(oovScored(10L) == ((1L, w("clean"))), s"got $oovScored")
+  }
+
   test("unigram drift: self-drift ~ 0, disjoint corpora strongly positive") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma alpha"), (2L, "alpha beta delta"))
