@@ -1685,6 +1685,15 @@ object SparkEntry {
       graft.text.Vocabulary.tfidfKeyTerms(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text", k = 5)),
 
+    // top-k PMI collocations (Church & Hanks 1990): phrase mining over
+    // the adjacent-bigram stream — two map-side-combined token passes,
+    // broadcast unigram counts, ordered limit; minCount floors out
+    // hapax pairs
+    "x_text_collocations" -> ((s, dir) =>
+      graft.text.Vocabulary.pmiCollocations(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        minCount = 3L, k = 50)),
+
     // bigram stupid-backoff surprisal (Brants et al. 2007): the
     // perplexity upgrade over the unigram signal — pruned top-256 bigram
     // model + alpha=2/5 backoff, both model tables broadcast, token and
@@ -3514,6 +3523,9 @@ object SparkEntry {
       "x_text_surprisal" -> graft.text.Vocabulary.surprisalSql,
 
       "x_text_tfidf_terms" -> graft.text.Vocabulary.tfidfKeyTermsSql(k = 5),
+
+      "x_text_collocations" ->
+        graft.text.Vocabulary.pmiCollocationsSql(minCount = 3L, k = 50),
 
       "x_text_surprisal_bigram" ->
         graft.text.Vocabulary.bigramSurprisalSql(topN = 256),

@@ -1860,6 +1860,130 @@ object Vocabulary {
        |GROUP BY f.doc_id""".stripMargin
   }
 
+  /** Top-k collocations by pointwise mutual information (Church & Hanks
+    * 1990) as EXACT INTEGER arithmetic — the phrase-mining signal
+    * (multi-word expressions for tokenizer vocab candidates, entity
+    * phrases, boilerplate idioms):
+    *
+    *   `pmi_fp(w1, w2) = ±log2fp( c12 · T , c1 · c2 )`
+    *
+    * with adjacent-bigram count `c12`, unigram counts `c1`/`c2`, corpus
+    * token total `T` — the integer statement of
+    * `log2 P(w1,w2) / (P(w1)·P(w2))`. A `minCount` floor keeps the
+    * scored relation to genuinely recurring pairs (raw PMI famously
+    * promotes hapax pairs; the floor is the standard fix) and bounds it
+    * regardless of corpus size.
+    *
+    * Scale shape: the unigram and bigram aggs are the two
+    * map-side-combined token passes ([[bigramSurprisal]]'s exact
+    * extraction — the bigram stream is generated at scan speed); the
+    * unigram count table broadcasts onto the minCount-floored bigram
+    * relation; the final top-k is an ordered limit (TakeOrdered), never
+    * a global sort. Same overflow posture as drift: guarded multiplies,
+    * lockstep floor-shift above the log mantissa bound.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1L && k >= 1, "minCount, k >= 1")
+    def checkedMul(a: String, b: String, what: String) =
+      checkedMulExpr(a, b, "pmiCollocations", what)
+    val tokArr = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+    val cnt = tokArr.select(explode(col("_toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("_c"))
+    val tot = cnt.agg(sum(col("_c")).as("_tot"))
+    val bg = tokArr.filter(size(col("_toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(_toks)), " +
+          "i -> struct(_toks[i-2] AS w1, _toks[i-1] AS w2))")).as("_bg"))
+      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val prep = bg
+      .join(broadcast(cnt.select(col("token").as("w1"), col("_c").as("_c1"))),
+        Seq("w1"))
+      .join(broadcast(cnt.select(col("token").as("w2"), col("_c").as("_c2"))),
+        Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_num0", checkedMul("c12", "_tot", "c12*T"))
+      .withColumn("_den0", checkedMul("_c1", "_c2", "c1*c2"))
+      .withColumn("_pos", col("_num0") >= col("_den0"))
+      .withColumn("_big", when(col("_pos"), col("_num0")).otherwise(col("_den0")))
+      .withColumn("_small", when(col("_pos"), col("_den0")).otherwise(col("_num0")))
+      .withColumn("_sh", greatest(lit(0), length(bin(col("_big"))) - lit(33)))
+      .withColumn("_num", expr("shiftright(_big, CAST(_sh AS INT))"))
+      .withColumn("_den",
+        greatest(expr("shiftright(_small, CAST(_sh AS INT))"), lit(1L)))
+    log2FixedCols(prep)
+      .select(col("w1"), col("w2"), col("c12"),
+        when(col("_pos"), col("_idf_fp")).otherwise(-col("_idf_fp"))
+          .as("pmi_fp"))
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[pmiCollocations]] over `documents`: the identical
+    * bigram extraction, minCount floor, guard-free integer products
+    * (DuckDB errors loudly on overflow where the Spark side raises), the
+    * same rescale + log chain + signed result + ordered limit.
+    */
+  def pmiCollocationsSql(minCount: Long = 5L, k: Int = 50): String = {
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT w1, w2, e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS tk,
+       |    len(string_split(trim(text), ' ')) AS n
+       |  FROM documents),
+       |cnt AS MATERIALIZED (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(tk) AS token FROM t) GROUP BY token),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cnt),
+       |bg AS MATERIALIZED (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
+       |    SELECT tk[i + 1] AS w1, tk[i + 2] AS w2
+       |    FROM (SELECT tk, unnest(range(n - 1)) AS i
+       |          FROM t WHERE n >= 2))
+       |  GROUP BY w1, w2 HAVING count(*) >= $minCount),
+       |pr AS (
+       |  SELECT b.w1, b.w2, b.c12,
+       |    b.c12 * tt AS num0, c1.c * c2.c AS den0
+       |  FROM bg b
+       |    JOIN cnt c1 ON c1.token = b.w1
+       |    JOIN cnt c2 ON c2.token = b.w2
+       |    CROSS JOIN tot),
+       |rs AS (SELECT w1, w2, c12, num0 >= den0 AS pos,
+       |        CASE WHEN num0 >= den0 THEN num0 ELSE den0 END AS big,
+       |        CASE WHEN num0 >= den0 THEN den0 ELSE num0 END AS small
+       |      FROM pr),
+       |nrm AS (SELECT w1, w2, pos,
+       |        big >> greatest(0, length(bin(big)) - 33) AS num,
+       |        greatest(small >> greatest(0, length(bin(big)) - 33), 1) AS den
+       |      FROM rs),
+       |it0 AS (
+       |  SELECT w1, w2, ($eSum) AS e,
+       |    (num << $MantBits) // (den << ($eSum)) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM nrm),
+       |$iters,
+       |sv AS (
+       |  SELECT w1, w2, e * (CAST(1 AS BIGINT) << $FracBits) + frac AS s
+       |  FROM it$FracBits)
+       |SELECT r.w1, r.w2, r.c12,
+       |  CAST(CASE WHEN r.pos THEN s ELSE -s END AS BIGINT) AS pmi_fp
+       |FROM sv JOIN rs r ON sv.w1 = r.w1 AND sv.w2 = r.w2
+       |ORDER BY pmi_fp DESC, r.w1, r.w2 LIMIT $k""".stripMargin
+  }
+
   /** Multinomial naive-Bayes token weights from a two-class token-count
     * relation — the fastText-linear-classifier shape every major corpus
     * pipeline uses for quality filtering (GPT-3's WebText-vs-crawl

@@ -81,6 +81,7 @@ object ScalePerfHarness {
       case "simhash10m" => simhash10mMode(spark, count)
       case "round5" => round5Mode(spark, count)
       case "pq" => pqMode(spark, count)
+      case "recall" => recallMode(spark, count)
       case "neardedup" =>
         profileQuery(spark, "x_dedup_near_dedup",
           rest.headOption.getOrElse("/root/testdata/sf0.1"))
@@ -259,6 +260,27 @@ object ScalePerfHarness {
     nodes.unpersist()
   }
 
+  /** ANN recall audit at scale (r10): the exact arm is the bound —
+    * Q·n skinny cosine pairs (the query set broadcasts, the rank cut is
+    * WindowGroupLimit), the IVF arm reuses the already-measured coarse
+    * assignment. Claim: audit cost ≈ Q corpus scans' worth of dot
+    * products, linear in n at fixed Q — pick Q for the confidence the
+    * monitoring needs, not the corpus size.
+    */
+  private def recallMode(spark: SparkSession, count: Long): Unit = {
+    def consume(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    val emb = corpus(spark, count).persist()
+    emb.count()
+    val step = math.max(count / 64L, 1L)
+    time(s"annRecallAudit(Q=${count / step}, k=10, nc=256, np=8)", count) {
+      consume(graft.sim.Similarity.annRecallAudit(emb, "vec_id", "embedding",
+        k = 10, queryStep = step, numClusters = 256, nProbe = 8))
+    }
+    emb.unpersist()
+  }
+
   private def graphMode(spark: SparkSession, count: Long): Unit = {
     import graft.graph.PageRank
     def consume(df: DataFrame): Long = {
@@ -272,6 +294,15 @@ object ScalePerfHarness {
         ((col("node") * 31 + 5) % count).as("dst")))
     for (iters <- Seq(2, 8)) time(s"pageRank($iters iters)", n) {
       val out = consume(PageRank.pageRank(nodes, edges, iters))
+      Persisted.unpersistAll()
+      out
+    }
+    // label propagation: same per-round skeleton as pageRank (join into
+    // the cached symmetrized edges + two map-side aggs) but the contrib
+    // agg key is (node, label) — the claim is per-round cost within ~2x
+    // of a pageRank round
+    for (iters <- Seq(2, 5)) time(s"labelPropagate($iters iters)", n) {
+      val out = consume(graft.graph.LabelProp.labelPropagate(nodes, edges, iters))
       Persisted.unpersistAll()
       out
     }
@@ -348,6 +379,20 @@ object ScalePerfHarness {
     time("bm25SearchFixed(3 terms, k=25)", n) {
       consume(Vocabulary.bm25SearchFixed(docs, "doc_id", "text",
         query = Seq("w100", "w2000", "w30000"), k = 25))
+    }
+    // TF-IDF key terms (r10): one tf agg + vocab-bounded broadcast idf +
+    // the WindowGroupLimit rank cut — claim: ~the tf-agg pass, the rank
+    // prune never funnels a doc's full term set through one partition
+    time("tfidfKeyTerms(k=5)", n) {
+      consume(Vocabulary.tfidfKeyTerms(docs, "doc_id", "text", k = 5))
+    }
+    // NB classifier (r10): two token aggs (model) + broadcast-scored
+    // scan — the claim is drift-build cost + one surprisal-shaped
+    // scoring pass
+    time("nbClassify(halves model + full scoring)", n) {
+      consume(Vocabulary.nbClassify(docs, "doc_id", "text",
+        Vocabulary.nbTokenWeights(
+          Vocabulary.unigramDriftCounts(a, b, "text"))))
     }
     // DSIR selection at scale (r9): the model is bucket-bounded (two
     // feature aggs + the 4096-row universe), scoring is a broadcast join

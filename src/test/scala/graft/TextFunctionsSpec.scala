@@ -327,6 +327,32 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!Seq(got((1L, 1))._1, got((1L, 2))._1).contains("the"))
   }
 
+  test("pmiCollocations: bound phrase tops the list, minCount floors " +
+      "hapax pairs, independent pair scores ~0") {
+    import spark.implicits._
+    // "new york" always co-occurs (strong PMI); "the" pairs freely with
+    // everything (PMI ~ 0 with uniform partners); "rare gem" occurs once
+    val docs = Seq(
+      (1L, "new york is big the end"),
+      (2L, "new york was the start"),
+      (3L, "new york and the rest"),
+      (4L, "rare gem the thing")
+    ).toDF("doc_id", "text")
+    val got = graft.text.Vocabulary.pmiCollocations(docs, "doc_id", "text",
+      minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val frac = (1L << 20).toDouble
+    assert(got.contains(("new", "york")) && got(("new", "york"))._1 == 3L,
+      s"got $got")
+    // c12=3, c1=c2=3, T=20 -> pmi = log2(3*20/9) ~ 2.74 bits
+    assert(math.abs(got(("new", "york"))._2 / frac -
+      math.log(3.0 * 20 / 9) / math.log(2.0)) < 0.01, s"got $got")
+    assert(!got.contains(("rare", "gem")), s"minCount=2 must drop hapax: $got")
+    // every surviving pair respects the floor
+    assert(got.values.forall(_._1 >= 2L))
+  }
+
   test("nbClassify: marker tokens weigh negative, clean docs score " +
       "positive, OOV tokens carry zero weight") {
     import spark.implicits._
