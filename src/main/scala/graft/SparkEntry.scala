@@ -1183,6 +1183,16 @@ object SparkEntry {
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10, numClusters = 16, nProbe = 4)),
 
+    // Johnson-Lindenstrauss signed random projection (Achlioptas 2003):
+    // 64 float dims -> 16 integer accumulators at scan speed, the
+    // ingest-time embedding compression that keeps magnitudes (unlike
+    // the 1-bit sign-LSH bucket); shared-constant sign matrix, exact
+    // int64 output
+    "x_embed_rproj" -> ((s, dir) =>
+      graft.sim.RandomProjection.project(
+        DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
+        inDim = 64, outDim = 16)),
+
     // index-quality audit: recall@10 of the IVF arm vs exact brute force
     // over the deterministic query sample id % 100 == 0 — the monitoring
     // number a production ANN index is judged by; query set broadcasts,
@@ -3227,6 +3237,8 @@ object SparkEntry {
       "x_ann_ivf" -> graft.sim.Similarity.ivfTopKSql(64, 0L, 10, 16, 4),
       "x_eval_ann_recall" ->
         graft.sim.Similarity.annRecallAuditSql(64, 10, 100L, 16, 4),
+
+      "x_embed_rproj" -> graft.sim.RandomProjection.projectSql(64, 16),
       "x_ann_lsh" -> graft.sim.Similarity.lshTopKSql(64, 0L, 10),
       "x_ann_ivf_kmeans" -> graft.sim.Similarity.ivfTopKTrainedSql(64, 0L, 10, 16, 4, 2),
 

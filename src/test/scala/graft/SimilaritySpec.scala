@@ -68,6 +68,52 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(partial.size == 10)
   }
 
+  test("random projection: basis vectors read off the sign matrix, dot " +
+      "products preserved in expectation") {
+    import spark.implicits._
+    import graft.sim.RandomProjection
+    val s = RandomProjection.signMatrix(8, 4)
+    // e_i projects to column i of the sign matrix (scaled 2^20)
+    val basis = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(8)(k => if (k == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = RandomProjection.project(basis, "vec_id", "embedding", 8, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (i <- 0 until 8; j <- 0 until 4)
+      assert(got(i.toLong)(j) == s(j)(i).toLong * (1L << 20),
+        s"e_$i dim $j: ${got(i.toLong)(j)} vs ${s(j)(i)}")
+    // JL in expectation on the real embeddings: projected dot / outDim
+    // correlates strongly with the original dot across sampled pairs
+    val emb = DerivedModel.table(spark, dir, "embeddings").limit(40)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    def corrAt(outDim: Int): Double = {
+      val sm = RandomProjection.signMatrix(64, outDim)
+      def proj(x: Array[Double]): Array[Double] =
+        Array.tabulate(outDim)(j => (0 until 64).map(i => sm(j)(i) * x(i)).sum)
+      val pairs = for (a <- emb.indices; b <- a + 1 until emb.length) yield {
+        val (xa, xb) = (emb(a)._2, emb(b)._2)
+        val (ya, yb) = (proj(xa), proj(xb))
+        ((0 until 64).map(i => xa(i) * xb(i)).sum,
+          (0 until outDim).map(j => ya(j) * yb(j)).sum / outDim.toDouble)
+      }
+      val (mx, my) = (pairs.map(_._1).sum / pairs.size,
+        pairs.map(_._2).sum / pairs.size)
+      val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+      cov / math.sqrt(pairs.map(t => math.pow(t._1 - mx, 2)).sum *
+        pairs.map(t => math.pow(t._2 - my, 2)).sum)
+    }
+    // the corpus is near-orthogonal (dots ~ 0 +- d^-1/2), the HARD
+    // regime: at k=16 the JL noise floor is comparable to the signal,
+    // so demand positive correlation and CONVERGENCE as k grows — the
+    // actual JL statement
+    val (c16, c48) = (corrAt(16), corrAt(48))
+    info(f"dot-product correlation: 64->16 $c16%.3f, 64->48 $c48%.3f")
+    assert(c16 > 0.3, f"JL must preserve dots in expectation, corr=$c16%.3f")
+    assert(c48 > c16 && c48 > 0.6,
+      f"more dims must tighten the estimate: c16=$c16%.3f c48=$c48%.3f")
+  }
+
   test("annRecallAudit: nProbe=all audits perfect recall; partial probe " +
       "agrees with the hand-computed intersection") {
     val emb = DerivedModel.table(spark, dir, "embeddings")
