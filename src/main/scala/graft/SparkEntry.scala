@@ -2179,6 +2179,12 @@ object SparkEntry {
     // data-quality profile: per-column completeness/cardinality/range in
     // ONE aggregation pass (single global agg + driver-side unpivot);
     // exact distinct = Expand price, approx form documented for 100 TB
+    // per-source dataset card (HF/Dolma release-notes summary): volumes,
+    // language spread, exact-dup rate — one grouped agg, card-sized output
+    "x_quality_card" -> ((s, dir) =>
+      graft.ops.Profile.corpusCard(
+        DerivedModel.table(s, dir, "documents"), "source", "text", "lang")),
+
     "x_quality_profile" -> ((s, dir) =>
       graft.ops.Profile.profile(
         DerivedModel.table(s, dir, "orders")
@@ -3067,6 +3073,8 @@ object SparkEntry {
           |    PARTITION BY g.user_id ORDER BY g.h
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents
           |FROM grid g LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h""".stripMargin,
+
+      "x_quality_card" -> graft.ops.Profile.corpusCardSql,
 
       "x_quality_profile" -> graft.ops.Profile.profileSql(
         "(SELECT *, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) " +

@@ -88,4 +88,38 @@ object Profile {
          |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
          |FROM $table""".stripMargin)
       .mkString("\nUNION ALL\n")
+
+  /** Per-source dataset card — the release-notes summary every corpus
+    * drop ships (HF dataset cards, Dolma/FineWeb reports): doc/token/
+    * char volumes, mean length, language spread, and the exact-dup rate
+    * (docs sharing a content hash beyond the first — [[graft.dedup
+    * .Dedup]]'s exact-key definition, restated as `n − distinct(md5)`).
+    * All integer arithmetic.
+    *
+    * Scale shape: one grouped agg over the scan; the two
+    * count-distincts expand the row stream 2× into the same
+    * map-side-combined agg (Expand), and the group count is the number
+    * of SOURCES — the output is card-sized regardless of corpus size.
+    */
+  def corpusCard(df: DataFrame, srcCol: String, textCol: String,
+      langCol: String): DataFrame =
+    df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        countDistinct(col(langCol)).as("n_langs"),
+        (count(lit(1)) - countDistinct(md5(col(textCol)))).as("n_dup_docs"))
+      .withColumn("mean_chars", expr("n_chars DIV n_docs"))
+
+  /** DuckDB twin of [[corpusCard]] over `documents`. */
+  def corpusCardSql: String =
+    """SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+      |  CAST(sum(length(text)) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_chars
+      |FROM documents GROUP BY source""".stripMargin
 }
