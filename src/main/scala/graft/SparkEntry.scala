@@ -193,6 +193,7 @@ object SparkEntry {
       "incr_index" -> (() => { incrementalIndexDims(s, dir); () }),
       "dsir_model" -> (() => { dsirWeightsDim(s, dir); () }),
       "sup_model" -> (() => { surprisalModelDim(s, dir); () }),
+      "nb_weights" -> (() => { nbWeightsDim(s, dir); () }),
       "drift_counts" -> (() => { driftCountsDim(s, dir); () }),
       "pp12_cands" -> (() => { prefixCandidatesDim(s, dir); () }),
       "docs_raw_src" -> (() => { stagedRawDocsSource(s, dir); () }),
@@ -276,6 +277,20 @@ object SparkEntry {
     stagedFixture(s, dir, "sup_model") {
       graft.text.Vocabulary.surprisalModel(
         DerivedModel.table(s, dir, "documents"), "text")
+    }
+
+  /** NB classifier weight table staged once per (sf, process): the
+    * trained artifact both classifier gates score with — train once,
+    * score many, the production classifier deployment shape.
+    */
+  private def nbWeightsDim(s: SparkSession, dir: String): DataFrame =
+    stagedFixture(s, dir, "nb_weights") {
+      val docs = DerivedModel.documentsBoilerplate(s, dir)
+      val isNeg = col("doc_id") % 17 === 0 || col("doc_id") % 13 === 0 ||
+        col("doc_id") % 23 === 0
+      graft.text.Vocabulary.nbTokenWeights(
+        graft.text.Vocabulary.unigramDriftCounts(
+          docs.filter(!isNeg), docs.filter(isNeg), "text"))
     }
 
   private def prefixCandidatesDim(s: SparkSession, dir: String): DataFrame =
@@ -1988,15 +2003,10 @@ object SparkEntry {
     // planted clean-vs-boilerplate split, then every doc scored by the
     // broadcast weight table — the GPT-3/LLaMA/FineWeb-Edu classifier
     // shape; model build is vocab-bounded, scoring is scan speed
-    "x_curate_classifier" -> ((s, dir) => {
-      val docs = DerivedModel.documentsBoilerplate(s, dir)
-      val isNeg = col("doc_id") % 17 === 0 || col("doc_id") % 13 === 0 ||
-        col("doc_id") % 23 === 0
-      graft.text.Vocabulary.nbClassify(docs, "doc_id", "text",
-        graft.text.Vocabulary.nbTokenWeights(
-          graft.text.Vocabulary.unigramDriftCounts(
-            docs.filter(!isNeg), docs.filter(isNeg), "text")))
-    }),
+    "x_curate_classifier" -> ((s, dir) =>
+      graft.text.Vocabulary.nbClassify(
+        DerivedModel.documentsBoilerplate(s, dir), "doc_id", "text",
+        nbWeightsDim(s, dir))),
 
     // greedy token-budget fill: best-quality-first selection until the
     // running token total hits the budget — the global weighted cumsum
@@ -2023,6 +2033,23 @@ object SparkEntry {
     // scoring -> token-budget fill most-fluent-first (lowest mean
     // surprisal). One corpus LM scores all survivors — the staged-model
     // production shape
+    // curation pipeline v5, the TRAINED-filter composition: NB quality
+    // classifier keep (score >= 0) -> exact-hash dedup keep-first ->
+    // per-source cap — the classifier-gated production shape (GPT-3/
+    // LLaMA-style), every decision integer/hash-replayable
+    "x_pipeline_curate5" -> ((s, dir) => {
+      val docs = DerivedModel.documentsBoilerplate(s, dir)
+      val kept = docs.join(
+        graft.text.Vocabulary.nbClassify(docs, "doc_id", "text",
+            nbWeightsDim(s, dir))
+          .filter(col("nb_score_fp") >= 0L).select(col("doc_id")),
+        Seq("doc_id"))
+      graft.ops.Sampling.domainCapSample(
+        graft.dedup.Dedup.exactDedup(kept, "doc_id", "text"),
+        "source", "doc_id", cap = 18L)
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     "x_pipeline_curate4" -> ((s, dir) => {
       val docs = DerivedModel.table(s, dir, "documents")
       val ent = docs.filter(length(col("text")) > 0)
@@ -2942,6 +2969,32 @@ object SparkEntry {
           DerivedSql.documentsBoilerplate, "documents_boiler",
           predPos = "NOT (doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 23 = 0)",
           predNeg = "doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 23 = 0"),
+
+      // the classifier oracle embeds verbatim as a nested-WITH CTE body
+      // (the hybrid-gate convention), then dedup + cap restate their own
+      // gates' semantics over the kept rows
+      "x_pipeline_curate5" ->
+        s"""WITH scored AS MATERIALIZED (
+           |${graft.text.Vocabulary.nbClassifierSql(
+              DerivedSql.documentsBoilerplate, "documents_boiler",
+              predPos = "NOT (doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 23 = 0)",
+              predNeg = "doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 23 = 0")}
+           |),
+           |${DerivedSql.documentsBoilerplate},
+           |kept AS MATERIALIZED (
+           |  SELECT d.doc_id, d.text, d.lang, d.source
+           |  FROM documents_boiler d JOIN scored s ON d.doc_id = s.doc_id
+           |  WHERE s.nb_score_fp >= 0),
+           |dd AS (
+           |  SELECT doc_id, text, lang, source FROM (
+           |    SELECT kept.*, row_number() OVER (PARTITION BY md5(text)
+           |      ORDER BY doc_id) AS rn
+           |    FROM kept) WHERE rn = 1)
+           |SELECT doc_id, source, lang FROM (
+           |  SELECT doc_id, source, lang, row_number() OVER (
+           |      PARTITION BY source
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           |  FROM dd) WHERE rk <= 18""".stripMargin,
 
       // stateless streaming == batch: the oracle is the batch rule
       // filter's kept rows

@@ -26,10 +26,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def fresh_con(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = fresh_con(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     for name, sql in sorted(oracle.items()):
@@ -39,7 +44,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-            duck_df = con.execute(sql).df()
+            try:
+                duck_df = con.execute(sql).df()
+            except duckdb.OutOfMemoryException:
+                # DuckDB's per-connection memory accounting accumulates
+                # across the ~190 sequential queries; a fresh connection
+                # reliably clears it (the query passes standalone)
+                con.close()
+                con = fresh_con(sf_dir)
+                duck_df = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"error: {e}"))
             continue
