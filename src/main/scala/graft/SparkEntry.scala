@@ -1860,6 +1860,23 @@ object SparkEntry {
         .crossJoin(broadcast(exact))
     }),
 
+    // streaming per-source ingest counters (15th real StreamingQuery):
+    // the live half of the dataset card as an update-mode agg — one
+    // state row per source, last update == the batch volumes exactly
+    "x_stream_card_exec" -> ((s, dir) => {
+      val srcPath = stagedRawDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
+        graft.streaming.StreamingOps.streamingSourceCounters(
+          s, srcPath, src, "source", "text"),
+        s"${tmpPath(dir, "stream_exec_card")}/sink")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("_graft_batch_id").desc)
+      upd.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"))
+    }),
+
     // stateless streaming entropy scoring (12th real StreamingQuery):
     // the char-entropy codegen scalar on the unbounded ingest — no
     // model, no state; sink equals the batch twin exactly
@@ -3630,6 +3647,16 @@ object SparkEntry {
       // relation over the staged source's subset (raw docs = non-src0)
       "x_stream_entropy_exec" ->
         graft.text.Vocabulary.charEntropySql("source <> 'src0'"),
+
+      // the batch volumes over the staged source's subset — associative
+      // sums make streaming == batch at any batch boundary
+      "x_stream_card_exec" ->
+        """SELECT source,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+          |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+          |FROM documents WHERE source <> 'src0'
+          |GROUP BY source""".stripMargin,
 
       "x_text_drift" -> graft.text.Vocabulary.unigramDriftSql(
         "lang = 'en'", "lang <> 'en'"),

@@ -218,6 +218,30 @@ object StreamingOps {
         explode(graft.dedup.WinnowExpr.fingerprintsCol(col(textCol), k, w))
           .as("fingerprint"))
 
+  /** Streaming per-source ingest counters: the live half of the dataset
+    * card ([[graft.ops.Profile.corpusCard]]) — doc/token/char volumes per
+    * source as an UPDATE-mode aggregation. All three measures are
+    * associative sums, so state is exactly one row per source (no
+    * per-doc state, no watermark needed for a running total) and the
+    * last update per source equals the batch card's volumes bit-for-bit
+    * regardless of batch boundaries. The distinct-valued card columns
+    * (languages, dup rate) stay batch-side: distinctness is not
+    * associative — streaming them takes the KMV sketch
+    * ([[streamingBucketMinSketch]]), which is its own gate.
+    */
+  def streamingSourceCounters(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, srcCol: String, textCol: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .options(sourceOptions)
+      .parquet(sourcePath)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.text.TextFunctions.tokenCount(col(textCol)).cast("long"))
+          .as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+
   /** STATELESS streaming char-entropy scoring: every arriving document
     * gets its fixed-point character-distribution entropy
     * ([[graft.text.CharEntropyExpr]]) at scan speed — the codegen scalar

@@ -223,6 +223,39 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
       s"streaming keep set != batch (sizes ${got.size}/${want.size})")
   }
 
+  test("streaming source counters: last update per source over multi-" +
+      "batch arrival equals the batch volumes") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("card_stream").toString
+    val docs = DerivedModel.table(spark, dir, "documents").limit(300).cache()
+    // 3 overlapping-source files -> every source's counters update across
+    // batches; the sums must still land on the batch totals
+    (0 until 3).foreach { i =>
+      docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(s"$root/src")
+    }
+    val srcDf = spark.read.parquet(s"$root/src")
+    val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
+      graft.streaming.StreamingOps.streamingSourceCounters(
+        spark, s"$root/src", srcDf, "source", "text",
+        sourceOptions = Map("maxFilesPerTrigger" -> "1")),
+      s"$root/sink")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("_graft_batch_id").desc)
+    val got = upd.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = srcDf.groupBy(col("source"))
+      .agg(count(lit(1)), sum(graft.text.TextFunctions.tokenCount(col("text"))
+        .cast("long")), sum(length(col("text")).cast("long")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.unpersist()
+    assert(got == want && got.nonEmpty,
+      s"streaming counters != batch: $got vs $want")
+  }
+
   test("streaming dedup drops replayed events, watermark-bounded state") {
     val batchDf = spark.read.parquet(eventsMicros)
     // replay the source twice (at-least-once delivery) into one stream dir
