@@ -1946,6 +1946,13 @@ object SparkEntry {
         pcts = Seq(1, 10, 25, 50, 75, 90, 99),
         binWidth = 64L, maxValue = 8191L)),
 
+    // per-language length percentiles from ONE grid pass — the grouped
+    // dataset-card companion; shuffle <= groups x cells rows
+    "x_sketch_quantile_grouped" -> ((s, dir) =>
+      graft.sketch.QuantileSketch.groupedQuantiles(
+        DerivedModel.table(s, dir, "documents"), "lang", "n_chars",
+        pcts = Seq(10, 50, 90), binWidth = 64L, maxValue = 8191L)),
+
     // corpus mixing: per-language keep fractions as a pure scan predicate
     "x_sample_weighted" -> ((s, dir) =>
       graft.ops.Sampling.weightedSample(
@@ -3737,6 +3744,10 @@ object SparkEntry {
         graft.sketch.QuantileOracle.quantilesSql(
           pcts = Seq(1, 10, 25, 50, 75, 90, 99),
           binWidth = 64L, maxValue = 8191L),
+
+      "x_sketch_quantile_grouped" ->
+        graft.sketch.QuantileOracle.groupedQuantilesSql(
+          "lang", pcts = Seq(10, 50, 90), binWidth = 64L, maxValue = 8191L),
 
       // the quantile replay as a CTE + the same band predicate
       "x_curate_outliers" ->

@@ -101,6 +101,40 @@ object QuantileSketch {
       binWidth: Long, maxValue: Long): DataFrame =
     quantiles(sketch(df, valueCol, binWidth, maxValue), pcts, binWidth, maxValue)
 
+  /** Per-group quantiles from one grid pass — the dataset-card
+    * companion ("p50/p99 length PER LANGUAGE/SOURCE", the skew question
+    * a global percentile hides): [[sketch]] keyed by `grpCol`, so the
+    * shuffle carries ≤ groups × cells rows; the cumulative window
+    * partitions BY GROUP over the bounded sketch (never the corpus);
+    * the |pcts|-row percentile relation broadcasts onto it. Same
+    * integer-ceiling targets and cell-edge reporting as [[quantiles]].
+    * Output: one row per (group, pct) — `(grp, pct, est_lo, est_hi, n)`.
+    */
+  def groupedQuantiles(df: DataFrame, grpCol: String, valueCol: String,
+      pcts: Seq[Int], binWidth: Long, maxValue: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sk = df.select(col(grpCol).as("grp"), expr(
+        s"least(greatest(CAST($valueCol AS BIGINT), 0L), ${maxValue}L) div ${binWidth}L")
+        .as("cell"))
+      .groupBy(col("grp"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("cell"))
+    val cum = sk
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val pctsDf = pcts.map(_.toLong).toDF("pct")
+    cum.join(broadcast(pctsDf),
+        col("cum") >= expr("(n * pct + 99L) div 100L"))
+      .groupBy(col("grp"), col("pct"), col("n"))
+      .agg(min(col("cell")).as("qcell"))
+      .select(col("grp").as(grpCol), col("pct"),
+        (col("qcell") * lit(binWidth)).as("est_lo"),
+        least((col("qcell") + 1) * lit(binWidth) - 1, lit(maxValue)).as("est_hi"),
+        col("n"))
+  }
+
   /** Sketch-driven outlier gate: keep rows whose value lies within the
     * [loPct, hiPct] sketch-quantile band — winsorizing length/score
     * outliers (a standard curation rule) WITHOUT an exact global sort.
@@ -147,6 +181,30 @@ object QuantileOracle {
        |FROM q CROSS JOIN tot t JOIN cum c ON c.cum >= (t.n * q.pct + 99) // 100
        |GROUP BY q.pct, t.n
        |ORDER BY q.pct""".stripMargin
+  }
+
+  /** Oracle for `x_sketch_quantile_grouped`: (grp, pct, est_lo, est_hi,
+    * n) over `documents.n_chars` grouped by `grpCol`.
+    */
+  def groupedQuantilesSql(grpCol: String, pcts: Seq[Int], binWidth: Long,
+      maxValue: Long): String = {
+    val values = pcts.map(p => s"(${p}::BIGINT)").mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT $grpCol AS grp,
+       |         least(greatest(n_chars::BIGINT, 0), $maxValue) // $binWidth AS cell,
+       |         count(*)::BIGINT AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT grp, cell,
+       |         sum(cnt) OVER (PARTITION BY grp ORDER BY cell)::BIGINT AS cum,
+       |         sum(cnt) OVER (PARTITION BY grp)::BIGINT AS n
+       |  FROM cells),
+       |q AS (SELECT * FROM (VALUES $values) v(pct))
+       |SELECT c.grp AS $grpCol, q.pct, min(c.cell) * $binWidth AS est_lo,
+       |       least((min(c.cell) + 1) * $binWidth - 1, $maxValue) AS est_hi,
+       |       c.n
+       |FROM q JOIN cum c ON c.cum >= (c.n * q.pct + 99) // 100
+       |GROUP BY c.grp, q.pct, c.n""".stripMargin
   }
 
   /** Oracle for `x_curate_outliers`: [[QuantileSketch.clipByQuantiles]]

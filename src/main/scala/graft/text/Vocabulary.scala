@@ -431,8 +431,9 @@ object Vocabulary {
     * are < 2^31 (~2.1e9 tokens/side); beyond that Spark (non-ANSI) would
     * silently wrap where DuckDB errors, so the multiplies below are
     * guarded with an exact `d <= MaxValue div e` check that raises a
-    * named error instead. Pre-shard bigger corpora and [[QuantileGrid
-    * merge]]-style combine the per-shard drift rows, or pre-scale counts.
+    * named error instead. Pre-shard bigger corpora and combine the
+    * per-shard drift rows [[graft.sketch.QuantileSketch.merge]]-style,
+    * or pre-scale counts.
     */
   def unigramDrift(dfA: DataFrame, dfB: DataFrame,
       textCol: String,

@@ -80,6 +80,25 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == whole)
   }
 
+  test("grouped quantiles equal per-group global quantiles") {
+    import spark.implicits._
+    val df = (0 until 600).map(i =>
+      (if (i % 3 == 0) "a" else "b", (i * 37) % 500)).toDF("g", "v")
+    val got = graft.sketch.QuantileSketch.groupedQuantiles(
+      df, "g", "v", pcts = Seq(10, 50, 90), binWidth = 16L, maxValue = 511L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (g <- Seq("a", "b")) {
+      val want = graft.sketch.QuantileSketch.valueQuantiles(
+        df.filter(col("g") === g), "v", Seq(10, 50, 90), 16L, 511L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      for ((p, t) <- want)
+        assert(got((g, p)) == t, s"group $g pct $p: ${got((g, p))} vs $t")
+    }
+    assert(got.size == 6)
+  }
+
   test("values beyond maxValue clamp into the top cell") {
     import spark.implicits._
     val df = Seq(5L, 100L, 999999L, 1000000L).toDF("v")
