@@ -471,6 +471,15 @@ object SparkEntry {
           sum(length(col("text"))).as("chars"))
     }),
 
+    // grid-bucketed multi-zone spatial join: points x 25 planted zones
+    // as a cell EQUI-join (no theta/cross product at any zone count) +
+    // exact bbox test on candidates — the many-polygon scale upgrade of
+    // the single-zone G1 predicate
+    "x_geo_grid_join" -> ((s, dir) =>
+      graft.geo.GridJoin.pointsPerZone(
+        occDim(s, dir), "decimalLatitude", "decimalLongitude", "taxonKey",
+        graft.geo.GridJoin.zones(s))),
+
     // ---- J7: big-big sort-merge join (hinted; no broadcast side) ------
     "j7_sort_merge" -> ((s, dir) => {
       val li = DerivedModel.table(s, dir, "lineitem")
@@ -2553,6 +2562,10 @@ object SparkEntry {
 
     "k6_xml_roundtrip" -> withCtes(DerivedSql.taxa)(
       "SELECT row_id, name, taxid, rank FROM taxa"),
+
+    "x_geo_grid_join" -> withCtes(DerivedSql.occurrence,
+      graft.geo.GridJoin.pointsPerZoneCtes())(
+      graft.geo.GridJoin.pointsPerZoneSelect),
 
     "k4_partitioned_prune" -> withCtes(DerivedSql.occurrence)(
       s"""SELECT taxonKey, decimalLatitude, decimalLongitude, countryCode
