@@ -1656,6 +1656,15 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         rounds = 6)),
 
+    // tokenizer-fit eval: per-language BPE fertility (subwords/word) and
+    // compression — the "does this vocab under-serve language X" audit
+    // run BEFORE committing to a tokenizer; trained types broadcast,
+    // one grouped agg
+    "x_eval_tokenizer" -> ((s, dir) =>
+      graft.text.Vocabulary.bpeFertilityByGroup(
+        DerivedModel.table(s, dir, "documents"), "lang", "text",
+        rounds = 6)),
+
     // batched BPE: the thousands-of-merges throughput form — one
     // pair-count materialization per batch round amortized over
     // batchSize symbol-disjoint merges applied in a single pass
@@ -3603,6 +3612,9 @@ object SparkEntry {
 
       "x_vocab_bpe_segment" ->
         graft.text.Vocabulary.bpeSegmentStatsSql(rounds = 6),
+
+      "x_eval_tokenizer" ->
+        graft.text.Vocabulary.bpeFertilitySql(rounds = 6, grpCol = "lang"),
 
       "x_vocab_bpe_batched" ->
         graft.text.Vocabulary.bpeTrainBatchedSql(

@@ -1370,6 +1370,49 @@ object Vocabulary {
         sum(size(col("syms"))).cast("long").as("n_subwords"))
   }
 
+  /** Tokenizer-fit evaluation per corpus slice: FERTILITY (subwords per
+    * word, milli-units) and compression (chars per subword) of the
+    * `rounds`-merge BPE state, grouped by `grpCol` — the "does this
+    * vocab under-serve language X" number a multilingual pipeline
+    * checks BEFORE committing to a tokenizer (Rust et al. 2021: high
+    * fertility on a slice predicts degraded downstream performance and
+    * inflated token bills). All integer arithmetic (1000-scaled DIVs).
+    *
+    * Scale shape: [[bpeSegmentStats]]'s — the trained word-type table
+    * broadcasts onto the token stream, one map-side-combined group agg;
+    * the output is |groups| rows.
+    */
+  def bpeFertilityByGroup(df: DataFrame, grpCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val (types, _) = bpeWordTypes(df, textCol, rounds)
+    df.select(col(grpCol),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .join(broadcast(types.select(col("word"), col("syms"))), Seq("word"))
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).cast("long").as("n_subwords"),
+        sum(length(col("word"))).cast("long").as("n_chars"))
+      .withColumn("fertility_milli", expr("(1000L * n_subwords) DIV n_words"))
+      .withColumn("chars_per_subword_milli",
+        expr("(1000L * n_chars) DIV n_subwords"))
+  }
+
+  /** DuckDB twin of [[bpeFertilityByGroup]] over `documents`: the full
+    * BPE training replay, then the grouped fertility agg.
+    */
+  def bpeFertilitySql(rounds: Int, grpCol: String): String =
+    s"""${bpeRoundsSqlPrefix(rounds)},
+       |tokg AS MATERIALIZED (
+       |  SELECT $grpCol, unnest(string_split(trim(text), ' ')) AS word
+       |  FROM documents)
+       |SELECT t.$grpCol, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_subwords,
+       |  CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
+       |  (1000 * CAST(sum(len(w.syms)) AS BIGINT)) // CAST(count(*) AS BIGINT) AS fertility_milli,
+       |  (1000 * CAST(sum(length(t.word)) AS BIGINT)) // CAST(sum(len(w.syms)) AS BIGINT) AS chars_per_subword_milli
+       |FROM tokg t JOIN w$rounds w USING (word)
+       |GROUP BY t.$grpCol""".stripMargin
+
   /** Shared CTE prefix for the BPE oracles: replays every training round
     * in SQL — pair counts, the tie-broken argmax, and canonical greedy
     * merge application. The merge-apply replay uses the positional form

@@ -257,6 +257,11 @@ object ScalePerfHarness {
       out.write.mode("overwrite").format("noop").save()
       Persisted.unpersistAll(); 0L
     }
+    time("labelPropagate(2 iters)", n) {
+      val out = graft.graph.LabelProp.labelPropagate(nodes, edges, iters = 2)
+      out.write.mode("overwrite").format("noop").save()
+      Persisted.unpersistAll(); 0L
+    }
     nodes.unpersist()
   }
 

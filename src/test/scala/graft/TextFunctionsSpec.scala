@@ -327,6 +327,32 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!Seq(got((1L, 1))._1, got((1L, 2))._1).contains("the"))
   }
 
+  test("bpeFertilityByGroup: the slice whose words the merges serve " +
+      "shows lower fertility") {
+    import spark.implicits._
+    // 'en' repeats one word -> the two merges collapse it to one symbol;
+    // 'xx' words are distinct 4-char types those merges never reach (a
+    // THIRD merge would spill into xx once en is exhausted — that spill
+    // is exactly the fertility signal at work)
+    val docs = Seq(
+      ("en", "aaaa aaaa aaaa aaaa aaaa aaaa"),
+      ("en", "aaaa aaaa aaaa"),
+      ("xx", "wxyz qrst mnop")
+    ).toDF("lang", "text")
+    val got = graft.text.Vocabulary.bpeFertilityByGroup(
+      docs, "lang", "text", rounds = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    graft.Persisted.unpersistAll()
+    // merges: 'a a' -> 'aa' (freq 18), 'aa aa' -> 'aaaa' (freq 9) ->
+    // en fertility exactly 1000 milli (1 subword/word)
+    assert(got("en") == ((9L, 9L, 1000L)), s"got $got")
+    // xx words stay fully split: 4 subwords/word = 4000 milli
+    assert(got("xx") == ((3L, 12L, 4000L)), s"got $got")
+    assert(got("xx")._3 > got("en")._3,
+      "underserved slice must show higher fertility")
+  }
+
   test("pmiCollocations: bound phrase tops the list, minCount floors " +
       "hapax pairs, independent pair scores ~0") {
     import spark.implicits._
