@@ -1656,6 +1656,16 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         rounds = 6)),
 
+    // held-out LM eval: unigram model trained on the 90% split, scored
+    // on the held-out 10% — the proper perplexity protocol (in-sample
+    // surprisal flatters the model); OOV tokens counted, not smoothed
+    "x_eval_heldout_ppl" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      graft.text.Vocabulary.heldOutSurprisal(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    }),
+
     // tokenizer-fit eval: per-language BPE fertility (subwords/word) and
     // compression — the "does this vocab under-serve language X" audit
     // run BEFORE committing to a tokenizer; trained types broadcast,
@@ -3615,6 +3625,10 @@ object SparkEntry {
 
       "x_eval_tokenizer" ->
         graft.text.Vocabulary.bpeFertilitySql(rounds = 6, grpCol = "lang"),
+
+      "x_eval_heldout_ppl" ->
+        graft.text.Vocabulary.heldOutSurprisalSql(
+          predTrain = "doc_id % 10 <> 0", predTest = "doc_id % 10 = 0"),
 
       "x_vocab_bpe_batched" ->
         graft.text.Vocabulary.bpeTrainBatchedSql(

@@ -402,6 +402,79 @@ object Vocabulary {
         expr("surprisal_fp DIV n_tokens"))
   }
 
+  /** Held-out LM evaluation: train the unigram model on one split,
+    * score the OTHER — the proper perplexity protocol (in-sample
+    * surprisal, [[surprisalScore]] on its own corpus, systematically
+    * flatters the model; every LM eval holds data out). Per test doc:
+    * token count, OOV count (tokens the train split never saw — the
+    * honest caveat of an unsmoothed model; they carry no score), the
+    * fixed-point surprisal sum over KNOWN tokens, and its per-known-
+    * token mean. All integers; an all-OOV doc scores 0 with the mean
+    * guarded (never a divide-by-zero — Spark would null, DuckDB would
+    * error, and the engines must agree).
+    *
+    * Scale shape is [[surprisalScore]]'s: vocab-bounded model agg,
+    * broadcast scoring join (LEFT, to keep OOV rows countable), one
+    * map-side-combined per-doc agg.
+    */
+  def heldOutSurprisal(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val model = surprisalModel(train, textCol)
+    test.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .join(broadcast(model), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(lit(1)).minus(count(col("_sup_fp"))).as("n_oov"),
+        coalesce(sum(col("_sup_fp")), lit(0L)).as("surprisal_fp"))
+      .withColumn("mean_known_fp",
+        expr("surprisal_fp DIV greatest(n_tokens - n_oov, 1L)"))
+  }
+
+  /** DuckDB twin of [[heldOutSurprisal]] over `documents` split by
+    * `predTrain`/`predTest`.
+    */
+  def heldOutSurprisalSql(predTrain: String, predTest: String): String = {
+    val eSum = (1 to EMax).map(kk =>
+      s"CASE WHEN (num >> $kk) >= den THEN 1 ELSE 0 END").mkString(" + ")
+    val iters = (1 to FracBits).map { i =>
+      val p = i - 1
+      s"""it$i AS (
+         |  SELECT token, e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tokm AS MATERIALIZED (
+       |  SELECT unnest(string_split(trim(text), ' ')) AS token
+       |  FROM documents WHERE $predTrain),
+       |cnt AS MATERIALIZED (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tokm GROUP BY token),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+       |nrm AS (SELECT token, t AS num, c AS den FROM cnt CROSS JOIN tot),
+       |it0 AS (
+       |  SELECT token, ($eSum) AS e,
+       |    (num << $MantBits) // (den << ($eSum)) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM nrm),
+       |$iters,
+       |sup AS (
+       |  SELECT token, e * (CAST(1 AS BIGINT) << $FracBits) + frac AS s
+       |  FROM it$FracBits),
+       |tokt AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+       |  FROM documents WHERE $predTest),
+       |j AS (SELECT t.doc_id, s.s FROM tokt t LEFT JOIN sup s USING (token))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) - count(s) AS BIGINT) AS n_oov,
+       |  CAST(COALESCE(sum(s), 0) AS BIGINT) AS surprisal_fp,
+       |  CAST(COALESCE(sum(s), 0) AS BIGINT)
+       |    // greatest(CAST(count(s) AS BIGINT), 1) AS mean_known_fp
+       |FROM j GROUP BY doc_id""".stripMargin
+  }
+
   /** Unigram distribution drift between two corpora as EXACT INTEGER
     * arithmetic — the ingest-audit companion to [[surprisalScore]]: score
     * corpus A's tokens against corpus B's (add-one-smoothed) unigram

@@ -327,6 +327,33 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!Seq(got((1L, 1))._1, got((1L, 2))._1).contains("the"))
   }
 
+  test("heldOutSurprisal: OOV counted not scored, all-OOV doc guarded, " +
+      "known tokens score from the TRAIN distribution") {
+    import spark.implicits._
+    val train = Seq((1L, "common common common rare")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "common rare"),          // fully known
+      (11L, "common unseen"),        // half OOV
+      (12L, "ghost phantom")         // all OOV
+    ).toDF("doc_id", "text")
+    val got = graft.text.Vocabulary.heldOutSurprisal(
+      train, test, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val frac = 1L << 20
+    def fp(num: Long, den: Long): Long =
+      math.floor(math.log(num.toDouble / den) / math.log(2.0) * frac).toLong
+    // train model: total 4, common 3, rare 1
+    assert(got(10L)._1 == 2L && got(10L)._2 == 0L)
+    assert(math.abs(got(10L)._3 - (fp(4, 3) + fp(4, 1))) <= 2,
+      s"got ${got(10L)}")
+    assert(got(11L)._2 == 1L, s"unseen must count as OOV: ${got(11L)}")
+    assert(math.abs(got(11L)._3 - fp(4, 3)) <= 1,
+      s"OOV carries no score: ${got(11L)}")
+    // all-OOV: zero surprisal, guarded mean 0 (no divide-by-zero)
+    assert(got(12L) == ((2L, 2L, 0L, 0L)), s"got ${got(12L)}")
+  }
+
   test("bpeFertilityByGroup: the slice whose words the merges serve " +
       "shows lower fertility") {
     import spark.implicits._
