@@ -1011,6 +1011,15 @@ object SparkEntry {
       DerivedModel.table(s, dir, "documents").select(col("doc_id"),
         graft.text.TextExpressions.rollingHash(col("text")).as("rhash"))),
 
+    // content-defined chunking (rsync/FastCDC family at token
+    // granularity): hash-mod boundaries make identical runs produce
+    // identical chunks regardless of position — the chunk-level dedup /
+    // delta-storage granularity; per-doc windows only, ~8-token chunks
+    "x_dedup_cdc_chunks" -> ((s, dir) =>
+      graft.text.Chunking.cdcChunks(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        modulus = 8)),
+
     "x_text_normalize" -> ((s, dir) =>
       DerivedModel.table(s, dir, "documents").select(col("doc_id"),
         graft.text.TextFunctions.normalize(col("text")).as("norm_text"))),
@@ -3265,6 +3274,8 @@ object SparkEntry {
 
       // mod-2^64 polynomial hash replayed in HUGEINT; codepoints == bytes
       // because this corpus is ASCII (checked) — the engine hashes bytes
+      "x_dedup_cdc_chunks" -> graft.text.Chunking.cdcChunksSql(modulus = 8),
+
       "x_text_rolling_hash" ->
         """WITH h AS (
           |  SELECT doc_id,

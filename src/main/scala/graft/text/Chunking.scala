@@ -212,4 +212,70 @@ object Chunking {
        |  CAST(len(string_split(trim(chunk_text), ' ')) AS BIGINT) AS n_tokens
        |FROM _chunks""".stripMargin
   }
+
+  /** Content-defined chunking (the rsync/LBFS/FastCDC family, at token
+    * granularity): a new chunk starts at every token whose 48-bit md5
+    * hash is ≡ 0 mod `modulus` — boundaries are a pure function of LOCAL
+    * content, so identical text runs produce identical interior chunks
+    * REGARDLESS of their position in the document. That positional
+    * invariance is the whole point: fixed-size chunking
+    * ([[chunkByTokens]]) shatters after any insertion, while CDC chunks
+    * realign immediately past the first post-edit boundary — the right
+    * granularity for chunk-level dedup and delta storage of evolving
+    * corpora. Expected chunk length ≈ `modulus` tokens.
+    *
+    * Output: (idCol, chunk_idx, chunk_hash, n_tokens) — the chunk is
+    * identified by the md5 of its space-joined tokens (content-keyed, the
+    * exact-dedup convention), so cross-document chunk dedup is a plain
+    * groupBy(chunk_hash).
+    *
+    * Scale shape: tokens explode at scan speed; the boundary flag is one
+    * hash per token; the chunk index is a running sum windowed PER
+    * DOCUMENT (bounded by doc length, massively parallel across docs);
+    * the chunk reassembly groups by (doc, chunk). No corpus-wide window
+    * anywhere.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    val toks = df.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+    val flagged = toks.withColumn("_graft_cut",
+      when(col("pos") > 0 &&
+        graft.sketch.Kmv.kmvHashCol(col("token")) % modulus === 0, 1L)
+        .otherwise(0L))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    flagged
+      .withColumn("chunk_idx", sum(col("_graft_cut")).over(w))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            s => s.getField("token"))).cast("binary")).as("chunk_hash"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** DuckDB twin of [[cdcChunks]] over `documents`. */
+  def cdcChunksSql(modulus: Int): String =
+    s"""WITH tl AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(t) AS token,
+       |    unnest(range(0, len(t))) AS pos
+       |  FROM tl),
+       |fl AS (
+       |  SELECT doc_id, pos, token,
+       |    CASE WHEN pos > 0 AND
+       |      CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT) % $modulus = 0
+       |      THEN 1 ELSE 0 END AS cut
+       |  FROM tok),
+       |cidx AS (
+       |  SELECT doc_id, pos, token,
+       |    CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+       |      AS chunk_idx
+       |  FROM fl)
+       |SELECT doc_id, chunk_idx,
+       |  md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_hash,
+       |  CAST(count(*) AS BIGINT) AS n_tokens
+       |FROM cidx GROUP BY doc_id, chunk_idx""".stripMargin
 }

@@ -327,6 +327,34 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(!Seq(got((1L, 1))._1, got((1L, 2))._1).contains("the"))
   }
 
+  test("cdcChunks: chunks partition the stream; an inserted prefix " +
+      "leaves post-boundary chunks identical (the CDC property)") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val docs = Seq((1L, base), (2L, s"zzz yyy $base")).toDF("doc_id", "text")
+    val out = graft.text.Chunking.cdcChunks(docs, "doc_id", "text", modulus = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3))))
+    val byDoc = out.groupBy(_._1._1)
+    // partition: per-doc chunk token counts sum to the doc length
+    assert(byDoc(1L).map(_._2._2).sum == 16L)
+    assert(byDoc(2L).map(_._2._2).sum == 18L)
+    // invariance: every chunk of doc 1 EXCEPT its head reappears
+    // verbatim in doc 2 (the prefix only perturbs content before the
+    // first boundary); fixed-size chunking would shatter all of them
+    val h1 = byDoc(1L).toSeq.sortBy(_._1._2).map(_._2._1)
+    val h2 = byDoc(2L).map(_._2._1).toSet
+    assert(h1.tail.nonEmpty, "need >= 2 chunks for the property to bite")
+    assert(h1.tail.forall(h2.contains),
+      s"interior chunks must survive the prefix insertion: $h1 vs $h2")
+    // identical docs produce identical chunk-hash multisets
+    val twin = Seq((10L, base), (11L, base)).toDF("doc_id", "text")
+    val t = graft.text.Chunking.cdcChunks(twin, "doc_id", "text", modulus = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2))
+    assert(t.filter(_._1 == 10L).map(_._2).sorted.toSeq ==
+      t.filter(_._1 == 11L).map(_._2).sorted.toSeq)
+  }
+
   test("heldOutSurprisal: OOV counted not scored, all-OOV doc guarded, " +
       "known tokens score from the TRAIN distribution") {
     import spark.implicits._
