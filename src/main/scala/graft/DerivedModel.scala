@@ -126,17 +126,33 @@ object DerivedModel {
     * decisions (~25% of rows gain terminal punctuation; 13/17/23-mod
     * subsets gain boilerplate / lorem-ipsum / braces).
     */
+  /** The planted marker phrases keyed by their id-moduli — the SINGLE
+    * source for the fixture ([[documentsBoilerplate]]), its SQL twin
+    * ([[DerivedSql.documentsBoilerplate]]), and the classifier class
+    * split ([[boilerplateClassPred]] / [[DerivedSql
+    * .boilerplateClassPred]]): the split and the planting must never
+    * drift apart, or the classifier trains on a different universe than
+    * the oracle replays.
+    */
+  val BoilerplateMarkers: Seq[(Int, String)] = Seq(
+    17 -> " lorem ipsum dolor sit amet",
+    13 -> " click here to subscribe now",
+    23 -> " function f() { return 1; }")
+
+  /** True for docs carrying at least one planted marker — the negative
+    * (boilerplate) class of the supervised quality-classifier gates.
+    */
+  def boilerplateClassPred: org.apache.spark.sql.Column =
+    BoilerplateMarkers.map { case (m, _) => col("doc_id") % m === 0 }
+      .reduce(_ || _)
+
   def documentsBoilerplate(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents").select(col("doc_id"), col("lang"),
       col("source"),
-      concat(col("text"),
-        when(col("doc_id") % 17 === 0,
-          lit(" lorem ipsum dolor sit amet")).otherwise(lit("")),
-        when(col("doc_id") % 13 === 0,
-          lit(" click here to subscribe now")).otherwise(lit("")),
-        when(col("doc_id") % 23 === 0,
-          lit(" function f() { return 1; }")).otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, lit(".")).otherwise(lit("")))
+      concat(
+        col("text") +: BoilerplateMarkers.map { case (m, phrase) =>
+          when(col("doc_id") % m === 0, lit(phrase)).otherwise(lit(""))
+        } :+ when(col("doc_id") % 4 === 0, lit(".")).otherwise(lit("")): _*)
         .as("text"))
 
   /** A deterministically perturbed second corpus snapshot for the
@@ -262,16 +278,25 @@ object DerivedSql {
       |      ELSE '' END AS text
       |  FROM documents)""".stripMargin
 
-  /** Twin of [[DerivedModel.documentsBoilerplate]]. */
-  val documentsBoilerplate: String =
-    """documents_boiler AS (
-      |  SELECT doc_id, lang, source,
-      |    text ||
-      |    CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum dolor sit amet' ELSE '' END ||
-      |    CASE WHEN doc_id % 13 = 0 THEN ' click here to subscribe now' ELSE '' END ||
-      |    CASE WHEN doc_id % 23 = 0 THEN ' function f() { return 1; }' ELSE '' END ||
-      |    CASE WHEN doc_id % 4 = 0 THEN '.' ELSE '' END AS text
-      |  FROM documents)""".stripMargin
+  /** Twin of [[DerivedModel.documentsBoilerplate]], generated from the
+    * same [[DerivedModel.BoilerplateMarkers]] constant.
+    */
+  val documentsBoilerplate: String = {
+    val markers = DerivedModel.BoilerplateMarkers.map { case (m, phrase) =>
+      s"    CASE WHEN doc_id % $m = 0 THEN '${phrase.replace("'", "''")}' ELSE '' END ||"
+    }.mkString("\n")
+    s"""documents_boiler AS (
+       |  SELECT doc_id, lang, source,
+       |    text ||
+       |$markers
+       |    CASE WHEN doc_id % 4 = 0 THEN '.' ELSE '' END AS text
+       |  FROM documents)""".stripMargin
+  }
+
+  /** SQL form of [[DerivedModel.boilerplateClassPred]]. */
+  val boilerplateClassPred: String =
+    DerivedModel.BoilerplateMarkers
+      .map { case (m, _) => s"doc_id % $m = 0" }.mkString(" OR ")
 
   /** Twin of [[DerivedModel.documentsSnapshotV2]]. */
   val documentsSnapshotV2: String =

@@ -286,8 +286,7 @@ object SparkEntry {
   private def nbWeightsDim(s: SparkSession, dir: String): DataFrame =
     stagedFixture(s, dir, "nb_weights") {
       val docs = DerivedModel.documentsBoilerplate(s, dir)
-      val isNeg = col("doc_id") % 17 === 0 || col("doc_id") % 13 === 0 ||
-        col("doc_id") % 23 === 0
+      val isNeg = DerivedModel.boilerplateClassPred
       graft.text.Vocabulary.nbTokenWeights(
         graft.text.Vocabulary.unigramDriftCounts(
           docs.filter(!isNeg), docs.filter(isNeg), "text"))
@@ -2088,12 +2087,6 @@ object SparkEntry {
     // C4/Gopher rule gate -> TrustRank scoring over the link graph ->
     // greedy token-budget fill most-trusted-first. Three r9 operator
     // families composing in one plan, every decision integer-replayable
-    // curation pipeline v4 (signal-fusion e2e, the round-10 families
-    // composing in one plan): char-entropy band gate (drop both tails:
-    // gibberish-high and repetitive-low) -> interpolated-KN fluency
-    // scoring -> token-budget fill most-fluent-first (lowest mean
-    // surprisal). One corpus LM scores all survivors — the staged-model
-    // production shape
     // curation pipeline v5, the TRAINED-filter composition: NB quality
     // classifier keep (score >= 0) -> exact-hash dedup keep-first ->
     // per-source cap — the classifier-gated production shape (GPT-3/
@@ -2111,6 +2104,12 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    // curation pipeline v4 (signal-fusion e2e, the round-10 families
+    // composing in one plan): char-entropy band gate (drop both tails:
+    // gibberish-high and repetitive-low) -> interpolated-KN fluency
+    // scoring -> token-budget fill most-fluent-first (lowest mean
+    // surprisal). One corpus LM scores all survivors — the staged-model
+    // production shape
     "x_pipeline_curate4" -> ((s, dir) => {
       val docs = DerivedModel.table(s, dir, "documents")
       val ent = docs.filter(length(col("text")) > 0)
@@ -2264,15 +2263,15 @@ object SparkEntry {
         .select(col("user_id"), unix_millis(col("bucket_start")).as("bucket_ms"),
           col("n_events"), col("value_cents"), col("ffill_cents"))),
 
-    // data-quality profile: per-column completeness/cardinality/range in
-    // ONE aggregation pass (single global agg + driver-side unpivot);
-    // exact distinct = Expand price, approx form documented for 100 TB
     // per-source dataset card (HF/Dolma release-notes summary): volumes,
     // language spread, exact-dup rate — one grouped agg, card-sized output
     "x_quality_card" -> ((s, dir) =>
       graft.ops.Profile.corpusCard(
         DerivedModel.table(s, dir, "documents"), "source", "text", "lang")),
 
+    // data-quality profile: per-column completeness/cardinality/range in
+    // ONE aggregation pass (single global agg + driver-side unpivot);
+    // exact distinct = Expand price, approx form documented for 100 TB
     "x_quality_profile" -> ((s, dir) =>
       graft.ops.Profile.profile(
         DerivedModel.table(s, dir, "orders")
@@ -3032,8 +3031,8 @@ object SparkEntry {
       "x_curate_classifier" ->
         graft.text.Vocabulary.nbClassifierSql(
           DerivedSql.documentsBoilerplate, "documents_boiler",
-          predPos = "NOT (doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 23 = 0)",
-          predNeg = "doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 23 = 0"),
+          predPos = s"NOT (${DerivedSql.boilerplateClassPred})",
+          predNeg = DerivedSql.boilerplateClassPred),
 
       // the classifier oracle embeds verbatim as a nested-WITH CTE body
       // (the hybrid-gate convention), then dedup + cap restate their own
@@ -3042,8 +3041,8 @@ object SparkEntry {
         s"""WITH scored AS MATERIALIZED (
            |${graft.text.Vocabulary.nbClassifierSql(
               DerivedSql.documentsBoilerplate, "documents_boiler",
-              predPos = "NOT (doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 23 = 0)",
-              predNeg = "doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 23 = 0")}
+              predPos = s"NOT (${DerivedSql.boilerplateClassPred})",
+              predNeg = DerivedSql.boilerplateClassPred)}
            |),
            |${DerivedSql.documentsBoilerplate},
            |kept AS MATERIALIZED (
@@ -3272,10 +3271,10 @@ object SparkEntry {
           |SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
           |FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)""".stripMargin,
 
-      // mod-2^64 polynomial hash replayed in HUGEINT; codepoints == bytes
-      // because this corpus is ASCII (checked) — the engine hashes bytes
       "x_dedup_cdc_chunks" -> graft.text.Chunking.cdcChunksSql(modulus = 8),
 
+      // mod-2^64 polynomial hash replayed in HUGEINT; codepoints == bytes
+      // because this corpus is ASCII (checked) — the engine hashes bytes
       "x_text_rolling_hash" ->
         """WITH h AS (
           |  SELECT doc_id,
@@ -3751,8 +3750,6 @@ object SparkEntry {
       "x_sketch_kmv" ->
         graft.sketch.Kmv.kmvGateSql("lineitem", "l_partkey", k = 512),
 
-      // the audit row is fully determined by the row count: ceil(n/250)
-      // files, all exactly 250 rows except the remainder file
       // the merged-read summary restated from the base table: even rows
       // are generation 1 (no lang column -> NULL), odd rows generation 2
       "k8_schema_evolution" ->
@@ -3766,6 +3763,8 @@ object SparkEntry {
           |  CAST(sum(length(text)) AS BIGINT) AS chars
           |FROM u GROUP BY lang""".stripMargin,
 
+      // the audit row is fully determined by the row count: ceil(n/250)
+      // files, all exactly 250 rows except the remainder file
       "x_layout_compact" ->
         """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
           |SELECT (n + 249) // 250 AS n_files, n AS n_rows,

@@ -1,6 +1,6 @@
 package graft.sketch
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,6 +34,27 @@ import org.apache.spark.sql.functions._
   */
 object QuantileSketch {
 
+  /** The grid-cell assignment — ONE definition for the global and
+    * grouped sketches (the grid convention must never diverge between
+    * them). Clamp before divide: Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, and they only agree on non-negative
+    * operands.
+    */
+  private def cellExpr(valueCol: String, binWidth: Long,
+      maxValue: Long): Column = expr(
+    s"least(greatest(CAST($valueCol AS BIGINT), 0L), ${maxValue}L) div ${binWidth}L")
+
+  /** The integer-ceiling rank target `ceil(n * pct / 100)` — shared by
+    * the global and grouped extractions for the same reason.
+    */
+  private val ceilTarget: Column = expr("(n * pct + 99L) div 100L")
+
+  /** Cell-edge quantile reporting (est_lo/est_hi), shared likewise. */
+  private def estCols(qcell: Column, binWidth: Long,
+      maxValue: Long): Seq[Column] = Seq(
+    (qcell * lit(binWidth)).as("est_lo"),
+    least((qcell + 1) * lit(binWidth) - 1, lit(maxValue)).as("est_hi"))
+
   /** Histogram of `valueCol` (non-negative integers) in `binWidth`-wide
     * cells, values clamped to `[0, maxValue]`: one row per occupied cell,
     * `(cell BIGINT, cnt BIGINT)`. Pure integer arithmetic (`least`,
@@ -41,9 +62,7 @@ object QuantileSketch {
     */
   def sketch(df: DataFrame, valueCol: String, binWidth: Long,
       maxValue: Long): DataFrame =
-    df.select(expr(
-        s"least(greatest(CAST($valueCol AS BIGINT), 0L), ${maxValue}L) div ${binWidth}L")
-        .as("cell"))
+    df.select(cellExpr(valueCol, binWidth, maxValue).as("cell"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -71,14 +90,11 @@ object QuantileSketch {
       .withColumn("n", sum(col("cnt")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val pctsDf = pcts.map(_.toLong).toDF("pct")
-    pctsDf.join(broadcast(cum),
-        col("cum") >= expr("(n * pct + 99L) div 100L"))
+    pctsDf.join(broadcast(cum), col("cum") >= ceilTarget)
       .groupBy(col("pct"), col("n"))
       .agg(min(col("cell")).as("qcell"))
-      .select(col("pct"),
-        (col("qcell") * lit(binWidth)).as("est_lo"),
-        least((col("qcell") + 1) * lit(binWidth) - 1, lit(maxValue)).as("est_hi"),
-        col("n"))
+      .select(col("pct") +: estCols(col("qcell"), binWidth, maxValue) :+
+        col("n"): _*)
       .orderBy(col("pct"))
   }
 
@@ -114,9 +130,8 @@ object QuantileSketch {
       pcts: Seq[Int], binWidth: Long, maxValue: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sk = df.select(col(grpCol).as("grp"), expr(
-        s"least(greatest(CAST($valueCol AS BIGINT), 0L), ${maxValue}L) div ${binWidth}L")
-        .as("cell"))
+    val sk = df.select(col(grpCol).as("grp"),
+        cellExpr(valueCol, binWidth, maxValue).as("cell"))
       .groupBy(col("grp"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("grp")).orderBy(col("cell"))
@@ -125,14 +140,11 @@ object QuantileSketch {
       .withColumn("n", sum(col("cnt")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val pctsDf = pcts.map(_.toLong).toDF("pct")
-    cum.join(broadcast(pctsDf),
-        col("cum") >= expr("(n * pct + 99L) div 100L"))
+    cum.join(broadcast(pctsDf), col("cum") >= ceilTarget)
       .groupBy(col("grp"), col("pct"), col("n"))
       .agg(min(col("cell")).as("qcell"))
-      .select(col("grp").as(grpCol), col("pct"),
-        (col("qcell") * lit(binWidth)).as("est_lo"),
-        least((col("qcell") + 1) * lit(binWidth) - 1, lit(maxValue)).as("est_hi"),
-        col("n"))
+      .select(col("grp").as(grpCol) +: col("pct") +:
+        estCols(col("qcell"), binWidth, maxValue) :+ col("n"): _*)
   }
 
   /** Sketch-driven outlier gate: keep rows whose value lies within the

@@ -100,6 +100,24 @@ object Layout {
     * `input_file_name()` over the compacted output, so the gate checks
     * what actually landed on disk, not the intended arithmetic.
     */
+  def compactByRows(df: DataFrame, keyCol: String, rowsPerFile: Long,
+      outPath: String): DataFrame = {
+    require(rowsPerFile >= 1)
+    val spark = df.sparkSession
+    graft.ops.Sampling.withGlobalPosition(df, keyCol)
+      .withColumn("_graft_shard", expr(s"position DIV ${rowsPerFile}L"))
+      .drop("position")
+      .repartition(col("_graft_shard"))
+      .write.mode("overwrite").partitionBy("_graft_shard").parquet(outPath)
+    val perFile = spark.read.parquet(outPath)
+      .groupBy(input_file_name().as("_f"))
+      .agg(count(lit(1)).as("_rows"))
+    perFile.agg(count(lit(1)).as("n_files"),
+      sum(col("_rows")).as("n_rows"),
+      max(col("_rows")).as("max_per_file"),
+      min(col("_rows")).as("min_per_file"))
+  }
+
   /** Parquet schema evolution on read: write two dataset generations —
     * the later one carrying columns the earlier one lacks — then read
     * them as ONE relation with `mergeSchema`, the lakehouse
@@ -121,23 +139,5 @@ object Layout {
     v2.write.mode("overwrite").parquet(s"$outPath/gen2")
     spark.read.option("mergeSchema", "true")
       .parquet(s"$outPath/gen1", s"$outPath/gen2")
-  }
-
-  def compactByRows(df: DataFrame, keyCol: String, rowsPerFile: Long,
-      outPath: String): DataFrame = {
-    require(rowsPerFile >= 1)
-    val spark = df.sparkSession
-    graft.ops.Sampling.withGlobalPosition(df, keyCol)
-      .withColumn("_graft_shard", expr(s"position DIV ${rowsPerFile}L"))
-      .drop("position")
-      .repartition(col("_graft_shard"))
-      .write.mode("overwrite").partitionBy("_graft_shard").parquet(outPath)
-    val perFile = spark.read.parquet(outPath)
-      .groupBy(input_file_name().as("_f"))
-      .agg(count(lit(1)).as("_rows"))
-    perFile.agg(count(lit(1)).as("n_files"),
-      sum(col("_rows")).as("n_rows"),
-      max(col("_rows")).as("max_per_file"),
-      min(col("_rows")).as("min_per_file"))
   }
 }

@@ -2146,19 +2146,27 @@ object Vocabulary {
 
   /** Score documents with a [[nbTokenWeights]] table: per doc the token-
     * multiplicity-weighted sum of weights — the balanced-prior NB
-    * decision score, positive ⇒ class A. Tokens outside the weight vocab
-    * drop out of the inner join, i.e. carry zero weight (the standard
-    * OOV fallback). Scale shape is [[surprisalScore]]'s: the weight
-    * table is vocab-bounded and broadcasts; the token stream never
-    * shuffles — scoring is scan + one map-side-combined per-doc sum.
+    * decision score, positive ⇒ class A. Tokens outside the weight
+    * vocab carry ZERO weight (the standard OOV fallback) via a LEFT
+    * join, so the score function is TOTAL: in the train-once/score-many
+    * deployment (staged weights scoring a new snapshot) an all-OOV
+    * document — a new language, a new script — still yields a row with
+    * score 0, and a `score >= 0` keep rule treats zero evidence as
+    * "keep", not as "silently drop". `n_known` reports how much of the
+    * doc the model actually saw (the coverage caveat to act on).
+    * Scale shape is [[surprisalScore]]'s: the weight table is
+    * vocab-bounded and broadcasts; the token stream never shuffles —
+    * scoring is scan + one map-side-combined per-doc sum.
     */
   def nbClassify(df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame): DataFrame =
     df.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .join(broadcast(weights), Seq("token"))
+      .join(broadcast(weights), Seq("token"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("w_fp")).as("nb_score_fp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("w_fp")).as("n_known"),
+        coalesce(sum(col("w_fp")), lit(0L)).as("nb_score_fp"))
       .withColumn("predicted_pos", col("nb_score_fp") >= 0L)
 
   /** DuckDB twin of [[nbTokenWeights]] + [[nbClassify]]: `docsCte` is a
@@ -2223,9 +2231,10 @@ object Vocabulary {
        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
        |  FROM $docsName)
        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       |  CAST(sum(w.w) AS BIGINT) AS nb_score_fp,
-       |  CAST(sum(w.w) AS BIGINT) >= 0 AS predicted_pos
-       |FROM tok t JOIN wt w USING (token)
+       |  CAST(count(w.w) AS BIGINT) AS n_known,
+       |  CAST(COALESCE(sum(w.w), 0) AS BIGINT) AS nb_score_fp,
+       |  CAST(COALESCE(sum(w.w), 0) AS BIGINT) >= 0 AS predicted_pos
+       |FROM tok t LEFT JOIN wt w USING (token)
        |GROUP BY t.doc_id""".stripMargin
   }
 
@@ -2250,7 +2259,11 @@ object Vocabulary {
     * shuffle — the domain-cap lesson, NOTES r10: never hand-schedule a
     * rank prune). The token stream itself never shuffles twice.
     * Magnitude: `tf · idf_fp < 2^63` holds while `tf < 2^36` — no real
-    * document approaches it.
+    * document approaches it — and the log chain needs `N < 2^33` (the
+    * [[surprisalModel]] TOTAL bound, here on the DOC count): past ~8.6B
+    * docs pre-scale N and df by a common factor (idf is
+    * ratio-invariant). Guarded with a named error — Spark (non-ANSI)
+    * would silently wrap the mantissa shift where DuckDB errors.
     */
   def tfidfKeyTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
@@ -2263,7 +2276,11 @@ object Vocabulary {
     val idf = log2FixedCols(
       tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
         .crossJoin(broadcast(nDocs))
-        .withColumn("_num", col("_n"))
+        .withColumn("_num", expr(
+          s"CASE WHEN _n < ${1L << 33}L THEN _n ELSE raise_error(" +
+            "'tfidfKeyTerms: doc count >= 2^33 exceeds the log2 mantissa " +
+            "bound — pre-scale N and df by a common factor (idf is " +
+            "ratio-invariant)') END"))
         .withColumn("_den", col("_df")))
       .select(col("term"), col("_idf_fp"))
     val w = Window.partitionBy(col(idCol))

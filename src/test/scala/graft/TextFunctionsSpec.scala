@@ -450,17 +450,20 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     // scoring the training rows separates the classes at threshold 0
     val all = pos.unionByName(neg)
     val scored = graft.text.Vocabulary.nbClassify(all, "doc_id", "text", weights)
-      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(scored == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false),
       s"got $scored")
-    // an unseen token is dropped by the join: a doc of pure OOV tokens
-    // simply produces no row (zero evidence), a mixed doc scores only
-    // its known tokens
+    // OOV tokens carry zero weight but stay COUNTED: the score function
+    // is total, so an all-OOV doc scores 0 (kept at threshold 0 — zero
+    // evidence is not a drop) and n_known exposes the coverage gap
     val oov = Seq((9L, "zzz yyy"), (10L, "zzz clean")).toDF("doc_id", "text")
     val oovScored = graft.text.Vocabulary.nbClassify(oov, "doc_id", "text", weights)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(!oovScored.contains(9L), s"all-OOV doc must yield no row: $oovScored")
-    assert(oovScored(10L) == ((1L, w("clean"))), s"got $oovScored")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(oovScored(9L) == ((2L, 0L, 0L, true)),
+      s"all-OOV doc must score 0 with n_known 0: $oovScored")
+    assert(oovScored(10L) == ((2L, 1L, w("clean"), w("clean") >= 0L)),
+      s"got $oovScored")
   }
 
   test("unigram drift: self-drift ~ 0, disjoint corpora strongly positive") {
