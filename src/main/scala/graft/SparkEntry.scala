@@ -1135,6 +1135,20 @@ object SparkEntry {
     "x_dedup_minhash" -> ((s, dir) =>
       minhashPairsRawDim(s, dir)), // unguarded: must equal the exact truth set
 
+    // dedup-guard audit (eval family): pair recall of the GUARDED
+    // minhash path against the exact unguarded truth set — the number
+    // that says what the maxDf stop-shingle guard costs on THIS corpus
+    // before you deploy it; both relations are the session-staged pair
+    // dims, the audit itself is three 1-row aggs
+    "x_eval_dedup_recall" -> ((s, dir) => {
+      val exact = minhashPairsRawDim(s, dir).select(col("id_a"), col("id_b"))
+      val guarded = minhashPairsGuardedDim(s, dir).select(col("id_a"), col("id_b"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(guarded.agg(count(lit(1)).as("n_guarded"))))
+        .crossJoin(broadcast(exact.join(guarded, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_hits"))))
+    }),
+
     // adaptive components: pair set fits the driver -> exact in-memory
     // union-find (no iteration bound); larger -> distributed label
     // propagation. Checked against the recursive-CTE components oracle.
@@ -2805,6 +2819,7 @@ object SparkEntry {
   private val ngramJaccardOracle: String =
     s"WITH $ngramJaccardCtes\nSELECT id_a, id_b, jaccard FROM simpairs"
 
+
   /** Oracle for the prefix-filtered ssjoin: replays the WHOLE algorithm
     * (df-ranked canonical order, prefix cut `s − ceil(4s/5) + 1`, length
     * filter, exact intersection verify, integer-τ threshold) — which by
@@ -2886,6 +2901,25 @@ object SparkEntry {
       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
       |  FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)""".stripMargin
+
+  /** Oracle for the dedup-guard audit: the exact chain at the outer
+    * level, the guarded chain nested as a subquery scope (its CTE names
+    * shadow the outer ones — the curate5/hybrid nested-WITH convention),
+    * then three counts.
+    */
+  private val dedupRecallOracle: String =
+    s"""WITH $ngramJaccardCtes,
+       |g AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM (
+       |    WITH $ngramJaccardGuardedCtes
+       |    SELECT id_a, id_b FROM simpairs)),
+       |e AS (SELECT id_a, id_b FROM simpairs)
+       |SELECT
+       |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
+       |  CAST((SELECT count(*) FROM g) AS BIGINT) AS n_guarded,
+       |  CAST((SELECT count(*) FROM e JOIN g USING (id_a, id_b)) AS BIGINT)
+       |    AS n_hits""".stripMargin
+
 
   /** Exact connected components of the near-dup pair graph (transitive
     * closure via recursive CTE, min reachable id = group id) — the truth
@@ -3291,6 +3325,7 @@ object SparkEntry {
       // MinHash+LSH must reproduce the exact-Jaccard truth set: banding at
       // 16 bands x 2 rows misses a tau=0.8 pair with prob (1-0.64)^16 ~ 1e-7
       "x_dedup_minhash" -> ngramJaccardOracle,
+      "x_eval_dedup_recall" -> dedupRecallOracle,
 
       "x_dedup_embed_cosine" ->
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine

@@ -871,6 +871,12 @@ object ScalePerfHarness {
     time("chunkByTokens(b=512)", n) {
       consume(Chunking.chunkByTokens(docs, "doc_id", "text", maxTokens = 512))
     }
+    // CDC chunking (r10): posexplode + one md5/token + a per-doc running
+    // sum window + the (doc, chunk) reassembly agg — the claim is
+    // ~the dedupBlocks shape (token-stream-bound, no corpus-wide window)
+    time("cdcChunks(mod=16)", n) {
+      consume(Chunking.cdcChunks(docs, "doc_id", "text", modulus = 16))
+    }
     docs.unpersist()
   }
 
