@@ -2072,6 +2072,23 @@ object SparkEntry {
       graft.text.Curation.ruleFilter(
         DerivedModel.documentsBoilerplate(s, dir), "doc_id", "text")),
 
+    // classifier-quality audit (eval family): confusion matrix of the
+    // NB classifier against the planted labels — the held-out-accuracy
+    // check a trained filter must pass before it gates a corpus; one
+    // row (tp, fp, fn, tn) from the scored relation + the shared class
+    // predicate
+    "x_eval_classifier_quality" -> ((s, dir) => {
+      val scored = graft.text.Vocabulary.nbClassify(
+        DerivedModel.documentsBoilerplate(s, dir), "doc_id", "text",
+        nbWeightsDim(s, dir))
+      val isNeg = DerivedModel.boilerplateClassPred
+      scored.agg(
+        sum(when(col("predicted_pos") && !isNeg, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("predicted_pos") && isNeg, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("predicted_pos") && !isNeg, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("predicted_pos") && isNeg, 1L).otherwise(0L)).as("tn"))
+    }),
+
     // fastText-style supervised quality classifier: naive-Bayes token
     // log-likelihood ratios (symmetric add-one smoothing) trained on the
     // planted clean-vs-boilerplate split, then every doc scored by the
@@ -3067,6 +3084,22 @@ object SparkEntry {
           DerivedSql.documentsBoilerplate, "documents_boiler",
           predPos = s"NOT (${DerivedSql.boilerplateClassPred})",
           predNeg = DerivedSql.boilerplateClassPred),
+
+      // classifier oracle nested (the curate5 convention), confusion
+      // counts from the same shared class predicate
+      "x_eval_classifier_quality" ->
+        s"""WITH scored AS MATERIALIZED (
+           |${graft.text.Vocabulary.nbClassifierSql(
+              DerivedSql.documentsBoilerplate, "documents_boiler",
+              predPos = s"NOT (${DerivedSql.boilerplateClassPred})",
+              predNeg = DerivedSql.boilerplateClassPred)}
+           |)
+           |SELECT
+           |  CAST(sum(CASE WHEN predicted_pos AND NOT (${DerivedSql.boilerplateClassPred}) THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(sum(CASE WHEN predicted_pos AND (${DerivedSql.boilerplateClassPred}) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(sum(CASE WHEN NOT predicted_pos AND NOT (${DerivedSql.boilerplateClassPred}) THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |  CAST(sum(CASE WHEN NOT predicted_pos AND (${DerivedSql.boilerplateClassPred}) THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           |FROM scored""".stripMargin,
 
       // the classifier oracle embeds verbatim as a nested-WITH CTE body
       // (the hybrid-gate convention), then dedup + cap restate their own

@@ -248,4 +248,39 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
           s"($totalContrib, totA=$totA, vocab=$vocab)")
     }
   }
+
+  test("CDC chunking: on random corpora a random-length prefix insertion " +
+      "preserves every chunk after the first boundary") {
+    import spark.implicits._
+    val wordGen = Gen.choose(0, 300).map(i => s"w$i")
+    val caseGen = for {
+      n <- Gen.choose(12, 40)
+      words <- Gen.listOfN(n, wordGen)
+      pLen <- Gen.choose(1, 6)
+      prefix <- Gen.listOfN(pLen, Gen.choose(1000, 1100).map(i => s"p$i"))
+      modulus <- Gen.oneOf(3, 4, 5)
+    } yield (words, prefix, modulus)
+    (1L to 8L).foreach { seed =>
+      val (words, prefix, modulus) = sample(caseGen, seed)
+      val df = Seq(
+        (1L, words.mkString(" ")),
+        (2L, (prefix ++ words).mkString(" "))).toDF("doc_id", "text")
+      val out = graft.text.Chunking.cdcChunks(df, "doc_id", "text", modulus)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3)))
+      val base = out.filter(_._1 == 1L).sortBy(_._2)
+      val shifted = out.filter(_._1 == 2L).map(_._3).toSet
+      // partition invariant: chunk token counts sum to the doc length
+      assert(base.map(_._4).sum == words.length, s"seed $seed")
+      assert(out.filter(_._1 == 2L).map(_._4).sum ==
+        words.length + prefix.length, s"seed $seed")
+      // every base chunk after the head realigns verbatim in the
+      // prefixed doc — the CDC selling point (head excluded: the prefix
+      // merges into it up to the first content boundary)
+      base.drop(1).foreach { c =>
+        assert(shifted.contains(c._3),
+          s"seed $seed: interior chunk lost after prefix insertion")
+      }
+    }
+  }
 }
