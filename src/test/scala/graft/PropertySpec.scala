@@ -249,6 +249,41 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("label propagation equals the driver-side synchronous reference " +
+      "on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L) if a != b
+    } yield (a, b))
+    def ref(n: Int, edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nbrs = scala.collection.mutable.Map[Long, List[Long]]()
+        .withDefaultValue(Nil)
+      edges.foreach { case (a, b) =>
+        nbrs(a) = b :: nbrs(a); nbrs(b) = a :: nbrs(b)
+      }
+      var labels = (0L until n.toLong).map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        labels = labels.map { case (v, old) =>
+          val counts = nbrs(v).groupBy(labels).map { case (l, xs) => l -> xs.size }
+          v -> (if (counts.isEmpty) old
+                else counts.toSeq.maxBy { case (l, c) => (c, -l) }._1)
+        }
+      }
+      labels
+    }
+    (1L to 6L).foreach { seed =>
+      val edges = sample(edgeGen, seed)
+      val iters = 1 + (seed % 4).toInt
+      val nodes = (0L until 26L).toDF("node")
+      val e = edges.toDF("src", "dst")
+      val got = graft.graph.LabelProp.labelPropagate(nodes, e, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Persisted.unpersistAll()
+      val want = ref(26, edges, iters)
+      assert(got == want, s"seed $seed iters $iters: $got vs $want")
+    }
+  }
+
   test("CDC chunking: on random corpora a random-length prefix insertion " +
       "preserves every chunk after the first boundary") {
     import spark.implicits._

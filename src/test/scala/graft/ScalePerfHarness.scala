@@ -82,6 +82,7 @@ object ScalePerfHarness {
       case "round5" => round5Mode(spark, count)
       case "pq" => pqMode(spark, count)
       case "recall" => recallMode(spark, count)
+      case "signals10m" => signals10mMode(spark, count)
       case "neardedup" =>
         profileQuery(spark, "x_dedup_near_dedup",
           rest.headOption.getOrElse("/root/testdata/sf0.1"))
@@ -284,6 +285,34 @@ object ScalePerfHarness {
         k = 10, queryStep = step, numClusters = 256, nProbe = 8))
     }
     emb.unpersist()
+  }
+
+  /** The r10 linear-claim check at the next decade: the three text ops
+    * whose scale story is "one or two token-agg passes + broadcast
+    * models" measured at ~10M docs — if the claim holds, each costs
+    * ~10x its 1M row and nothing super-linear appears.
+    */
+  private def signals10mMode(spark: SparkSession, count: Long): Unit = {
+    import graft.text.Vocabulary
+    def consume(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    val docs = textCorpus(spark, count).persist()
+    val n = docs.count()
+    time("surprisalScore", n) {
+      consume(Vocabulary.surprisalScore(docs, "doc_id", "text"))
+    }
+    time("tfidfKeyTerms(k=5)", n) {
+      consume(Vocabulary.tfidfKeyTerms(docs, "doc_id", "text", k = 5))
+    }
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    time("nbClassify(halves model + full scoring)", n) {
+      consume(Vocabulary.nbClassify(docs, "doc_id", "text",
+        Vocabulary.nbTokenWeights(
+          Vocabulary.unigramDriftCounts(a, b, "text"))))
+    }
+    docs.unpersist()
   }
 
   private def graphMode(spark: SparkSession, count: Long): Unit = {
