@@ -1910,6 +1910,35 @@ object SparkEntry {
         .crossJoin(broadcast(exact))
     }),
 
+    // streaming HLL register maintenance (16th real StreamingQuery):
+    // update-mode max(rho) per bucket — at most m = 2^p rows of state,
+    // no dedup state (a duplicate can't raise a max); last update per
+    // bucket == the batch registers bit-for-bit, then the batch
+    // estimator runs over the reconstructed table
+    "x_stream_hll_exec" -> ((s, dir) => {
+      val p = 10
+      val srcPath = stagedRawDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
+        graft.streaming.StreamingOps.streamingHllRegisters(
+          s, srcPath, src, "doc_id", p),
+        s"${tmpPath(dir, "stream_exec_hll")}/sink")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"))
+        .orderBy(col("_graft_batch_id").desc, col("register").desc)
+      val fin = upd.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        // the grid join in hllRegisters expects rho rows; a register
+        // row IS the bucket's max rho
+        .select(col("bucket"), col("register").as("rho"))
+      val regs = s.range(1L << p).select(col("id").as("bucket"))
+        .join(fin.groupBy("bucket").agg(max(col("rho")).as("register")),
+          Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
+      val exact = src.agg(countDistinct(col("doc_id")).as("exact_distinct"))
+      graft.sketch.Hll.hllEstimate(regs, p).crossJoin(broadcast(exact))
+    }),
+
     // streaming per-source ingest counters (15th real StreamingQuery):
     // the live half of the dataset card as an update-mode agg — one
     // state row per source, last update == the batch volumes exactly
@@ -1966,10 +1995,10 @@ object SparkEntry {
     // cell grid + integer-ceiling rank target so the quantile answers
     // replay bit-exactly in the oracle (unlike KLL/t-digest, whose
     // summaries depend on partitioning)
-    // KMV distinct-count sketch: the gateable distinct sketch (HLL's
-    // registers are engine-opaque; KMV's k smallest hashes replay
-    // byte-for-byte). One row: est beside exact, plus the lossless
-    // parity-split merge witness
+    // KMV distinct-count sketch: k smallest hashes replay byte-for-byte
+    // (the engine-internal approx_count_distinct HLL stays spec-only;
+    // the explicit-register HLL below is gated). One row: est beside
+    // exact, plus the lossless parity-split merge witness
     "x_sketch_kmv" -> ((s, dir) => {
       val k = 512
       val hs = graft.sketch.Kmv.kmvHashes(
@@ -1988,6 +2017,32 @@ object SparkEntry {
         .select(col("n_sketch"), col("kth_h"), col("est_distinct"),
           col("exact_distinct"),
           (col("kth_m") === col("kth_h")).as("merge_matches"))
+    }),
+
+    // HLL distinct-count sketch with an EXPLICIT (hence gateable)
+    // register layout: md5-derived buckets + bin()-length ranks, exact
+    // integer estimator (DECIMAL raw branch, fixed-point-log linear
+    // counting — sf0.01's ~2k keys exercise LC, sf0.1's ~20k the raw
+    // branch), plus the parity-split max-merge witness. One row: est
+    // beside exact, merge_matches must be true
+    "x_sketch_hll" -> ((s, dir) => {
+      val p = 10
+      val hs = graft.sketch.Kmv.kmvHashes(
+        DerivedModel.table(s, dir, "lineitem"), "l_partkey")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Persisted.track(hs)
+      val regs = graft.sketch.Hll.hllRegisters(s, hs, p)
+      val est = graft.sketch.Hll.hllEstimate(regs, p)
+      val merged = graft.sketch.Hll.hllMerge(Seq(
+        graft.sketch.Hll.hllRegisters(s, hs.filter(col("h") % 2 === 0), p),
+        graft.sketch.Hll.hllRegisters(s, hs.filter(col("h") % 2 === 1), p)))
+      val mw = regs.join(
+          merged.withColumnRenamed("register", "register_m"), Seq("bucket"))
+        .agg((min(when(col("register") === col("register_m"), 1L).otherwise(0L))
+          === 1L).as("merge_matches"))
+      val exact = DerivedModel.table(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+      est.crossJoin(broadcast(exact)).crossJoin(broadcast(mw))
     }),
 
     "x_sketch_quantile" -> ((s, dir) =>
@@ -3817,6 +3872,16 @@ object SparkEntry {
 
       "x_sketch_kmv" ->
         graft.sketch.Kmv.kmvGateSql("lineitem", "l_partkey", k = 512),
+
+      "x_sketch_hll" ->
+        graft.sketch.Hll.hllGateSql("lineitem", "l_partkey", p = 10),
+
+      // streaming == batch for the HLL registers (max is associative);
+      // the oracle is the batch register build + estimator over the
+      // staged source's subset
+      "x_stream_hll_exec" ->
+        graft.sketch.Hll.hllGateSql("documents", "doc_id", p = 10,
+          where = "source <> 'src0'", withMerge = false),
 
       // the merged-read summary restated from the base table: even rows
       // are generation 1 (no lang column -> NULL), odd rows generation 2

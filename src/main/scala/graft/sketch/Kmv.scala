@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** K-MINIMUM-VALUES distinct-count sketch (Bar-Yossef et al. 2002; the
   * theta-sketch family's simplest member) — the distinct-count sketch
-  * that CAN hash-gate against an external oracle, unlike HLL whose
-  * register layout is engine-opaque (the r4 lesson that moved raw HLL to
-  * spec-only): the sketch is literally the `k` smallest hash values of
-  * the distinct set, and the estimator is one integer division — every
-  * byte replays in DuckDB.
+  * that CAN hash-gate against an external oracle, unlike engine-internal
+  * HLL whose register layout is opaque (the r4 lesson that moved
+  * `approx_count_distinct` to spec-only; [[Hll]] re-derives the registers
+  * explicitly and is gated in its own right): the sketch is literally the
+  * `k` smallest hash values of the distinct set, and the estimator is one
+  * integer division — every byte replays in DuckDB.
   *
   * Hash space: the first 12 hex chars of md5 as a 48-bit integer
   * (`conv` ≡ DuckDB `CAST('0x'||… AS BIGINT)`), so `(k−1)·2^48` stays in

@@ -200,6 +200,31 @@ object StreamingOps {
       .groupBy((col("h") % k).as("bucket"))
       .agg(min(col("h")).as("min_h"))
 
+  /** Streaming HLL register maintenance: the fixed-size distinct-count
+    * sketch as a live update-mode aggregation — state is AT MOST
+    * `m = 2^p` rows (one max-rank per bucket), duplicates can't raise a
+    * max so no dedup state exists, and the per-bucket max after the last
+    * batch equals the batch register table bit-for-bit (max is
+    * associative and arrival-order-free). The register-sketch sibling of
+    * [[streamingBucketMinSketch]]: same contract, m fixed bytes of state
+    * instead of k hashes, and the merge across streams/shards is a max.
+    * Empty buckets are materialized (as 0) downstream at estimate time
+    * ([[graft.sketch.Hll.hllRegisters]] grid-joins; the stream emits
+    * only touched buckets).
+    */
+  def streamingHllRegisters(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, valueCol: String, p: Int,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame =
+    graft.sketch.Hll.bucketRho(
+        spark.readStream
+          .schema(schemaFrom.schema)
+          .options(sourceOptions)
+          .parquet(sourcePath)
+          .select(graft.sketch.Kmv.kmvHashCol(col(valueCol)).as("h")),
+        p)
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("register"))
+
   /** STATELESS streaming winnow fingerprint extraction: each arriving
     * document emits its MOSS fingerprint set ([[graft.dedup.WinnowExpr]]
     * — one codegen scalar, so the whole selection runs at ingest scan
