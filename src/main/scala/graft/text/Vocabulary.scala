@@ -2251,13 +2251,17 @@ object Vocabulary {
     * which is tf-idf's own statement that it carries no signal; ranking
     * tie-break is (score desc, term asc), so the gate replays bit-for-bit.
     *
-    * Scale shape: the doc-frequency relation is vocab-bounded (one
-    * map-side-combined agg over distinct (doc, term) pairs) and the idf
-    * table broadcasts; the wide work is the tf agg — the [[buildVocab]]
-    * token-agg shape — and the per-doc top-k, a rank window that Catalyst
-    * plans as WindowGroupLimit (map-side per-group top-k BEFORE the
-    * shuffle — the domain-cap lesson, NOTES r10: never hand-schedule a
-    * rank prune). The token stream itself never shuffles twice.
+    * Scale shape: ONE exchange of the raw documents by doc id up front —
+    * `HashPartitioning(doc_id)` satisfies both the (doc, term) tf agg's
+    * clustering (hash keys may be a subset of grouping keys) and the
+    * rank window's, so the exploded token-pair relation NEVER shuffles
+    * (the r10-part-7 fix: the original plan exchanged the ~40×-wider
+    * (doc, term) pairs twice — tf agg + window — and went superlinear at
+    * 10M docs, 381 → 100 s). The repartitioned docs persist
+    * ([[graft.Persisted]]) because the tf subtree feeds two consumers
+    * (idf branch + scoring); the doc-frequency relation stays
+    * vocab-bounded (map-side-combined) and the idf table broadcasts. The
+    * per-doc top-k rank cut runs partition-local.
     * Magnitude: `tf · idf_fp < 2^63` holds while `tf < 2^36` — no real
     * document approaches it — and the log chain needs `N < 2^33` (the
     * [[surprisalModel]] TOTAL bound, here on the DOC count): past ~8.6B
@@ -2268,11 +2272,15 @@ object Vocabulary {
   def tfidfKeyTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k >= 1")
-    val tf = df.select(col(idCol),
+    val docs = df.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Persisted.track(docs)
+    val tf = docs.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val nDocs = df.agg(count(lit(1)).as("_n"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
     val idf = log2FixedCols(
       tf.groupBy(col("term")).agg(count(lit(1)).as("_df"))
         .crossJoin(broadcast(nDocs))
