@@ -1149,6 +1149,15 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_hits"))))
     }),
 
+    // LSH banding S-curve audit (eval family): empirical detection rate
+    // per exact-Jaccard bin for the b=8/r=2 banding — the measured
+    // P(detect|J) curve a dedup deployment checks against the designed
+    // 1-(1-J^r)^b before trusting its band sizing; banding replayed via
+    // the md5 permutation family (production xxhash64 has no SQL twin)
+    "x_eval_lsh_curve" -> ((s, dir) =>
+      graft.dedup.Dedup.lshDetectionCurve(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text")),
+
     // adaptive components: pair set fits the driver -> exact in-memory
     // union-find (no iteration bound); larger -> distributed label
     // propagation. Checked against the recursive-CTE components oracle.
@@ -3414,6 +3423,7 @@ object SparkEntry {
       // 16 bands x 2 rows misses a tau=0.8 pair with prob (1-0.64)^16 ~ 1e-7
       "x_dedup_minhash" -> ngramJaccardOracle,
       "x_eval_dedup_recall" -> dedupRecallOracle,
+      "x_eval_lsh_curve" -> graft.dedup.Dedup.lshDetectionCurveSql(),
 
       "x_dedup_embed_cosine" ->
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine

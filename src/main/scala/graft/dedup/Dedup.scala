@@ -689,6 +689,137 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EMPIRICAL LSH BANDING S-CURVE (eval family): per exact-Jaccard bin,
+    * how many pairs the MinHash banding actually detects — the measured
+    * counterpart of the design curve `P(detect|J) = 1 − (1 − J^r)^b`,
+    * answering "are b/r sized right for THIS corpus's similarity mass?"
+    * before a dedup deployment trusts the banding (Leskovec/Rajaraman/
+    * Ullman ch. 3's tuning step, done on data instead of faith).
+    *
+    * The audited banding uses a DuckDB-REPLAYABLE permutation family —
+    * per-seed 48-bit md5 minima ([[graft.sketch.Kmv.kmvHashCol]]'s hash
+    * with a `"<seed>|"` prefix) — because the production path's
+    * `xxhash64` has no DuckDB twin (that gate pins truth-set EQUALITY at
+    * its design point instead; this gate measures the curve across ALL
+    * bins, which needs the banding itself in both engines). Min-stability
+    * is hash-family-independent, so the md5 curve estimates the same
+    * detection probabilities the xxhash64 deployment has.
+    *
+    * Output: one row per occupied bin `j_bucket = ⌊buckets·J⌋` (exact
+    * integer: `(buckets·i) DIV (n_a+n_b−i)`), with `n_pairs`,
+    * `n_detected`, and `det_permille = (1000·n_detected) DIV n_pairs`.
+    * Pairs below `floorNum/floorDen` exact Jaccard are out of scope (the
+    * truth-set join below the floor is the quadratic tail nobody audits).
+    *
+    * Scale: the banding side is signature agg + band equi-join (the
+    * production shape); the TRUTH side is the unguarded all-shingle
+    * self-join — the audit's real cost, Σdf² candidates. Run it on a
+    * hash-sample of the corpus ([[graft.ops.Sampling.hashSample]]) at
+    * 100 TB; the curve is a per-pair Bernoulli average, so a sample
+    * estimates it with the usual 1/√pairs error.
+    */
+  def lshDetectionCurve(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 2,
+      floorNum: Int = 1, floorDen: Int = 5, buckets: Int = 20): DataFrame = {
+    require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
+    val ng = Persisted.track(shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // fused signature+count agg (the minhashScoredCandidates shape),
+    // with the replayable hash family
+    val aggs = (0 until numPerms).map(i =>
+      min(graft.sketch.Kmv.kmvHashCol(concat(lit(s"$i|"), col("ngram"))))
+        .as(s"_h$i")) :+ count(lit(1)).as("n_shingles")
+    val sig = Persisted.track(ng.groupBy(col("_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val numBands = numPerms / rowsPerBand
+    // band keys are the raw per-band minima tuple (no bucket re-hash —
+    // the tuple IS the key, and stays replayable)
+    val bands = (0 until numBands).map { b =>
+      sig.select(Seq(col("_id"), lit(b).as("band")) ++
+        (0 until rowsPerBand).map(r =>
+          col(s"_h${b * rowsPerBand + r}").as(s"_k$r")): _*)
+    }.reduce(_.unionByName(_))
+    val keys = "band" +: (0 until rowsPerBand).map(r => s"_k$r")
+    val det = bands.select(keys.map(col) :+ col("_id").as("id_a"): _*)
+      .join(bands.select(keys.map(col) :+ col("_id").as("id_b"): _*),
+        keys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact truth set ≥ floor, integer-binned (the ngramJaccardPairs
+    // intersection shape, kept in integers end to end)
+    val cnt = sig.select(col("_id"), col("n_shingles"))
+    val inter = ng.select(col("_id").as("id_a"), col("ngram"))
+      .hint("shuffle_hash")
+      .join(ng.select(col("_id").as("id_b"), col("ngram")).hint("shuffle_hash"),
+        Seq("ngram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.select(col("_id").as("id_a"), col("n_shingles").as("n_a")), Seq("id_a"))
+      .join(cnt.select(col("_id").as("id_b"), col("n_shingles").as("n_b")), Seq("id_b"))
+      .withColumn("_union", col("n_a") + col("n_b") - col("n_inter"))
+      .filter(lit(floorDen.toLong) * col("n_inter")
+        >= lit(floorNum.toLong) * col("_union"))
+      .withColumn("j_bucket", expr(s"($buckets * n_inter) DIV _union"))
+      .join(det.withColumn("_hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_detected"))
+      .withColumn("det_permille", expr("(1000 * n_detected) DIV n_pairs"))
+  }
+
+  /** DuckDB twin of [[lshDetectionCurve]] over `documents`: identical
+    * shingles, identical per-seed md5 minima, identical band-tuple
+    * equi-join, identical integer bins. */
+  def lshDetectionCurveSql(n: Int = 3, numPerms: Int = 16,
+      rowsPerBand: Int = 2, floorNum: Int = 1, floorDen: Int = 5,
+      buckets: Int = 20): String = {
+    require(n == 3, "the SQL twin unrolls word trigrams")
+    val numBands = numPerms / rowsPerBand
+    val sigCols = (0 until numPerms).map(i =>
+      s"    min(CAST(('0x' || substr(md5('$i|' || ngram), 1, 12)) AS BIGINT)) AS h$i")
+      .mkString(",\n")
+    val bandArms = (0 until numBands).map { b =>
+      val ks = (0 until rowsPerBand).map(r =>
+        s"h${b * rowsPerBand + r} AS k$r").mkString(", ")
+      s"  SELECT doc_id, $b AS band, $ks FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    val keyEq = ("a.band = b.band" +: (0 until rowsPerBand).map(r =>
+      s"a.k$r = b.k$r")).mkString(" AND ")
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |ng AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |$sigCols,
+       |    CAST(count(*) AS BIGINT) AS n FROM ng GROUP BY doc_id),
+       |bands AS (
+       |$bandArms),
+       |det AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON $keyEq AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+       |  FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |ex AS (
+       |  SELECT id_a, id_b, ($buckets * i) // (ca.n + cb.n - i) AS j_bucket
+       |  FROM inter
+       |  JOIN sig ca ON id_a = ca.doc_id
+       |  JOIN sig cb ON id_b = cb.doc_id
+       |  WHERE $floorDen * i >= $floorNum * (ca.n + cb.n - i))
+       |SELECT j_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN d.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_detected,
+       |  (1000 * CAST(sum(CASE WHEN d.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT))
+       |    // CAST(count(*) AS BIGINT) AS det_permille
+       |FROM ex LEFT JOIN det d USING (id_a, id_b)
+       |GROUP BY j_bucket""".stripMargin
+  }
+
   // ---------------- duplicate groups (connected components) ----------------
 
   private def undirectedEdges(pairs: DataFrame, idA: String, idB: String): DataFrame =

@@ -373,4 +373,42 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val flat7 = canon(Dedup.simhashPairs(hashes, maxHamming = 4))
     assert(canon(Dedup.simhashPairsSplit(hashes, 4, 0L)) == flat7)
   }
+
+  test("LSH detection curve tracks 1-(1-J^r)^b on controlled-Jaccard pairs") {
+    import spark.implicits._
+    // three similarity levels with EXACT trigram Jaccard by construction:
+    // each pair shares a c-token prefix and has pair-unique suffixes, so
+    // shared trigrams = c-2 and J = (c-2)/(80-(c-2)) for 42-token docs.
+    // All tokens are pair-unique -> zero cross-pair similarity.
+    val levels = Seq(14, 27, 36) // shared trigrams -> J = 0.212, 0.509, 0.818
+    val pairsPerLevel = 120
+    val docs = levels.zipWithIndex.flatMap { case (shared, l) =>
+      val c = shared + 2
+      (0 until pairsPerLevel).flatMap { i =>
+        val prefix = (0 until c).map(j => s"L${l}p${i}c$j")
+        val a = prefix ++ (0 until (42 - c)).map(j => s"L${l}p${i}a$j")
+        val b = prefix ++ (0 until (42 - c)).map(j => s"L${l}p${i}b$j")
+        Seq(((l * pairsPerLevel + i) * 2L, a.mkString(" ")),
+          ((l * pairsPerLevel + i) * 2L + 1, b.mkString(" ")))
+      }
+    }.toDF("doc_id", "text")
+    val curve = Dedup.lshDetectionCurve(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Persisted.unpersistAll()
+    // every constructed pair lands in its level's bin; no strays
+    val expectedBins = Map(4 -> 0.2121, 10 -> 0.5094, 16 -> 0.8182)
+    assert(curve.keySet == expectedBins.keySet.map(_.toLong),
+      s"unexpected bins: ${curve.keySet}")
+    val rates = expectedBins.map { case (bin, j) =>
+      val (n, det) = curve(bin.toLong)
+      assert(n == pairsPerLevel, s"bin $bin: $n pairs")
+      val rate = det.toDouble / n
+      val theory = 1.0 - math.pow(1.0 - j * j, 8)
+      // binomial 4-sigma at n=120 is <= 0.19 at worst-case p
+      assert(math.abs(rate - theory) < 0.2,
+        f"bin $bin: empirical $rate%.3f vs theoretical $theory%.3f")
+      rate
+    }.toSeq
+    assert(rates == rates.sorted, s"detection not monotone in J: $rates")
+  }
 }
