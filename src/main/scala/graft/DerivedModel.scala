@@ -193,6 +193,28 @@ object DerivedModel {
         ((col("doc_id") * 31 + 5) % col("_graft_n")).as("dst")))
   }
 
+  /** [[linkGraph]] plus deterministically planted triangle closures:
+    * every 25th doc closes the 3-cycle (d, d+1, d+2) mod n. The affine
+    * link graph alone is triangle-free (verified at both SFs — affine
+    * maps rarely close 3-cycles), so the closures give
+    * [[graft.graph.Triangles]] a non-degenerate count (n/25 triangles)
+    * while keeping the relation replayable in SQL
+    * ([[DerivedSql.triangleGraphEdgesBody]]). */
+  def triangleGraph(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("_graft_n"))
+    val withN = docs.crossJoin(broadcast(n))
+    val every25 = withN.filter(col("doc_id") % 25 === 0)
+    linkGraph(spark, dir)
+      .unionByName(every25.select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % col("_graft_n")).as("dst")))
+      .unionByName(every25.select(col("doc_id").as("src"),
+        ((col("doc_id") + 2) % col("_graft_n")).as("dst")))
+      .unionByName(every25.select(
+        ((col("doc_id") + 1) % col("_graft_n")).as("src"),
+        ((col("doc_id") + 2) % col("_graft_n")).as("dst")))
+  }
+
   def occurrence(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .join(broadcast(table(spark, dir, "nation")),
@@ -318,6 +340,19 @@ object DerivedSql {
       |UNION ALL
       |SELECT doc_id AS src, (doc_id * 31 + 5) % n AS dst
       |  FROM documents, (SELECT count(*) AS n FROM documents)""".stripMargin
+
+  /** Twin of [[DerivedModel.triangleGraph]]. */
+  val triangleGraphEdgesBody: String =
+    s"""$linkGraphEdgesBody
+       |UNION ALL
+       |SELECT doc_id AS src, (doc_id + 1) % n AS dst
+       |  FROM documents, (SELECT count(*) AS n FROM documents) WHERE doc_id % 25 = 0
+       |UNION ALL
+       |SELECT doc_id AS src, (doc_id + 2) % n AS dst
+       |  FROM documents, (SELECT count(*) AS n FROM documents) WHERE doc_id % 25 = 0
+       |UNION ALL
+       |SELECT (doc_id + 1) % n AS src, (doc_id + 2) % n AS dst
+       |  FROM documents, (SELECT count(*) AS n FROM documents) WHERE doc_id % 25 = 0""".stripMargin
 
   /** Strict name resolution (J1 semantics, TaxonomyResolver scaladoc):
     * unique-candidate match with rank constraint, synonym chase, taxid

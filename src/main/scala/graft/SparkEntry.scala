@@ -2255,6 +2255,13 @@ object SparkEntry {
     // curation-time quality weight a hyperlink graph yields at web scale.
     // Per round: one join against the once-partitioned edge relation +
     // one key agg; every round replays bit-for-bit in the oracle
+    // triangle counting by degree-ordered orientation (out-degrees
+    // bounded O(sqrt m) whatever the raw skew); one row with the count
+    // plus max oriented out-degree as the scalability certificate
+    "x_graph_triangles" -> ((s, dir) =>
+      graft.graph.Triangles.triangleCount(
+        DerivedModel.triangleGraph(s, dir))),
+
     "x_graph_pagerank" -> ((s, dir) =>
       graft.graph.PageRank.pageRank(
         DerivedModel.table(s, dir, "documents").select(col("doc_id").as("node")),
@@ -3287,6 +3294,10 @@ object SparkEntry {
            |WHERE tokens_before < 2000""".stripMargin,
 
       // 8 unrolled MATERIALIZED rank CTEs, integer arithmetic end to end
+      "x_graph_triangles" ->
+        graft.graph.Triangles.triangleCountSql(
+          DerivedSql.triangleGraphEdgesBody),
+
       "x_graph_pagerank" ->
         graft.graph.PageRank.pageRankSql(
           "SELECT doc_id AS node FROM documents",

@@ -123,6 +123,37 @@ class PageRankSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0L) != got(4L), s"bridge must not merge the triangles: $got")
   }
 
+  test("triangle count: known graphs (K4 = 4, path = 0, self/dup edges " +
+    "ignored) and naive-reference equality on random graphs") {
+    import spark.implicits._
+    def count(edges: Seq[(Long, Long)]): (Long, Long) = {
+      val r = graft.graph.Triangles.triangleCount(edges.toDF("src", "dst"))
+        .head()
+      Persisted.unpersistAll()
+      (r.getAs[Long]("n_triangles"), r.getAs[Long]("max_oriented_outdeg"))
+    }
+    // K4: C(4,3) = 4 triangles; oriented out-degree can reach 3
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(count(k4)._1 == 4L)
+    // a path has no triangles; duplicate + self edges must not create any
+    assert(count(Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 2L), (2L, 1L),
+      (3L, 3L)))._1 == 0L)
+    // random graphs vs the naive driver-side reference (distinct node
+    // triples with all three edges present)
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter { case (a, b) => a != b }
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val naive = (for {
+        a <- 0L until 20L; b <- a + 1 until 20L; c <- b + 1 until 20L
+        if und((a, b)) && und((a, c)) && und((b, c))
+      } yield 1).size
+      val got = count(edges)._1
+      assert(got == naive, s"triangles $got diverge from naive $naive")
+    }
+  }
+
   test("label propagation: majority beats smaller label id; isolated " +
       "nodes keep their own label") {
     // node 4's neighbors: {0} once, {5} twice -> label 5 wins by count
