@@ -1919,6 +1919,25 @@ object SparkEntry {
         .crossJoin(broadcast(exact))
     }),
 
+    // streaming count-min maintenance (17th real StreamingQuery):
+    // update-mode counter sums — at most Depth * 2^w state rows at any
+    // token cardinality; last update per (r, bucket) == the batch sketch
+    "x_stream_cms_exec" -> ((s, dir) => {
+      val widthBits = 8
+      val srcPath = stagedRawDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
+        graft.streaming.StreamingOps.streamingCmsSketch(
+          s, srcPath, src, "text", widthBits),
+        s"${tmpPath(dir, "stream_exec_cms")}/sink")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("r"), col("bucket"))
+        .orderBy(col("_graft_batch_id").desc, col("cnt").desc)
+      upd.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("r"), col("bucket"), col("cnt"))
+    }),
+
     // streaming HLL register maintenance (16th real StreamingQuery):
     // update-mode max(rho) per bucket — at most m = 2^p rows of state,
     // no dedup state (a duplicate can't raise a max); last update per
@@ -3809,6 +3828,10 @@ object SparkEntry {
 
       "x_sketch_cms_topk" ->
         graft.sketch.CountMinOracle.heavyHittersSql(k = 25, widthBits = 8),
+
+      "x_stream_cms_exec" ->
+        graft.sketch.CountMinOracle.sketchSql(
+          widthBits = 8, where = "source <> 'src0'"),
 
       "x_text_surprisal" -> graft.text.Vocabulary.surprisalSql,
 

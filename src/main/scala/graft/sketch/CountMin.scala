@@ -43,8 +43,15 @@ object CmsBucketsExpr {
     * `widthBits` bits of `h * A_r` — Dietzfelbinger et al.'s universal
     * hashing; odd multiplier is the only requirement).
     */
+  // NB: r10 part 7 fixed a transcription typo in the P1 literal
+  // (-7046029254386353131 ≠ P1 mod 2^64): the old value was still an odd
+  // multiplier, so the sketch was statistically sound and self-consistent
+  // — but it silently diverged from the oracle's true-P1 bucket mapping,
+  // which the min-estimate top-k gate could never see (both sides
+  // collision-free at the top => identical estimates). The raw-counter
+  // streaming gate (x_stream_cms_exec) is what surfaced it.
   val Multipliers: Array[Long] = Array(
-    -7046029254386353131L, // P1 = 11400714785074694791
+    -7046029288634856825L, // P1 = 11400714785074694791
     -4417276706812531889L, // P2 = 14029467366897019727
     1609587929392839161L,  // P3
     2870177450012600261L)  // P5

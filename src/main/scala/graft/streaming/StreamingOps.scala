@@ -225,6 +225,29 @@ object StreamingOps {
       .groupBy(col("bucket"))
       .agg(max(col("rho")).as("register"))
 
+  /** Streaming COUNT-MIN sketch maintenance: the heavy-hitter sketch as
+    * a live update-mode aggregation — state is AT MOST `Depth · 2^w`
+    * counter rows (1024 at the gate's w = 8) regardless of token-stream
+    * cardinality, each counter an associative sum, so the last update
+    * per (r, bucket) equals the batch sketch bit-for-bit. The frequency
+    * sibling of [[streamingBucketMinSketch]] (distinct) and
+    * [[streamingHllRegisters]] (distinct, fixed-size): together the
+    * three standard streamable summaries — count, cardinality,
+    * cardinality-compact. Point queries against the live counters go
+    * through [[graft.sketch.CountMin.estimates]] downstream.
+    */
+  def streamingCmsSketch(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, textCol: String, widthBits: Int,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame =
+    graft.sketch.CountMin.sketch(
+      graft.sketch.CountMin.tokens(
+        spark.readStream
+          .schema(schemaFrom.schema)
+          .options(sourceOptions)
+          .parquet(sourcePath),
+        textCol),
+      widthBits)
+
   /** STATELESS streaming winnow fingerprint extraction: each arriving
     * document emits its MOSS fingerprint set ([[graft.dedup.WinnowExpr]]
     * — one codegen scalar, so the whole selection runs at ingest scan

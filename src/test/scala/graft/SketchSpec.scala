@@ -43,6 +43,33 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
     assert(sk.filter(col("cnt") <= 0).count() === 0L)
   }
 
+  test("streaming CMS over 3 micro-batches equals the batch sketch " +
+    "(counter sums are associative)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cms_stream").toString
+    val src = s"$dir/src"
+    (0 until 3).foreach { i =>
+      (0 until 200).map(j => (i * 200L + j, s"w${(i * 7 + j) % 90} w${j % 55}"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    }
+    val batchDf = spark.read.parquet(src)
+    val expected = CountMin.sketch(CountMin.tokens(batchDf, "text"), 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
+      graft.streaming.StreamingOps.streamingCmsSketch(
+        spark, src, batchDf, "text", 6,
+        sourceOptions = Map("maxFilesPerTrigger" -> "1")),
+      s"$dir/sink")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("r"), col("bucket"))
+      .orderBy(col("_graft_batch_id").desc, col("cnt").desc)
+    val got = upd.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"streaming counters diverge: ${got.size} vs ${expected.size} cells")
+  }
+
   test("quantile sketch brackets the exact quantile, rank error 0") {
     val binW = 64L
     val got = QuantileSketch.valueQuantiles(docs, "n_chars",
