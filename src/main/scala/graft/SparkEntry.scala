@@ -1149,6 +1149,35 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_hits"))))
     }),
 
+    // split-leakage audit (eval family): how many duplicate pairs CROSS
+    // the train/val/test boundary — the decontaminate-your-split number
+    // (Lee et al. 2021: cross-split near-dups inflate eval scores).
+    // Composition of the deterministic hash split + the exact content
+    // hash + the staged tau=0.8 near-dup truth pairs; dedup-THEN-split
+    // is the fix this audit argues for when its counts are nonzero
+    "x_eval_split_leakage" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      val lab = graft.ops.Sampling.datasetSplit(docs, "doc_id")
+        .select(col("doc_id"), col("split"),
+          md5(col("text").cast("binary")).as("_chash"))
+      val la = lab.select(col("doc_id").as("id_a"), col("split").as("_sa"),
+        col("_chash").as("_ha"))
+      val lb = lab.select(col("doc_id").as("id_b"), col("split").as("_sb"),
+        col("_chash").as("_hb"))
+      val exact = la.join(lb, col("_ha") === col("_hb")
+          && col("id_a") < col("id_b"))
+        .agg(count(lit(1)).as("n_exact_pairs"),
+          coalesce(sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)),
+            lit(0L)).as("n_cross_exact"))
+      val near = minhashPairsRawDim(s, dir).select(col("id_a"), col("id_b"))
+        .join(la.select(col("id_a"), col("_sa")), Seq("id_a"))
+        .join(lb.select(col("id_b"), col("_sb")), Seq("id_b"))
+        .agg(count(lit(1)).as("n_near_pairs"),
+          coalesce(sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)),
+            lit(0L)).as("n_cross_near"))
+      exact.crossJoin(broadcast(near))
+    }),
+
     // LSH banding S-curve audit (eval family): empirical detection rate
     // per exact-Jaccard bin for the b=8/r=2 banding — the measured
     // P(detect|J) curve a dedup deployment checks against the designed
@@ -3454,6 +3483,30 @@ object SparkEntry {
       "x_dedup_minhash" -> ngramJaccardOracle,
       "x_eval_dedup_recall" -> dedupRecallOracle,
       "x_eval_lsh_curve" -> graft.dedup.Dedup.lshDetectionCurveSql(),
+
+      // the tau=0.8 truth CTEs + the replayable split label + exact
+      // content-hash pairs, counted across the boundary
+      "x_eval_split_leakage" ->
+        s"""WITH $ngramJaccardCtes,
+           |lab AS MATERIALIZED (
+           |  SELECT doc_id, ${graft.ops.Sampling.datasetSplitSql(
+                 "doc_id", trainFrac = 0.8, valFrac = 0.1)} AS split,
+           |    md5(text) AS h
+           |  FROM documents),
+           |ex AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           |    CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |      AS n_cross_exact
+           |  FROM lab a JOIN lab b ON a.h = b.h AND a.doc_id < b.doc_id),
+           |nr AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_near_pairs,
+           |    CAST(coalesce(sum(CASE WHEN la.split <> lb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |      AS n_cross_near
+           |  FROM simpairs p
+           |  JOIN lab la ON la.doc_id = p.id_a
+           |  JOIN lab lb ON lb.doc_id = p.id_b)
+           |SELECT n_exact_pairs, n_cross_exact, n_near_pairs, n_cross_near
+           |FROM ex CROSS JOIN nr""".stripMargin,
 
       "x_dedup_embed_cosine" ->
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
