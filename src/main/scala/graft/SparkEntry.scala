@@ -454,6 +454,15 @@ object SparkEntry {
         rowsPerFile = 250L,
         outPath = s"${tmpPath(dir, "compact_out")}/docs")),
 
+    // zone-map skip audit: same rows, two layouts, one band predicate —
+    // the measured file-pruning gap that justifies (or doesn't) paying
+    // for a clustered rewrite; per-file stats read back from disk
+    "x_layout_zonemap" -> ((s, dir) =>
+      graft.sources.Layout.zoneMapSkipAudit(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "n_chars",
+        maxValue = 600L, rowsPerFile = 50L, lo = 200L, hi = 299L,
+        outRoot = s"${tmpPath(dir, "zonemap_out")}/docs")),
+
     // ---- K8: parquet schema evolution on read (mergeSchema) -----------
     // two written generations (v2 adds the lang column), one unified
     // read; old rows surface lang as NULL and the summary proves the
@@ -2576,6 +2585,11 @@ object SparkEntry {
     "s4_global_sort" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity < 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "x_layout_zonemap" ->
+      graft.sources.Layout.zoneMapSkipAuditSql(
+        "n_chars", maxValue = 600L, rowsPerFile = 50L,
+        lo = 200L, hi = 299L),
 
     "x_layout_zorder" ->
       s"""SELECT l_orderkey, l_partkey,

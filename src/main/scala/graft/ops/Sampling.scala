@@ -320,6 +320,35 @@ object Sampling {
       .drop("_graft_bkt", "_graft_offset")
   }
 
+  /** [[withGlobalPosition]] in VALUE order instead of hash order:
+    * contiguous 0-based rank by `(valueCol, keyCol)`, via the same
+    * bucket-offset cumsum (bucket = value DIV width with width sized so
+    * ~256 ordered bands exist below `maxValue`; values above `maxValue`
+    * simply land in further bands — no clamp). The clustered-layout
+    * writer's positioning primitive: unlike `repartitionByRange`, the
+    * shard boundaries are a pure function of the DATA (range sampling
+    * is not), so written file contents replay in an external oracle.
+    */
+  def withGlobalPositionByValue(df: DataFrame, keyCol: String,
+      valueCol: String, maxValue: Long): DataFrame = {
+    require(maxValue >= 0)
+    val width = math.max(1L, (maxValue + 256) / 256)
+    val bucketed = df.withColumn("_graft_bkt", expr(s"$valueCol DIV ${width}L"))
+    val offsets = bucketed.groupBy(col("_graft_bkt"))
+      .agg(count(lit(1)).as("_graft_n"))
+      .withColumn("_graft_offset",
+        coalesce(sum(col("_graft_n")).over(
+          Window.orderBy(col("_graft_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_graft_bkt"), col("_graft_offset"))
+    val localRank = row_number().over(
+      Window.partitionBy(col("_graft_bkt"))
+        .orderBy(col(valueCol), col(keyCol)))
+    bucketed.join(broadcast(offsets), "_graft_bkt")
+      .withColumn("position", (col("_graft_offset") + localRank).cast("long") - 1L)
+      .drop("_graft_bkt", "_graft_offset")
+  }
+
   /** Per-domain document cap (the CommonCrawl/C4 host-cap curation
     * step: no single domain may contribute more than `cap` documents,
     * survivors chosen by deterministic hash order, not arrival order).

@@ -118,6 +118,82 @@ object Layout {
       min(col("_rows")).as("min_per_file"))
   }
 
+  /** ZONE-MAP FILE-SKIPPING AUDIT: the quantified answer to "what does
+    * clustering buy this predicate" — write the SAME rows under two
+    * layouts (clustered: global `(valueCol, keyCol)` order; arrival:
+    * the deterministic `(md5(key), key)` shuffle order), equal-size
+    * files each, then read per-file `(min, max)` of `valueCol` BACK
+    * FROM DISK (`input_file_name()` — what actually landed, not the
+    * intended arithmetic, the [[compactByRows]] convention) and count
+    * the files a `BETWEEN lo AND hi` scan skips (`max < lo OR min >
+    * hi` — exactly the parquet row-group / Delta file-stat pruning
+    * rule). Two rows out: `(layout, n_files, n_skipped, rows_scanned)`.
+    *
+    * At 100 TB this ratio IS the scan bill: zone maps prune for free
+    * when the layout clusters the predicate column and prune nothing
+    * under arrival order — the audit turns that folklore into a number
+    * for THIS table and THIS predicate before anyone pays for the
+    * rewrite. Both layouts position rows with the bucket-offset cumsum
+    * ([[graft.ops.Sampling.withGlobalPositionByValue]] /
+    * `withGlobalPosition`), never a one-partition window, and shards
+    * co-locate via one hash repartition — the [[compactByRows]] write
+    * shape.
+    */
+  def zoneMapSkipAudit(df: DataFrame, keyCol: String, valueCol: String,
+      maxValue: Long, rowsPerFile: Long, lo: Long, hi: Long,
+      outRoot: String): DataFrame = {
+    require(rowsPerFile >= 1 && lo <= hi)
+    val spark = df.sparkSession
+    def one(layout: String, positioned: DataFrame): DataFrame = {
+      val path = s"$outRoot/$layout"
+      positioned
+        .withColumn("_graft_shard", expr(s"position DIV ${rowsPerFile}L"))
+        .drop("position")
+        .repartition(col("_graft_shard"))
+        .write.mode("overwrite").partitionBy("_graft_shard").parquet(path)
+      val skip = col("_mx") < lo || col("_mn") > hi
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("_f"))
+        .agg(min(col(valueCol)).as("_mn"), max(col(valueCol)).as("_mx"),
+          count(lit(1)).as("_rows"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(skip, 1L).otherwise(0L)).as("n_skipped"),
+          sum(when(skip, 0L).otherwise(col("_rows"))).as("rows_scanned"))
+        .select(lit(layout).as("layout"), col("n_files"), col("n_skipped"),
+          col("rows_scanned"))
+    }
+    one("clustered", graft.ops.Sampling.withGlobalPositionByValue(
+        df, keyCol, valueCol, maxValue))
+      .unionByName(one("arrival",
+        graft.ops.Sampling.withGlobalPosition(df, keyCol)))
+  }
+
+  /** DuckDB twin of [[zoneMapSkipAudit]] over `documents`: replays the
+    * two position rules, the shard arithmetic, and the skip predicate —
+    * equality with the Spark side proves the on-disk files hold exactly
+    * the planned shards. */
+  def zoneMapSkipAuditSql(valueCol: String, maxValue: Long,
+      rowsPerFile: Long, lo: Long, hi: Long): String = {
+    val width = math.max(1L, (maxValue + 256) / 256)
+    def arm(layout: String, order: String) =
+      s"""SELECT '$layout' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(CASE WHEN mx < $lo OR mn > $hi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_skipped,
+         |  CAST(sum(CASE WHEN mx < $lo OR mn > $hi THEN 0 ELSE r END) AS BIGINT)
+         |    AS rows_scanned
+         |FROM (
+         |  SELECT p // $rowsPerFile AS f, min($valueCol) AS mn,
+         |    max($valueCol) AS mx, CAST(count(*) AS BIGINT) AS r
+         |  FROM (SELECT $valueCol,
+         |          row_number() OVER (ORDER BY $order) - 1 AS p
+         |        FROM documents)
+         |  GROUP BY 1)""".stripMargin
+    // the clustered rank orders by (value, key) — the bucket-offset
+    // cumsum + within-band rank composes to exactly this total order
+    arm("clustered", s"$valueCol, doc_id") + "\nUNION ALL\n" +
+      arm("arrival", "md5(CAST(doc_id AS VARCHAR)), doc_id")
+  }
+
   /** Parquet schema evolution on read: write two dataset generations —
     * the later one carrying columns the earlier one lacks — then read
     * them as ONE relation with `mergeSchema`, the lakehouse

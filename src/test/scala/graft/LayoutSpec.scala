@@ -76,6 +76,25 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       "zorderBy must order rows by the morton key")
   }
 
+  test("zone-map audit: clustered layout prunes to exact file granularity, " +
+    "arrival order prunes nothing") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, i)).toDF("doc_id", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("zonemap").toString
+    val rows = graft.sources.Layout.zoneMapSkipAudit(
+        docs, "doc_id", "n_chars", maxValue = 999L, rowsPerFile = 100L,
+        lo = 250L, hi = 349L, outRoot = dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // clustered: value == position, so files hold [0,99],[100,199],… —
+    // the [250,349] band touches exactly files 2 and 3
+    assert(rows("clustered") == ((10L, 8L, 200L)), rows("clustered"))
+    // arrival (md5 order): each 100-row file misses the 10%-wide band
+    // with prob 0.9^100 ~ 2.7e-5 — no file skips, full scan
+    val (af, askip, ascan) = rows("arrival")
+    assert(af == 10L && askip == 0L && ascan == 1000L, rows("arrival"))
+  }
+
   test("schemaEvolvedRead: merged relation holds both generations, old " +
       "rows surface the new column as NULL") {
     import spark.implicits._
