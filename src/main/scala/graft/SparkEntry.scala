@@ -1752,6 +1752,14 @@ object SparkEntry {
         DerivedModel.table(s, dir, "documents"), "text",
         batchRounds = 3, batchSize = 3)),
 
+    // block-partitioned inverted index build: the staged search
+    // artifact; blocks bound every posting row by blockSize, so the
+    // stopword giant-row problem never materializes at any corpus size
+    "x_search_index" -> ((s, dir) =>
+      graft.text.Vocabulary.invertedIndex(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        blockSize = 100L)),
+
     // keyword search: integer-scored (distinct terms, matches, id) top-k
     // — IN-filtered scan, map-side-combined agg, ordered limit
     "x_search_keywords" -> ((s, dir) =>
@@ -3873,6 +3881,9 @@ object SparkEntry {
       "x_vocab_bpe_batched" ->
         graft.text.Vocabulary.bpeTrainBatchedSql(
           batchRounds = 3, batchSize = 3),
+
+      "x_search_index" ->
+        graft.text.Vocabulary.invertedIndexSql(blockSize = 100L),
 
       "x_search_keywords" ->
         graft.text.Vocabulary.searchByTokensSql(

@@ -109,6 +109,48 @@ object Vocabulary {
        |FROM tok t LEFT JOIN v ON t.token = v.token
        |GROUP BY t.doc_id""".stripMargin
 
+  /** BLOCK-PARTITIONED INVERTED INDEX build — the staged artifact the
+    * ranked-retrieval gates ([[searchByTokens]], [[bm25SearchFixed]])
+    * probe implicitly; building it ONCE and serving lookups is the
+    * deployment shape of search over a corpus. One row per
+    * `(term, block)` with the block's sorted posting list and its count:
+    *
+    *   `block = doc_id DIV blockSize` — the Lucene-segment analogue.
+    *
+    * Why blocks and not one list per term: posting lists are the most
+    * skewed relation in a corpus (a stopword's list is the corpus), so a
+    * plain `collect_list` per term re-creates the giant-row problem at
+    * 100 TB. Block partitioning bounds every row by `blockSize`, keeps
+    * the build a single (term, block) agg (map-side combined), makes
+    * incremental maintenance append-only (new docs touch only the
+    * newest block), and intersects/merges block-by-block downstream.
+    * Postings are the DISTINCT docs containing the term, sorted — the
+    * a1 sorted-collect convention, so the oracle replays the arrays
+    * exactly.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      blockSize: Long): DataFrame = {
+    require(blockSize >= 1)
+    df.select(col(idCol).as("_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("_id"), col("term")).distinct()
+      .groupBy(col("term"), expr(s"_id DIV ${blockSize}L").as("block"))
+      .agg(count(lit(1)).as("block_df"),
+        sort_array(collect_list(col("_id"))).as("postings"))
+  }
+
+  /** DuckDB twin of [[invertedIndex]] over `documents`. */
+  def invertedIndexSql(blockSize: Long): String =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS term
+       |  FROM documents)
+       |SELECT term, doc_id // $blockSize AS block,
+       |  CAST(count(*) AS BIGINT) AS block_df,
+       |  list_sort(list(doc_id)) AS postings
+       |FROM tok WHERE term <> ''
+       |GROUP BY term, block""".stripMargin
+
   /** Integer-scored keyword search: rank documents by (distinct query
     * terms matched, total matches, id). The query-term set is a literal
     * broadcast into the scan predicate (an `IN` filter — pushdown-

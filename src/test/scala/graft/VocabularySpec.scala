@@ -286,4 +286,28 @@ class VocabularySpec extends AnyFunSuite with SparkTestBase {
     assert(got.length == 1 && got(0).getLong(1) == 3L, // 2 unigrams + 1 bigram
       s"got ${got.toSeq}")
   }
+
+  test("invertedIndex: block rows bounded by blockSize, postings equal a " +
+    "direct filter, incremental append touches only the newest block") {
+    import spark.implicits._
+    val docs = (0L until 230L).map(i => (i, s"w${i % 7} w${i % 3} shared"))
+      .toDF("doc_id", "text")
+    val idx = Vocabulary.invertedIndex(docs, "doc_id", "text", blockSize = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getSeq[Long](3))).toMap
+    // every block row bounded; 'shared' appears in all docs -> 3 blocks
+    assert(idx.values.forall { case (df, ps) => df <= 100 && ps.size == df })
+    assert(idx(("shared", 0L))._1 == 100 && idx(("shared", 2L))._1 == 30)
+    // postings == direct filter, sorted
+    val direct = (0L until 230L).filter(i => i % 7 == 4 && i / 100 == 1)
+    assert(idx(("w4", 1L))._2 == direct)
+    // appending docs 230..259 only creates/changes block 2 rows
+    val more = (0L until 260L).map(i => (i, s"w${i % 7} w${i % 3} shared"))
+      .toDF("doc_id", "text")
+    val idx2 = Vocabulary.invertedIndex(more, "doc_id", "text", blockSize = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getSeq[Long](3))).toMap
+    assert(idx2.filter(_._1._2 < 2L) == idx.filter(_._1._2 < 2L),
+      "older blocks must be untouched by appends")
+  }
 }
