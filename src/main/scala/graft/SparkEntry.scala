@@ -2119,6 +2119,18 @@ object SparkEntry {
       est.crossJoin(broadcast(exact)).crossJoin(broadcast(mw))
     }),
 
+    // replayable Bloom filter + acceptance audit: membership completes
+    // the gated summary trio (CMS frequency, KMV/HLL cardinality);
+    // probes are disjoint from the keys, so every acceptance is a
+    // measured false positive beside the load factor that predicts it
+    "x_sketch_bloom" -> ((s, dir) => {
+      val li = DerivedModel.table(s, dir, "lineitem")
+      graft.sketch.Bloom.bloomFprAudit(
+        li.select(col("l_partkey").as("v")).distinct(),
+        li.select((col("l_partkey") + 10000000L).as("v")).distinct(),
+        mBits = 131072L, kHashes = 4)
+    }),
+
     "x_sketch_quantile" -> ((s, dir) =>
       graft.sketch.QuantileSketch.valueQuantiles(
         DerivedModel.table(s, dir, "documents"), "n_chars",
@@ -3997,6 +4009,12 @@ object SparkEntry {
 
       "x_sketch_hll" ->
         graft.sketch.Hll.hllGateSql("lineitem", "l_partkey", p = 10),
+
+      "x_sketch_bloom" ->
+        graft.sketch.Bloom.bloomFprAuditSql(
+          "SELECT DISTINCT l_partkey AS v FROM lineitem",
+          "SELECT DISTINCT l_partkey + 10000000 AS v FROM lineitem",
+          mBits = 131072L, kHashes = 4),
 
       // streaming == batch for the HLL registers (max is associative);
       // the oracle is the batch register build + estimator over the

@@ -1,0 +1,111 @@
+package graft.sketch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BLOOM FILTER with a DuckDB-replayable hash family — the membership
+  * sketch that completes the gated summary trio (CMS: frequency, KMV/HLL:
+  * cardinality, Bloom: membership). Spark's built-in
+  * `BloomFilterAggregate` (which [[graft.ops.BloomJoin]] uses for join
+  * pruning, where only the PRUNING effect is observable) keeps its bit
+  * layout engine-internal; here the filter is re-derived explicitly so
+  * the bits themselves gate:
+  *
+  *   pos_i(v) = md5_48("<i>|" + v) mod m,   i = 0..k−1
+  *
+  * ([[Kmv.kmvHashCol]]'s 48-bit hash with the seed-prefix convention of
+  * the LSH S-curve audit). The filter is REPRESENTED as its set-bit
+  * position relation — semantically the same predicate as the packed
+  * bitset, one row per set bit (≤ m rows), mergeable by plain DISTINCT
+  * union (bit-OR ≡ set union), shardable like every other sketch here.
+  * Pack to `m/64` int64 words at serve time if a byte-array artifact is
+  * needed; the audit works on the set directly.
+  *
+  * The gate emits the standard acceptance audit: build over the key set,
+  * probe with a DISJOINT key set, report
+  * `(n_keys, n_set_bits, n_probes, n_false_pos)` — the measured false
+  * positive rate beside the load factor that predicts it
+  * (`fpr ≈ (n_set_bits/m)^k`; the spec pins the two against each other).
+  * Scale shape: build = one distinct + a k-way position projection
+  * (map-side combined distinct); probe = equi-join on position + a
+  * per-probe count, `matched = k` ⟺ accepted. Never a broadcast of the
+  * probed corpus; at 100 TB the position relation shards by range and
+  * probes co-partition.
+  */
+object Bloom {
+
+  /** Distinct set-bit positions of the filter over `keys(v)`. */
+  def bloomPositions(keys: DataFrame, mBits: Long, kHashes: Int): DataFrame = {
+    require(mBits >= 2 && kHashes >= 1)
+    (0 until kHashes).map(i =>
+        keys.select((Kmv.kmvHashCol(concat(lit(s"$i|"), col("v").cast("string")))
+          % mBits).as("pos")))
+      .reduce(_.unionByName(_))
+      .distinct()
+  }
+
+  /** Membership probe: `(v, accepted)` for every probe key — accepted ⟺
+    * all k positions are set. */
+  def bloomProbe(probes: DataFrame, positions: DataFrame,
+      mBits: Long, kHashes: Int): DataFrame = {
+    val probePos = (0 until kHashes).map(i =>
+        probes.select(col("v"),
+          (Kmv.kmvHashCol(concat(lit(s"$i|"), col("v").cast("string")))
+            % mBits).as("pos")))
+      .reduce(_.unionByName(_))
+    probePos
+      .join(positions.withColumn("_set", lit(1L)), Seq("pos"), "left")
+      .groupBy(col("v"))
+      // distinct positions: two of a key's k hashes may collide, so count
+      // DISTINCT set positions against the key's DISTINCT position count
+      .agg((count_distinct(when(col("_set") === 1L, col("pos")))
+        === count_distinct(col("pos"))).as("accepted"))
+  }
+
+  /** One-row acceptance audit: build over `keys`, probe with `probes`
+    * (caller guarantees disjoint from `keys`, so every acceptance is a
+    * false positive). */
+  def bloomFprAudit(keys: DataFrame, probes: DataFrame,
+      mBits: Long, kHashes: Int): DataFrame = {
+    val pos = graft.Persisted.track(bloomPositions(keys, mBits, kHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val fp = bloomProbe(probes, pos, mBits, kHashes)
+      .agg(count(lit(1)).as("n_probes"),
+        coalesce(sum(when(col("accepted"), 1L).otherwise(0L)), lit(0L))
+          .as("n_false_pos"))
+    keys.agg(count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(pos.agg(count(lit(1)).as("n_set_bits"))))
+      .crossJoin(broadcast(fp))
+  }
+
+  /** DuckDB twin of [[bloomFprAudit]]: identical hashes, positions, and
+    * acceptance rule. `keysBody` / `probesBody` must emit a `v` column. */
+  def bloomFprAuditSql(keysBody: String, probesBody: String,
+      mBits: Long, kHashes: Int): String = {
+    def posSelect(src: String, extra: String) = (0 until kHashes).map(i =>
+      s"SELECT ${extra}CAST(('0x' || substr(md5('$i|' || CAST(v AS VARCHAR)), 1, 12)) AS BIGINT) % $mBits AS pos FROM $src")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ks AS ($keysBody),
+       |pr AS ($probesBody),
+       |pos AS MATERIALIZED (
+       |  SELECT DISTINCT pos FROM (
+       |  ${posSelect("ks", "")})),
+       |pp AS (
+       |  ${posSelect("pr", "v, ")}),
+       |acc AS (
+       |  SELECT pp.v,
+       |    count(DISTINCT CASE WHEN pos.pos IS NOT NULL THEN pp.pos END)
+       |      = count(DISTINCT pp.pos) AS accepted
+       |  FROM pp LEFT JOIN pos ON pp.pos = pos.pos
+       |  GROUP BY pp.v),
+       |fp AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       |    CAST(coalesce(sum(CASE WHEN accepted THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS n_false_pos
+       |  FROM acc)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ks) AS n_keys,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pos) AS n_set_bits,
+       |  n_probes, n_false_pos
+       |FROM fp""".stripMargin
+  }
+}

@@ -83,6 +83,7 @@ object ScalePerfHarness {
       case "pq" => pqMode(spark, count)
       case "recall" => recallMode(spark, count)
       case "signals10m" => signals10mMode(spark, count)
+      case "triangles" => trianglesMode(spark, count)
       case "neardedup" =>
         profileQuery(spark, "x_dedup_near_dedup",
           rest.headOption.getOrElse("/root/testdata/sf0.1"))
@@ -313,6 +314,31 @@ object ScalePerfHarness {
           Vocabulary.unigramDriftCounts(a, b, "text"))))
     }
     docs.unpersist()
+  }
+
+  /** Triangle counting at scale with DELIBERATE skew: 4 hash edges per
+    * node plus 16 mega-hubs each touching n/16 nodes — the regime where
+    * a naive shared-endpoint join pays Σdeg² ≈ 16·(n/16)² and dies,
+    * while degree-ordered orientation keeps every out-degree (hubs
+    * included) near the √m bound. Reported beside the wall:
+    * max_oriented_outdeg, the certificate the claim rests on.
+    */
+  private def trianglesMode(spark: SparkSession, count: Long): Unit = {
+    val nodes = spark.range(count).select(col("id").as("node")).persist()
+    val n = nodes.count()
+    val hash = (0 until 4).map(k =>
+      nodes.select(col("node").as("src"),
+        pmod(xxhash64(col("node"), lit(k)), lit(n)).as("dst")))
+      .reduce(_.unionByName(_))
+    val hubs = nodes.select(col("node").as("src"), (col("node") % 16).as("dst"))
+    val edges = hash.unionByName(hubs)
+    time(s"triangleCount(4n hash + 16 hubs, n=$n)", n) {
+      val row = graft.graph.Triangles.triangleCount(edges).head()
+      println(s"[scale-harness]   -> $row")
+      Persisted.unpersistAll()
+      0L
+    }
+    nodes.unpersist()
   }
 
   private def graphMode(spark: SparkSession, count: Long): Unit = {

@@ -70,6 +70,32 @@ class SketchSpec extends AnyFunSuite with SparkTestBase {
       s"streaming counters diverge: ${got.size} vs ${expected.size} cells")
   }
 
+  test("bloom filter: zero false negatives, FPR tracks the load factor, " +
+    "positions merge by union") {
+    import spark.implicits._
+    import graft.sketch.Bloom
+    val keys = (1L to 2000L).map(Tuple1(_)).toDF("v")
+    val pos = Bloom.bloomPositions(keys, mBits = 16384L, kHashes = 4).persist()
+    // no false negatives: every member accepted
+    val members = Bloom.bloomProbe(keys, pos, 16384L, 4)
+    assert(members.filter(!col("accepted")).count() == 0L)
+    // FPR on disjoint probes tracks (set_bits/m)^k
+    val probes = (100001L to 110000L).map(Tuple1(_)).toDF("v")
+    val setBits = pos.count()
+    val fp = Bloom.bloomProbe(probes, pos, 16384L, 4)
+      .filter(col("accepted")).count()
+    val predicted = math.pow(setBits.toDouble / 16384.0, 4) * 10000
+    assert(math.abs(fp - predicted) < 150,
+      s"fp=$fp predicted=$predicted setBits=$setBits")
+    // shard merge = distinct union of position relations
+    val merged = Bloom.bloomPositions(keys.filter(col("v") <= 1000), 16384L, 4)
+      .unionByName(Bloom.bloomPositions(keys.filter(col("v") > 1000), 16384L, 4))
+      .distinct()
+    assert(merged.collect().map(_.getLong(0)).toSet
+      == pos.collect().map(_.getLong(0)).toSet)
+    pos.unpersist()
+  }
+
   test("quantile sketch brackets the exact quantile, rank error 0") {
     val binW = 64L
     val got = QuantileSketch.valueQuantiles(docs, "n_chars",
