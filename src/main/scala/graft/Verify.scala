@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // expose cached plans' output partitioning to EnsureRequirements
+      // (tfidfKeyTerms' one-exchange plan depends on the cached
+      // repartition staying visible; see TUNING "Session")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
       // bucketed-table gates saveAsTable; keep the warehouse out of cwd
       .config("spark.sql.warehouse.dir",

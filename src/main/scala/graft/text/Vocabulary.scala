@@ -2314,10 +2314,27 @@ object Vocabulary {
   def tfidfKeyTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k >= 1")
+    // persist + repartition TOGETHER: the persist collapses the tf
+    // subtree to one tokenize+agg pass across its two consumers, and the
+    // repartition's partitioning serves both the (doc, term) agg and the
+    // rank window — but ONLY because graft sessions set
+    // `canChangeCachedPlanOutputPartitioning=false`: with AQE allowed to
+    // re-plan cached subtrees, the InMemoryRelation HIDES its output
+    // partitioning from EnsureRequirements and the (doc, term) exchange
+    // comes back (measured at 10.2M docs: cache-only 156 s,
+    // repartition-only 468 s — the duplicate agg pass costs more than
+    // the exchange it saves; both together + the materialization
+    // barrier below: 148 s, and ZERO exchanges of the token pairs).
     val docs = df.select(col(idCol), col(textCol))
       .repartition(col(idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.Persisted.track(docs)
+    // materialization barrier ON PURPOSE (the exception to the lazy-
+    // persist default): an unmaterialized cache plans as an adaptive
+    // subtree whose partitioning EnsureRequirements treats as unknown,
+    // and both downstream exchanges come back. This one count() is the
+    // cache-build pass both consumers need anyway.
+    docs.count()
     val tf = docs.select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))

@@ -207,6 +207,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"datasetSplit must not shuffle (scan-level label expression):\n$p")
   }
 
+  test("tfidf never shuffles the exploded token-pair relation (the r10 " +
+    "part-7 fix: one upfront doc exchange serves agg AND window)") {
+    val p = planOf("x_text_tfidf_terms")
+    // the superlinear plan exchanged hash(doc, term) for the tf agg and
+    // then hash(doc) again for the rank window; the fixed plan has
+    // neither — only the upfront REPARTITION_BY_COL and the idf
+    // branch's vocab-bounded hash(term) exchange remain
+    assert("Exchange hashpartitioning\\(doc_id[^)]*term".r.findFirstIn(p).isEmpty,
+      s"tf agg must reuse the upfront doc_id partitioning:\n$p")
+    assert("Exchange hashpartitioning\\(doc_id[^,)]*, \\d+\\), ENSURE_REQUIREMENTS".r
+        .findFirstIn(p).isEmpty,
+      s"the rank window must reuse the upfront doc_id partitioning:\n$p")
+    Persisted.unpersistAll()
+  }
+
+  test("triangle wedge-close joins are keyed hash joins") {
+    val p = planOf("x_graph_triangles")
+    // 1-row BroadcastNestedLoopJoins (the n-count literal, the stats
+    // crossJoins) are the house convention; the CORPUS-carrying joins —
+    // degree attach, wedge pair, wedge close — must all be keyed
+    assert(!p.contains("CartesianProduct"), s"cartesian in triangles:\n$p")
+    val hashJoins = "HashJoin".r.findAllIn(p).size
+    assert(hashJoins >= 4,
+      s"expected >=4 keyed joins (2 degree attaches, wedge pair, close), got $hashJoins:\n$p")
+    Persisted.unpersistAll()
+  }
+
   test("bloom join prunes the fact side BELOW the join") {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}

@@ -20,6 +20,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // expose cached plans' output partitioning to EnsureRequirements
+      // (tfidfKeyTerms' one-exchange plan depends on the cached
+      // repartition staying visible; see TUNING "Session")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
       // per-pid path, like Bench/Verify: the k7 bucketed TABLE's location
       // persists across test JVMs while the in-memory catalog does not,
