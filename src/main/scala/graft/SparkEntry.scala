@@ -1819,6 +1819,14 @@ object SparkEntry {
     // the adjacent-bigram stream — two map-side-combined token passes,
     // broadcast unigram counts, ordered limit; minCount floors out
     // hapax pairs
+    // windowed skip-gram co-occurrence counts: the word2vec/GloVe
+    // training matrix; context join is an equi-join on (doc, position)
+    // so volume is window x tokens, linear at any corpus size
+    "x_text_cooc" -> ((s, dir) =>
+      graft.text.Vocabulary.skipgramCounts(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        window = 3, minCount = 5L)),
+
     "x_text_collocations" -> ((s, dir) =>
       graft.text.Vocabulary.pmiCollocations(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
@@ -1963,6 +1971,30 @@ object SparkEntry {
       val exact = src.agg(countDistinct(col("doc_id")).as("exact_distinct"))
       graft.sketch.Kmv.bucketMinEstimate(fin, k)
         .crossJoin(broadcast(exact))
+    }),
+
+    // streaming Bloom maintenance (18th real StreamingQuery): the
+    // filter's set-bit positions as an update-mode agg (<= mBits state
+    // rows; bit-OR is associative and duplicate-immune); the
+    // reconstructed set probes a disjoint key set — same audit row as
+    // the batch gate, streaming == batch by construction
+    "x_stream_bloom_exec" -> ((s, dir) => {
+      val (m, k) = (131072L, 4)
+      val srcPath = stagedRawDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
+        graft.streaming.StreamingOps.streamingBloomPositions(
+          s, srcPath, src, "doc_id", m, k),
+        s"${tmpPath(dir, "stream_exec_bloom")}/sink")
+      val pos = upd.select(col("pos")).distinct()
+      val fp = graft.sketch.Bloom.bloomProbe(
+          src.select((col("doc_id") + 10000000L).as("v")).distinct(), pos, m, k)
+        .agg(count(lit(1)).as("n_probes"),
+          coalesce(sum(when(col("accepted"), 1L).otherwise(0L)), lit(0L))
+            .as("n_false_pos"))
+      src.agg(countDistinct(col("doc_id")).as("n_keys"))
+        .crossJoin(broadcast(pos.agg(count(lit(1)).as("n_set_bits"))))
+        .crossJoin(broadcast(fp))
     }),
 
     // streaming count-min maintenance (17th real StreamingQuery):
@@ -3923,9 +3955,19 @@ object SparkEntry {
         graft.sketch.CountMinOracle.sketchSql(
           widthBits = 8, where = "source <> 'src0'"),
 
+      // streaming == batch for the bloom positions (bit-OR associative)
+      "x_stream_bloom_exec" ->
+        graft.sketch.Bloom.bloomFprAuditSql(
+          "SELECT DISTINCT doc_id AS v FROM documents WHERE source <> 'src0'",
+          "SELECT DISTINCT doc_id + 10000000 AS v FROM documents WHERE source <> 'src0'",
+          mBits = 131072L, kHashes = 4),
+
       "x_text_surprisal" -> graft.text.Vocabulary.surprisalSql,
 
       "x_text_tfidf_terms" -> graft.text.Vocabulary.tfidfKeyTermsSql(k = 5),
+
+      "x_text_cooc" ->
+        graft.text.Vocabulary.skipgramCountsSql(window = 3, minCount = 5L),
 
       "x_text_collocations" ->
         graft.text.Vocabulary.pmiCollocationsSql(minCount = 3L, k = 50),

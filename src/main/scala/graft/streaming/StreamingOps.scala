@@ -248,6 +248,29 @@ object StreamingOps {
         textCol),
       widthBits)
 
+  /** Streaming BLOOM FILTER maintenance: membership joins the live
+    * summary family (count: [[streamingCmsSketch]], cardinality:
+    * [[streamingBucketMinSketch]]/[[streamingHllRegisters]]) — bit-OR
+    * is associative and duplicate-immune, so the filter maintains as an
+    * update-mode per-position aggregation with AT MOST `mBits` state
+    * rows, and the position set after the last batch equals the batch
+    * filter exactly. The dedup-at-the-door primitive: ingest keeps the
+    * filter live; arrivals probe it before anything expensive runs.
+    */
+  def streamingBloomPositions(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, valueCol: String, mBits: Long, kHashes: Int,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .options(sourceOptions)
+      .parquet(sourcePath)
+      .select(explode(array((0 until kHashes).map(i =>
+        graft.sketch.Kmv.kmvHashCol(
+          concat(lit(s"$i|"), col(valueCol).cast("string"))) % mBits): _*))
+        .as("pos"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_hits"))
+
   /** STATELESS streaming winnow fingerprint extraction: each arriving
     * document emits its MOSS fingerprint set ([[graft.dedup.WinnowExpr]]
     * — one codegen scalar, so the whole selection runs at ingest scan

@@ -2041,6 +2041,54 @@ object Vocabulary {
     * a global sort. Same overflow posture as drift: guarded multiplies,
     * lockstep floor-shift above the log mantissa bound.
     */
+  /** WINDOWED SKIP-GRAM CO-OCCURRENCE COUNTS — the word-embedding
+    * training corpus (word2vec/GloVe prep): for every token pair within
+    * `window` positions inside a document, one symmetric count, floored
+    * at `minCount` ([[pmiCollocations]] is the `window = 1` PMI-scored
+    * special case; this is the raw count matrix downstream trainers
+    * consume). Pairs are canonical `(least, greatest)` so each unordered
+    * co-occurrence counts once per position pair.
+    *
+    * Scale shape: the context join is an EQUI-join on `(doc, position)`
+    * — each token explodes into its `window` forward target positions,
+    * so the joined volume is exactly `window × tokens` (linear, never
+    * the |doc|² a per-doc cross join would pay), and the count agg is
+    * map-side combined. Output is vocab²-bounded before the floor and
+    * typically far smaller after it. A 100 TB run shards trivially: the
+    * per-doc structure means any document-partitioned input co-locates
+    * the join on its first key.
+    */
+  def skipgramCounts(df: DataFrame, idCol: String, textCol: String,
+      window: Int, minCount: Long): DataFrame = {
+    require(window >= 1 && minCount >= 1L, "window, minCount >= 1")
+    val toks = df.select(col(idCol).as("_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    toks
+      .withColumn("cpos",
+        explode(array((1 to window).map(d => col("pos") + d): _*)))
+      .join(toks.select(col("_id"), col("pos").as("cpos"),
+        col("tok").as("ctx")), Seq("_id", "cpos"))
+      .select(least(col("tok"), col("ctx")).as("w1"),
+        greatest(col("tok"), col("ctx")).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= minCount)
+  }
+
+  /** DuckDB twin of [[skipgramCounts]] over `documents` (the oracle may
+    * use the range-join form; the operator ships the linear explode
+    * equi-join). */
+  def skipgramCountsSql(window: Int, minCount: Long): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |tk AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, t[i] AS tok
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks))
+       |SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2,
+       |  CAST(count(*) AS BIGINT) AS n_cooc
+       |FROM tk a JOIN tk b
+       |  ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND $window
+       |GROUP BY 1, 2 HAVING count(*) >= $minCount""".stripMargin
+
   def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
       minCount: Long = 5L, k: Int = 50): DataFrame = {
     require(minCount >= 1L && k >= 1, "minCount, k >= 1")

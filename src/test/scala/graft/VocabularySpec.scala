@@ -310,4 +310,16 @@ class VocabularySpec extends AnyFunSuite with SparkTestBase {
     assert(idx2.filter(_._1._2 < 2L) == idx.filter(_._1._2 < 2L),
       "older blocks must be untouched by appends")
   }
+
+  test("skipgramCounts equals hand counts on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a"), (2L, "b b")).toDF("doc_id", "text")
+    val got = Vocabulary.skipgramCounts(docs, "doc_id", "text",
+        window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc1 pairs within 2: (a,b),(a,c),(b,c),(b,a),(c,a) -> ab=2 ac=2 bc=1
+    // doc2: (b,b)=1
+    assert(got == Map(("a","b") -> 2L, ("a","c") -> 2L, ("b","c") -> 1L,
+      ("b","b") -> 1L), got.toString)
+  }
 }
