@@ -34,33 +34,31 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
+  /** The k positions of every key, ONE scan (explode of the k-hash
+    * array — a k-way union would re-scan the input k times). */
+  private def keyPositions(keys: DataFrame, mBits: Long,
+      kHashes: Int): DataFrame =
+    keys.select(col("v"), explode(array((0 until kHashes).map(i =>
+      Kmv.kmvHashCol(concat(lit(s"$i|"), col("v").cast("string")))
+        % mBits): _*)).as("pos"))
+
   /** Distinct set-bit positions of the filter over `keys(v)`. */
   def bloomPositions(keys: DataFrame, mBits: Long, kHashes: Int): DataFrame = {
     require(mBits >= 2 && kHashes >= 1)
-    (0 until kHashes).map(i =>
-        keys.select((Kmv.kmvHashCol(concat(lit(s"$i|"), col("v").cast("string")))
-          % mBits).as("pos")))
-      .reduce(_.unionByName(_))
-      .distinct()
+    keyPositions(keys, mBits, kHashes).select(col("pos")).distinct()
   }
 
   /** Membership probe: `(v, accepted)` for every probe key — accepted ⟺
-    * all k positions are set. */
+    * all k positions are set, i.e. NO position row misses the join
+    * (duplicate positions from intra-key hash collisions both hit or
+    * both miss, so a plain min-indicator is exact — no count-distinct,
+    * whose two-distinct Expand was measured 10× the whole probe). */
   def bloomProbe(probes: DataFrame, positions: DataFrame,
-      mBits: Long, kHashes: Int): DataFrame = {
-    val probePos = (0 until kHashes).map(i =>
-        probes.select(col("v"),
-          (Kmv.kmvHashCol(concat(lit(s"$i|"), col("v").cast("string")))
-            % mBits).as("pos")))
-      .reduce(_.unionByName(_))
-    probePos
+      mBits: Long, kHashes: Int): DataFrame =
+    keyPositions(probes, mBits, kHashes)
       .join(positions.withColumn("_set", lit(1L)), Seq("pos"), "left")
       .groupBy(col("v"))
-      // distinct positions: two of a key's k hashes may collide, so count
-      // DISTINCT set positions against the key's DISTINCT position count
-      .agg((count_distinct(when(col("_set") === 1L, col("pos")))
-        === count_distinct(col("pos"))).as("accepted"))
-  }
+      .agg((min(coalesce(col("_set"), lit(0L))) === 1L).as("accepted"))
 
   /** One-row acceptance audit: build over `keys`, probe with `probes`
     * (caller guarantees disjoint from `keys`, so every acceptance is a
@@ -94,8 +92,7 @@ object Bloom {
        |  ${posSelect("pr", "v, ")}),
        |acc AS (
        |  SELECT pp.v,
-       |    count(DISTINCT CASE WHEN pos.pos IS NOT NULL THEN pp.pos END)
-       |      = count(DISTINCT pp.pos) AS accepted
+       |    min(CASE WHEN pos.pos IS NOT NULL THEN 1 ELSE 0 END) = 1 AS accepted
        |  FROM pp LEFT JOIN pos ON pp.pos = pos.pos
        |  GROUP BY pp.v),
        |fp AS (

@@ -85,6 +85,7 @@ object ScalePerfHarness {
       case "recall" => recallMode(spark, count)
       case "signals10m" => signals10mMode(spark, count)
       case "triangles" => trianglesMode(spark, count)
+      case "sketches" => sketchesMode(spark, count)
       case "neardedup" =>
         profileQuery(spark, "x_dedup_near_dedup",
           rest.headOption.getOrElse("/root/testdata/sf0.1"))
@@ -315,6 +316,36 @@ object ScalePerfHarness {
           Vocabulary.unigramDriftCounts(a, b, "text"))))
     }
     docs.unpersist()
+  }
+
+  /** The four gated summaries at the scale they exist for: `count`
+    * values (half duplicated) sketched by KMV, HLL, Bloom, CMS — every
+    * one is a distinct/agg-bounded single pass, so the expectation is
+    * "costs ≈ one distinct of the column" with state that never grows.
+    */
+  private def sketchesMode(spark: SparkSession, count: Long): Unit = {
+    import graft.sketch.{Bloom, CountMin, Hll, Kmv}
+    def consume(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    val vals = spark.range(count).select((col("id") % (count / 2)).as("v"))
+    time(s"kmv(k=512) over $count vals (n/2 distinct)", count) {
+      consume(Kmv.kmvEstimate(Kmv.kmvSketch(Kmv.kmvHashes(vals, "v"), 512), 512))
+    }
+    time("hll(p=10) same", count) {
+      consume(Hll.hllEstimate(
+        Hll.hllRegisters(spark, Kmv.kmvHashes(vals, "v"), 10), 10))
+    }
+    time("bloom(m=2^24, k=4) build+disjoint probe", count) {
+      consume(Bloom.bloomFprAudit(vals.distinct(),
+        vals.select((col("v") + 10L * count).as("v")).distinct(),
+        mBits = 1L << 24, kHashes = 4))
+      Persisted.unpersistAll(); 0L
+    }
+    time("cms(w=10) counters", count) {
+      consume(CountMin.sketch(
+        vals.select(col("v").cast("string").as("token")), widthBits = 10))
+    }
   }
 
   /** Triangle counting at scale with DELIBERATE skew: 4 hash edges per
