@@ -1187,6 +1187,47 @@ object SparkEntry {
       exact.crossJoin(broadcast(near))
     }),
 
+    // dedup-THEN-split pipeline: the fix x_eval_split_leakage argues
+    // for, executed and re-audited — guarded near-dup survivors get the
+    // split labels, then residual duplicate pairs among survivors are
+    // counted (guarded residual is 0 by construction — one survivor per
+    // component; the RAW residual quantifies what the stop-shingle
+    // guard's recall gap leaks through the whole pipeline end to end)
+    "x_pipeline_dedup_split" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      val surv = graft.dedup.Dedup.nearDedup(
+          docs, "doc_id", "text", n = 3, tau = 0.8,
+          precomputedPairs = Some(minhashPairsGuardedDim(s, dir)))
+        .select(col("doc_id"))
+      val lab = graft.ops.Sampling.datasetSplit(docs, "doc_id")
+        .join(surv, Seq("doc_id"))
+        .select(col("doc_id"), col("split"),
+          md5(col("text").cast("binary")).as("_h"))
+      val la = lab.select(col("doc_id").as("id_a"), col("split").as("_sa"),
+        col("_h").as("_ha"))
+      val lb = lab.select(col("doc_id").as("id_b"), col("split").as("_sb"),
+        col("_h").as("_hb"))
+      def resCounts(pairs: DataFrame, res: String, cross: String) =
+        pairs.join(la.select(col("id_a"), col("_sa")), Seq("id_a"))
+          .join(lb.select(col("id_b"), col("_sb")), Seq("id_b"))
+          .agg(count(lit(1)).as(res),
+            coalesce(sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)),
+              lit(0L)).as(cross))
+      val exact = la.join(lb, col("_ha") === col("_hb")
+          && col("id_a") < col("id_b"))
+        .agg(coalesce(sum(when(col("_sa") =!= col("_sb"), 1L).otherwise(0L)),
+          lit(0L)).as("n_cross_exact"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(lab.agg(count(lit(1)).as("n_survivors"))))
+        .crossJoin(broadcast(resCounts(
+          minhashPairsGuardedDim(s, dir).select(col("id_a"), col("id_b")),
+          "n_res_guarded", "n_cross_guarded")))
+        .crossJoin(broadcast(resCounts(
+          minhashPairsRawDim(s, dir).select(col("id_a"), col("id_b")),
+          "n_res_raw", "n_cross_raw")))
+        .crossJoin(broadcast(exact))
+    }),
+
     // LSH banding S-curve audit (eval family): empirical detection rate
     // per exact-Jaccard bin for the b=8/r=2 banding — the measured
     // P(detect|J) curve a dedup deployment checks against the designed
@@ -3549,6 +3590,52 @@ object SparkEntry {
       "x_dedup_minhash" -> ngramJaccardOracle,
       "x_eval_dedup_recall" -> dedupRecallOracle,
       "x_eval_lsh_curve" -> graft.dedup.Dedup.lshDetectionCurveSql(),
+
+      // outer scope: unguarded truth CTEs (raw pairs); nested shadowed
+      // scope: the guarded chain -> components -> survivors (the
+      // dedupRecallOracle convention); then split labels on survivors
+      // and the residual counts
+      "x_pipeline_dedup_split" ->
+        s"""WITH RECURSIVE $ngramJaccardCtes,
+           |g AS MATERIALIZED (
+           |  SELECT id_a, id_b FROM (
+           |    WITH $ngramJaccardGuardedCtes
+           |    SELECT id_a, id_b FROM simpairs)),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM g
+           |          UNION SELECT id_b, id_a FROM g),
+           |reach(a, b) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+           |comp AS (SELECT a AS _id, min(b) AS group_id FROM reach GROUP BY a),
+           |lab AS MATERIALIZED (
+           |  SELECT doc_id, ${graft.ops.Sampling.datasetSplitSql(
+                 "doc_id", trainFrac = 0.8, valFrac = 0.1)} AS split,
+           |    md5(text) AS h
+           |  FROM documents
+           |  WHERE doc_id NOT IN (SELECT _id FROM comp WHERE _id <> group_id)),
+           |gres AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_res_guarded,
+           |    CAST(coalesce(sum(CASE WHEN la.split <> lb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |      AS n_cross_guarded
+           |  FROM g JOIN lab la ON la.doc_id = g.id_a
+           |         JOIN lab lb ON lb.doc_id = g.id_b),
+           |rres AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_res_raw,
+           |    CAST(coalesce(sum(CASE WHEN la.split <> lb.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |      AS n_cross_raw
+           |  FROM simpairs p JOIN lab la ON la.doc_id = p.id_a
+           |                  JOIN lab lb ON lb.doc_id = p.id_b),
+           |ex AS (
+           |  SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |      AS n_cross_exact
+           |  FROM lab a JOIN lab b ON a.h = b.h AND a.doc_id < b.doc_id)
+           |SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_survivors,
+           |  n_res_guarded, n_cross_guarded, n_res_raw, n_cross_raw,
+           |  n_cross_exact
+           |FROM gres CROSS JOIN rres CROSS JOIN ex""".stripMargin,
 
       // the tau=0.8 truth CTEs + the replayable split label + exact
       // content-hash pairs, counted across the boundary
