@@ -2204,6 +2204,17 @@ object SparkEntry {
         mBits = 131072L, kHashes = 4)
     }),
 
+    // per-group HLL: the dataset-card per-slice distinct counter (one
+    // register table per source, m rows each; the estimator chain is
+    // row-wise so grouping is free) — distinct CONTENT per source,
+    // est beside exact
+    "x_sketch_hll_grouped" -> ((s, dir) => {
+      val docs = DerivedModel.table(s, dir, "documents")
+      graft.sketch.Hll.hllGroupedEstimates(s, docs, "source", "text", p = 10)
+        .join(docs.groupBy(col("source"))
+          .agg(countDistinct(col("text")).as("exact_distinct")), Seq("source"))
+    }),
+
     "x_sketch_quantile" -> ((s, dir) =>
       graft.sketch.QuantileSketch.valueQuantiles(
         DerivedModel.table(s, dir, "documents"), "n_chars",
@@ -4138,6 +4149,10 @@ object SparkEntry {
 
       "x_sketch_hll" ->
         graft.sketch.Hll.hllGateSql("lineitem", "l_partkey", p = 10),
+
+      "x_sketch_hll_grouped" ->
+        graft.sketch.Hll.hllGroupedGateSql(
+          "documents", "source", "text", p = 10),
 
       "x_sketch_bloom" ->
         graft.sketch.Bloom.bloomFprAuditSql(

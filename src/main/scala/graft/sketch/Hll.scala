@@ -109,16 +109,28 @@ object Hll {
     * m-row register table. `est_distinct` applies the small-range
     * linear-counting branch; `est_raw` is the uncorrected harmonic-mean
     * estimate (kept beside it so the branch choice is auditable). */
-  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame =
+    hllEstimateBy(registers, p, Nil)
+
+  /** [[hllEstimate]] per group: `registers` carries the group columns
+    * beside `(bucket, register)` (a full m-row grid PER GROUP — the
+    * fixed-point chain below is row-wise, so grouping costs nothing
+    * extra). One row per group — the dataset-card per-slice distinct
+    * counter, m·groups total state. */
+  def hllEstimateBy(registers: DataFrame, p: Int,
+      groupCols: Seq[String]): DataFrame = {
     checkP(p)
     val m = 1L << p
     val rMax = rhoMax(p)
     val alphaNum = BigInt(7213) * m * m * m * (BigInt(1) << rMax)
     val alphaDen = 10000L * m + 10790L
-    val agg = registers.agg(
+    val aggs = Seq(
       sum(when(col("register") === 0, 1L).otherwise(0L)).as("n_zero"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rMax - register AS INT))"))
         .as("sum_pow"))
+    val agg =
+      if (groupCols.isEmpty) registers.agg(aggs.head, aggs.tail: _*)
+      else registers.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     // raw harmonic-mean estimate: the numerator literal is ~2^82 at
     // p = 10, so DECIMAL (the smallest sufficient precision — the KN
     // DECIMAL lesson) with an integral DIV
@@ -155,7 +167,112 @@ object Hll {
       .withColumn("est_distinct",
         when(col("n_zero") > 0 && col("est_raw") * 2 <= 5 * m, col("_lc"))
           .otherwise(col("est_raw")))
-      .select(col("n_zero"), col("sum_pow"), col("est_raw"), col("est_distinct"))
+      .select((groupCols.map(col) ++ Seq(col("n_zero"), col("sum_pow"),
+        col("est_raw"), col("est_distinct"))): _*)
+  }
+
+  /** Grouped register build + estimate over a raw `(group, value)`
+    * relation: per-group full-grid registers (m rows per group), then
+    * [[hllEstimateBy]]. */
+  def hllGroupedEstimates(spark: SparkSession, df: DataFrame,
+      groupCol: String, valueCol: String, p: Int): DataFrame = {
+    checkP(p)
+    val m = 1L << p
+    val hashes = df.select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+      .distinct()
+      .select(col("_g"), Kmv.kmvHashCol(col("_v")).as("h"))
+      .distinct()
+    val w = wBits(p)
+    val regs = hashes
+      .select(col("_g"), shiftright(col("h"), w).as("bucket"),
+        col("h").bitwiseAND(lit((1L << w) - 1)).as("w"))
+      .select(col("_g"), col("bucket"),
+        when(col("w") === 0, lit(rhoMax(p).toLong))
+          .otherwise(lit(rhoMax(p).toLong) - length(bin(col("w"))))
+          .as("rho"))
+      .groupBy(col("_g"), col("bucket")).agg(max(col("rho")).as("register"))
+    val grid = df.select(col(groupCol).as("_g")).distinct()
+      .crossJoin(broadcast(spark.range(m).select(col("id").as("bucket"))))
+    hllEstimateBy(
+      grid.join(regs, Seq("_g", "bucket"), "left")
+        .select(col("_g"), col("bucket"),
+          coalesce(col("register"), lit(0L)).as("register")),
+      p, Seq("_g"))
+      .withColumnRenamed("_g", groupCol)
+  }
+
+  private def hllESum(p: Int): String = (1 to p).map(k =>
+    s"CASE WHEN (num >> $k) >= den THEN 1 ELSE 0 END").mkString(" + ")
+
+  /** The FracBits square-and-truncate rounds as chained CTEs, carrying
+    * `keep` columns through (shared by the global and grouped twins). */
+  private def hllChainIters(keep: String): String =
+    (1 to FracBits).map { i =>
+      val q = i - 1
+      s"""it$i AS (
+         |  SELECT $keep, e,
+         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
+         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
+         |      THEN 1 ELSE 0 END AS frac
+         |  FROM it$q)""".stripMargin
+    }.mkString(",\n")
+
+  /** DuckDB twin of [[hllGroupedEstimates]] over a table — the grouped
+    * gate's oracle: per-group distinct hashes, per-group full-grid
+    * registers, the identical chain threaded with the group key, exact
+    * beside the estimate. */
+  def hllGroupedGateSql(table: String, groupCol: String, valueCol: String,
+      p: Int): String = {
+    checkP(p)
+    val m = 1L << p
+    val w = wBits(p)
+    val rMax = rhoMax(p)
+    val alphaNum = BigInt(7213) * m * m * m * (BigInt(1) << rMax)
+    val alphaDen = 10000L * m + 10790L
+    s"""WITH vals AS (SELECT DISTINCT $groupCol AS g, $valueCol AS v FROM $table),
+       |hs AS MATERIALIZED (
+       |  SELECT DISTINCT g,
+       |    CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+       |  FROM vals),
+       |grid AS (
+       |  SELECT g, bucket FROM (SELECT DISTINCT g FROM vals)
+       |  CROSS JOIN (SELECT range AS bucket FROM range(0, $m))),
+       |regs AS (
+       |  SELECT grid.g, grid.bucket, coalesce(r.mx, 0) AS register
+       |  FROM grid LEFT JOIN (
+       |    SELECT g, h >> $w AS bucket,
+       |      max(CASE WHEN (h & ${(1L << w) - 1}) = 0 THEN $rMax
+       |          ELSE $rMax - length(bin(h & ${(1L << w) - 1})) END) AS mx
+       |    FROM hs GROUP BY 1, 2) r
+       |  ON grid.g = r.g AND grid.bucket = r.bucket),
+       |agg AS (
+       |  SELECT g,
+       |    CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |    CAST(sum(CAST(1 AS BIGINT) << ($rMax - register)) AS BIGINT) AS sum_pow
+       |  FROM regs GROUP BY g),
+       |it0 AS (
+       |  SELECT g, n_zero, sum_pow,
+       |    CAST(CAST('$alphaNum' AS HUGEINT)
+       |      // (CAST($alphaDen AS HUGEINT) * sum_pow) AS BIGINT) AS est_raw,
+       |    (${hllESum(p)}) AS e,
+       |    (num << $MantBits) // (den << (${hllESum(p)})) AS m,
+       |    CAST(0 AS BIGINT) AS frac
+       |  FROM (SELECT g, n_zero, sum_pow, CAST($m AS BIGINT) AS num,
+       |          greatest(n_zero, 1) AS den FROM agg)),
+       |${hllChainIters("g, n_zero, sum_pow, est_raw")},
+       |est AS (
+       |  SELECT g, n_zero, sum_pow, est_raw,
+       |    CASE WHEN n_zero > 0 AND est_raw * 2 <= ${5 * m}
+       |      THEN ($m * (e * (CAST(1 AS BIGINT) << $FracBits) + frac) * $Ln2Q30)
+       |             // ${1L << (FracBits + 30)}
+       |      ELSE est_raw END AS est_distinct
+       |  FROM it$FracBits),
+       |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_distinct
+       |       FROM vals GROUP BY g)
+       |SELECT est.g AS $groupCol, n_zero, sum_pow, est_raw, est_distinct,
+       |  exact_distinct
+       |FROM est JOIN ex ON est.g = ex.g""".stripMargin
   }
 
   /** DuckDB twin of the gate: identical hash, identical registers over
@@ -173,18 +290,8 @@ object Hll {
     val rMax = rhoMax(p)
     val alphaNum = BigInt(7213) * m * m * m * (BigInt(1) << rMax)
     val alphaDen = 10000L * m + 10790L
-    val eSum = (1 to p).map(k =>
-      s"CASE WHEN (num >> $k) >= den THEN 1 ELSE 0 END").mkString(" + ")
-    val iters = (1 to FracBits).map { i =>
-      val q = i - 1
-      s"""it$i AS (
-         |  SELECT n_zero, sum_pow, est_raw, e,
-         |    CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
-         |      THEN ((m * m) >> $MantBits) >> 1 ELSE (m * m) >> $MantBits END AS m,
-         |    frac * 2 + CASE WHEN ((m * m) >> $MantBits) >= (CAST(2 AS BIGINT) << $MantBits)
-         |      THEN 1 ELSE 0 END AS frac
-         |  FROM it$q)""".stripMargin
-    }.mkString(",\n")
+    val eSum = hllESum(p)
+    val iters = hllChainIters("n_zero, sum_pow, est_raw")
     def regsFrom(src: String, name: String) =
       s"""$name AS (
          |  SELECT g.bucket, coalesce(r.mx, 0) AS register

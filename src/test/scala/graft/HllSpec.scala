@@ -57,6 +57,20 @@ class HllSpec extends AnyFunSuite with SparkTestBase {
     assert(merged == direct, "max-merged shard registers diverge from direct")
   }
 
+  test("grouped HLL estimates equal per-group global estimates") {
+    import spark.implicits._
+    val df = (1L to 30000L).map(i => (s"g${i % 3}", i)).toDF("grp", "v")
+    val grouped = Hll.hllGroupedEstimates(spark, df, "grp", "v", P)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+    val expected = (0 until 3).map { g =>
+      val sub = df.filter(col("grp") === s"g$g").select(col("v"))
+      s"g$g" -> Hll.hllEstimate(
+        Hll.hllRegisters(spark, Kmv.kmvHashes(sub, "v"), P), P)
+        .head().getAs[Long]("est_distinct")
+    }.toMap
+    assert(grouped == expected, s"$grouped vs $expected")
+  }
+
   test("streaming HLL registers over 3 micro-batches equal the batch " +
     "registers (max is associative and duplicate-immune)") {
     import spark.implicits._
