@@ -86,6 +86,7 @@ object ScalePerfHarness {
       case "signals10m" => signals10mMode(spark, count)
       case "triangles" => trianglesMode(spark, count)
       case "sketches" => sketchesMode(spark, count)
+      case "cooc" => coocMode(spark, count)
       case "neardedup" =>
         profileQuery(spark, "x_dedup_near_dedup",
           rest.headOption.getOrElse("/root/testdata/sf0.1"))
@@ -314,6 +315,33 @@ object ScalePerfHarness {
       consume(Vocabulary.nbClassify(docs, "doc_id", "text",
         Vocabulary.nbTokenWeights(
           Vocabulary.unigramDriftCounts(a, b, "text"))))
+    }
+    docs.unpersist()
+  }
+
+  /** Skip-gram co-occurrence at corpus scale: the claim is linear
+    * volume (window × tokens through one equi-join) — 40-word docs at
+    * `count` docs put `window × 40 × count` joined rows through the
+    * (doc, position) join, and the vocab²-bounded count agg is map-side
+    * combined. */
+  private def coocMode(spark: SparkSession, count: Long): Unit = {
+    import graft.text.Vocabulary
+    def consume(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    val docs = textCorpus(spark, count).persist()
+    val n = docs.count()
+    // untimed warmup: the mode's first window op pays ~90 s of one-time
+    // session cost (JIT + codegen + cache-read paths) regardless of
+    // which variant runs first — measured identically across the join,
+    // HOF, and Generator shapes
+    consume(Vocabulary.skipgramCounts(docs, "doc_id", "text", 1, 5L))
+    Persisted.unpersistAll()
+    for (w <- Seq(2, 5)) time(s"skipgramCounts(window=$w)", n) {
+      val out = consume(Vocabulary.skipgramCounts(
+        docs, "doc_id", "text", window = w, minCount = 5L))
+      Persisted.unpersistAll()
+      out
     }
     docs.unpersist()
   }
