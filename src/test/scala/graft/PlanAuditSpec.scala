@@ -222,6 +222,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
   }
 
+  test("skip-gram co-occurrence plans generation in-row: no join, one " +
+    "aggregation exchange") {
+    val p = planOf("x_text_cooc")
+    assert(!p.contains("Join"), s"pair generation must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the count agg may exchange:\n$p")
+    assert(p.contains("graft_skipgrams"),
+      s"pairs must come from the Generator:\n$p")
+    Persisted.unpersistAll()
+  }
+
   test("triangle wedge-close joins are keyed hash joins") {
     val p = planOf("x_graph_triangles")
     // 1-row BroadcastNestedLoopJoins (the n-count literal, the stats
