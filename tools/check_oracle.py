@@ -46,11 +46,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
             try:
                 duck_df = con.execute(sql).df()
-            except duckdb.OutOfMemoryException:
+            except duckdb.Error:
                 # DuckDB's per-connection memory accounting accumulates
-                # across the ~190 sequential queries; a fresh connection
-                # reliably clears it (the query passes standalone)
-                con.close()
+                # across the ~200 sequential queries and can OOM — and an
+                # OOM can leave the connection CLOSED, which would cascade
+                # "Connection has already been closed" over every later
+                # query (seen r10 part 7: 89 spurious FAILs). ANY duckdb
+                # error → rebuild the connection and retry once; genuine
+                # SQL errors reproduce on the fresh connection.
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
                 con = fresh_con(sf_dir)
                 duck_df = con.execute(sql).df()
         except Exception as e:  # noqa: BLE001
