@@ -318,4 +318,43 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("SkipgramGenerator equals the HOF formulation and a driver " +
+      "reference on random corpora at several windows") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(40, Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.choose(0, 8).map(len => s"w${n % (len + 1)}")))
+    (1L to 4L).foreach { seed =>
+      val texts = (0 until 30).map(i =>
+        (i.toLong, sample(docGen, seed * 100 + i).take(3 + (i % 38))
+          .mkString(" ")))
+      val docs = texts.toDF("doc_id", "text")
+      val window = 1 + (seed % 4).toInt
+      val got = graft.text.Vocabulary.skipgramCounts(
+          docs, "doc_id", "text", window, minCount = 1L)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      // driver-side reference
+      val want = texts.flatMap { case (_, t) =>
+        val toks = t.trim.split(" ")
+        for {
+          i <- toks.indices; d <- 1 to window if i + d < toks.length
+          pair = if (toks(i) <= toks(i + d)) (toks(i), toks(i + d))
+                 else (toks(i + d), toks(i))
+        } yield pair
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want, s"seed $seed window $window")
+      // and the array-HOF formulation agrees
+      val hofExpr = expr(
+        s"flatten(transform(split(trim(text), ' '), (x, i) -> " +
+          s"transform(slice(split(trim(text), ' '), i + 2, $window), y -> " +
+          "struct(least(x, y) AS w1, greatest(x, y) AS w2))))")
+      val hof = docs.select(explode(hofExpr).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+        .groupBy("w1", "w2").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(hof == want, s"HOF diverges at seed $seed window $window")
+    }
+  }
 }
