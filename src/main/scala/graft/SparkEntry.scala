@@ -1861,8 +1861,8 @@ object SparkEntry {
     // broadcast unigram counts, ordered limit; minCount floors out
     // hapax pairs
     // windowed skip-gram co-occurrence counts: the word2vec/GloVe
-    // training matrix; context join is an equi-join on (doc, position)
-    // so volume is window x tokens, linear at any corpus size
+    // training matrix; pairs stream in-row from SkipgramGenerator (no
+    // join), so the only exchange is the pair-cardinality-bounded agg
     "x_text_cooc" -> ((s, dir) =>
       graft.text.Vocabulary.skipgramCounts(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
@@ -2027,15 +2027,11 @@ object SparkEntry {
         graft.streaming.StreamingOps.streamingBloomPositions(
           s, srcPath, src, "doc_id", m, k),
         s"${tmpPath(dir, "stream_exec_bloom")}/sink")
-      val pos = upd.select(col("pos")).distinct()
-      val fp = graft.sketch.Bloom.bloomProbe(
-          src.select((col("doc_id") + 10000000L).as("v")).distinct(), pos, m, k)
-        .agg(count(lit(1)).as("n_probes"),
-          coalesce(sum(when(col("accepted"), 1L).otherwise(0L)), lit(0L))
-            .as("n_false_pos"))
-      src.agg(countDistinct(col("doc_id")).as("n_keys"))
-        .crossJoin(broadcast(pos.agg(count(lit(1)).as("n_set_bits"))))
-        .crossJoin(broadcast(fp))
+      graft.sketch.Bloom.bloomFprAudit(
+        src.select(col("doc_id").as("v")).distinct(),
+        src.select((col("doc_id") + 10000000L).as("v")).distinct(),
+        mBits = m, kHashes = k,
+        precomputedPositions = Some(upd.select(col("pos")).distinct()))
     }),
 
     // streaming count-min maintenance (17th real StreamingQuery):
@@ -2073,14 +2069,13 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("bucket"))
         .orderBy(col("_graft_batch_id").desc, col("register").desc)
+      // last update per bucket IS one row per bucket (the _rn filter) —
+      // grid-join it directly, empty buckets as 0
       val fin = upd.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
-        // the grid join in hllRegisters expects rho rows; a register
-        // row IS the bucket's max rho
-        .select(col("bucket"), col("register").as("rho"))
+        .select(col("bucket"), col("register"))
       val regs = s.range(1L << p).select(col("id").as("bucket"))
-        .join(fin.groupBy("bucket").agg(max(col("rho")).as("register")),
-          Seq("bucket"), "left")
+        .join(fin, Seq("bucket"), "left")
         .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
       val exact = src.agg(countDistinct(col("doc_id")).as("exact_distinct"))
       graft.sketch.Hll.hllEstimate(regs, p).crossJoin(broadcast(exact))
@@ -2692,8 +2687,7 @@ object SparkEntry {
 
     "x_layout_zonemap" ->
       graft.sources.Layout.zoneMapSkipAuditSql(
-        "n_chars", maxValue = 600L, rowsPerFile = 50L,
-        lo = 200L, hi = 299L),
+        "n_chars", rowsPerFile = 50L, lo = 200L, hi = 299L),
 
     "x_layout_zorder" ->
       s"""SELECT l_orderkey, l_partkey,

@@ -35,8 +35,12 @@ import org.apache.spark.sql.functions._
 object Bloom {
 
   /** The k positions of every key, ONE scan (explode of the k-hash
-    * array — a k-way union would re-scan the input k times). */
-  private def keyPositions(keys: DataFrame, mBits: Long,
+    * array — a k-way union would re-scan the input k times). Shared by
+    * the batch build/probe and the streaming maintenance path
+    * ([[graft.streaming.StreamingOps.streamingBloomPositions]]) so the
+    * live filter can never de-synchronize from the batch/oracle hash
+    * family. */
+  def keyPositions(keys: DataFrame, mBits: Long,
       kHashes: Int): DataFrame =
     keys.select(col("v"), explode(array((0 until kHashes).map(i =>
       Kmv.kmvHashCol(concat(lit(s"$i|"), col("v").cast("string")))
@@ -64,9 +68,14 @@ object Bloom {
     * (caller guarantees disjoint from `keys`, so every acceptance is a
     * false positive). */
   def bloomFprAudit(keys: DataFrame, probes: DataFrame,
-      mBits: Long, kHashes: Int): DataFrame = {
-    val pos = graft.Persisted.track(bloomPositions(keys, mBits, kHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      mBits: Long, kHashes: Int,
+      precomputedPositions: Option[DataFrame] = None): DataFrame = {
+    // the staged-artifact hook (the minhash precomputedPairs pattern):
+    // a live deployment audits the POSITION RELATION IT ALREADY HOLDS
+    // (e.g. the streaming sink's reconstruction), not a rebuild
+    val pos = precomputedPositions.getOrElse(
+      graft.Persisted.track(bloomPositions(keys, mBits, kHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     val fp = bloomProbe(probes, pos, mBits, kHashes)
       .agg(count(lit(1)).as("n_probes"),
         coalesce(sum(when(col("accepted"), 1L).otherwise(0L)), lit(0L))

@@ -72,19 +72,26 @@ object Hll {
       s"p must be in [4, 10] (m = 2^p registers; the linear-counting " +
         s"branch is int64-only up to p = 10), got $p")
 
-  /** `(bucket, rho)` projection of a 48-bit hash relation `h` — shared
-    * by the batch register build and the streaming maintenance path
-    * ([[graft.streaming.StreamingOps.streamingHllRegisters]]). */
+  /** `(…, bucket, rho)` projection of a 48-bit hash relation `h` —
+    * non-`h` columns pass through (the grouped build's group key rides
+    * along). Shared by the batch register builds (global and grouped)
+    * and the streaming maintenance path
+    * ([[graft.streaming.StreamingOps.streamingHllRegisters]]), so the
+    * rho derivation exists exactly once. */
   def bucketRho(hashes: DataFrame, p: Int): DataFrame = {
     checkP(p)
     val w = wBits(p)
+    val passThrough = hashes.columns.filterNot(_ == "h").toSeq
+    require(!passThrough.contains("bucket") && !passThrough.contains("w"),
+      "bucketRho pass-through columns may not be named 'bucket' or 'w'")
     hashes
-      .select(shiftright(col("h"), w).as("bucket"),
-        col("h").bitwiseAND(lit((1L << w) - 1)).as("w"))
-      .select(col("bucket"),
+      .select(passThrough.map(col) ++ Seq(
+        shiftright(col("h"), w).as("bucket"),
+        col("h").bitwiseAND(lit((1L << w) - 1)).as("w")): _*)
+      .select(passThrough.map(col) ++ Seq(col("bucket"),
         when(col("w") === 0, lit(rhoMax(p).toLong))
           .otherwise(lit(rhoMax(p).toLong) - length(bin(col("w"))))
-          .as("rho"))
+          .as("rho")): _*)
   }
 
   /** `(bucket, register)` — all `m = 2^p` rows, empty buckets as 0.
@@ -182,14 +189,7 @@ object Hll {
       .distinct()
       .select(col("_g"), Kmv.kmvHashCol(col("_v")).as("h"))
       .distinct()
-    val w = wBits(p)
-    val regs = hashes
-      .select(col("_g"), shiftright(col("h"), w).as("bucket"),
-        col("h").bitwiseAND(lit((1L << w) - 1)).as("w"))
-      .select(col("_g"), col("bucket"),
-        when(col("w") === 0, lit(rhoMax(p).toLong))
-          .otherwise(lit(rhoMax(p).toLong) - length(bin(col("w"))))
-          .as("rho"))
+    val regs = bucketRho(hashes, p)
       .groupBy(col("_g"), col("bucket")).agg(max(col("rho")).as("register"))
     val grid = df.select(col(groupCol).as("_g")).distinct()
       .crossJoin(broadcast(spark.range(m).select(col("id").as("bucket"))))

@@ -172,9 +172,12 @@ object Layout {
     * two position rules, the shard arithmetic, and the skip predicate —
     * equality with the Spark side proves the on-disk files hold exactly
     * the planned shards. */
-  def zoneMapSkipAuditSql(valueCol: String, maxValue: Long,
+  def zoneMapSkipAuditSql(valueCol: String,
       rowsPerFile: Long, lo: Long, hi: Long): String = {
-    val width = math.max(1L, (maxValue + 256) / 256)
+    // no maxValue here: the bucket-offset positioning composes to
+    // exactly the (value, key) total order, which the oracle replays
+    // directly — the bucket width is an implementation detail of the
+    // Spark side's scalable rank, not of the result
     def arm(layout: String, order: String) =
       s"""SELECT '$layout' AS layout, CAST(count(*) AS BIGINT) AS n_files,
          |  CAST(sum(CASE WHEN mx < $lo OR mn > $hi THEN 1 ELSE 0 END) AS BIGINT)

@@ -264,10 +264,8 @@ object StreamingOps {
       .schema(schemaFrom.schema)
       .options(sourceOptions)
       .parquet(sourcePath)
-      .select(explode(array((0 until kHashes).map(i =>
-        graft.sketch.Kmv.kmvHashCol(
-          concat(lit(s"$i|"), col(valueCol).cast("string"))) % mBits): _*))
-        .as("pos"))
+      .select(col(valueCol).as("v"))
+      .transform(graft.sketch.Bloom.keyPositions(_, mBits, kHashes))
       .groupBy(col("pos"))
       .agg(count(lit(1)).as("n_hits"))
 

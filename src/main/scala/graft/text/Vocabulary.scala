@@ -2074,9 +2074,9 @@ object Vocabulary {
       .filter(col("n_cooc") >= minCount)
   }
 
-  /** DuckDB twin of [[skipgramCounts]] over `documents` (the oracle may
-    * use the range-join form; the operator ships the linear explode
-    * equi-join). */
+  /** DuckDB twin of [[skipgramCounts]] over `documents` — the oracle
+    * uses the range-join form; the operator ships the in-row
+    * [[SkipgramGenerator]] (no join at all). Same counts. */
   def skipgramCountsSql(window: Int, minCount: Long): String =
     s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
        |tk AS MATERIALIZED (
@@ -2346,7 +2346,7 @@ object Vocabulary {
     * rank window's, so the exploded token-pair relation NEVER shuffles
     * (the r10-part-7 fix: the original plan exchanged the ~40×-wider
     * (doc, term) pairs twice — tf agg + window — and went superlinear at
-    * 10M docs, 381 → 100 s). The repartitioned docs persist
+    * 10M docs, 381 → 148 s). The repartitioned docs persist
     * ([[graft.Persisted]]) because the tf subtree feeds two consumers
     * (idf branch + scoring); the doc-frequency relation stays
     * vocab-bounded (map-side-combined) and the idf table broadcasts. The

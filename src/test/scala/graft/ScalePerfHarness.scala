@@ -304,26 +304,29 @@ object ScalePerfHarness {
     val docs = textCorpus(spark, count).persist()
     val n = docs.count()
     time("surprisalScore", n) {
-      consume(Vocabulary.surprisalScore(docs, "doc_id", "text"))
+      val out = consume(Vocabulary.surprisalScore(docs, "doc_id", "text"))
+      Persisted.unpersistAll(); out
     }
     time("tfidfKeyTerms(k=5)", n) {
-      consume(Vocabulary.tfidfKeyTerms(docs, "doc_id", "text", k = 5))
+      val out = consume(Vocabulary.tfidfKeyTerms(docs, "doc_id", "text", k = 5))
+      Persisted.unpersistAll(); out
     }
     val a = docs.filter(col("doc_id") % 2 === 0)
     val b = docs.filter(col("doc_id") % 2 =!= 0)
     time("nbClassify(halves model + full scoring)", n) {
-      consume(Vocabulary.nbClassify(docs, "doc_id", "text",
+      val out = consume(Vocabulary.nbClassify(docs, "doc_id", "text",
         Vocabulary.nbTokenWeights(
           Vocabulary.unigramDriftCounts(a, b, "text"))))
+      Persisted.unpersistAll(); out
     }
     docs.unpersist()
   }
 
-  /** Skip-gram co-occurrence at corpus scale: the claim is linear
-    * volume (window × tokens through one equi-join) — 40-word docs at
-    * `count` docs put `window × 40 × count` joined rows through the
-    * (doc, position) join, and the vocab²-bounded count agg is map-side
-    * combined. */
+  /** Skip-gram co-occurrence at corpus scale: pairs stream in-row from
+    * the Generator (window × tokens rows at scan speed, no join); the
+    * cost driver is the count agg's PAIR CARDINALITY — on this
+    * uniform-vocab corpus pairs barely repeat, so the agg shuffles ~one
+    * row per sampled pair (the measured worst case in TUNING). */
   private def coocMode(spark: SparkSession, count: Long): Unit = {
     import graft.text.Vocabulary
     def consume(df: DataFrame): Long = {
@@ -510,9 +513,10 @@ object ScalePerfHarness {
     // scan — the claim is drift-build cost + one surprisal-shaped
     // scoring pass
     time("nbClassify(halves model + full scoring)", n) {
-      consume(Vocabulary.nbClassify(docs, "doc_id", "text",
+      val out = consume(Vocabulary.nbClassify(docs, "doc_id", "text",
         Vocabulary.nbTokenWeights(
           Vocabulary.unigramDriftCounts(a, b, "text"))))
+      Persisted.unpersistAll(); out
     }
     // DSIR selection at scale (r9): the model is bucket-bounded (two
     // feature aggs + the 4096-row universe), scoring is a broadcast join
