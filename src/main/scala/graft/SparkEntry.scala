@@ -1321,11 +1321,14 @@ object SparkEntry {
     // 64 float dims -> 16 integer accumulators at scan speed, the
     // ingest-time embedding compression that keeps magnitudes (unlike
     // the 1-bit sign-LSH bucket); shared-constant sign matrix, exact
-    // int64 output
+    // int64 output, serialized "a|b|..." for the checker (the driver's
+    // pandas compare cannot sort top-level arrays — a1 pattern)
     "x_embed_rproj" -> ((s, dir) =>
       graft.sim.RandomProjection.project(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
-        inDim = 64, outDim = 16)),
+        inDim = 64, outDim = 16)
+        .select(col("vec_id"),
+          array_join(col("proj_fp").cast("array<string>"), "|").as("proj_fp"))),
 
     // index-quality audit: recall@10 of the IVF arm vs exact brute force
     // over the deterministic query sample id % 100 == 0 — the monitoring
@@ -1796,10 +1799,14 @@ object SparkEntry {
     // block-partitioned inverted index build: the staged search
     // artifact; blocks bound every posting row by blockSize, so the
     // stopword giant-row problem never materializes at any corpus size
+    // posting lists serialize "a|b|..." for the checker (already sorted
+    // by construction; the driver compare cannot sort array columns)
     "x_search_index" -> ((s, dir) =>
       graft.text.Vocabulary.invertedIndex(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        blockSize = 100L)),
+        blockSize = 100L)
+        .select(col("term"), col("block"), col("block_df"),
+          array_join(col("postings").cast("array<string>"), "|").as("postings"))),
 
     // keyword search: integer-scored (distinct terms, matches, id) top-k
     // — IN-filtered scan, map-side-combined agg, ordered limit
@@ -2396,14 +2403,17 @@ object SparkEntry {
     // chunk -> document embedding pooling: element-wise mean folded in
     // chunk order (deterministic float sum sequence — a per-dim
     // groupBy-sum would add in arrival order); gated in the fixed-point
-    // projection so the checker compares exact integers
+    // projection so the checker compares exact integers, serialized
+    // "a|b|..." (the driver compare cannot sort array columns)
     "x_embed_pool" -> ((s, dir) =>
       graft.sim.Similarity.meanPoolVectors(
         DerivedModel.table(s, dir, "embeddings")
           .withColumn("grp", col("vec_id") % 100),
         "grp", "vec_id", "embedding")
         .select(col("grp"), col("n_chunks"),
-          expr("transform(mean_vec, x -> CAST(floor(x * 1048576.0D + 0.5D) AS BIGINT))")
+          array_join(
+            expr("transform(mean_vec, x -> CAST(floor(x * 1048576.0D + 0.5D) AS BIGINT))")
+              .cast("array<string>"), "|")
             .as("mean_vec_fp"))),
 
     // link-graph centrality: fixed-point integer PageRank (8 rounds,
@@ -3379,9 +3389,12 @@ object SparkEntry {
           "doc_id, quality, n_toks"),
 
       // per-(group, dim) ordered list_reduce fold == the Spark aggregate
-      // fold's add sequence; identical divide/scale/floor op order
+      // fold's add sequence; identical divide/scale/floor op order;
+      // serialized like the gate (nested-WITH subquery, the hybrid-search
+      // embedding pattern)
       "x_embed_pool" ->
-        graft.sim.Similarity.meanPoolVectorsSqlFixed(64, "vec_id % 100"),
+        s"""SELECT grp, n_chunks, array_to_string(mean_vec_fp, '|') AS mean_vec_fp
+           |FROM (${graft.sim.Similarity.meanPoolVectorsSqlFixed(64, "vec_id % 100")})""".stripMargin,
 
       "x_sample_epochs" ->
         graft.ops.Sampling.epochRepeatSql("documents", "doc_id", "source",
@@ -3739,7 +3752,9 @@ object SparkEntry {
       "x_eval_ann_recall" ->
         graft.sim.Similarity.annRecallAuditSql(64, 10, 100L, 16, 4),
 
-      "x_embed_rproj" -> graft.sim.RandomProjection.projectSql(64, 16),
+      "x_embed_rproj" ->
+        s"""SELECT vec_id, array_to_string(proj_fp, '|') AS proj_fp
+           |FROM (${graft.sim.RandomProjection.projectSql(64, 16)})""".stripMargin,
       "x_ann_lsh" -> graft.sim.Similarity.lshTopKSql(64, 0L, 10),
       "x_ann_ivf_kmeans" -> graft.sim.Similarity.ivfTopKTrainedSql(64, 0L, 10, 16, 4, 2),
 
@@ -4019,7 +4034,8 @@ object SparkEntry {
           batchRounds = 3, batchSize = 3),
 
       "x_search_index" ->
-        graft.text.Vocabulary.invertedIndexSql(blockSize = 100L),
+        s"""SELECT term, block, block_df, array_to_string(postings, '|') AS postings
+           |FROM (${graft.text.Vocabulary.invertedIndexSql(blockSize = 100L)})""".stripMargin,
 
       "x_search_keywords" ->
         graft.text.Vocabulary.searchByTokensSql(

@@ -1513,18 +1513,26 @@ object Vocabulary {
   }
 
   /** DuckDB twin of [[bpeFertilityByGroup]] over `documents`: the full
-    * BPE training replay, then the grouped fertility agg.
+    * BPE training replay, then the grouped fertility agg. The per-group
+    * token stream aggregates to `(grp, word, n_occ)` WORD granularity
+    * before touching the trained types — re-materializing the full token
+    * unnest beside the 6-round BPE replay was the allocation that pushed
+    * the checker's DuckDB over its memory budget (r10), and the
+    * word-type join is the smaller relation anyway; `sum(n_occ · f)`
+    * ≡ the occurrence-level sums exactly (all integers).
     */
   def bpeFertilitySql(rounds: Int, grpCol: String): String =
     s"""${bpeRoundsSqlPrefix(rounds)},
-       |tokg AS MATERIALIZED (
-       |  SELECT $grpCol, unnest(string_split(trim(text), ' ')) AS word
-       |  FROM documents)
-       |SELECT t.$grpCol, CAST(count(*) AS BIGINT) AS n_words,
-       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_subwords,
-       |  CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
-       |  (1000 * CAST(sum(len(w.syms)) AS BIGINT)) // CAST(count(*) AS BIGINT) AS fertility_milli,
-       |  (1000 * CAST(sum(length(t.word)) AS BIGINT)) // CAST(sum(len(w.syms)) AS BIGINT) AS chars_per_subword_milli
+       |tokg AS (
+       |  SELECT $grpCol, word, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM (SELECT $grpCol, unnest(string_split(trim(text), ' ')) AS word
+       |        FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT t.$grpCol, CAST(sum(t.n_occ) AS BIGINT) AS n_words,
+       |  CAST(sum(t.n_occ * len(w.syms)) AS BIGINT) AS n_subwords,
+       |  CAST(sum(t.n_occ * length(t.word)) AS BIGINT) AS n_chars,
+       |  (1000 * CAST(sum(t.n_occ * len(w.syms)) AS BIGINT)) // CAST(sum(t.n_occ) AS BIGINT) AS fertility_milli,
+       |  (1000 * CAST(sum(t.n_occ * length(t.word)) AS BIGINT)) // CAST(sum(t.n_occ * len(w.syms)) AS BIGINT) AS chars_per_subword_milli
        |FROM tokg t JOIN w$rounds w USING (word)
        |GROUP BY t.$grpCol""".stripMargin
 
