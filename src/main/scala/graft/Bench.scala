@@ -22,6 +22,14 @@ object Bench {
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the bucket-offset cumsum windows (Chunking.packSequences,
+    // Sampling.withGlobalPosition*/tokenBudgetSelect) run over
+    // <= 16^prefixChars-row OFFSETS relations — single-partition BY
+    // DESIGN, never the data (adjudicated benign, r10 verdict). Silence
+    // that one warning so the bench tail stays signal
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // optional subset for local investigation: SPARK_GRAFT_BENCH_ONLY=a,b
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)

@@ -49,7 +49,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // filter the oracle dump by the same SPARK_GRAFT_ONLY set: a targeted
+    // local check should exit 0 on success instead of FAILing every
+    // unselected query with "no spark output" (driver runs unfiltered)
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

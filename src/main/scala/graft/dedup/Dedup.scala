@@ -720,18 +720,26 @@ object Dedup {
     */
   def lshDetectionCurve(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 2,
-      floorNum: Int = 1, floorDen: Int = 5, buckets: Int = 20): DataFrame = {
+      floorNum: Int = 1, floorDen: Int = 5, buckets: Int = 20,
+      precomputedSignatures: Option[DataFrame] = None,
+      precomputedTruth: Option[DataFrame] = None): DataFrame = {
     require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
-    val ng = Persisted.track(shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // fused signature+count agg (the minhashScoredCandidates shape),
-    // with the replayable hash family
-    val aggs = (0 until numPerms).map(i =>
-      min(graft.sketch.Kmv.kmvHashCol(concat(lit(s"$i|"), col("ngram"))))
-        .as(s"_h$i")) :+ count(lit(1)).as("n_shingles")
-    val sig = Persisted.track(ng.groupBy(col("_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the two staged-artifact hooks (the minhash precomputedPairs
+    // pattern): a deployment auditing its banding holds the signature
+    // relation and the exact-Jaccard truth bins as index artifacts; only
+    // the banding join itself — the thing being audited — runs per call
+    val (sig, truth) = (precomputedSignatures, precomputedTruth) match {
+      case (Some(s), Some(t)) => (s, t)
+      case _ =>
+        val ng = Persisted.track(shingles(df, idCol, textCol, n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val s = precomputedSignatures.getOrElse(
+          Persisted.track(lshCurveSignatures(ng, numPerms)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+        val t = precomputedTruth.getOrElse(
+          lshCurveTruthBins(ng, floorNum, floorDen, buckets))
+        (s, t)
+    }
     val numBands = numPerms / rowsPerBand
     // band keys are the raw per-band minima tuple (no bucket re-hash —
     // the tuple IS the key, and stays replayable)
@@ -746,9 +754,37 @@ object Dedup {
         keys)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // exact truth set ≥ floor, integer-binned (the ngramJaccardPairs
-    // intersection shape, kept in integers end to end)
-    val cnt = sig.select(col("_id"), col("n_shingles"))
+    truth
+      .join(det.withColumn("_hit", lit(1L)), Seq("id_a", "id_b"), "left")
+      .groupBy(col("j_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_detected"))
+      .withColumn("det_permille", expr("(1000 * n_detected) DIV n_pairs"))
+  }
+
+  /** [[lshDetectionCurve]]'s signature artifact over a shingle relation
+    * `(_id, ngram)`: per-doc per-seed 48-bit minima + shingle count,
+    * fused in ONE map-side-combined agg (the minhashScoredCandidates
+    * shape) with the md5-replayable hash family.
+    */
+  def lshCurveSignatures(ng: DataFrame, numPerms: Int = 16): DataFrame = {
+    val aggs = (0 until numPerms).map(i =>
+      min(graft.sketch.Kmv.kmvHashCol(concat(lit(s"$i|"), col("ngram"))))
+        .as(s"_h$i")) :+ count(lit(1)).as("n_shingles")
+    ng.groupBy(col("_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[lshDetectionCurve]]'s truth artifact over a shingle relation:
+    * exact-Jaccard pairs at or above `floorNum/floorDen`, integer-binned
+    * to `j_bucket = ⌊buckets·J⌋` (the ngramJaccardPairs intersection
+    * shape, integers end to end). This is the audit's real cost — the
+    * unguarded Σdf² all-shingle self-join — which is exactly why it
+    * stages as a build-once artifact; at 100 TB run it on a hash-sample
+    * ([[graft.ops.Sampling.hashSample]]).
+    */
+  def lshCurveTruthBins(ng: DataFrame, floorNum: Int = 1,
+      floorDen: Int = 5, buckets: Int = 20): DataFrame = {
+    val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = ng.select(col("_id").as("id_a"), col("ngram"))
       .hint("shuffle_hash")
       .join(ng.select(col("_id").as("id_b"), col("ngram")).hint("shuffle_hash"),
@@ -762,12 +798,8 @@ object Dedup {
       .withColumn("_union", col("n_a") + col("n_b") - col("n_inter"))
       .filter(lit(floorDen.toLong) * col("n_inter")
         >= lit(floorNum.toLong) * col("_union"))
-      .withColumn("j_bucket", expr(s"($buckets * n_inter) DIV _union"))
-      .join(det.withColumn("_hit", lit(1L)), Seq("id_a", "id_b"), "left")
-      .groupBy(col("j_bucket"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(coalesce(col("_hit"), lit(0L))).as("n_detected"))
-      .withColumn("det_permille", expr("(1000 * n_detected) DIV n_pairs"))
+      .select(col("id_a"), col("id_b"),
+        expr(s"($buckets * n_inter) DIV _union").as("j_bucket"))
   }
 
   /** DuckDB twin of [[lshDetectionCurve]] over `documents`: identical

@@ -23,6 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WinnowExpr(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
+  // enforce winnowPairs' contract at the expression itself — w <= 0
+  // would silently degenerate the window-min selection and k <= 0 would
+  // throw an opaque NegativeArraySizeException from the grams array
+  require(k >= 2 && w >= 1, s"winnowing requires k >= 2 && w >= 1, got k=$k w=$w")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_winnow"
 

@@ -307,6 +307,9 @@ object Sampling {
     val bucketed = df.withColumn("_graft_bkt", bucket)
     val offsets = bucketed.groupBy(col("_graft_bkt"))
       .agg(count(lit(1)).as("_graft_n"))
+      // single-partition BY DESIGN: the cumsum runs over the bucket-
+      // offsets relation (<= 16^prefixChars rows), never the data — the
+      // "WindowExec: No Partition Defined" warning it logs is benign
       .withColumn("_graft_offset",
         coalesce(sum(col("_graft_n")).over(
           Window.orderBy(col("_graft_bkt"))
@@ -336,6 +339,9 @@ object Sampling {
     val bucketed = df.withColumn("_graft_bkt", expr(s"$valueCol DIV ${width}L"))
     val offsets = bucketed.groupBy(col("_graft_bkt"))
       .agg(count(lit(1)).as("_graft_n"))
+      // single-partition BY DESIGN over the ~256-row band-offsets
+      // relation, never the data — the "WindowExec: No Partition
+      // Defined" warning it logs is benign
       .withColumn("_graft_offset",
         coalesce(sum(col("_graft_n")).over(
           Window.orderBy(col("_graft_bkt"))
@@ -415,6 +421,9 @@ object Sampling {
       .withColumn("_graft_bkt", substring(col("_graft_sk"), 1, prefixChars))
     val offsets = b.groupBy(col(scoreCol).as("_graft_s"), col("_graft_bkt"))
       .agg(sum(col(tokensCol).cast("long")).as("_graft_t"))
+      // single-partition BY DESIGN: the cumsum runs over the (score x
+      // 16^prefixChars)-row offsets relation, never the data — the
+      // "WindowExec: No Partition Defined" warning it logs is benign
       .withColumn("_graft_offset",
         coalesce(sum(col("_graft_t")).over(
           Window.orderBy(col("_graft_s").desc, col("_graft_bkt"))

@@ -750,9 +750,14 @@ object Similarity {
     pqTrainedSqlCore(dim, queryId, k, m, ksub, rerank, trainIterations,
       candidateCtes = Some(ivfCoarseCtes(dim, queryId, numClusters, nProbe)))
 
-  private def pqTrainedSqlCore(dim: Int, queryId: Long, k: Int, m: Int,
-      ksub: Int, rerank: Int, trainIterations: Int,
-      candidateCtes: Option[String]): String = {
+  /** The trained-PQ CTE prefix shared by the single-query replays and
+    * the recall audit: `e`, optional candidate CTEs, subvector slices,
+    * seeded `pcent0`, the unrolled training rounds, final `codes` and
+    * `recon(vec_id, rvec)`. Returned WITHOUT the leading `WITH ` so
+    * composers can append their own tails.
+    */
+  private def pqTrainedReconCtes(dim: Int, m: Int, ksub: Int,
+      trainIterations: Int, candidateCtes: Option[String] = None): Seq[String] = {
     val dsub = dim / m
     // ||c_j||^2 - 2<v_s, c_j> over the ALREADY-SLICED subvector relation:
     // left-assoc index-ascending sums, the exact double op order of the
@@ -790,10 +795,7 @@ object Similarity {
            |  FROM pcent${i - 1} p LEFT JOIN pmean$i m ON p.s = m.s AND p.j = m.j)""".stripMargin)
     }
     val T = trainIterations
-    val candFilter = candidateCtes
-      .map(_ => "AND r.vec_id IN (SELECT vec_id FROM cand)").getOrElse("")
-    (Seq(
-      "WITH e AS (SELECT vec_id, embedding FROM embeddings)") ++
+    Seq("e AS (SELECT vec_id, embedding FROM embeddings)") ++
       candidateCtes.toSeq ++ Seq(
       s"""sub AS MATERIALIZED (
          |  SELECT e.vec_id, t.s,
@@ -815,7 +817,16 @@ object Similarity {
          |  SELECT vec_id, flatten(list(cvec ORDER BY s)) AS rvec FROM (
          |    SELECT cd.vec_id, cd.s, c.cvec
          |    FROM codes cd JOIN pcent$T c ON c.s = cd.s AND c.j = cd.code)
-         |  GROUP BY vec_id)""".stripMargin,
+         |  GROUP BY vec_id)""".stripMargin)
+  }
+
+  private def pqTrainedSqlCore(dim: Int, queryId: Long, k: Int, m: Int,
+      ksub: Int, rerank: Int, trainIterations: Int,
+      candidateCtes: Option[String]): String = {
+    val candFilter = candidateCtes
+      .map(_ => "AND r.vec_id IN (SELECT vec_id FROM cand)").getOrElse("")
+    "WITH " + (pqTrainedReconCtes(dim, m, ksub, trainIterations,
+      candidateCtes) ++ Seq(
       s"q AS (SELECT embedding AS qvec FROM e WHERE vec_id = $queryId)",
       s"""topr AS (
          |  SELECT r.vec_id, ${cosineSql("r.rvec", "q.qvec", dim)} AS adc
@@ -1665,6 +1676,113 @@ object Similarity {
       .select(col("_qid").as("query_id"),
         coalesce(col("_h"), lit(0L)).as("hits"),
         lit(k).cast("int").as("k"))
+  }
+
+  /** Index-quality audit for the QUANTIZED arm: recall@k of the
+    * [[pqTopK]] pipeline (ADC top-R cut + exact re-rank — the arm
+    * x_ann_pq_trained ships) against exact brute force, per query — the
+    * production metric for a PQ index: quantization error shows up
+    * exactly here, as true neighbors falling outside the ADC top-R.
+    * Same protocol as [[annRecallAudit]]: deterministic query sample
+    * `id % queryStep == 0`, (cosine desc, id) tie-breaks everywhere,
+    * integer intersection counts — bit-replayable.
+    *
+    * Scale shape: the query set is the bounded broadcast side; the ADC
+    * arm scans the SKINNY staged code relation (`precomputedCodes` —
+    * the at-ingest artifact, ~m bytes/vector) and ranks through
+    * per-query windows whose inputs Catalyst prunes to (qid, id, adc);
+    * the exact arm is the same Q·n/partitions broadcast scan as
+    * [[annRecallAudit]] — the audit's cost, not the index's.
+    */
+  def pqRecallAudit(embeddings: DataFrame, idCol: String, vecCol: String,
+      k: Int, queryStep: Long, m: Int = 8, ksub: Int = 16, rerank: Int = 40,
+      dim: Option[Int] = None,
+      codebook: Option[Array[Array[Array[Double]]]] = None,
+      precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1 && queryStep >= 1 && rerank >= k,
+      "k, queryStep >= 1 and rerank >= k")
+    val d = resolveDim(embeddings, vecCol, dim, "pqRecallAudit")
+    require(d % m == 0, s"pqRecallAudit: dim $d not divisible into $m subspaces")
+    val cb = codebook.getOrElse(pqCodebook(embeddings, idCol, vecCol, m, ksub, d))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("_qid")).orderBy(col("_cos").desc, col(idCol))
+    val queries = embeddings.filter(col(idCol) % queryStep === 0)
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qvec"))
+    val exact = embeddings.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("_qid"))
+      .withColumn("_cos", cosine(col(vecCol), col("_qvec")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid"), col(idCol))
+    val coded = precomputedCodes.getOrElse(
+      pqCodes(embeddings, idCol, vecCol, cb, m, d / m, ksub))
+    val topR = coded.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("_qid"))
+      .withColumn("_cos", cosine(pqReconCol(cb, m), col("_qvec")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= rerank)
+      .select(col("_qid"), col(idCol))
+    val rer = topR
+      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries), Seq("_qid"))
+      .withColumn("_cos", cosine(col(vecCol), col("_qvec")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_qid"), col(idCol))
+    val hits = exact.join(rer, Seq("_qid", idCol))
+      .groupBy(col("_qid")).agg(count(lit(1)).as("_h"))
+    queries.select(col("_qid"))
+      .join(hits, Seq("_qid"), "left")
+      .select(col("_qid").as("query_id"),
+        coalesce(col("_h"), lit(0L)).as("hits"),
+        lit(k).cast("int").as("k"))
+  }
+
+  /** DuckDB twin of [[pqRecallAudit]] with the TRAINED codebook: the
+    * [[pqTrainedSqlCore]] training/encode/recon prefix, then the exact
+    * arm, the multi-query ADC top-R + re-rank, the same intersection
+    * count.
+    */
+  def pqRecallAuditSql(dim: Int, k: Int, queryStep: Long, m: Int = 8,
+      ksub: Int = 16, rerank: Int = 40, trainIterations: Int = 2): String = {
+    val cosAQ = cosineSql("a.embedding", "q.qvec", dim)
+    val cosRQ = cosineSql("r.rvec", "q.qvec", dim)
+    val cosEQ = cosineSql("e.embedding", "q.qvec", dim)
+    "WITH " + (pqTrainedReconCtes(dim, m, ksub, trainIterations) ++ Seq(
+      s"""q AS MATERIALIZED (
+         |  SELECT vec_id AS qid, embedding AS qvec FROM e
+         |  WHERE vec_id % $queryStep = 0)""".stripMargin,
+      s"""exact AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, a.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY $cosAQ DESC, a.vec_id) AS rn
+         |    FROM e a CROSS JOIN q WHERE a.vec_id <> q.qid)
+         |  WHERE rn <= $k)""".stripMargin,
+      s"""topr AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.qid, r.vec_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY $cosRQ DESC, r.vec_id) AS rn
+         |    FROM recon r CROSS JOIN q WHERE r.vec_id <> q.qid)
+         |  WHERE rn <= $rerank)""".stripMargin,
+      s"""rer AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT t.qid, t.vec_id,
+         |      row_number() OVER (PARTITION BY t.qid
+         |        ORDER BY $cosEQ DESC, t.vec_id) AS rn
+         |    FROM topr t JOIN e ON e.vec_id = t.vec_id
+         |    JOIN q ON q.qid = t.qid)
+         |  WHERE rn <= $k)""".stripMargin,
+      s"""hits AS (
+         |  SELECT x.qid, CAST(count(*) AS BIGINT) AS h
+         |  FROM exact x JOIN rer a ON x.qid = a.qid AND x.vec_id = a.vec_id
+         |  GROUP BY x.qid)""".stripMargin))
+      .mkString(",\n") +
+      s"""
+         |SELECT q.qid AS query_id, COALESCE(h.h, CAST(0 AS BIGINT)) AS hits,
+         |  CAST($k AS INTEGER) AS k
+         |FROM q LEFT JOIN hits h ON q.qid = h.qid""".stripMargin
   }
 
   /** DuckDB twin of [[annRecallAudit]] over `embeddings`: the exact arm,

@@ -80,7 +80,10 @@ object Bloom {
       .agg(count(lit(1)).as("n_probes"),
         coalesce(sum(when(col("accepted"), 1L).otherwise(0L)), lit(0L))
           .as("n_false_pos"))
-    keys.agg(count(lit(1)).as("n_keys"))
+    // n_keys counts DISTINCT keys — the filter is built over distinct
+    // values, so a non-distinct input relation must not overstate the
+    // built key set in the audit row
+    keys.select(col("v")).distinct().agg(count(lit(1)).as("n_keys"))
       .crossJoin(broadcast(pos.agg(count(lit(1)).as("n_set_bits"))))
       .crossJoin(broadcast(fp))
   }
@@ -109,7 +112,7 @@ object Bloom {
        |    CAST(coalesce(sum(CASE WHEN accepted THEN 1 ELSE 0 END), 0) AS BIGINT)
        |      AS n_false_pos
        |  FROM acc)
-       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ks) AS n_keys,
+       |SELECT (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM ks) AS n_keys,
        |  (SELECT CAST(count(*) AS BIGINT) FROM pos) AS n_set_bits,
        |  n_probes, n_false_pos
        |FROM fp""".stripMargin

@@ -68,10 +68,13 @@ object Kmv {
   def bucketMinEstimate(sketch: DataFrame, k: Int): DataFrame = {
     require(k.toLong * k <= Long.MaxValue / HashSpace,
       s"k^2 * 2^48 must stay in int64, got k=$k (max k = 181)")
+    // greatest(..., 1): a value hashing to exactly 0 (p ~ 2^-48/value)
+    // would zero the divisor — Spark's non-ANSI DIV yields NULL silently
+    // where DuckDB errors, so both sides clamp identically instead
     sketch.agg(count(lit(1)).as("n_buckets"),
         sum(col("min_h")).as("sum_min"))
       .select(col("n_buckets"), col("sum_min"),
-        expr(s"CAST((${k.toLong * k}L * ${HashSpace}L) DIV sum_min AS BIGINT)")
+        expr(s"CAST((${k.toLong * k}L * ${HashSpace}L) DIV greatest(sum_min, 1) AS BIGINT)")
           .as("est_distinct"))
   }
 
@@ -90,7 +93,8 @@ object Kmv {
     sketch.agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_h"))
       .select(col("n_sketch"), col("kth_h"),
         when(col("n_sketch") < k, col("n_sketch"))
-          .otherwise(expr(s"CAST((${k - 1}L * ${HashSpace}L) DIV kth_h AS BIGINT)"))
+          // greatest-clamp: see bucketMinEstimate — zero-hash divisor
+          .otherwise(expr(s"CAST((${k - 1}L * ${HashSpace}L) DIV greatest(kth_h, 1) AS BIGINT)"))
           .as("est_distinct"))
 
   /** DuckDB twin of the gate's sketch + parity-split merge + estimate
@@ -115,7 +119,7 @@ object Kmv {
        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM vals)
        |SELECT n_sketch, kth_h,
        |  CASE WHEN n_sketch < $k THEN n_sketch
-       |       ELSE (${k - 1} * ${HashSpace}) // kth_h END AS est_distinct,
+       |       ELSE (${k - 1} * ${HashSpace}) // greatest(kth_h, 1) END AS est_distinct,
        |  exact_distinct,
        |  (SELECT kth_m FROM estm) = kth_h AS merge_matches
        |FROM est CROSS JOIN ex""".stripMargin

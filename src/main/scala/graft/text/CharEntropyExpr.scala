@@ -23,10 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * A pure per-row function, so it runs as ONE codegen'd scalar inside the
   * scan — no character explode, no shuffle, corpus-size-independent (the
   * relational explode+groupBy form exists only inside the oracle SQL).
-  * Characters are UTF-16 code units on the Spark side vs Unicode code
-  * points in DuckDB's `string_split(text, '')` — identical on ASCII/BMP
-  * corpora (the gated data); astral-plane text would diverge. Requires
-  * `n < 2^33` per document ([[Vocabulary.log2Fixed]]'s magnitude bound).
+  * Characters are Unicode CODE POINTS on both sides (the loop below
+  * steps by `Character.charCount`, matching DuckDB's
+  * `string_split(text, '')`), so surrogate-pair (astral) text counts
+  * identically — no ASCII/BMP precondition. Requires `n < 2^33` per
+  * document ([[Vocabulary.log2Fixed]]'s magnitude bound).
   */
 case class CharEntropyExpr(child: Expression) extends UnaryExpression {
 
@@ -55,19 +56,20 @@ object CharEntropyExpr {
     */
   def entropyFp(s: UTF8String): Long = {
     val str = s.toString
-    val n = str.length.toLong
-    if (n == 0L) return 0L
+    if (str.isEmpty) return 0L
     val ascii = new Array[Long](128)
-    var other: java.util.HashMap[Character, Long] = null
+    var other: java.util.HashMap[Integer, Long] = null
+    var n = 0L
     var i = 0
     while (i < str.length) {
-      val c = str.charAt(i)
-      if (c < 128) ascii(c) += 1L
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1L
       else {
-        if (other == null) other = new java.util.HashMap[Character, Long]()
-        other.merge(c, 1L, (a, b) => a + b)
+        if (other == null) other = new java.util.HashMap[Integer, Long]()
+        other.merge(cp, 1L, (a, b) => a + b)
       }
-      i += 1
+      n += 1L
+      i += Character.charCount(cp)
     }
     var acc = 0L
     var j = 0

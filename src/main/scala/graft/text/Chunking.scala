@@ -72,6 +72,9 @@ object Chunking {
       .withColumn("_graft_n", size(col("_graft_toks")).cast("long"))
     val bucketTotals = toks.groupBy(col("_graft_bkt"))
       .agg(sum(col("_graft_n")).as("_graft_bn"))
+      // single-partition BY DESIGN: this window runs over the bucket-
+      // offsets relation (<= 16^prefixChars rows), never the data — the
+      // "WindowExec: No Partition Defined" warning it logs is benign
       .withColumn("_graft_boff",
         coalesce(sum(col("_graft_bn")).over(
           Window.orderBy(col("_graft_bkt"))

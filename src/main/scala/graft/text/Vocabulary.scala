@@ -536,8 +536,9 @@ object Vocabulary {
     *
     * Scale shape: two [[buildVocab]]-shaped map-side-combined token aggs
     * (vocab-bounded shuffles), one vocab-sized full-outer join, and
-    * corpus totals riding a partitionless window over the vocab relation
-    * (bounded rows — never the corpus). The token streams never shuffle.
+    * corpus totals as a 1-row aggregate broadcast-cross-joined back over
+    * the vocab relation — no single-partition stage anywhere. The token
+    * streams never shuffle.
     *
     * PRECONDITION (mirrors [[surprisalScore]]'s TOTAL < 2^33 note): the
     * products `ca·(totB+V)` and `(cb+1)·totA` must fit int64 — the
@@ -560,12 +561,17 @@ object Vocabulary {
       checkedMulExpr(a, b, "unigramDrift", what)
     val joined = precomputedCounts
       .getOrElse(unigramDriftCounts(dfA, dfB, textCol))
-    val w = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // corpus totals as a 1-row aggregate broadcast back over the vocab
+    // relation — NOT a partitionless window, which would funnel the whole
+    // vocabulary through one partition at 100x vocab. The counts relation
+    // is referenced twice; callers stage/persist it (driftCountsDim), so
+    // the second branch reads the cache, not the corpus.
+    val totals = joined.agg(
+      sum(col("_ca")).as("_tot_a"),
+      sum(col("_cb")).as("_tot_b"),
+      count(lit(1)).as("_v"))
     val prep = joined
-      .withColumn("_tot_a", sum(col("_ca")).over(w))
-      .withColumn("_tot_b", sum(col("_cb")).over(w))
-      .withColumn("_v", count(lit(1)).over(w))
+      .crossJoin(broadcast(totals))
       .filter(col("_ca") > 0)
       // overflow-guarded multiply: the guard lives INSIDE the computed
       // column (a standalone guard column would be pruned away unused).
@@ -851,14 +857,12 @@ object Vocabulary {
     * common factor first.
     */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
-      topN: Int = 256): DataFrame = {
+      topN: Int = 256,
+      precomputedModel: Option[DataFrame] = None): DataFrame = {
     val tokArr = df.select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("_toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.Persisted.track(tokArr)
-    val cnt = tokArr.select(explode(col("_toks")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("_c"))
-    val tot = cnt.agg(sum(col("_c")).as("_tot"))
     // bigram stream at scan speed; size >= 2 guard keeps sequence()
     // ascending (sequence(2, 1) runs DESCENDING — the BPE length-1 trap)
     val bigrams = tokArr.filter(size(col("_toks")) >= 2)
@@ -866,30 +870,16 @@ object Vocabulary {
         "transform(sequence(2, size(_toks)), " +
           "i -> struct(_toks[i-2] AS w1, _toks[i-1] AS w2))")).as("_bg"))
       .select(col(idCol), col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
-    val bgTop = bigrams.groupBy(col("_w1"), col("_w2"))
-      .agg(count(lit(1)).as("_c12"))
-      .orderBy(col("_c12").desc, col("_w1"), col("_w2"))
-      .limit(topN)
-    // ONE log chain over the union of the three ratio families (the
-    // oracle's exact shape): three separate chains tripled the unrolled
-    // FracBits-round plan and its codegen cost — merged, the model build
-    // went 33.1 -> ~14 s at 104k docs (plan cost, not data cost)
-    val base = cnt.crossJoin(broadcast(tot))
-    val ratios = base
-      .select(lit("u").as("_kind"), col("token").as("_k1"), lit("").as("_k2"),
-        col("_tot").as("_num"), col("_c").as("_den"))
-      .unionByName(base
-        .select(lit("b").as("_kind"), col("token").as("_k1"), lit("").as("_k2"),
-          (lit(5L) * col("_tot")).as("_num"), (lit(2L) * col("_c")).as("_den")))
-      .unionByName(bgTop
-        .join(broadcast(cnt.select(col("token").as("_w1"), col("_c").as("_c1"))),
-          Seq("_w1"))
-        .select(lit("g").as("_kind"), col("_w1").as("_k1"), col("_w2").as("_k2"),
-          col("_c1").as("_num"), col("_c12").as("_den")))
-    val scored = log2FixedCols(ratios)
-      .select(col("_kind"), col("_k1"), col("_k2"), col("_idf_fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.Persisted.track(scored)
+    // the staged-model hook (the surprisalModel pattern): train once,
+    // score many — the fixed-point model rows are integers + strings, so
+    // a parquet round-trip is hash-identical to training in-query
+    val scored = precomputedModel.getOrElse {
+      val m = bigramSurprisalModelFrom(tokArr,
+        bigrams.select(col("_w1"), col("_w2")), topN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Persisted.track(m)
+      m
+    }
     val uniU = scored.filter(col("_kind") === "u")
       .select(col("_k1").as("token"), col("_idf_fp").as("_u_fp"))
     val uniBo = scored.filter(col("_kind") === "b")
@@ -911,6 +901,55 @@ object Vocabulary {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("_contrib")).as("surprisal_fp"))
       .withColumn("mean_surprisal_fp", expr("surprisal_fp DIV n_tokens"))
+  }
+
+  /** [[bigramSurprisal]]'s trained model as a standalone artifact —
+    * `(_kind, _k1, _k2, _idf_fp)` over the three ratio families — for
+    * staging behind the `precomputedModel` hook (train once, score
+    * many; the corpus-touching half of the op, exactly like
+    * [[surprisalModel]] for the unigram signal).
+    */
+  def bigramSurprisalModel(df: DataFrame, textCol: String,
+      topN: Int = 256): DataFrame = {
+    val tokArr = df.select(TextFunctions.tokens(col(textCol)).as("_toks"))
+    val bigrams = tokArr.filter(size(col("_toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(_toks)), " +
+          "i -> struct(_toks[i-2] AS w1, _toks[i-1] AS w2))")).as("_bg"))
+      .select(col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
+    bigramSurprisalModelFrom(tokArr, bigrams, topN)
+  }
+
+  /** The model block shared by [[bigramSurprisalModel]] and the
+    * in-query fallback: token counts, the deterministic top-`topN`
+    * bigram prune, and the three ratio families through ONE merged
+    * log2 chain (three separate chains tripled the unrolled
+    * FracBits-round plan and its codegen cost — merged, the model
+    * build went 33.1 -> ~14 s at 104k docs; plan cost, not data cost).
+    */
+  private def bigramSurprisalModelFrom(tokArr: DataFrame,
+      bigrams: DataFrame, topN: Int): DataFrame = {
+    val cnt = tokArr.select(explode(col("_toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("_c"))
+    val tot = cnt.agg(sum(col("_c")).as("_tot"))
+    val bgTop = bigrams.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_c12"))
+      .orderBy(col("_c12").desc, col("_w1"), col("_w2"))
+      .limit(topN)
+    val base = cnt.crossJoin(broadcast(tot))
+    val ratios = base
+      .select(lit("u").as("_kind"), col("token").as("_k1"), lit("").as("_k2"),
+        col("_tot").as("_num"), col("_c").as("_den"))
+      .unionByName(base
+        .select(lit("b").as("_kind"), col("token").as("_k1"), lit("").as("_k2"),
+          (lit(5L) * col("_tot")).as("_num"), (lit(2L) * col("_c")).as("_den")))
+      .unionByName(bgTop
+        .join(broadcast(cnt.select(col("token").as("_w1"), col("_c").as("_c1"))),
+          Seq("_w1"))
+        .select(lit("g").as("_kind"), col("_w1").as("_k1"), col("_w2").as("_k2"),
+          col("_c1").as("_num"), col("_c12").as("_den")))
+    log2FixedCols(ratios)
+      .select(col("_kind"), col("_k1"), col("_k2"), col("_idf_fp"))
   }
 
   /** DuckDB twin of [[bigramSurprisal]] over `documents`: the three
@@ -2220,12 +2259,16 @@ object Vocabulary {
   def nbTokenWeights(counts: DataFrame): DataFrame = {
     def checkedMul(a: String, b: String, what: String) =
       checkedMulExpr(a, b, "nbTokenWeights", what)
-    val w = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // class totals as a 1-row aggregate broadcast back over the vocab
+    // relation (see unigramDrift) — no single-partition window stage;
+    // training runs once per staged weight table, so the dual reference
+    // to `counts` costs one extra vocab-bounded agg at train time only.
+    val totals = counts.agg(
+      sum(col("_ca")).as("_tot_a"),
+      sum(col("_cb")).as("_tot_b"),
+      count(lit(1)).as("_v"))
     val prep = counts
-      .withColumn("_tot_a", sum(col("_ca")).over(w))
-      .withColumn("_tot_b", sum(col("_cb")).over(w))
-      .withColumn("_v", count(lit(1)).over(w))
+      .crossJoin(broadcast(totals))
       .withColumn("_num0", checkedMul("_ca + 1", "_tot_b + _v", "(ca+1)*(totB+V)"))
       .withColumn("_den0", checkedMul("_cb + 1", "_tot_a + _v", "(cb+1)*(totA+V)"))
       .withColumn("_pos", col("_num0") >= col("_den0"))

@@ -72,6 +72,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("winnowing: the expression enforces its k/w contract at construction") {
+    import graft.dedup.WinnowExpr
+    import org.apache.spark.sql.functions.col
+    // w <= 0 silently degenerated the window-min selection and k <= 0
+    // threw an opaque NegativeArraySizeException; both must fail loudly
+    intercept[IllegalArgumentException] {
+      WinnowExpr.fingerprintsCol(col("text"), k = 1, w = 4)
+    }
+    intercept[IllegalArgumentException] {
+      WinnowExpr.fingerprintsCol(col("text"), k = 4, w = 0)
+    }
+  }
+
   test("winnowing: shared >= w+k-1 token run guarantees a pair; " +
     "unrelated docs don't pair") {
     import spark.implicits._

@@ -306,11 +306,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val p = planOf("x_text_surprisal_bigram")
     assert(p.contains("BroadcastHashJoin"),
       s"the vocab + top-N bigram models must broadcast onto the streams:\n$p")
-    // the only sort-merge-free exception would be the TakeOrdered prune
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"the corpus token/bigram streams must not shuffle into scoring joins:\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"the top-N model prune must be an ordered limit, not a global sort:\n$p")
+    // the gate probes the STAGED model (r11, train-once/score-many);
+    // the top-N prune moved into the model BUILD plan — audit it there
+    val build = graft.text.Vocabulary.bigramSurprisalModel(
+      DerivedModel.table(spark, dir, "documents"), "text", topN = 256)
+      .queryExecution.executedPlan.toString
+    assert(build.contains("TakeOrderedAndProject"),
+      s"the top-N model prune must be an ordered limit, not a global sort:\n$build")
     Persisted.unpersistAll()
     spark.catalog.clearCache()
   }
@@ -430,6 +434,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"weights must broadcast onto the token stream:\n$p")
     Persisted.unpersistAll()
+  }
+
+  test("drift/classifier totals are 1-row aggs, not single-partition windows") {
+    // r10 verdict item: unigramDrift / nbTokenWeights used to compute
+    // corpus totals with Window.partitionBy() over the full vocab
+    // relation — a single-partition funnel at 100x vocab. The fix is a
+    // 1-row aggregate broadcast-cross-joined back; assert no query in
+    // the family plans a partitionless window (a windowspecdefinition
+    // whose first argument is the frame means empty partition+order spec)
+    for (q <- Seq("x_text_drift", "x_curate_classifier",
+        "x_eval_classifier_quality")) {
+      val p = planOf(q)
+      assert(!p.contains("windowspecdefinition(specifiedwindowframe"),
+        s"$q plans a partitionless (single-partition) window:\n$p")
+      Persisted.unpersistAll()
+      spark.catalog.clearCache()
+    }
   }
 
   test("tfidf key terms: idf broadcasts and the rank cut plans WindowGroupLimit") {

@@ -288,6 +288,22 @@ object ScalePerfHarness {
       consume(graft.sim.Similarity.annRecallAudit(emb, "vec_id", "embedding",
         k = 10, queryStep = step, numClusters = 256, nProbe = 8))
     }
+    // the quantized sibling, in the production shape: codes staged once
+    // (encode amortized at ingest), the audit scans codes + pays the
+    // same Q·n exact arm
+    val cb = graft.sim.Similarity.pqCodebookTrained(emb, "vec_id",
+      "embedding", m = 8, ksub = 16, dim = 64, iterations = 2,
+      deterministic = true)
+    val codes = graft.sim.Similarity.pqEncodedRelation(emb, "vec_id",
+      "embedding", cb, m = 8, ksub = 16, dim = 64, numClusters = 16)
+      .persist()
+    codes.count()
+    time(s"pqRecallAudit(Q=${count / step}, k=10, m=8, rerank=40, staged codes)", count) {
+      consume(graft.sim.Similarity.pqRecallAudit(emb, "vec_id", "embedding",
+        k = 10, queryStep = step, m = 8, ksub = 16, rerank = 40,
+        dim = Some(64), codebook = Some(cb), precomputedCodes = Some(codes)))
+    }
+    codes.unpersist()
     emb.unpersist()
   }
 

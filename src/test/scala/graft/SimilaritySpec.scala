@@ -140,6 +140,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(partial.keySet == full.keySet)
   }
 
+  test("pqRecallAudit: rerank=corpus audits perfect recall; the normal " +
+      "cut agrees with the hand-computed arm intersection") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val n = emb.count().toInt
+    // an ADC top-R cut that keeps the whole corpus makes the PQ arm's
+    // re-rank exact -> hits == k for every sampled query
+    val full = Similarity.pqRecallAudit(emb, "vec_id", "embedding",
+      k = 5, queryStep = 100L, m = 8, ksub = 8, rerank = n, dim = Some(64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.nonEmpty && full.values.forall(_ == 5L),
+      s"rerank = corpus must audit 5/5: $full")
+    // the production cut: audit hits must equal the intersection of
+    // brute force and the pqTopK pipeline computed independently
+    val partial = Similarity.pqRecallAudit(emb, "vec_id", "embedding",
+      k = 5, queryStep = 100L, m = 8, ksub = 8, rerank = 20, dim = Some(64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((qid, hits) <- partial) {
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qid, 5)
+        .collect().map(_.getLong(0)).toSet
+      val approx = Similarity.pqTopK(emb, "vec_id", "embedding", qid, 5,
+        m = 8, ksub = 8, rerank = 20, dim = Some(64))
+        .collect().map(_.getLong(0)).toSet
+      assert(hits == (exact & approx).size.toLong,
+        s"query $qid: audit says $hits, arms intersect in ${(exact & approx).size}")
+    }
+    assert(partial.keySet == full.keySet)
+    Persisted.unpersistAll()
+  }
+
   test("k-means IVF: nProbe=all equals brute force; centroids balanced") {
     val emb = DerivedModel.table(spark, dir, "embeddings")
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)

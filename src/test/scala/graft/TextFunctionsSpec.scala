@@ -54,6 +54,14 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == CharEntropyExpr.entropyFp(
       org.apache.spark.unsafe.types.UTF8String.fromString("mixed bag!")))
     assert(got(4L) > 2L * f && got(4L) < 4L * f) // 9 distinct chars in 10
+
+    // astral-plane text counts CODE POINTS, matching DuckDB's
+    // string_split(text, '') — each emoji is ONE character, so two
+    // distinct emoji = 1 bit exactly (surrogate-pair counting would see
+    // 4 units and a different distribution)
+    val astral = CharEntropyExpr.entropyFp(
+      org.apache.spark.unsafe.types.UTF8String.fromString("😀😁"))
+    assert(astral == f, s"H(two distinct astral chars)=1 bit, got $astral")
   }
 
   test("quality signals") {
