@@ -184,6 +184,8 @@ object Sampling {
         when((col("_s0") + 1) * (col("_s0") + 1) <= col("_cd"), col("_s0") + 1)
           .when(col("_s0") * col("_s0") > col("_cd"), col("_s0") - 1)
           .otherwise(col("_s0")))
+    // single-partition BY DESIGN: runs over the per-DOMAIN count relation
+    // (bounded by the domain universe, never the corpus) — benign warning
     val w = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val thresholds = seeded

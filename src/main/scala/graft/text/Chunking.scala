@@ -136,6 +136,9 @@ object Chunking {
       .withColumn("_graft_bkt", substring(col("_graft_sk"), 1, prefixChars))
     val offsets = b.groupBy(col(tokensCol).as("_graft_s"), col("_graft_bkt"))
       .agg(count(lit(1)).as("_graft_c"))
+      // single-partition BY DESIGN over the (length x 16^prefixChars)-row
+      // offsets relation, never the data — the "WindowExec: No Partition
+      // Defined" warning it logs is benign
       .withColumn("_graft_offset",
         coalesce(sum(col("_graft_c")).over(
           Window.orderBy(col("_graft_s").desc, col("_graft_bkt"))

@@ -1860,6 +1860,8 @@ object Vocabulary {
       .join(counts(rawBuckets, "_cr0"), Seq("_bkt"), "left")
       .select(col("_bkt"), coalesce(col("_ct0"), lit(0L)).as("_ct"),
         coalesce(col("_cr0"), lit(0L)).as("_cr"))
+    // single-partition BY DESIGN: runs over the fixed 4096-bucket
+    // universe relation, never the feature stream — benign warning
     val w = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val prep = joined
