@@ -83,7 +83,7 @@ object Chunking {
     // the ONE data shuffle deliberately carries the token arrays: the
     // posexplode below needs them, so they move exactly once either way
     // — a skinny window + rejoin-by-id would ADD a shuffle, not save one
-    // (the PlanDump ARRAY_WINDOWS sweep flags this window; adjudicated
+    // (the ExplainMain ARRAY_WINDOWS sweep flags this window; adjudicated
     // optimal as-is)
     val within = Window.partitionBy(col("_graft_bkt"))
       .orderBy(col("_graft_sk"), col(idCol))

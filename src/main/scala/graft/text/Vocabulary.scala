@@ -1080,52 +1080,28 @@ object Vocabulary {
     * `pnum < 2^63`). Larger corpora shard and floor-rescale counts by a
     * common factor first.
     */
-  def knSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def knSurprisal(df: DataFrame, idCol: String, textCol: String,
+      precomputedModel: Option[DataFrame] = None): DataFrame = {
     val tokArr = df.select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("_toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.Persisted.track(tokArr)
-    val cnt = tokArr.select(explode(col("_toks")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("_c"))
-    val tot = cnt.agg(sum(col("_c")).as("_tot"))
     // bigram stream at scan speed (size >= 2 keeps sequence() ascending)
     val bigrams = tokArr.filter(size(col("_toks")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(2, size(_toks)), " +
           "i -> struct(_toks[i-2] AS w1, _toks[i-1] AS w2))")).as("_bg"))
       .select(col(idCol), col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
-    val bgm = bigrams.groupBy(col("_w1"), col("_w2"))
-      .agg(count(lit(1)).as("_c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.Persisted.track(bgm)
-    val vst = bgm.groupBy(col("_w1"))
-      .agg(sum(col("_c12")).as("_cv"), count(lit(1)).as("_n1v"))
-    val wst = bgm.groupBy(col("_w2")).agg(count(lit(1)).as("_n1w"))
-    val nt = bgm.agg(count(lit(1)).as("_nt"))
-    // one uniform (kind, k1, k2, pnum, pden) relation -> one log chain
-    // (the bigramSurprisal merged-chain lesson: per-family chains
-    // triple the unrolled plan for nothing)
-    val fam = cnt.crossJoin(broadcast(tot))
-      .select(lit("u").as("_kind"), col("token").as("_k1"), lit("").as("_k2"),
-        col("_c").as("_pnum"), col("_tot").as("_pden"))
-      .unionByName(bgm
-        .join(vst, Seq("_w1")).join(wst, Seq("_w2"))
-        .crossJoin(broadcast(nt))
-        .select(lit("k").as("_kind"), col("_w1").as("_k1"),
-          col("_w2").as("_k2"),
-          (greatest(lit(4L) * col("_c12") - lit(3L), lit(0L)) * col("_nt")
-            + lit(3L) * col("_n1v") * col("_n1w")).as("_pnum"),
-          (lit(4L) * col("_cv") * col("_nt")).as("_pden")))
-    // Q40 floor + log chain as ONE codegen scalar ([[KnScoreExpr]]): the
-    // model relation is bigram-type-scale, where the unrolled
-    // DECIMAL + 20-projection Column chain costs ~66 µs/row (measured
-    // 162.8 s at 1.06M docs; the expression form runs the identical op
-    // sequence at a fraction of that — see KnScoreExpr scaladoc)
-    val scored = fam
-      .select(col("_kind"), col("_k1"), col("_k2"),
-        KnScoreExpr.knScoreCol(col("_pnum"), col("_pden")).as("_s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.Persisted.track(scored)
+    // the staged-model hook (the bigramSurprisal pattern): train once,
+    // score many — model rows are strings + one Q40 long, lossless
+    // through parquet
+    val scored = precomputedModel.getOrElse {
+      val m = knSurprisalModelFrom(tokArr,
+        bigrams.select(col("_w1"), col("_w2")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Persisted.track(m)
+      m
+    }
     val uni = scored.filter(col("_kind") === "u")
       .select(col("_k1").as("token"), col("_s"))
     val knModel = scored.filter(col("_kind") === "k")
@@ -1142,6 +1118,59 @@ object Vocabulary {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("_contrib")).as("surprisal_fp"))
       .withColumn("mean_surprisal_fp", expr("surprisal_fp DIV n_tokens"))
+  }
+
+  /** [[knSurprisal]]'s trained model as a standalone artifact —
+    * `(_kind, _k1, _k2, _s)` over the unigram + KN-bigram families —
+    * for staging behind the `precomputedModel` hook (exactly like
+    * [[bigramSurprisalModel]]).
+    */
+  def knSurprisalModel(df: DataFrame, textCol: String): DataFrame = {
+    val tokArr = df.select(TextFunctions.tokens(col(textCol)).as("_toks"))
+    val bigrams = tokArr.filter(size(col("_toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(_toks)), " +
+          "i -> struct(_toks[i-2] AS w1, _toks[i-1] AS w2))")).as("_bg"))
+      .select(col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
+    knSurprisalModelFrom(tokArr, bigrams)
+  }
+
+  /** The model block shared by [[knSurprisalModel]] and the in-query
+    * fallback: token counts, the bigram count relation and its
+    * continuation statistics, then the interpolated-KN probability as
+    * one uniform `(kind, k1, k2, pnum, pden)` relation through ONE
+    * [[KnScoreExpr]] chain (the bigramSurprisal merged-chain lesson:
+    * per-family chains triple the unrolled plan for nothing; the
+    * unrolled DECIMAL + 20-projection Column chain costs ~66 µs/row —
+    * measured 162.8 s at 1.06M docs — where the codegen expression runs
+    * the identical op sequence at a fraction of that).
+    */
+  private def knSurprisalModelFrom(tokArr: DataFrame,
+      bigrams: DataFrame): DataFrame = {
+    val cnt = tokArr.select(explode(col("_toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("_c"))
+    val tot = cnt.agg(sum(col("_c")).as("_tot"))
+    val bgm = bigrams.groupBy(col("_w1"), col("_w2"))
+      .agg(count(lit(1)).as("_c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Persisted.track(bgm)
+    val vst = bgm.groupBy(col("_w1"))
+      .agg(sum(col("_c12")).as("_cv"), count(lit(1)).as("_n1v"))
+    val wst = bgm.groupBy(col("_w2")).agg(count(lit(1)).as("_n1w"))
+    val nt = bgm.agg(count(lit(1)).as("_nt"))
+    val fam = cnt.crossJoin(broadcast(tot))
+      .select(lit("u").as("_kind"), col("token").as("_k1"), lit("").as("_k2"),
+        col("_c").as("_pnum"), col("_tot").as("_pden"))
+      .unionByName(bgm
+        .join(vst, Seq("_w1")).join(wst, Seq("_w2"))
+        .crossJoin(broadcast(nt))
+        .select(lit("k").as("_kind"), col("_w1").as("_k1"),
+          col("_w2").as("_k2"),
+          (greatest(lit(4L) * col("_c12") - lit(3L), lit(0L)) * col("_nt")
+            + lit(3L) * col("_n1v") * col("_n1w")).as("_pnum"),
+          (lit(4L) * col("_cv") * col("_nt")).as("_pden")))
+    fam.select(col("_kind"), col("_k1"), col("_k2"),
+      KnScoreExpr.knScoreCol(col("_pnum"), col("_pden")).as("_s"))
   }
 
   /** DuckDB twin of [[knSurprisal]] over `documents`: identical model
