@@ -222,7 +222,13 @@ object Dedup {
     val cnt = ngFiltered.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
     val a = ngFiltered.select(col("_id").as("id_a"), col("ngram"))
     val b = ngFiltered.select(col("_id").as("id_b"), col("ngram"))
-    val inter = a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("ngram"))
+    // NO shuffle_hash hint on shingle-scale self-joins: the per-partition
+    // build map is corpus/partitions-sized and CANNOT fully spill —
+    // measured r11 at 10.4M docs / 32 partitions / 64g the hinted join
+    // died with "not enough memory to build hash map" where sort-merge
+    // spills and completes. SMJ is the spill-safe default here and
+    // everywhere a shingle relation joins itself.
+    val inter = a.join(b, Seq("ngram"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -293,11 +299,11 @@ object Dedup {
     val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
     val prefix = Persisted.track(prefixShingleRelation(ng, tauNum, tauDen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // no shuffle_hash: see ngramJaccardPairs — SMJ spills, hash maps don't
     val cand = prefix.select(col("_id").as("id_a"), col("ngram"),
         col("n_shingles").as("n_a"))
-      .hint("shuffle_hash")
       .join(prefix.select(col("_id").as("id_b"), col("ngram"),
-        col("n_shingles").as("n_b")).hint("shuffle_hash"), Seq("ngram"))
+        col("n_shingles").as("n_b")), Seq("ngram"))
       .filter(col("id_a") < col("id_b")
         && lit(tauDen) * col("n_b") >= lit(tauNum) * col("n_a")
         && lit(tauDen) * col("n_a") >= lit(tauNum) * col("n_b"))
@@ -389,10 +395,9 @@ object Dedup {
       else Persisted.track(applyMaxDf(ng, maxDf, maxDfFraction)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cnt = ngF.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+    // no shuffle_hash: see ngramJaccardPairs — SMJ spills, hash maps don't
     val inter = ngF.select(col("_id").as("id_a"), col("ngram"))
-      .hint("shuffle_hash")
-      .join(ngF.select(col("_id").as("id_b"), col("ngram"))
-        .hint("shuffle_hash"), Seq("ngram"))
+      .join(ngF.select(col("_id").as("id_b"), col("ngram")), Seq("ngram"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -429,10 +434,9 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
     val pref = prefixShingleRelation(ng, tauNum, tauDen)
+    // no shuffle_hash: see ngramJaccardPairs — SMJ spills, hash maps don't
     val cand = pref.select(col("_id").as("id_sub"), col("ngram"))
-      .hint("shuffle_hash")
-      .join(ng.select(col("_id").as("id_super"), col("ngram"))
-        .hint("shuffle_hash"), Seq("ngram"))
+      .join(ng.select(col("_id").as("id_super"), col("ngram")), Seq("ngram"))
       .filter(col("id_sub") =!= col("id_super"))
       .select(col("id_sub"), col("id_super")).distinct()
     cand
@@ -785,10 +789,9 @@ object Dedup {
   def lshCurveTruthBins(ng: DataFrame, floorNum: Int = 1,
       floorDen: Int = 5, buckets: Int = 20): DataFrame = {
     val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
+    // no shuffle_hash: see ngramJaccardPairs — SMJ spills, hash maps don't
     val inter = ng.select(col("_id").as("id_a"), col("ngram"))
-      .hint("shuffle_hash")
-      .join(ng.select(col("_id").as("id_b"), col("ngram")).hint("shuffle_hash"),
-        Seq("ngram"))
+      .join(ng.select(col("_id").as("id_b"), col("ngram")), Seq("ngram"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
