@@ -26,13 +26,26 @@ object Bench {
     // Sampling.withGlobalPosition*/tokenBudgetSelect) run over
     // <= 16^prefixChars-row OFFSETS relations — single-partition BY
     // DESIGN, never the data (adjudicated benign, r10 verdict). Silence
-    // that one warning so the bench tail stays signal
+    // that one warning so the bench tail stays signal. This cannot hide
+    // a future corpus-sized single-partition window: PlanAuditSpec
+    // sweeps EVERY gated query's plan for partitionless windows against
+    // an explicit allowlist of exactly these offsets relations (r11
+    // ADVICE), so the regression fails the suite before any bench runs
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
     // optional subset for local investigation: SPARK_GRAFT_BENCH_ONLY=a,b
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // optional best-of-N mode (SPARK_GRAFT_BENCH_REPEAT=2): re-run each
+    // query N times and report the MINIMUM — the box's in-suite variance
+    // is up to ±1.4x run-over-run (261.8 vs 218.1 s for the same code,
+    // r11), which drowns sub-1.5x per-query deltas; the min of 2 is the
+    // cheapest variance bound. Default 1 keeps the driver's round clock
+    // unchanged — flip it for local A/B investigations (NOTES rule:
+    // only diff driver-run maps against driver-run maps).
+    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPEAT")
+      .flatMap(_.toIntOption).getOrElse(1))
     // deterministic name order: Map iteration order is hash-order, which
     // reshuffles neighbors between code changes and makes round-over-round
     // per-query timings incomparable (a query's time includes its
@@ -84,25 +97,33 @@ object Bench {
     // Failures are loud: the exception goes to stderr and the query's
     // value is the string "err", never a plausible-looking number.
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] query $name FAILED: ${e}")
-          e.printStackTrace()
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val runs = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] query $name FAILED: ${e}")
+            e.printStackTrace()
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators may persist intermediates (e.g. shingle relations);
+        // drop them so queries (and repeats) are timed independently
+        Persisted.unpersistAll()
+        spark.catalog.clearCache()
+        // settle the heap between queries so one query's garbage isn't
+        // collected on the next query's clock (isolated-vs-in-suite
+        // timings differed up to 12x before this; the gc itself is
+        // untimed)
+        System.gc()
+        (dt, ok)
+      }
+      // best-of-N: a query is ok only if every rep succeeded (a flaky
+      // failure must stay loud, not be masked by one good rep)
+      val ok = runs.forall(_._2)
+      val dt = runs.map(_._1).min
       val v = if (ok) fmt(dt) else "\"err\""
       println(s"""{"query":"$name","sec":$v}""")
-      // operators may persist intermediates (e.g. shingle relations);
-      // drop them so queries are timed independently
-      Persisted.unpersistAll()
-      spark.catalog.clearCache()
-      // settle the heap between queries so one query's garbage isn't
-      // collected on the next query's clock (isolated-vs-in-suite timings
-      // differed up to 12x before this; the gc itself is untimed)
-      System.gc()
       (name, dt, ok)
     }
     val qs = results.map { case (k, v, ok) =>

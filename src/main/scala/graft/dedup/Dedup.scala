@@ -45,9 +45,51 @@ object Dedup {
         i => concat_ws(" ", slice(t, i, lit(n))))))
   }
 
-  /** Exploded (id, shingle) pairs, distinct per document. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("_id"), explode(wordNgrams(col(textCol), n)).as("ngram"))
+  /** Exploded (id, shingle) pairs, distinct per document. The shingle
+    * width `n` rides as column metadata (survives a parquet round-trip),
+    * so a staged shingle artifact carries its own compatibility proof —
+    * the `precomputedShingles` hooks require-check it.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.shingle.n", n.toLong).build()
+    // the stamp rides a SECOND projection: an Alias directly over the
+    // generator loses its metadata in the analyzer's Generate rewrite
+    // (verified by spec); aliasing the plain attribute keeps it, and
+    // CollapseProject folds the extra projection away
+    df.select(col(idCol).as("_id"),
+      explode(wordNgrams(col(textCol), n)).as("ngram"))
+      .select(col("_id"), col("ngram").as("ngram", meta))
+  }
+
+  /** Resolve the `(_id, ngram)` shingle relation for a set-similarity
+    * pair operator: the caller's staged artifact (the minhash
+    * `precomputedPairs` pattern — five gates otherwise re-explode the
+    * identical corpus) or a fresh [[shingles]] explode. A passed artifact
+    * is VALIDATED: exact `(_id, ngram)` schema, and if the relation
+    * carries [[shingles]]' width metadata it must match `n` — an artifact
+    * shingled at a different width would produce silently wrong
+    * similarities otherwise. A fresh explode is persisted (it feeds
+    * several plan branches; no exchange reuse across mixed strategies);
+    * a staged artifact is NOT re-persisted — its parquet scan is already
+    * parallel and columnar, and re-caching it would double its memory.
+    */
+  private def resolveShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int, precomputed: Option[DataFrame]): DataFrame = precomputed match {
+    case Some(pre) =>
+      require(pre.columns.toSeq == Seq("_id", "ngram"),
+        s"precomputedShingles must be the shingles() relation with schema " +
+          s"(_id, ngram); got (${pre.columns.mkString(", ")})")
+      val md = pre.schema("ngram").metadata
+      if (md.contains("graft.shingle.n"))
+        require(md.getLong("graft.shingle.n") == n.toLong,
+          s"precomputedShingles were built with n=${md.getLong("graft.shingle.n")}, " +
+            s"but this operator was asked for n=$n")
+      pre
+    case None =>
+      Persisted.track(shingles(df, idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Repetition quality signal (Gopher-style): the fraction of a
     * document's n-gram occurrences that are repeats of an earlier n-gram,
@@ -196,10 +238,32 @@ object Dedup {
     * posting-list self-join would otherwise blow up quadratically at scale.
     * Jaccard is computed over the FILTERED shingle universe on both the
     * numerator and denominator, so it stays exact over that universe.
+    *
+    * Pair generation has two spec-pinned-equal forms (per-doc shingles
+    * are distinct by construction, so both emit the identical exact
+    * intersection counts):
+    *
+    *  - `postingListPairs = false` (DEFAULT): the shingle self-join.
+    *    SMJ streams one side and spills the other side's per-key block
+    *    (ExternalAppendOnlyUnsafeRowArray), so a frequent shingle's d²
+    *    pair block degrades to disk instead of dying — the skew-safe
+    *    posture for real (boilerplate-heavy) corpora.
+    *  - `postingListPairs = true`: group each shingle's posting list
+    *    once and expand the id pairs in-line — ONE shuffle of the
+    *    shingle relation instead of two join sides. Measured FASTER on
+    *    uniform corpora (25.2 s vs 41.3 s at 1.04M docs, a wash at
+    *    10.4M — TUNING maxDf row), but `collect_list` must materialize
+    *    a frequent shingle's FULL d-element posting as one row and
+    *    expand d² structs in one expression eval in one task — a
+    *    giant-row cliff exactly on the shingles the maxDf guard exists
+    *    for. Flip it only on corpora known to be near-uniform (or with
+    *    a tight absolute `maxDf` capping every posting).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxDf: Option[Int] = None,
-      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction),
+      postingListPairs: Boolean = false,
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
     // the shingle relation feeds both join sides and the per-doc counts —
     // without persist Spark recomputes the explode 4x (no exchange reuse
     // across mixed broadcast/shuffle strategies). Deliberately NOT
@@ -209,8 +273,7 @@ object Dedup {
     // recompute, the barrier adds a serial pass (NOTES, r3). The
     // exception is iterative/driver-bound state (duplicateGroups), where
     // the raced upstream is a whole pipeline.
-    val ng = Persisted.track(shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ng = resolveShingles(df, idCol, textCol, n, precomputedShingles)
     val ngFiltered =
       if (maxDf.isEmpty && maxDfFraction.isEmpty) ng
       else Persisted.track(applyMaxDf(ng, maxDf, maxDfFraction)
@@ -220,18 +283,31 @@ object Dedup {
     // unfiltered denominator with a filtered numerator would systematically
     // underestimate similarity
     val cnt = ngFiltered.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
-    val a = ngFiltered.select(col("_id").as("id_a"), col("ngram"))
-    val b = ngFiltered.select(col("_id").as("id_b"), col("ngram"))
     // NO shuffle_hash hint on shingle-scale self-joins: the per-partition
     // build map is corpus/partitions-sized and CANNOT fully spill —
     // measured r11 at 10.4M docs / 32 partitions / 64g the hinted join
     // died with "not enough memory to build hash map" where sort-merge
     // spills and completes. SMJ is the spill-safe default here and
     // everywhere a shingle relation joins itself.
-    val inter = a.join(b, Seq("ngram"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val inter =
+      if (postingListPairs)
+        ngFiltered.groupBy(col("ngram"))
+          .agg(collect_list(col("_id")).as("_ids"))
+          .filter(size(col("_ids")) > 1)
+          .select(explode(expr(
+            "flatten(transform(_ids, (a, i) -> " +
+              "transform(slice(_ids, i + 2, size(_ids)), " +
+              "b -> struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))"))
+            .as("_p"))
+          .groupBy(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+          .agg(count(lit(1)).as("n_inter"))
+      else
+        ngFiltered.select(col("_id").as("id_a"), col("ngram"))
+          .join(ngFiltered.select(col("_id").as("id_b"), col("ngram")),
+            Seq("ngram"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_inter"))
     inter
       .join(cnt.select(col("_id").as("id_a"), col("n_shingles").as("n_a")), Seq("id_a"))
       .join(cnt.select(col("_id").as("id_b"), col("n_shingles").as("n_b")), Seq("id_b"))
@@ -291,11 +367,11 @@ object Dedup {
   }
 
   def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, tauNum: Int, tauDen: Int): DataFrame = {
+      n: Int, tauNum: Int, tauDen: Int,
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1], got $tauNum/$tauDen")
-    val ng = Persisted.track(shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ng = resolveShingles(df, idCol, textCol, n, precomputedShingles)
     val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
     val prefix = Persisted.track(prefixShingleRelation(ng, tauNum, tauDen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -386,10 +462,10 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, tauNum: Int, tauDen: Int,
       maxDf: Option[Int] = None,
-      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction),
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen)
-    val ng = Persisted.track(shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ng = resolveShingles(df, idCol, textCol, n, precomputedShingles)
     val ngF =
       if (maxDf.isEmpty && maxDfFraction.isEmpty) ng
       else Persisted.track(applyMaxDf(ng, maxDf, maxDfFraction)
@@ -428,10 +504,10 @@ object Dedup {
     * |super| is admissible).
     */
   def containmentPrefixPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, tauNum: Int, tauDen: Int): DataFrame = {
+      n: Int, tauNum: Int, tauDen: Int,
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen)
-    val ng = Persisted.track(shingles(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ng = resolveShingles(df, idCol, textCol, n, precomputedShingles)
     val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
     val pref = prefixShingleRelation(ng, tauNum, tauDen)
     // no shuffle_hash: see ngramJaccardPairs — SMJ spills, hash maps don't
@@ -731,7 +807,36 @@ object Dedup {
     // the two staged-artifact hooks (the minhash precomputedPairs
     // pattern): a deployment auditing its banding holds the signature
     // relation and the exact-Jaccard truth bins as index artifacts; only
-    // the banding join itself — the thing being audited — runs per call
+    // the banding join itself — the thing being audited — runs per call.
+    // Artifacts are VALIDATED against the call's parameters: a signature
+    // relation built at a different numPerms, or truth bins built with
+    // different floor/buckets, would produce a silently wrong curve.
+    precomputedSignatures.foreach { sg =>
+      val cols = sg.columns.toSet
+      require(cols.contains("_id")
+          && (0 until numPerms).forall(i => cols.contains(s"_h$i"))
+          && !cols.contains(s"_h$numPerms"),
+        s"precomputedSignatures must be lshCurveSignatures(numPerms=$numPerms) " +
+          s"— expected exactly _h0.._h${numPerms - 1}; got (${sg.columns.mkString(", ")})")
+    }
+    precomputedTruth.foreach { t =>
+      require(t.columns.toSet == Set("id_a", "id_b", "j_bucket"),
+        s"precomputedTruth must be the lshCurveTruthBins relation " +
+          s"(id_a, id_b, j_bucket); got (${t.columns.mkString(", ")})")
+      // lshCurveTruthBins stamps its parameters as column metadata
+      // (survives parquet); a hand-built relation without the stamp is
+      // accepted on the caller's contract
+      val md = t.schema("j_bucket").metadata
+      if (md.contains("graft.lshCurve.buckets"))
+        require(md.getLong("graft.lshCurve.buckets") == buckets.toLong
+            && md.getLong("graft.lshCurve.floorNum") == floorNum.toLong
+            && md.getLong("graft.lshCurve.floorDen") == floorDen.toLong,
+          s"precomputedTruth was binned with buckets=" +
+            s"${md.getLong("graft.lshCurve.buckets")}, floor=" +
+            s"${md.getLong("graft.lshCurve.floorNum")}/" +
+            s"${md.getLong("graft.lshCurve.floorDen")}; this call asked for " +
+            s"buckets=$buckets, floor=$floorNum/$floorDen")
+    }
     val (sig, truth) = (precomputedSignatures, precomputedTruth) match {
       case (Some(s), Some(t)) => (s, t)
       case _ =>
@@ -788,6 +893,14 @@ object Dedup {
     */
   def lshCurveTruthBins(ng: DataFrame, floorNum: Int = 1,
       floorDen: Int = 5, buckets: Int = 20): DataFrame = {
+    // stamp the binning parameters as column metadata (parquet-durable)
+    // so lshDetectionCurve can require-check a staged artifact's
+    // compatibility instead of trusting the caller
+    val binMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.lshCurve.floorNum", floorNum.toLong)
+      .putLong("graft.lshCurve.floorDen", floorDen.toLong)
+      .putLong("graft.lshCurve.buckets", buckets.toLong)
+      .build()
     val cnt = ng.groupBy(col("_id")).agg(count(lit(1)).as("n_shingles"))
     // no shuffle_hash: see ngramJaccardPairs — SMJ spills, hash maps don't
     val inter = ng.select(col("_id").as("id_a"), col("ngram"))
@@ -802,7 +915,7 @@ object Dedup {
       .filter(lit(floorDen.toLong) * col("n_inter")
         >= lit(floorNum.toLong) * col("_union"))
       .select(col("id_a"), col("id_b"),
-        expr(s"($buckets * n_inter) DIV _union").as("j_bucket"))
+        expr(s"($buckets * n_inter) DIV _union").as("j_bucket", binMeta))
   }
 
   /** DuckDB twin of [[lshDetectionCurve]] over `documents`: identical

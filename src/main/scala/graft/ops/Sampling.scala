@@ -178,18 +178,25 @@ object Sampling {
       targetRows: Long): DataFrame = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_cd"))
-    val seeded = counts
+    // persisted because it feeds BOTH the grand-total agg and the
+    // per-domain threshold rows — without it each branch would re-run
+    // the corpus count agg (domain-bounded rows, so the cache is tiny)
+    val seeded = graft.Persisted.track(counts
       .withColumn("_s0", floor(sqrt(col("_cd").cast("double"))).cast("long"))
       .withColumn("_sd",
         when((col("_s0") + 1) * (col("_s0") + 1) <= col("_cd"), col("_s0") + 1)
           .when(col("_s0") * col("_s0") > col("_cd"), col("_s0") - 1)
           .otherwise(col("_s0")))
-    // single-partition BY DESIGN: runs over the per-DOMAIN count relation
-    // (bounded by the domain universe, never the corpus) — benign warning
-    val w = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // grand total as a 1-row aggregate broadcast back over the per-domain
+    // relation — NOT a partitionless window: the domain universe is
+    // usually bounded, but nothing in the API enforces that, and the
+    // agg+cross-join shape survives a high-cardinality domain column
+    // where the single-partition window funnel would not (the
+    // unigramDrift pattern; r11 ADVICE closed the last of these)
+    val total = seeded.agg(sum(col("_sd")).as("_ss"))
     val thresholds = seeded
-      .withColumn("_ss", sum(col("_sd")).over(w))
+      .crossJoin(broadcast(total))
       .withColumn("_thr", floor(
         (lit(targetRows) * col("_sd")).cast("double") /
           (col("_ss") * col("_cd")).cast("double") * lit(4294967296.0))

@@ -546,10 +546,13 @@ object Similarity {
     val d = resolveDim(embeddings, vecCol, dim, "pqTopK")
     require(d % m == 0, s"pqTopK: dim $d not divisible into $m subspaces")
     val dsub = d / m
+    codebook.foreach(requireCodebookShape(_, m, ksub, dsub, "pqTopK"))
     val cb = codebook.getOrElse(pqCodebook(embeddings, idCol, vecCol, m, ksub, d))
     val r = if (rerank > 0) rerank else math.max(4 * k, 32)
-    // precomputedCodes = the staged [[pqEncodedRelation]] (must match
-    // `codebook`): probe-time cost only — encode amortized at ingest
+    // precomputedCodes = the staged [[pqEncodedRelation]]: probe-time
+    // cost only — encode amortized at ingest. Validated against the
+    // resolved codebook (column shape + fingerprint stamp)
+    precomputedCodes.foreach(requireCodesCompatible(_, cb, m, "pqTopK"))
     val coded = precomputedCodes.getOrElse(
       pqCodes(embeddings, idCol, vecCol, cb, m, dsub, ksub))
     val probe = embeddings.filter(col(idCol) === queryId)
@@ -582,7 +585,15 @@ object Similarity {
     val d = resolveDim(embeddings, vecCol, dim, "ivfPqTopK")
     require(d % m == 0, s"ivfPqTopK: dim $d not divisible into $m subspaces")
     val dsub = d / m
+    codebook.foreach(requireCodebookShape(_, m, ksub, dsub, "ivfPqTopK"))
     val cb = codebook.getOrElse(pqCodebook(embeddings, idCol, vecCol, m, ksub, d))
+    precomputedCodes.foreach { codes =>
+      requireCodesCompatible(codes, cb, m, "ivfPqTopK")
+      // the IVF path additionally probes inverted lists by cluster id
+      require(codes.columns.contains("cluster"),
+        s"ivfPqTopK: precomputedCodes must be the pqEncodedRelation " +
+          s"(with a cluster column); got (${codes.columns.mkString(", ")})")
+    }
     val r = if (rerank > 0) rerank else math.max(4 * k, 32)
     val query = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>").as("_qvec"))
@@ -633,6 +644,61 @@ object Similarity {
     * First-match-on-min == ties to the lower index, the order
     * [[pqSqlCore]]'s `(dist, cidx)` ranking states.
     */
+  /** Deterministic fingerprint of a PQ codebook: stamped onto encoded
+    * relations ([[pqCodes]] puts it in `_code0`'s column metadata, which
+    * survives a parquet round-trip) and require-checked at the probe
+    * hooks — codes decoded against a different codebook than they were
+    * encoded with produce silently wrong ADC scores otherwise.
+    */
+  private def codebookFingerprint(cb: Array[Array[Array[Double]]]): Long = {
+    var h = 1125899906842597L
+    var s = 0
+    while (s < cb.length) {
+      var j = 0
+      while (j < cb(s).length) {
+        var t = 0
+        while (t < cb(s)(j).length) {
+          h = h * 31 + java.lang.Double.doubleToLongBits(cb(s)(j)(t))
+          t += 1
+        }
+        j += 1
+      }
+      s += 1
+    }
+    h
+  }
+
+  /** Require a caller-passed codebook to have the (m, ksub, dsub) shape
+    * the probe's parameters describe. */
+  private def requireCodebookShape(cb: Array[Array[Array[Double]]],
+      m: Int, ksub: Int, dsub: Int, what: String): Unit =
+    require(cb.length == m && cb.forall(_.length == ksub)
+        && cb.forall(_.forall(_.length == dsub)),
+      s"$what: codebook shape (${cb.length} subspaces x " +
+        s"${cb.headOption.map(_.length).getOrElse(0)} centroids x " +
+        s"${cb.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)} dims) " +
+        s"does not match m=$m, ksub=$ksub, dsub=$dsub")
+
+  /** Require a caller-passed encoded relation to carry exactly the
+    * `_code0.._code{m-1}` columns, and — when it carries [[pqCodes]]'
+    * fingerprint stamp — to have been encoded with the codebook in hand.
+    * An unstamped (hand-built) relation is accepted on the caller's
+    * contract.
+    */
+  private def requireCodesCompatible(codes: DataFrame,
+      cb: Array[Array[Array[Double]]], m: Int, what: String): Unit = {
+    val cols = codes.columns.toSet
+    require((0 until m).forall(i => cols.contains(s"_code$i"))
+        && !cols.contains(s"_code$m"),
+      s"$what: precomputedCodes must carry exactly _code0.._code${m - 1}; " +
+        s"got (${codes.columns.mkString(", ")})")
+    val md = codes.schema("_code0").metadata
+    if (md.contains("graft.pq.cbFp"))
+      require(md.getLong("graft.pq.cbFp") == codebookFingerprint(cb),
+        s"$what: precomputedCodes were encoded with a DIFFERENT codebook " +
+          s"than this probe resolves — re-encode or pass the matching codebook")
+  }
+
   private def pqCodes(embeddings: DataFrame, idCol: String, vecCol: String,
       cb: Array[Array[Array[Double]]], m: Int, dsub: Int, ksub: Int,
       carry: Seq[String] = Nil): DataFrame = {
@@ -662,7 +728,11 @@ object Similarity {
         (acc, j) => acc.when(dists(j) === dmin, lit(j))
       }.otherwise(lit(ksub - 1))
     }
-    withDists.select(keep ++ (0 until m).map(s => codeCol(s).as(s"_code$s")): _*)
+    val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.pq.cbFp", codebookFingerprint(cb)).build()
+    withDists.select(keep ++ (0 until m).map(s =>
+      if (s == 0) codeCol(s).as("_code0", fpMeta)
+      else codeCol(s).as(s"_code$s")): _*)
   }
 
   /** The at-ingest PQ index relation `(id, cluster, _code0.._code{m-1})`:
@@ -1713,7 +1783,9 @@ object Similarity {
       "k, queryStep >= 1 and rerank >= k")
     val d = resolveDim(embeddings, vecCol, dim, "pqRecallAudit")
     require(d % m == 0, s"pqRecallAudit: dim $d not divisible into $m subspaces")
+    codebook.foreach(requireCodebookShape(_, m, ksub, d / m, "pqRecallAudit"))
     val cb = codebook.getOrElse(pqCodebook(embeddings, idCol, vecCol, m, ksub, d))
+    precomputedCodes.foreach(requireCodesCompatible(_, cb, m, "pqRecallAudit"))
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy(col("_qid")).orderBy(col("_cos").desc, col(idCol))
     val queries = embeddings.filter(col(idCol) % queryStep === 0)

@@ -559,13 +559,18 @@ object Vocabulary {
     // operands are ≥ 1 here, so `div` never sees a zero divisor
     def checkedMul(a: String, b: String, what: String) =
       checkedMulExpr(a, b, "unigramDrift", what)
+    // the counts relation is referenced twice (totals + per-token rows);
+    // an unstaged fallback build is persisted so the totals branch reads
+    // the cache instead of re-running both corpus token scans (the
+    // bigramSurprisal in-query-model pattern). Staged callers
+    // (driftCountsDim) pass parquet-backed counts, which are not
+    // re-cached.
     val joined = precomputedCounts
-      .getOrElse(unigramDriftCounts(dfA, dfB, textCol))
+      .getOrElse(graft.Persisted.track(unigramDriftCounts(dfA, dfB, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     // corpus totals as a 1-row aggregate broadcast back over the vocab
     // relation — NOT a partitionless window, which would funnel the whole
-    // vocabulary through one partition at 100x vocab. The counts relation
-    // is referenced twice; callers stage/persist it (driftCountsDim), so
-    // the second branch reads the cache, not the corpus.
+    // vocabulary through one partition at 100x vocab.
     val totals = joined.agg(
       sum(col("_ca")).as("_tot_a"),
       sum(col("_cb")).as("_tot_b"),
@@ -872,7 +877,20 @@ object Vocabulary {
       .select(col(idCol), col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
     // the staged-model hook (the surprisalModel pattern): train once,
     // score many — the fixed-point model rows are integers + strings, so
-    // a parquet round-trip is hash-identical to training in-query
+    // a parquet round-trip is hash-identical to training in-query.
+    // A passed model is VALIDATED: exact schema, and if it carries
+    // bigramSurprisalModel's topN stamp it must match this call's topN
+    // (a model pruned at a different cutoff scores silently differently)
+    precomputedModel.foreach { m =>
+      require(m.columns.toSeq == Seq("_kind", "_k1", "_k2", "_idf_fp"),
+        s"precomputedModel must be the bigramSurprisalModel relation " +
+          s"(_kind, _k1, _k2, _idf_fp); got (${m.columns.mkString(", ")})")
+      val md = m.schema("_idf_fp").metadata
+      if (md.contains("graft.bigramLm.topN"))
+        require(md.getLong("graft.bigramLm.topN") == topN.toLong,
+          s"precomputedModel was pruned at topN=" +
+            s"${md.getLong("graft.bigramLm.topN")}, this call asked for $topN")
+    }
     val scored = precomputedModel.getOrElse {
       val m = bigramSurprisalModelFrom(tokArr,
         bigrams.select(col("_w1"), col("_w2")), topN)
@@ -917,7 +935,13 @@ object Vocabulary {
         "transform(sequence(2, size(_toks)), " +
           "i -> struct(_toks[i-2] AS w1, _toks[i-1] AS w2))")).as("_bg"))
       .select(col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
+    // stamp the prune cutoff as column metadata (parquet-durable) so
+    // bigramSurprisal can require-check a staged artifact's compatibility
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.bigramLm.topN", topN.toLong).build()
     bigramSurprisalModelFrom(tokArr, bigrams, topN)
+      .select(col("_kind"), col("_k1"), col("_k2"),
+        col("_idf_fp").as("_idf_fp", meta))
   }
 
   /** The model block shared by [[bigramSurprisalModel]] and the
@@ -1094,7 +1118,13 @@ object Vocabulary {
       .select(col(idCol), col("_bg.w1").as("_w1"), col("_bg.w2").as("_w2"))
     // the staged-model hook (the bigramSurprisal pattern): train once,
     // score many — model rows are strings + one Q40 long, lossless
-    // through parquet
+    // through parquet. A passed model is schema-validated (KN has no
+    // prune parameter to cross-check)
+    precomputedModel.foreach { m =>
+      require(m.columns.toSeq == Seq("_kind", "_k1", "_k2", "_s"),
+        s"precomputedModel must be the knSurprisalModel relation " +
+          s"(_kind, _k1, _k2, _s); got (${m.columns.mkString(", ")})")
+    }
     val scored = precomputedModel.getOrElse {
       val m = knSurprisalModelFrom(tokArr,
         bigrams.select(col("_w1"), col("_w2")))

@@ -11,27 +11,35 @@ import org.scalatest.funsuite.AnyFunSuite
   * x_search_index). List-valued results must serialize in the final
   * select (`array_join(...)` + an `array_to_string` oracle twin — the
   * a1_collect_children pattern). This spec turns that silent class of
-  * failure into a compile-round failure: schemas come from analysis
-  * only, no query executes.
+  * failure into a compile-round failure. The SCHEMA checks are
+  * analysis-only (none of the gated queries is collected), but
+  * CONSTRUCTING several gates triggers their staged-fixture side
+  * effects — parquet staging writes and the driver-side k-means / PQ
+  * codebook training — so real staging work does run here.
   */
 class CheckerShapeSpec extends AnyFunSuite with SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
   test("no gated query returns a top-level array/map/struct column") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, q) =>
-        q(spark, dir).schema.fields.collect {
-          case f if f.dataType.isInstanceOf[ArrayType] ||
-            f.dataType.isInstanceOf[MapType] ||
-            f.dataType.isInstanceOf[StructType] =>
-            s"$name.${f.name}: ${f.dataType.simpleString}"
-        }
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, q) =>
+          q(spark, dir).schema.fields.collect {
+            case f if f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType] ||
+              f.dataType.isInstanceOf[StructType] =>
+              s"$name.${f.name}: ${f.dataType.simpleString}"
+          }
+      }
+      assert(offenders.isEmpty,
+        s"driver-unsortable output columns (serialize with array_join, " +
+          s"oracle with array_to_string — see a1_collect_children): $offenders")
+    } finally {
+      // cleanup runs even when the assert fails — leaked persisted
+      // intermediates would otherwise distort every later spec's timing
+      Persisted.unpersistAll()
+      spark.catalog.clearCache()
     }
-    assert(offenders.isEmpty,
-      s"driver-unsortable output columns (serialize with array_join, " +
-        s"oracle with array_to_string — see a1_collect_children): $offenders")
-    Persisted.unpersistAll()
-    spark.catalog.clearCache()
   }
 }

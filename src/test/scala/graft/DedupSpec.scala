@@ -133,6 +133,67 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(exactDups == Set((1L, 2L)), s"exact-dup pair at tau=1, got $exactDups")
   }
 
+  test("posting-list pair generation equals the self-join exactly") {
+    // both pair-generation forms must emit the identical (id_a, id_b,
+    // jaccard) rows — per-doc shingles are distinct by construction, so
+    // the in-list expansion counts the same exact intersections. Pinned
+    // with AND without the maxDf guard (the guard reshapes the posting
+    // lists the expansion runs over).
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    for (guard <- Seq(None, Some(0.5))) {
+      val selfJoin = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        tau = 0.8, maxDfFraction = guard)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      Persisted.unpersistAll()
+      val posting = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        tau = 0.8, maxDfFraction = guard, postingListPairs = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      Persisted.unpersistAll()
+      assert(posting == selfJoin,
+        s"guard=$guard: posting-list ${posting.size} pairs vs self-join ${selfJoin.size}")
+      assert(selfJoin.nonEmpty, "test data should contain planted near-dups")
+    }
+  }
+
+  test("precomputedShingles equals inline shingling; incompatible artifacts are rejected") {
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val staged = Dedup.shingles(docs, "doc_id", "text", n = 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, tau = 0.8, maxDf = Some(10)))
+    Persisted.unpersistAll()
+    val viaHook = pairs(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, tau = 0.8, maxDf = Some(10), precomputedShingles = Some(staged)))
+    Persisted.unpersistAll()
+    assert(viaHook == inline)
+    val inlineCont = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, tauNum = 9, tauDen = 10)
+      .select("id_sub", "id_super").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Persisted.unpersistAll()
+    val hookCont = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, tauNum = 9, tauDen = 10, precomputedShingles = Some(staged))
+      .select("id_sub", "id_super").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Persisted.unpersistAll()
+    assert(hookCont == inlineCont)
+    // artifact validation: a wrong-schema relation and a wrong-width
+    // (metadata-stamped) relation must be rejected AT CONSTRUCTION, not
+    // produce silently wrong similarities
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8,
+        precomputedShingles = Some(docs.selectExpr("doc_id AS _id", "text")))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3,
+        tauNum = 4, tauDen = 5,
+        precomputedShingles = Some(Dedup.shingles(docs, "doc_id", "text", n = 2)))
+    }
+    Persisted.unpersistAll()
+  }
+
   test("minhash LSH reproduces the exact-jaccard truth set on documents") {
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8)

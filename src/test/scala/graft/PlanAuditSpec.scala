@@ -14,16 +14,81 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
-  test("no query plans a CartesianProduct") {
+  /** Queries whose partitionless windows are adjudicated benign: every
+    * entry runs its window over a relation bounded BY CONSTRUCTION
+    * (bucket/partition OFFSETS tables of <= 16^prefixChars or
+    * shuffle-partition-count rows — Chunking.packSequences,
+    * Sampling.withGlobalPosition / tokenBudgetSelect — never the corpus).
+    * Any query NOT on this list that plans one fails the sweep below, so
+    * Bench's WindowExec log silencing can't hide a future genuinely
+    * corpus-sized single-partition window (r11 ADVICE). Populated by
+    * running the sweep; every entry must carry its bound here.
+    */
+  private val benignPartitionlessWindows: Set[String] = Set(
+    // Sampling.withGlobalPosition / withGlobalPositionByValue /
+    // tokenBudgetSelect: cumulative OFFSETS over the bucket-stats
+    // relation (<= 16^prefixChars hash buckets / ~256 value bands),
+    // never the corpus (annotated at the sites)
+    "x_export_shuffle", "x_curate_token_budget",
+    "x_pipeline_curate2", "x_pipeline_curate3", "x_pipeline_curate4",
+    // Chunking.packSequences / lengthBatchStats: the same bucket-offsets
+    // cumsum over <= 16^prefixChars rows
+    "x_text_pack", "x_text_length_batches",
+    // Vocabulary.buildVocab: token_id rank over the <= vocab-size top
+    // cut (TakeOrdered output), never the token stream
+    "x_vocab_top", "x_vocab_encode", "x_vocab_oov",
+    // Vocabulary.surprisalBuckets: rank over the <= bucket-count summary
+    "x_curate_ppl_buckets",
+    // QuantileSketch fixed-grid: cumsum over <= maxValue/binWidth cells
+    "x_sketch_quantile", "x_curate_outliers",
+    // HybridSearch RRF: rank over the <= k-per-arm fused candidates
+    "x_search_hybrid")
+
+  test("no query plans a CartesianProduct or an unlisted partitionless window") {
     // BroadcastNestedLoopJoin with a 1-row broadcast side is intentional
     // (ANN query vectors, all-pairs baselines); an unkeyed CartesianProduct
-    // never is — both sides would shuffle everything everywhere at scale
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      planOf(name).contains("CartesianProduct")
+    // never is — both sides would shuffle everything everywhere at scale.
+    // The same sweep catches EMPTY-partitionSpec windows (ordered or not —
+    // WindowExec warns "No Partition Defined" for both) anywhere outside
+    // the bounded-offsets allowlist above, walking the optimized logical
+    // plan (string matching can't split partition from order columns) and
+    // expanding persisted intermediates like the IVF skinny-window test.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.window.WindowExec
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val cartesians = scala.collection.mutable.ListBuffer[String]()
+    val withPartitionless = scala.collection.mutable.Set[String]()
+    names.foreach { name =>
+      val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+      if (qe.executedPlan.toString.contains("CartesianProduct"))
+        cartesians += name
+      val partitionless =
+        qe.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => true
+        } ++ qe.optimizedPlan.collect { case r: InMemoryRelation =>
+          (r.cachedPlan match {
+            case a: AdaptiveSparkPlanExec => a.inputPlan
+            case p => p
+          }).collect { case w: WindowExec if w.partitionSpec.isEmpty => true }
+        }.flatten
+      if (partitionless.nonEmpty) withPartitionless += name
+      Persisted.unpersistAll()
+      spark.catalog.clearCache()
     }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
-    Persisted.unpersistAll()
-    spark.catalog.clearCache()
+    assert(cartesians.isEmpty, s"cartesian products in: $cartesians")
+    val rogue = (withPartitionless -- benignPartitionlessWindows).toSeq.sorted
+    assert(rogue.isEmpty,
+      s"partitionless (single-partition) windows outside the " +
+        s"bounded-offsets allowlist in: $rogue")
+    // anti-rot: every allowlist entry must still BE a gated query that
+    // plans such a window — a refactor that removes one must delist it,
+    // so the list never shadows a future regression under a stale name
+    val stale = (benignPartitionlessWindows -- withPartitionless).toSeq.sorted
+    assert(stale.isEmpty,
+      s"allowlist entries that no longer plan a partitionless window " +
+        s"(remove them): $stale")
   }
 
   test("filters and projection push into the parquet scan") {
