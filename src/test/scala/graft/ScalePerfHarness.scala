@@ -72,6 +72,8 @@ object ScalePerfHarness {
       case "bpe"   => bpeMode(spark, count)
       case "signals" => signalsMode(spark, count)
       case "ssjoin" => ssjoinMode(spark, count)
+      case "ssjoinskew" => ssjoinSkewMode(spark, count)
+      case "graphskew" => graphSkewMode(spark, count)
       case "winnow" => winnowMode(spark, count)
       case "graphxl" => graphXlMode(spark, count)
       case "cap" => capMode(spark, count)
@@ -243,6 +245,155 @@ object ScalePerfHarness {
         .filter(col("rk") <= 1000L).count()
     }
     docs.unpersist()
+  }
+
+  /** Boilerplate-skewed corpus: [[textCorpus]] with a shared 10-token
+    * template appended to every `bpEvery`-th doc — the Zipfian shape real
+    * corpora have (site chrome, license headers) and the r11 10.4M
+    * validation did NOT probe (it ran ~uniform docs). The template's 8
+    * internal trigrams each land in ~count/bpEvery documents, so the
+    * unguarded shingle self-join must produce ~8·(count/bpEvery)²/2
+    * within-key pairs — the quadratic tail the maxDf guard exists for.
+    */
+  def skewedTextCorpus(spark: SparkSession, count: Long,
+      bpEvery: Long): DataFrame = {
+    textCorpus(spark, count).withColumn("text",
+      when(col("doc_id") % bpEvery === 0 && col("doc_id") < 1000000000L,
+        concat(col("text"), lit(" "),
+          expr("array_join(transform(sequence(0, 9), " +
+            "i -> concat('bp', CAST(i AS STRING))), ' ')")))
+        .otherwise(col("text")))
+  }
+
+  /** r11 verdict item 1: skew-probe the SMJ shingle self-joins on a
+    * planted-boilerplate corpus. Questions this mode answers with
+    * measurements (TUNING rows):
+    *  - does the unguarded self-join survive a hot shingle (SMJ streams
+    *    + spills the d² pair block), and does AQE's skew-split engage on
+    *    it (counted from the executed adaptive plan)?
+    *  - does the DEFAULT maxDfFraction=0.5 guard cap the blowup? (It
+    *    structurally CANNOT for sub-50% boilerplate — df = count/bpEvery
+    *    never crosses 0.5·count — so the arm measures the cost of that
+    *    gap, and the absolute-maxDf arm measures the fix.)
+    *  - is the PREFIX ssjoin immune? (hot shingles are the COMMONEST, so
+    *    the rarest-first prefix never joins them — the candidate cut is
+    *    exactly the skew cut)
+    *  - does the posting-list variant hit its giant-row cliff here?
+    *    (collect_list materializes the full d-element posting and
+    *    expands d²/2 structs in ONE expression eval — run LAST, fenced)
+    * SPARK_GRAFT_BP_EVERY overrides the boilerplate spacing (default
+    * 1000 → df ≈ count/1000, ~10.4k docs at 10.4M).
+    */
+  private def ssjoinSkewMode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    val bpEvery = sys.env.getOrElse("SPARK_GRAFT_BP_EVERY", "1000").toLong
+    val docs = skewedTextCorpus(spark, count, bpEvery).persist()
+    val n = docs.count()
+    println(s"[scale-harness] ssjoinskew: bpEvery=$bpEvery -> " +
+      s"planted df ~= ${count / bpEvery}")
+    // occupancy first: the candidate volume the arms below must absorb
+    locally {
+      val ng = Dedup.shingles(docs, "doc_id", "text", 3)
+      val occ = ng.groupBy(col("ngram"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+        .agg(max(col("c")).as("maxDf"),
+          sum(expr("c * (c - 1) / 2")).as("candPairs"),
+          org.apache.spark.sql.functions.count(lit(1)).as("shingles")).head()
+      println(s"[occupancy] skew corpus: shingles=${occ.get(2)} " +
+        s"maxDf=${occ.get(0)} candPairs=${occ.get(1)}")
+    }
+    def skewEvidence(df: DataFrame): Unit = {
+      // after the action the queryExecution holds the FINAL adaptive
+      // plan; OptimizeSkewedJoin marks both the join (isSkew) and the
+      // AQEShuffleRead (skewed) — count any case-insensitive "skew"
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      val hits = "skew".r.findAllIn(plan).size
+      println(s"[scale-harness] AQE skew markers in executed plan: $hits")
+    }
+    // arm 1: UNGUARDED self-join (SMJ) — the r11 fix's posture under skew
+    locally {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, tau = 0.8, maxDfFraction = None)
+      time("ngramJaccardPairs(unguarded, SMJ)", n) { pairs.count() }
+      skewEvidence(pairs)
+    }
+    Persisted.unpersistAll()
+    // arm 2: DEFAULT fraction guard — structurally can't cut
+    // df = count/bpEvery boilerplate; expect arm-1 cost
+    time("ngramJaccardPairs(maxDfFraction=0.5 default)", n) {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8).count()
+    }
+    Persisted.unpersistAll()
+    // arm 3: ABSOLUTE maxDf — the knob that actually bounds the blowup
+    time("ngramJaccardPairs(maxDf=1000 absolute)", n) {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8,
+        maxDf = Some(1000)).count()
+    }
+    Persisted.unpersistAll()
+    // arm 4: prefix ssjoin — rarest-first prefixes never join the hot
+    // (commonest) shingles, so the skew never reaches the candidate join
+    time("jaccardPrefixPairs(tau=4/5)", n) {
+      Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3,
+        tauNum = 4, tauDen = 5).count()
+    }
+    Persisted.unpersistAll()
+    // arm 5: sub-side-prefix containment — same immunity, asymmetric form
+    time("containmentPrefixPairs(tau=9/10)", n) {
+      Dedup.containmentPrefixPairs(docs, "doc_id", "text", n = 3,
+        tauNum = 9, tauDen = 10).count()
+    }
+    Persisted.unpersistAll()
+    // arm 6 (LAST, fenced): posting-list pair generation — the giant-row
+    // cliff claim, measured: one d-element posting expands d²/2 structs
+    // in a single expression eval in a single task
+    try time("ngramJaccardPairs(postingListPairs=true, unguarded)", n) {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8,
+        maxDfFraction = None, postingListPairs = true).count()
+    } catch { case e: Throwable =>
+      println(s"[scale-harness] posting-list arm DIED (the cliff, " +
+        s"measured): ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    }
+    Persisted.unpersistAll()
+    docs.unpersist()
+  }
+
+  /** r11 verdict item 5: the graph family at the skewed end — a
+    * power-law-ish graph with ONE celebrity node (every 5th node links
+    * to node 0, so in-degree(0) = count/5) against the same-size uniform
+    * 2-out-regular graph. The claim to verify: the per-round contribution
+    * aggregate (groupBy dst / groupBy (node, label)) absorbs the hot key
+    * via map-side partial aggregation — no single-partition hotspot, so
+    * celebrity cost ≈ uniform cost + the extra edge volume.
+    */
+  private def graphSkewMode(spark: SparkSession, count: Long): Unit = {
+    import graft.graph.PageRank
+    def consume(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    val nodes = spark.range(count).select(col("id").as("node")).persist()
+    val n = nodes.count()
+    val uniform = nodes.select(col("node").as("src"),
+        ((col("node") * 7 + 13) % count).as("dst"))
+      .unionByName(nodes.select(col("node").as("src"),
+        ((col("node") * 31 + 5) % count).as("dst")))
+    // celebrity graph: the uniform background PLUS count/5 edges into
+    // node 0 — ~10% more edge rows, 20% of nodes adjacent to the hub
+    val celebrity = uniform.unionByName(
+      nodes.filter(col("node") % 5 === 0 && col("node") =!= 0)
+        .select(col("node").as("src"), lit(0L).as("dst")))
+    for ((name, edges) <- Seq("uniform" -> uniform, "celebrity" -> celebrity)) {
+      time(s"pageRank(6 iters, $name)", n) {
+        val out = consume(PageRank.pageRank(nodes, edges, iters = 6))
+        Persisted.unpersistAll()
+        out
+      }
+      time(s"labelPropagate(5 iters, $name)", n) {
+        val out = consume(graft.graph.LabelProp.labelPropagate(nodes, edges, iters = 5))
+        Persisted.unpersistAll()
+        out
+      }
+    }
+    nodes.unpersist()
   }
 
   /** PageRank alone at the scale=2^32 guard's ceiling (~2^26 nodes):

@@ -5,6 +5,16 @@ DuckDB compare: run graft.Verify first (writes <out>/<name>/ parquet +
 over the same sf dir and diffs (sorted columns, sorted rows).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+       python3 tools/check_oracle.py --smoke <sfDir> <oracleJsonOrVerifyOutDir> [memLimit [timeoutSec]]
+
+--smoke is the ORACLE-COST GUARD (r11 verdict item 6): the
+x_eval_tokenizer class of failure — an oracle that OOMs DuckDB while
+the Spark side is fine — was only caught by a full driver sweep. Smoke
+mode replays every oracle SQL on its OWN fresh connection under a tight
+memory_limit (default 2GiB) at a small SF and fails fast on memory
+blowups, without needing any Spark output. Run it at sf0.001 after
+adding/altering oracles; a MATERIALIZED-heavy oracle goes red here
+before it can zero a driver round.
 """
 import json
 import sys
@@ -82,5 +92,59 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if failures else 0
 
 
+def smoke(sf_dir: str, oracle_path: str, mem_limit: str = "2GiB",
+          timeout_s: float = 120.0) -> int:
+    import os
+    import threading
+    timeout_s = float(timeout_s)
+    if os.path.isdir(oracle_path):
+        oracle_path = f"{oracle_path}/oracle_sql.json"
+    oracle = json.load(open(oracle_path))
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        # one FRESH connection per query: the shared-connection compare
+        # path deliberately tolerates cross-query memory accounting (it
+        # reconnects on error); the guard must NOT — a per-query limit is
+        # only meaningful when each query starts from zero
+        con = duckdb.connect()
+        timer = None
+        timed_out = []
+        try:
+            con.execute(f"SET memory_limit='{mem_limit}'")
+            # no spill: DuckDB offloads past memory_limit into
+            # temp_directory by default, turning a memory blowup into a
+            # silent slow success — the guard must see the hard OOM error
+            con.execute("SET temp_directory=''")
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            # runaway-cost watchdog: interrupt anything that outlives
+            # timeout_s at this SF (the board's slowest oracle is seconds)
+            timer = threading.Timer(
+                timeout_s, lambda: (timed_out.append(True), con.interrupt()))
+            timer.start()
+            con.execute(sql).fetchall()
+            print(f"  OK   {name}")
+        except duckdb.Error as e:
+            msg = str(e).replace("\n", " ")[:200]
+            kind = ("timeout" if timed_out
+                    else "OOM" if "emory" in msg else "error")
+            failures.append((name, f"{kind}: {msg}"))
+        finally:
+            if timer is not None:
+                timer.cancel()
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+    for name, why in failures:
+        print(f"  FAIL {name}: {why}")
+    print(f"smoke: {len(oracle) - len(failures)}/{len(oracle)} oracles "
+          f"ran under memory_limit={mem_limit}, timeout={timeout_s}s")
+    return 1 if failures else 0
+
+
 if __name__ == "__main__":
+    if sys.argv[1] == "--smoke":
+        sys.exit(smoke(*sys.argv[2:]))
     sys.exit(main(sys.argv[1], sys.argv[2]))
