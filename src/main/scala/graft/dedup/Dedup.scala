@@ -204,6 +204,16 @@ object Dedup {
     * frequency, which at corpus scale is the difference between a bounded
     * equi-join and a broken job. ON by default; pass
     * `maxDfFraction = None` for the exact unguarded form.
+    *
+    * The fraction default is a BACKSTOP, not a boilerplate guard:
+    * measured r12 (`ssjoinskew`, 10.4M docs, 10-token template in every
+    * 1000th doc), df = corpus/1000 never crosses `0.5·corpus`, so this
+    * default leaves the full 4.4e8-pair quadratic block in place (and
+    * AQE's skew-split cannot see join-OUTPUT skew — 0 markers in the
+    * adaptive plan). At corpus scale set an ABSOLUTE `maxDf` (the probe's
+    * maxDf=1000 arm: 935 → 462 s) or use [[jaccardPrefixPairs]], which is
+    * exact AND skew-immune (rarest-first prefixes never join the hot
+    * shingles). See TUNING's skew row.
     */
   val DefaultMaxDfFraction: Double = 0.5
 
@@ -256,8 +266,11 @@ object Dedup {
     *    a frequent shingle's FULL d-element posting as one row and
     *    expand d² structs in one expression eval in one task — a
     *    giant-row cliff exactly on the shingles the maxDf guard exists
-    *    for. Flip it only on corpora known to be near-uniform (or with
-    *    a tight absolute `maxDf` capping every posting).
+    *    for (measured r12 `ssjoinskew`: java.lang.OutOfMemoryError at
+    *    64g on a df=10,400 boilerplate corpus where the SMJ self-join
+    *    completes in 935 s — TUNING skew row). Flip it only on corpora
+    *    known to be near-uniform (or with a tight absolute `maxDf`
+    *    capping every posting).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, tau: Double, maxDf: Option[Int] = None,

@@ -1914,18 +1914,24 @@ object Vocabulary {
       df.groupBy(col("_bkt")).agg(count(lit(1)).as(as))
     val universe = spark.range(DsirBuckets)
       .select(lower(lpad(hex(col("id")), DsirHexChars, "0")).as("_bkt"))
-    val joined = universe
+    // persisted because it feeds BOTH the grand-totals agg and the
+    // per-bucket weight rows: without the cache each branch re-runs the
+    // corpus-touching bucket-count aggs. <= 4096 rows — the cache is KBs
+    val joined = graft.Persisted.track(universe
       .join(counts(targetBuckets, "_ct0"), Seq("_bkt"), "left")
       .join(counts(rawBuckets, "_cr0"), Seq("_bkt"), "left")
       .select(col("_bkt"), coalesce(col("_ct0"), lit(0L)).as("_ct"),
         coalesce(col("_cr0"), lit(0L)).as("_cr"))
-    // single-partition BY DESIGN: runs over the fixed 4096-bucket
-    // universe relation, never the feature stream — benign warning
-    val w = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // grand totals as a 1-row aggregate broadcast back over the bucket
+    // relation (the unigramDrift/nbTokenWeights/temperatureMixSample
+    // pattern) — the 4096-row bound made the old partitionless window
+    // benign here, but r12 retired the last of that window class so no
+    // annotation-vs-reality drift can ever creep in
+    val totals = joined.agg(
+      sum(col("_ct")).as("_tot_t"), sum(col("_cr")).as("_tot_r"))
     val prep = joined
-      .withColumn("_tot_t", sum(col("_ct")).over(w))
-      .withColumn("_tot_r", sum(col("_cr")).over(w))
+      .crossJoin(broadcast(totals))
       .withColumn("_num0", checkedMulExpr("_ct + 1", s"_tot_r + $DsirBuckets",
         "dsirBucketWeights", "(ct+1)*(totR+B)"))
       .withColumn("_den0", checkedMulExpr("_cr + 1", s"_tot_t + $DsirBuckets",
