@@ -140,13 +140,15 @@ object SparkEntry {
       graft.dedup.Dedup.minhashNearDuplicates(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         n = 3, tau = 0.8, numHashes = 32, rowsPerBand = 2,
-        maxDfFraction = None))
+        maxDfFraction = None,
+        precomputedShingles = Some(shinglesDim(s, dir))))
 
   private def minhashPairsGuardedDim(s: SparkSession, dir: String): DataFrame =
     stagedFixture(s, dir, "mh_pairs_guarded")(
       graft.dedup.Dedup.minhashNearDuplicates(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
-        n = 3, tau = 0.8))
+        n = 3, tau = 0.8,
+        precomputedShingles = Some(shinglesDim(s, dir))))
 
   /** The doubled events source for the at-least-once streaming dedup
     * gate, staged once per (sf, process) like [[stagedEventsSource]] —

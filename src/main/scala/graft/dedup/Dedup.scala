@@ -74,17 +74,21 @@ object Dedup {
     * a staged artifact is NOT re-persisted — its parquet scan is already
     * parallel and columnar, and re-caching it would double its memory.
     */
+  private[graft] def validateShingleArtifact(pre: DataFrame, n: Int): Unit = {
+    require(pre.columns.toSeq == Seq("_id", "ngram"),
+      s"precomputedShingles must be the shingles() relation with schema " +
+        s"(_id, ngram); got (${pre.columns.mkString(", ")})")
+    val md = pre.schema("ngram").metadata
+    if (md.contains("graft.shingle.n"))
+      require(md.getLong("graft.shingle.n") == n.toLong,
+        s"precomputedShingles were built with n=${md.getLong("graft.shingle.n")}, " +
+          s"but this operator was asked for n=$n")
+  }
+
   private def resolveShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int, precomputed: Option[DataFrame]): DataFrame = precomputed match {
     case Some(pre) =>
-      require(pre.columns.toSeq == Seq("_id", "ngram"),
-        s"precomputedShingles must be the shingles() relation with schema " +
-          s"(_id, ngram); got (${pre.columns.mkString(", ")})")
-      val md = pre.schema("ngram").metadata
-      if (md.contains("graft.shingle.n"))
-        require(md.getLong("graft.shingle.n") == n.toLong,
-          s"precomputedShingles were built with n=${md.getLong("graft.shingle.n")}, " +
-            s"but this operator was asked for n=$n")
+      validateShingleArtifact(pre, n)
       pre
     case None =>
       Persisted.track(shingles(df, idCol, textCol, n)
@@ -669,10 +673,16 @@ object Dedup {
   /** MinHash signatures: per document, the element-wise minimum of
     * `numHashes` seeded xxhash64 values over its shingles. One shuffle
     * (groupBy id); signature width is a constant column count.
+    * `precomputedShingles` = the staged at-ingest shingle artifact
+    * (validated like the pair operators' hook — schema + width stamp).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32): DataFrame = {
-    val ng = shingles(df, idCol, textCol, n)
+      n: Int = 3, numHashes: Int = 32,
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
+    // single consumer of the relation — a fresh explode needs no persist
+    val ng = precomputedShingles
+      .map(pre => { validateShingleArtifact(pre, n); pre })
+      .getOrElse(shingles(df, idCol, textCol, n))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("ngram"))).as(s"_h$i"))
     ng.groupBy(col("_id"))
@@ -718,9 +728,10 @@ object Dedup {
       n: Int = 3, tau: Double = 0.8,
       numHashes: Int = 32, rowsPerBand: Int = 2,
       maxDf: Option[Int] = None,
-      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame =
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction),
+      precomputedShingles: Option[DataFrame] = None): DataFrame =
     minhashScoredCandidates(df, idCol, textCol, n, numHashes, rowsPerBand,
-      maxDf, maxDfFraction)
+      maxDf, maxDfFraction, precomputedShingles)
       .filter(col("jaccard") >= tau)
 
   /** The scored LSH candidate relation of [[minhashNearDuplicates]]
@@ -737,17 +748,18 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 32, rowsPerBand: Int = 2,
       maxDf: Option[Int] = None,
-      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction)): DataFrame = {
-    val ngRaw = shingles(df, idCol, textCol, n)
+      maxDfFraction: Option[Double] = Some(DefaultMaxDfFraction),
+      precomputedShingles: Option[DataFrame] = None): DataFrame = {
     // guard BEFORE signatures: the filtered universe feeds the MinHash,
     // the candidate verify and the per-doc counts alike, so Jaccard stays
     // exact over the guarded universe. (Lazy persist by design — see the
-    // fan-out note in ngramJaccardPairs.)
-    val ng = Persisted.track(
-      (if (maxDf.isEmpty && maxDfFraction.isEmpty) ngRaw
-       else applyMaxDf(Persisted.track(ngRaw
-         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
-         maxDf, maxDfFraction))
+    // fan-out note in ngramJaccardPairs; a staged parquet artifact is not
+    // re-persisted, but the guard-FILTERED relation always is — it is
+    // derived, multi-consumer, and not what the caller staged.)
+    val ngRaw = resolveShingles(df, idCol, textCol, n, precomputedShingles)
+    val ng =
+      if (maxDf.isEmpty && maxDfFraction.isEmpty) ngRaw
+      else Persisted.track(applyMaxDf(ngRaw, maxDf, maxDfFraction)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // ONE aggregation pass computes the signature minima AND the per-doc
     // shingle count — the count is a free extra column in the same
@@ -1245,14 +1257,19 @@ object Dedup {
     */
   def buildCorpusDedupIndex(corpus: DataFrame, idCol: String,
       textCol: String, n: Int = 3, numHashes: Int = 32,
-      rowsPerBand: Int = 2): CorpusDedupIndex =
+      rowsPerBand: Int = 2,
+      precomputedShingles: Option[DataFrame] = None): CorpusDedupIndex = {
+    precomputedShingles.foreach(validateShingleArtifact(_, n))
     CorpusDedupIndex(
       hashes = corpus
         .select(md5(col(textCol).cast("binary")).as("_chash")).distinct(),
       buckets = bandBuckets(
-        minhashSignatures(corpus, idCol, textCol, n, numHashes),
+        minhashSignatures(corpus, idCol, textCol, n, numHashes,
+          precomputedShingles = precomputedShingles),
         numHashes, rowsPerBand),
-      shingles = shingles(corpus, idCol, textCol, n))
+      shingles = precomputedShingles
+        .getOrElse(shingles(corpus, idCol, textCol, n)))
+  }
 
   /** Incremental (batch-vs-corpus) dedup — the production regime for a
     * continuously-ingesting pipeline: clean the arriving `batch` against

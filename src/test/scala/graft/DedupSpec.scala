@@ -194,6 +194,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     Persisted.unpersistAll()
   }
 
+  test("shingle width stamp survives a parquet round-trip (the staged-fixture path)") {
+    // the artifact validation is only worth anything if the stamp is
+    // still there when the artifact comes back from the cluster store —
+    // Spark persists column metadata in the parquet footer schema
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_shingles_" +
+      s"${ProcessHandle.current().pid()}"
+    Dedup.shingles(docs, "doc_id", "text", n = 3)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    val md = back.schema("ngram").metadata
+    assert(md.contains("graft.shingle.n") && md.getLong("graft.shingle.n") == 3L,
+      s"width stamp lost through parquet: ${back.schema("ngram")}")
+    // the round-tripped artifact passes the n=3 hook and fails an n=2 ask
+    Dedup.validateShingleArtifact(back, 3)
+    intercept[IllegalArgumentException] { Dedup.validateShingleArtifact(back, 2) }
+    // and the minhash family consumes it hash-identically
+    val inline = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      n = 3, tau = 0.8, maxDfFraction = None)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Persisted.unpersistAll()
+    val viaHook = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      n = 3, tau = 0.8, maxDfFraction = None,
+      precomputedShingles = Some(back))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Persisted.unpersistAll()
+    assert(viaHook == inline && inline.nonEmpty)
+  }
+
   test("minhash LSH reproduces the exact-jaccard truth set on documents") {
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8)
