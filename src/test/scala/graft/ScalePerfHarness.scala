@@ -287,10 +287,18 @@ object ScalePerfHarness {
   private def ssjoinSkewMode(spark: SparkSession, count: Long): Unit = {
     import graft.dedup.Dedup
     val bpEvery = sys.env.getOrElse("SPARK_GRAFT_BP_EVERY", "1000").toLong
+    // SPARK_GRAFT_SKEW_ARMS=guarded skips the arms that are QUADRATIC in
+    // the planted df (unguarded self-join, default-fraction guard,
+    // posting-list): at the verdict's 20%-share scenario (bpEvery=5,
+    // df = 0.2·corpus) those are ~3.5e13 candidate pairs — infeasible by
+    // the measured law, which is the point — while the absolute-maxDf
+    // and prefix arms must still complete. Default "all".
+    val arms = sys.env.getOrElse("SPARK_GRAFT_SKEW_ARMS", "all")
+    val quadraticArms = arms != "guarded"
     val docs = skewedTextCorpus(spark, count, bpEvery).persist()
     val n = docs.count()
     println(s"[scale-harness] ssjoinskew: bpEvery=$bpEvery -> " +
-      s"planted df ~= ${count / bpEvery}")
+      s"planted df ~= ${count / bpEvery}, arms=$arms")
     // occupancy first: the candidate volume the arms below must absorb
     locally {
       val ng = Dedup.shingles(docs, "doc_id", "text", 3)
@@ -311,19 +319,21 @@ object ScalePerfHarness {
       println(s"[scale-harness] AQE skew markers in executed plan: $hits")
     }
     // arm 1: UNGUARDED self-join (SMJ) — the r11 fix's posture under skew
-    locally {
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, tau = 0.8, maxDfFraction = None)
-      time("ngramJaccardPairs(unguarded, SMJ)", n) { pairs.count() }
-      skewEvidence(pairs)
-    }
-    Persisted.unpersistAll()
-    // arm 2: DEFAULT fraction guard — structurally can't cut
-    // df = count/bpEvery boilerplate; expect arm-1 cost
-    time("ngramJaccardPairs(maxDfFraction=0.5 default)", n) {
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8).count()
-    }
-    Persisted.unpersistAll()
+    if (quadraticArms) {
+      locally {
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, tau = 0.8, maxDfFraction = None)
+        time("ngramJaccardPairs(unguarded, SMJ)", n) { pairs.count() }
+        skewEvidence(pairs)
+      }
+      Persisted.unpersistAll()
+      // arm 2: DEFAULT fraction guard — structurally can't cut
+      // df = count/bpEvery boilerplate; expect arm-1 cost
+      time("ngramJaccardPairs(maxDfFraction=0.5 default)", n) {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8).count()
+      }
+      Persisted.unpersistAll()
+    } else println("[scale-harness] quadratic arms SKIPPED (arms=guarded)")
     // arm 3: ABSOLUTE maxDf — the knob that actually bounds the blowup
     time("ngramJaccardPairs(maxDf=1000 absolute)", n) {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8,
@@ -346,14 +356,16 @@ object ScalePerfHarness {
     // arm 6 (LAST, fenced): posting-list pair generation — the giant-row
     // cliff claim, measured: one d-element posting expands d²/2 structs
     // in a single expression eval in a single task
-    try time("ngramJaccardPairs(postingListPairs=true, unguarded)", n) {
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8,
-        maxDfFraction = None, postingListPairs = true).count()
-    } catch { case e: Throwable =>
-      println(s"[scale-harness] posting-list arm DIED (the cliff, " +
-        s"measured): ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    if (quadraticArms) {
+      try time("ngramJaccardPairs(postingListPairs=true, unguarded)", n) {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8,
+          maxDfFraction = None, postingListPairs = true).count()
+      } catch { case e: Throwable =>
+        println(s"[scale-harness] posting-list arm DIED (the cliff, " +
+          s"measured): ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+      Persisted.unpersistAll()
     }
-    Persisted.unpersistAll()
     docs.unpersist()
   }
 
