@@ -2376,7 +2376,10 @@ object SparkEntry {
     "x_sample_temperature" -> ((s, dir) =>
       graft.ops.Sampling.temperatureMixSample(
         DerivedModel.table(s, dir, "documents"), "source", "doc_id",
-        targetRows = 1500L)
+        targetRows = 1500L,
+        // raw staged table: the domain-count agg is a single-column
+        // columnar scan, cheaper re-run than persisted (r12 verdict 6)
+        persistStats = false)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
     // fractional epoch upsampling (Pile/LLaMA recipe): per-domain repeat
@@ -3182,15 +3185,21 @@ object SparkEntry {
     * in DuckDB — also the truth set the MinHash+LSH query must reproduce,
     * and the edge set for the duplicate-groups components oracle).
     */
+  // `ng` and `simpairs` are MATERIALIZED: DuckDB inlines plain CTEs at
+  // every reference, so `ng` (feeding cnt + BOTH ssjoin sides) would be
+  // exploded 3x CONCURRENTLY in one pipeline — measured 12x peak-memory
+  // difference on the near-dedup oracles (1536 -> 128 MiB at sf0.01,
+  // minmem profiler r13). A pressured checker box killed exactly these
+  // oracles in r12; materialization is the pressure-proofing.
   private val ngramJaccardCtes: String =
     """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-      |ng AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      |ng AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
       |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
       |cnt AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
       |          FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
       |          GROUP BY a.doc_id, b.doc_id),
-      |simpairs AS (
+      |simpairs AS MATERIALIZED (
       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
       |  FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)""".stripMargin
@@ -3264,26 +3273,30 @@ object SparkEntry {
     * guard applied (Dedup.DefaultMaxDfFraction = 0.5): `ng` keeps only
     * shingles whose document frequency is <= ceil(0.5 x distinct docs).
     */
+  // g-prefixed CTE names: DuckDB rejects a nested scope redefining a
+  // MATERIALIZED CTE's name ("Duplicate alias"), so the guarded chain
+  // can no longer shadow the exact chain's names — it coexists instead
+  // (dedupRecallOracle / x_pipeline_dedup_split embed both chains)
   private val ngramJaccardGuardedCtes: String =
-    """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-      |ng0 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
-      |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)),
-      |keep AS (SELECT ngram FROM ng0 GROUP BY ngram
+    """gtoks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |gng0 AS MATERIALIZED (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS ngram
+      |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM gtoks)),
+      |gkeep AS (SELECT ngram FROM gng0 GROUP BY ngram
       |         HAVING count(*) <= greatest(1, CAST(ceil(
-      |           0.5 * (SELECT count(DISTINCT doc_id) FROM ng0)) AS BIGINT))),
-      |ng AS (SELECT ng0.doc_id, ng0.ngram FROM ng0 JOIN keep USING (ngram)),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM ng GROUP BY doc_id),
-      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-      |          FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+      |           0.5 * (SELECT count(DISTINCT doc_id) FROM gng0)) AS BIGINT))),
+      |gng AS MATERIALIZED (SELECT gng0.doc_id, gng0.ngram FROM gng0 JOIN gkeep USING (ngram)),
+      |gcnt AS (SELECT doc_id, count(*) AS n FROM gng GROUP BY doc_id),
+      |ginter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM gng a JOIN gng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
       |          GROUP BY a.doc_id, b.doc_id),
-      |simpairs AS (
+      |gsimpairs AS MATERIALIZED (
       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-      |  FROM inter JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      |  FROM ginter JOIN gcnt ca ON id_a = ca.doc_id JOIN gcnt cb ON id_b = cb.doc_id
       |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)""".stripMargin
 
   /** Oracle for the dedup-guard audit: the exact chain at the outer
-    * level, the guarded chain nested as a subquery scope (its CTE names
-    * shadow the outer ones — the curate5/hybrid nested-WITH convention),
+    * level, the guarded chain nested as a subquery scope (g-prefixed
+    * names — MATERIALIZED CTEs cannot be shadowed across scopes),
     * then three counts.
     */
   private val dedupRecallOracle: String =
@@ -3291,7 +3304,7 @@ object SparkEntry {
        |g AS MATERIALIZED (
        |  SELECT id_a, id_b FROM (
        |    WITH $ngramJaccardGuardedCtes
-       |    SELECT id_a, id_b FROM simpairs)),
+       |    SELECT id_a, id_b FROM gsimpairs)),
        |e AS (SELECT id_a, id_b FROM simpairs)
        |SELECT
        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
@@ -3665,8 +3678,8 @@ object SparkEntry {
       // docs) documents before Jaccard/components
       "x_dedup_near_dedup" ->
         s"""WITH RECURSIVE $ngramJaccardGuardedCtes,
-           |edges AS (SELECT id_a AS src, id_b AS dst FROM simpairs
-           |          UNION SELECT id_b, id_a FROM simpairs),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM gsimpairs
+           |          UNION SELECT id_b, id_a FROM gsimpairs),
            |reach(a, b) AS (
            |  SELECT src, src FROM edges
            |  UNION
@@ -3679,8 +3692,8 @@ object SparkEntry {
       // id) — length() not n_chars, mirroring the Spark ordering exactly
       "x_dedup_near_dedup_best" ->
         s"""WITH RECURSIVE $ngramJaccardGuardedCtes,
-           |edges AS (SELECT id_a AS src, id_b AS dst FROM simpairs
-           |          UNION SELECT id_b, id_a FROM simpairs),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM gsimpairs
+           |          UNION SELECT id_b, id_a FROM gsimpairs),
            |reach(a, b) AS (
            |  SELECT src, src FROM edges
            |  UNION
@@ -3739,7 +3752,7 @@ object SparkEntry {
            |g AS MATERIALIZED (
            |  SELECT id_a, id_b FROM (
            |    WITH $ngramJaccardGuardedCtes
-           |    SELECT id_a, id_b FROM simpairs)),
+           |    SELECT id_a, id_b FROM gsimpairs)),
            |edges AS (SELECT id_a AS src, id_b AS dst FROM g
            |          UNION SELECT id_b, id_a FROM g),
            |reach(a, b) AS (
@@ -3850,20 +3863,31 @@ object SparkEntry {
            |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
            |ORDER BY cosine DESC, b.vec_id LIMIT 10""".stripMargin,
 
+      // cosine is projected BEFORE the ranking window: ordering the
+      // window by the raw expression would drag both 64-float embedding
+      // lists per pair through the sort (~256 MB at sf0.01 — the board's
+      // hungriest oracle and an r12 driver-red); ranked over the scalar
+      // the window input is 24 bytes/pair
       "x_knn_topk" ->
-        s"""SELECT vec_id, neighbor_id, cosine, rnk FROM (
-           |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cos AS cosine,
-           |    CAST(row_number() OVER (PARTITION BY a.vec_id
-           |      ORDER BY $cos DESC, b.vec_id) AS INTEGER) AS rnk
+        s"""WITH scored AS MATERIALIZED (
+           |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cos AS cosine
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+           |SELECT vec_id, neighbor_id, cosine, rnk FROM (
+           |  SELECT vec_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+           |  FROM scored)
            |WHERE rnk <= 5""".stripMargin,
 
       "x_knn_topk_agg" ->
-        s"""SELECT vec_id, neighbor_id, cosine, rnk FROM (
-           |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cos AS cosine,
-           |    CAST(row_number() OVER (PARTITION BY a.vec_id
-           |      ORDER BY $cos DESC, b.vec_id) AS INTEGER) AS rnk
+        s"""WITH scored AS MATERIALIZED (
+           |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cos AS cosine
            |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+           |SELECT vec_id, neighbor_id, cosine, rnk FROM (
+           |  SELECT vec_id, neighbor_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+           |  FROM scored)
            |WHERE rnk <= 5""".stripMargin,
 
       // approximate-by-construction yet bit-reproducible: the oracles

