@@ -1138,9 +1138,17 @@ object Similarity {
     * lists shard by cluster and only nProbe lists are scanned per query.
     */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
-      numClusters: Int): DataFrame =
+      numClusters: Int): DataFrame = {
+    // the cluster count rides as column metadata (survives parquet, the
+    // shingle-artifact pattern) so a staged assignment carries its own
+    // compatibility proof — ivfTopK's precomputedAssignments hook
+    // require-checks it against the probe-time numClusters
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.ivf.numClusters", numClusters.toLong).build()
     assignToCentroids(embeddings, idCol, vecCol,
       ivfCentroids(embeddings, idCol, vecCol, numClusters))
+      .select(col(idCol), col(vecCol), col("cluster").as("cluster", meta))
+  }
 
   def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       numClusters: Int): DataFrame =
@@ -1150,10 +1158,34 @@ object Similarity {
   /** ANN via IVF: rank the query's nProbe nearest clusters, score only
     * vectors assigned to them. Recall measured against [[bruteForceTopK]]
     * in the spec.
+    *
+    * `precomputedAssignments` is the staged-index deployment shape: the
+    * [[ivfAssign]] relation built once (the index), persisted or written
+    * to the cluster store, and probed by every query — per-query cost
+    * drops to centroid ranking + nProbe inverted-list scans instead of a
+    * full corpus re-assignment. The artifact is VALIDATED: exact
+    * (idCol, vecCol, cluster) schema and [[ivfAssign]]'s numClusters
+    * stamp must be present and match — an assignment built with a
+    * different cluster count silently probes the wrong lists otherwise.
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-      queryId: Long, k: Int, numClusters: Int = 16, nProbe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(embeddings, idCol, vecCol, numClusters)
+      queryId: Long, k: Int, numClusters: Int = 16, nProbe: Int = 4,
+      precomputedAssignments: Option[DataFrame] = None): DataFrame = {
+    precomputedAssignments.foreach { pre =>
+      require(pre.columns.toSeq == Seq(idCol, vecCol, "cluster"),
+        s"precomputedAssignments must be the ivfAssign() relation with " +
+          s"schema ($idCol, $vecCol, cluster); got (${pre.columns.mkString(", ")})")
+      val md = pre.schema("cluster").metadata
+      require(md.contains("graft.ivf.numClusters"),
+        "precomputedAssignments carry no numClusters stamp — build them " +
+          "with ivfAssign()")
+      require(md.getLong("graft.ivf.numClusters") == numClusters.toLong,
+        s"precomputedAssignments were built with numClusters=" +
+          s"${md.getLong("graft.ivf.numClusters")}, but this probe was " +
+          s"asked for numClusters=$numClusters")
+    }
+    val assigned = precomputedAssignments
+      .getOrElse(ivfAssign(embeddings, idCol, vecCol, numClusters))
     val query = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).as("_qvec"))
     val probed = ivfCentroids(embeddings, idCol, vecCol, numClusters)

@@ -68,6 +68,54 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(partial.size == 10)
   }
 
+  test("IVF staged assignment: probe equals inline; incompatible artifacts rejected") {
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val inline = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      numClusters = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val staged = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+    val viaHook = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      numClusters = 8, nProbe = 2, precomputedAssignments = Some(staged))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaHook == inline)
+    // the numClusters stamp survives a parquet round-trip (the
+    // staged-index path) and still probes identically
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spec_ivf_" +
+      s"${ProcessHandle.current().pid()}"
+    try {
+      staged.write.mode("overwrite").parquet(out)
+      val back = spark.read.parquet(out)
+      val viaParquet = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+        numClusters = 8, nProbe = 2, precomputedAssignments = Some(back))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(viaParquet == inline)
+      // wrong cluster count and wrong/unstamped schema must be rejected
+      // AT CONSTRUCTION, not probe the wrong inverted lists
+      intercept[IllegalArgumentException] {
+        Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+          numClusters = 16, nProbe = 2, precomputedAssignments = Some(back))
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+          numClusters = 8, nProbe = 2,
+          precomputedAssignments = Some(emb.select(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding"))))
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+          numClusters = 8, nProbe = 2,
+          precomputedAssignments = Some(back.select(
+            org.apache.spark.sql.functions.col("vec_id"),
+            org.apache.spark.sql.functions.col("embedding"),
+            org.apache.spark.sql.functions.col("cluster")
+              .as("cluster", org.apache.spark.sql.types.Metadata.empty))))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out)): Unit
+    }
+  }
+
   test("random projection: basis vectors read off the sign matrix, dot " +
       "products preserved in expectation") {
     import spark.implicits._
