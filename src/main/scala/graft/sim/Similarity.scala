@@ -441,6 +441,62 @@ object Similarity {
     Array.tabulate(m)(s => rows.map(_.slice(s * dsub, (s + 1) * dsub)))
   }
 
+  /** Bit-reproducible per-group mean WITHOUT materializing the group.
+    * The deterministic training branches used to build each group's
+    * member list via `array_sort(collect_list(struct(id, v)))` and fold
+    * it left-to-right — bit-exact, but the per-group array is
+    * O(corpus / k) BOXED structs held by the object-hash aggregate: a
+    * measured `java.lang.OutOfMemoryError` at 64 GiB training on
+    * 10.4M vectors (TUNING r13, "deterministic training fold"). This
+    * shape keeps the EXACT same arithmetic — ascending-id,
+    * left-associated double adds from a 0.0 accumulator, then one
+    * divide by the member count — but STREAMS it: hash-shuffle on the
+    * group key, sort within partitions by (group, id) (a spillable
+    * sort, not an in-memory array), and a constant-memory running
+    * (sum, count) fold per contiguous group. Same value in every ulp
+    * (ids are unique per group, so the sort order is identical), no
+    * giant rows, any corpus size.
+    */
+  private def orderedGroupMeans(df: DataFrame, groupCols: Seq[String],
+      idCol: Column, vCol: Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val gCols = groupCols.map(col)
+    val skinny = df
+      .select(gCols :+ idCol.as("_ogm_id") :+ vCol.cast("double").as("_ogm_v"): _*)
+      .repartition(gCols: _*)
+      .sortWithinPartitions((groupCols :+ "_ogm_id").map(col): _*)
+    val nG = groupCols.length
+    val outSchema = StructType(
+      skinny.schema.fields.take(nG) :+
+        StructField("_m", DoubleType, nullable = false))
+    skinny.mapPartitions { it =>
+      def sameKey(a: Row, b: Row): Boolean = {
+        var i = 0
+        while (i < nG) { if (a.get(i) != b.get(i)) return false; i += 1 }
+        true
+      }
+      new Iterator[Row] {
+        private var pending: Row = null // first row of the next group
+        def hasNext: Boolean = pending != null || it.hasNext
+        def next(): Row = {
+          val head = if (pending != null) pending else it.next()
+          pending = null
+          var sum = 0.0 // fold seed, as in aggregate(_vals, 0.0, ...)
+          sum += head.getDouble(nG + 1)
+          var cnt = 1L
+          var open = true
+          while (open && it.hasNext) {
+            val r = it.next()
+            if (sameKey(r, head)) { sum += r.getDouble(nG + 1); cnt += 1L }
+            else { pending = r; open = false }
+          }
+          Row.fromSeq((0 until nG).map(head.get) :+ sum / cnt)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Trained PQ codebook: per-subspace k-means (L2 metric — the PQ
     * objective) over the sub-vectors, all `m` subspaces trained in ONE
     * unrolled lazy plan (the subspace id is just another grouping
@@ -450,7 +506,8 @@ object Similarity {
     * the window shuffle) and a per-(subspace, code, dim) mean; empty
     * cells keep their previous centroid. `deterministic = true` folds
     * each mean over members SORTED BY ID (the [[kmeansCentroids]]
-    * idiom), so the DuckDB oracle replays every training round
+    * idiom, streamed by [[orderedGroupMeans]] — no per-group arrays),
+    * so the DuckDB oracle replays every training round
     * ([[pqTopKTrainedSql]]).
     *
     * The final `.collect()` materializes `m * ksub * dsub` doubles (KBs)
@@ -493,12 +550,8 @@ object Similarity {
           posexplode(col("_svec")).as(Seq("_pos", "_v")))
       val dimMeans =
         if (deterministic)
-          perDim.groupBy(col("_s"), col("_j"), col("_pos"))
-            .agg(array_sort(collect_list(struct(col("_sid").as("id"),
-              col("_v").cast("double").as("v")))).as("_vals"))
-            .select(col("_s"), col("_j"), col("_pos"),
-              (expr("aggregate(_vals, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)") /
-                size(col("_vals"))).as("_m"))
+          orderedGroupMeans(perDim, Seq("_s", "_j", "_pos"),
+            col("_sid"), col("_v"))
         else
           perDim.groupBy(col("_s"), col("_j"), col("_pos"))
             .agg(avg(col("_v")).as("_m"))
@@ -1476,11 +1529,15 @@ object Similarity {
     * `deterministic = false` (default) computes means with `avg` — the
     * throughput path, but the double accumulation order follows shuffle
     * arrival, so two runs can differ in the last ulp. `deterministic =
-    * true` folds each mean over members SORTED BY ID (collect_list +
-    * array_sort + left fold): bit-reproducible index builds (and a SQL-
-    * replayable oracle) at the cost of materializing each (cluster,
-    * dimension) member list — fine for the sampled corpus a coarse
-    * quantizer actually trains on, not for a full 100 TB pass.
+    * true` folds each mean over members SORTED BY ID: bit-reproducible
+    * index builds (and a SQL-replayable oracle). The fold streams
+    * through a (cluster, dim, id) sort-shuffle ([[orderedGroupMeans]])
+    * instead of materializing each member list — the collect_list form
+    * was a measured 64 GiB OOM at 10.4M vectors, so deterministic
+    * training now scales the same as `avg` (one extra sort). Still,
+    * the coarse-quantizer PROTOCOL at 100 TB is to train on a bounded
+    * deterministic sample and ship centroids as literals — training
+    * cost should never be corpus-sized in the first place.
     */
   def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
       numClusters: Int, iterations: Int = 3,
@@ -1492,13 +1549,8 @@ object Similarity {
         .select(col(idCol).as("_mid"), col("cluster"), posexplode(col(vecCol)))
       val dimMeans =
         if (deterministic)
-          perDim
-            .groupBy(col("cluster"), col("pos"))
-            .agg(array_sort(collect_list(struct(col("_mid").as("id"),
-              col("col").cast("double").as("v")))).as("_vals"))
-            .select(col("cluster"), col("pos"),
-              (expr("aggregate(_vals, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)") /
-                size(col("_vals"))).as("_m"))
+          orderedGroupMeans(perDim, Seq("cluster", "pos"),
+            col("_mid"), col("col"))
         else
           perDim
             .groupBy(col("cluster"), col("pos"))

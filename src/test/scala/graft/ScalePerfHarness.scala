@@ -453,10 +453,15 @@ object ScalePerfHarness {
       consume(graft.sim.Similarity.annRecallAudit(emb, "vec_id", "embedding",
         k = 10, queryStep = step, numClusters = 256, nProbe = 8))
     }
-    // the quantized sibling, in the production shape: codes staged once
-    // (encode amortized at ingest), the audit scans codes + pays the
-    // same Q·n exact arm
-    val cb = graft.sim.Similarity.pqCodebookTrained(emb, "vec_id",
+    // the quantized sibling, in the production shape: the codebook is
+    // trained on a BOUNDED deterministic sample (the faiss protocol —
+    // codebook quality saturates long before corpus size; training cost
+    // must not scale with the corpus), codes staged once over the FULL
+    // corpus (encode amortized at ingest), the audit scans codes + pays
+    // the same Q·n exact arm. Sample cap: ~1M sub-vectors per subspace.
+    val sampleStep = math.max(count / 1000000L, 1L)
+    val trainSample = emb.filter(col("vec_id") % sampleStep === 0)
+    val cb = graft.sim.Similarity.pqCodebookTrained(trainSample, "vec_id",
       "embedding", m = 8, ksub = 16, dim = 64, iterations = 2,
       deterministic = true)
     val codes = graft.sim.Similarity.pqEncodedRelation(emb, "vec_id",
@@ -469,6 +474,15 @@ object ScalePerfHarness {
         dim = Some(64), codebook = Some(cb), precomputedCodes = Some(codes)))
     }
     codes.unpersist()
+    // fold-fix certification: FULL-corpus deterministic training used to
+    // die at 64 g in the array_sort(collect_list) giant-group projection
+    // (r13 measured); the streamed orderedGroupMeans fold must complete.
+    // One round is enough to exercise the assignment + fold pipeline.
+    time("pqCodebookTrained FULL corpus, deterministic, 1 iter", count) {
+      graft.sim.Similarity.pqCodebookTrained(emb, "vec_id", "embedding",
+        m = 8, ksub = 16, dim = 64, iterations = 1, deterministic = true)
+      0L
+    }
     emb.unpersist()
   }
 
@@ -805,6 +819,11 @@ object ScalePerfHarness {
     * SST-file metrics — the claim to verify is that per-batch cost stays
     * ~flat as resident state grows (RocksDB is log-structured: updates
     * are appends + background compaction, not in-place B-tree touches).
+    * A second RECOVERY arm then restarts the query from the same
+    * checkpoint with a 1% tail of late updates: the restart batch pays
+    * the full state reload (snapshot + changelog replay for every
+    * partition) before committing — the executor-loss / redeploy cost
+    * at `count` resident keys, reported separately as [streamrestore].
     */
   private def streamStateMode(spark: SparkSession, count: Long): Unit = {
     import graft.streaming.StreamingOps
@@ -856,6 +875,52 @@ object ScalePerfHarness {
               f"stateRows=${so.numRowsTotal}%9d upd=${so.numRowsUpdated}%9d " +
               f"updMs=${so.allUpdatesTimeMs}%6d commitMs=${so.commitTimeMs}%6d " +
               f"memMB=${so.memoryUsedBytes / 1e6}%8.1f sstMB=${sst / 1e6}%8.1f")
+          }
+          0L
+        }
+        // RECOVERY arm: the operational half of the 100 TB claim. Kill
+        // the query (done — AvailableNow terminated), append a small
+        // tail of late changes to the source, and restart from the SAME
+        // checkpoint: every state partition must reopen its RocksDB
+        // store from the checkpointed snapshot+changelog with ~`count`
+        // keys resident before the first new batch can commit. The
+        // restart batch's wall vs the steady-state batches above IS the
+        // recovery overhead; at a real deployment this is the
+        // executor-loss / redeploy path, so it must not scale with
+        // stream history — only with resident state.
+        val ckptBytes = org.apache.commons.io.FileUtils
+          .sizeOfDirectory(new java.io.File(s"$root/ckpt"))
+        println(f"[streamrestore] checkpoint on disk before restart: " +
+          f"${ckptBytes / 1e6}%.1f MB")
+        val tail = count / 100 // 1% late updates against existing keys
+        spark.range(tail).select(
+            ((col("id") * 31) % count).as("user_id"),
+            (col("id") + rows).as("event_id"),
+            expr(s"timestamp_millis(1700000000000 + (id + $rows) * 1000)")
+              .as("ts"),
+            lit("click").as("event_type"),
+            (col("id") % 100).cast("double").as("value"))
+          .coalesce(1).write.mode("append").parquet(s"$root/src")
+        val streaming2 = StreamingOps.streamingCompact(spark, s"$root/src",
+          src, sourceOptions = Map("maxFilesPerTrigger" -> "2")).toDF()
+        time(s"streamingCompact RESTART from ckpt, $count resident keys", tail) {
+          val sq2 = streaming2.writeStream
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              b.write.mode("append").parquet(s"$root/sink"); (): Unit
+            }
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+            .option("checkpointLocation", s"$root/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          if (!sq2.awaitTermination(3600000L)) {
+            sq2.stop(); throw new IllegalStateException("restart timed out")
+          }
+          for (p <- sq2.recentProgress; so <- p.stateOperators) {
+            println(f"[streamrestore] batch=${p.batchId}%2d " +
+              f"in=${p.numInputRows}%9d wall=${p.batchDuration / 1e3}%7.1f s " +
+              f"stateRows=${so.numRowsTotal}%9d upd=${so.numRowsUpdated}%9d " +
+              f"loadMs=${so.allUpdatesTimeMs}%6d commitMs=${so.commitTimeMs}%6d " +
+              f"memMB=${so.memoryUsedBytes / 1e6}%8.1f")
           }
           0L
         }
