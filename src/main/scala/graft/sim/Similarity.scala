@@ -457,7 +457,7 @@ object Similarity {
     * (ids are unique per group, so the sort order is identical), no
     * giant rows, any corpus size.
     */
-  private def orderedGroupMeans(df: DataFrame, groupCols: Seq[String],
+  private[graft] def orderedGroupMeans(df: DataFrame, groupCols: Seq[String],
       idCol: Column, vCol: Column): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}

@@ -561,4 +561,39 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       "equal scores tie-break by id (docs 2 and 4 both at S/62)")
     assert(fused.find(_._1 == 3L).get._3 == 2L, "n_arms counts contributing arms")
   }
+
+  test("orderedGroupMeans is bit-identical to the array_sort(collect_list) " +
+    "fold and partition-invariant") {
+    import spark.implicits._
+    // adversarial doubles: magnitudes spanning 12 orders so the ADD ORDER
+    // matters (a different association changes the low bits), plus
+    // duplicates and negative values; ids deliberately inserted shuffled
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map { i =>
+      val g1 = i % 7
+      val g2 = (i / 7) % 3
+      val v = (rnd.nextDouble() - 0.5) * math.pow(10.0, rnd.nextInt(12) - 6)
+      (g1, g2, i.toLong, v)
+    }
+    val df = rnd.shuffle(rows).toDF("_g1", "_g2", "_id", "_v")
+    // the pre-r13 formulation, verbatim: per-group sorted array + left fold
+    val expected = df.groupBy(col("_g1"), col("_g2"))
+      .agg(array_sort(collect_list(struct(col("_id").as("id"),
+        col("_v").cast("double").as("v")))).as("_vals"))
+      .select(col("_g1"), col("_g2"),
+        (expr("aggregate(_vals, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)") /
+          size(col("_vals"))).as("_m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (parts <- Seq(1, 3, 17)) {
+      val got = graft.sim.Similarity.orderedGroupMeans(
+          df.repartition(parts), Seq("_g1", "_g2"), col("_id"), col("_v"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(got.keySet == expected.keySet)
+      for ((k, m) <- expected) {
+        // exact: java.lang.Double.compare distinguishes every bit pattern
+        assert(java.lang.Double.compare(got(k), m) == 0,
+          s"group $k: ${got(k)} != $m at $parts input partitions")
+      }
+    }
+  }
 }
