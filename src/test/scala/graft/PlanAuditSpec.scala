@@ -532,4 +532,75 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"idf join must broadcast:\n$p")
     Persisted.unpersistAll()
   }
+
+  /** The giant-row cliff class: collect_list/collect_set materialize a
+    * GROUP as one array, so memory scales with the group's cardinality,
+    * not the cluster — twice measured as a 64 g OOM (r12: the opt-in
+    * posting-list pair arm at df=10,400; r13: the deterministic training
+    * fold's per-(subspace, code, dim) member lists at 10.4M vectors,
+    * since rewritten as the streamed orderedGroupMeans fold). Every
+    * surviving site must have a group bounded BY CONSTRUCTION; this
+    * source sweep pins the inventory so a new site — or a new occurrence
+    * in a listed file — fails the suite until its bound is recorded
+    * here, the same anti-rot contract as the partitionless-window
+    * allowlist above.
+    */
+  private val boundedCollectSites: Map[String, (Int, String)] = Map(
+    "ops/RankResolver.scala" ->
+      (1, "children list per parent taxon, capped by the reference's " +
+        "children limit (the a3 truncation gate)"),
+    "text/Vocabulary.scala" ->
+      (2, "per-doc (pos, tid) token list (row-scaled: a doc's tokens " +
+        "already fit its row); per-(term, block) postings bounded by " +
+        "blockSize — the invertedIndex scaladoc records WHY not per-term"),
+    "text/Chunking.scala" ->
+      (1, "per-(doc, chunk) token reassembly, bounded by chunkSize"),
+    "dedup/Dedup.scala" ->
+      (3, "per-doc CDC chunk list (row-scaled); the OPT-IN " +
+        "postingListPairs arm (documented uniform-corpora-only, measured " +
+        "OOM cliff in TUNING); per-doc span list (row-scaled)"),
+    "sim/Similarity.scala" ->
+      (3, "meanPool partials per pooled group (chunks per doc, " +
+        "row-scaled); 2x centroid re-assembly over dsub<=dim positions " +
+        "per (subspace, code) — dim-bounded, the corpus-scaled member " +
+        "fold streams through orderedGroupMeans instead"),
+    "SparkEntry.scala" ->
+      (2, "a1 children names/ids per taxon, capped like RankResolver"))
+
+  test("every collect_list/collect_set site in main is on the " +
+    "bounded-group allowlist") {
+    val root = new java.io.File("src/main/scala/graft")
+    assert(root.isDirectory, s"sweep root missing: ${root.getAbsolutePath}")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val pat = "collect_(list|set)\\(".r
+    val counts = walk(root).filter(_.getName.endsWith(".scala")).flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val n =
+        try src.getLines()
+          .map(_.trim)
+          // strip comment/scaladoc lines — prose may NAME the functions
+          .filterNot(l => l.startsWith("//") || l.startsWith("*") ||
+            l.startsWith("/*"))
+          .map(l => pat.findAllIn(l).length).sum
+        finally src.close()
+      if (n > 0) Some(root.toPath.relativize(f.toPath).toString -> n)
+      else None
+    }.toMap
+    val unlisted = (counts.keySet -- boundedCollectSites.keySet).toSeq.sorted
+    assert(unlisted.isEmpty,
+      s"collect_list/collect_set in files with no recorded group bound " +
+        s"(add the bound or restructure the agg): " +
+        s"${unlisted.map(f => s"$f(${counts(f)})")}")
+    val drifted = counts.collect {
+      case (f, n) if boundedCollectSites(f)._1 != n =>
+        s"$f: ${boundedCollectSites(f)._1} recorded, $n found"
+    }.toSeq.sorted
+    assert(drifted.isEmpty,
+      s"site count drifted — re-justify the new/removed aggs: $drifted")
+    // anti-rot: a listed file with no sites left must be delisted
+    val stale = (boundedCollectSites.keySet -- counts.keySet).toSeq.sorted
+    assert(stale.isEmpty, s"allowlist entries with no sites left: $stale")
+  }
 }
