@@ -9,8 +9,21 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GbifFilterAppSpec extends AnyFunSuite with SparkTestBase {
 
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_app_$name"
+  // pid-scoped so a concurrent test JVM (a second sbt test, a driver
+  // sweep) can never clobber this suite's fixtures mid-read — a fixed
+  // /tmp/graft_app_* path raced exactly that way (r13 session log)
+  private val base =
+    s"${System.getProperty("java.io.tmpdir")}/graft_app_${ProcessHandle.current().pid()}"
+
+  private def tmp(name: String): String = {
+    new java.io.File(base).mkdirs()
+    s"$base/$name"
+  }
+
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    super.afterAll()
+  }
 
   test("tag-mode run over CSV + parquet dimensions reproduces tri-state output") {
     // ensure a live session with the right master before app main reuses it

@@ -12,10 +12,22 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // pid-scoped fixture root: fixed /tmp paths raced against a concurrent
+  // test JVM this round (a stale-listing FILE_NOT_EXIST mid-suite), and
+  // streaming checkpoints at a shared path could replay a previous run's
+  // offsets against different source data
+  private val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_spec_" +
+    s"${ProcessHandle.current().pid()}"
+
+  override def afterAll(): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    super.afterAll()
+  }
+
   private lazy val eventsMicros = {
     // re-write events with micros timestamps so readStream sees a plain
     // TIMESTAMP schema (the shipped file is TIMESTAMP(NANOS))
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_events_micros"
+    val path = s"$base/events_micros"
     DerivedModel.events(spark, dir).write.mode("overwrite").parquet(path)
     path
   }
@@ -49,7 +61,7 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
       .dsirScores(raw, "doc_id", "text", weights)
       .collect().map(_.toSeq).toSet
 
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dsir_stream"
+    val root = s"$base/dsir_stream"
     raw.coalesce(1).write.mode("overwrite").parquet(s"$root/src")
     val wmap = graft.text.Vocabulary.dsirWeightsMap(weights)
     val got = StreamingOps.runToParquetSink(
@@ -87,7 +99,7 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     // deployment shape TUNING's batch-cadence row describes
     import graft.dedup.Dedup
     import org.apache.spark.sql.functions._
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_incr_index"
+    val root = s"$base/incr_index"
     locally {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(root)
@@ -145,7 +157,7 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     // probe over the same arriving set
     import graft.dedup.Dedup
     import org.apache.spark.sql.functions._
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_incr_stream"
+    val root = s"$base/incr_stream"
     locally {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(root)
@@ -188,7 +200,7 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     // stateless scan gate: keep decisions are row-pure, so any
     // micro-batch split must produce exactly the batch filter's rows
     import org.apache.spark.sql.functions._
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_rules_stream"
+    val root = s"$base/rules_stream"
     locally {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(root)
@@ -259,7 +271,7 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
   test("streaming dedup drops replayed events, watermark-bounded state") {
     val batchDf = spark.read.parquet(eventsMicros)
     // replay the source twice (at-least-once delivery) into one stream dir
-    val dupPath = s"${System.getProperty("java.io.tmpdir")}/graft_events_dup"
+    val dupPath = s"$base/events_dup"
     batchDf.write.mode("overwrite").parquet(dupPath)
     batchDf.write.mode("append").parquet(dupPath)
 
@@ -278,12 +290,12 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
 
   test("streaming parquet file sink + checkpoint persists the deduped stream") {
     val batchDf = spark.read.parquet(eventsMicros)
-    val dupPath = s"${System.getProperty("java.io.tmpdir")}/graft_events_dup_sink"
+    val dupPath = s"$base/events_dup_sink"
     batchDf.write.mode("overwrite").parquet(dupPath)
     batchDf.write.mode("append").parquet(dupPath)
     // a DURABLE sink: exactly-once via the sink transaction log + the
     // checkpoint; the read-back must equal the batch dedup of the source
-    val outRoot = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sink"
+    val outRoot = s"$base/stream_sink"
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
@@ -378,7 +390,7 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     */
   private def stageBatches(name: String,
       batches: Seq[Seq[(Long, String, Long, Double)]]): String = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_multibatch_$name"
+    val root = s"$base/multibatch_$name"
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
@@ -530,7 +542,7 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
         (11L, t + "11:00:00", 2L, "view", 2.0)),
       Seq((2L, t + "11:00:00", 1L, "view", 2.0),
         (20L, t + "09:00:00", 3L, "purchase", 5.0)))
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_multibatch_cdc"
+    val root = s"$base/multibatch_cdc"
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
