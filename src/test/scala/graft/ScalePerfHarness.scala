@@ -73,6 +73,7 @@ object ScalePerfHarness {
       case "signals" => signalsMode(spark, count)
       case "search" => searchMode(spark, count)
       case "streamstate" => streamStateMode(spark, count)
+      case "pipeline" => pipelineMode(spark, count)
       case "ssjoin" => ssjoinMode(spark, count)
       case "ssjoinskew" => ssjoinSkewMode(spark, count)
       case "graphskew" => graphSkewMode(spark, count)
@@ -945,6 +946,115 @@ object ScalePerfHarness {
     * scan-bound (linear, no corpus shuffle); the index build is one
     * explode+groupBy shuffle.
     */
+  /** The COMPOSED curation pipeline at the decade — every stage has its
+    * own TUNING row, but a production corpus build runs them as one DAG
+    * with materialization barriers between stages (each stage's output
+    * is written/persisted before the next reads it — the checkpointed
+    * shape a 100 TB build uses so a stage failure doesn't re-run the
+    * world). This mode answers the composition question: do the stages
+    * still hold their individual slopes when each consumes the
+    * previous one's (shrinking) survivor set, and does any stage's
+    * output shape (partitioning, skew) poison the next?
+    *
+    * Corpus: the shared textCorpus (its 2% 39/40-shingle twins ride
+    * along as the MINHASH detector's prey — the simhash stage below
+    * deliberately does not remove them; detector recall vs footprint is
+    * the documented trade) PLUS ~1% planted EXACT copies (stage-1 prey)
+    * PLUS ~1.2% REORDERED copies — same token set, reversed order —
+    * which exact dedup must miss (different bytes) and the simhash
+    * detector must catch at hamming 0 (its features are distinct
+    * unigrams, order-invariant). Stages: basicCuration (signal gate +
+    * exact dedup) → nearDedupBy over simhashPairsSplit candidates
+    * (hamming <= 3, longest-text survivor; the footprint-lean detector —
+    * the minhash form's shingle self-join needs more scratch disk than
+    * this box's ~77 GB ceiling when composed behind a cached corpus,
+    * measured ENOSPC twice; its standalone decade row lives in the
+    * Dedup TUNING section) → datasetSplit (pure scan expr) →
+    * packSequences over the train split (the one-shuffle bucket-offset
+    * packer).
+    */
+  private def pipelineMode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    import graft.text.{Chunking, Curation}
+    import graft.ops.Sampling
+    def words(idExpr: String) =
+      s"transform(sequence(0, 39), i -> concat('w', CAST(pmod(xxhash64($idExpr, i), 50000) AS STRING)))"
+    val raw = textCorpus(spark, count)
+      .unionByName(
+        // exact twins: identical text under a fresh id — exactDedup's prey
+        spark.range(0, count, 97).select(
+          (col("id") + lit(2000000000L)).as("doc_id"),
+          expr(s"array_join(${words("id")}, ' ')").as("text")))
+      .unionByName(
+        // reorder twins: same token SET, reversed order — near-dup prey
+        spark.range(0, count, 83).select(
+          (col("id") + lit(3000000000L)).as("doc_id"),
+          expr(s"array_join(reverse(${words("id")}), ' ')").as("text")))
+      .persist()
+    val n0 = raw.count()
+    // the synthetic vocab is not a natural language; let the REAL langId
+    // expression vote and gate on its own dominant class so the operator
+    // stays in the chain without filtering the corpus to zero
+    val domLang = raw.limit(1000)
+      .select(graft.text.TextFunctions.langId(col("text")).as("l"))
+      .groupBy(col("l")).count().orderBy(col("count").desc, col("l"))
+      .head().getString(0)
+    println(s"[pipeline] dominant synthetic lang_id: $domLang")
+    var curated: DataFrame = null
+    time(s"stage 1: basicCuration(lang=$domLang) + exactDedup", n0) {
+      curated = Curation.basicCuration(raw, "doc_id", "text", lang = domLang)
+        .persist()
+      curated.count()
+    }
+    // stage barrier hygiene, exactly what a production build does between
+    // checkpointed stages: the raw input's storage is dropped the moment
+    // its consumer is materialized, and the dead stage's shuffle files
+    // are released (ContextCleaner prunes on driver GC) — without this
+    // the single box carries every stage's scratch SIMULTANEOUSLY and
+    // stage 2's sort spills hit the disk ceiling (measured: first 10.4M
+    // run died ENOSPC with raw+curated pinned and stage-1 shuffles live)
+    raw.unpersist(true)
+    System.gc()
+    val n1 = curated.count()
+    var deduped: DataFrame = null
+    time("stage 2: nearDedupBy(simhash hamming<=3, longest-text survivor)", n1) {
+      val pairs = Dedup.simhashPairsSplit(
+        Dedup.simhash64Fast(curated, "doc_id", "text"), maxHamming = 3)
+      deduped = Dedup.nearDedupBy(curated, "doc_id", "text",
+        keepBy = Seq(length(col("text")).desc),
+        precomputedPairs = Some(pairs))
+        .persist()
+      deduped.count()
+    }
+    curated.unpersist(true)
+    Persisted.unpersistAll() // the pair relation duplicateGroupsAuto tracked
+    System.gc()
+    val n2 = deduped.count()
+    // planted-recovery audit: reorder twins (id >= 3e9) are hamming-0 —
+    // every one must lose to its lower-id original; the 39/40-shingle
+    // twins (1e9 <= id < 2e9) are the minhash detector's prey — simhash
+    // catches only the fraction whose 2-token swap lands within 3 bits
+    val reorderLeft = deduped.filter(col("doc_id") >= 3000000000L).count()
+    val shingleLeft = deduped.filter(
+      col("doc_id") >= 1000000000L && col("doc_id") < 2000000000L).count()
+    println(s"[pipeline] surviving reorder twins: $reorderLeft (expect 0); " +
+      s"surviving 39/40-shingle twins: $shingleLeft (simhash partial recall " +
+      s"by design — the minhash detector's row covers them)")
+    var packed: DataFrame = null
+    time("stage 3: datasetSplit + packSequences(train, 2048)", n2) {
+      packed = Chunking.packSequences(
+        Sampling.datasetSplit(deduped, "doc_id")
+          .filter(col("split") === "train"), "doc_id", "text",
+        seqTokens = 2048).persist()
+      packed.count()
+    }
+    val n3 = packed.count()
+    println(s"[pipeline] $n0 raw -> $n1 curated -> $n2 deduped " +
+      s"-> $n3 packed sequences")
+    Persisted.unpersistAll()
+    Seq(packed, deduped).foreach(_.unpersist())
+  }
+
   private def searchMode(spark: SparkSession, count: Long): Unit = {
     import graft.text.Vocabulary
     import graft.sim.{HybridSearch, Similarity}
