@@ -3330,6 +3330,24 @@ object SparkEntry {
   private def extensionOracleSql: Map[String, String] = {
     import graft.text.TextFunctions._
     val cos = graft.sim.Similarity.cosineSql("a.embedding", "b.embedding", 64)
+    // ONE text for the window-form and UDAF-form kNN gates: they verify
+    // the same top-k semantics, so their oracle must be the same query —
+    // a one-sided memory/ordering tweak would silently fork them.
+    // cosine is projected BEFORE the ranking window: ordering the window
+    // by the raw expression would drag both 64-float embedding lists per
+    // pair through the sort (~256 MB at sf0.01 — the board's hungriest
+    // oracle and an r12 driver-red); ranked over the scalar the window
+    // input is 24 bytes/pair
+    val knnTopkSql =
+      s"""WITH scored AS MATERIALIZED (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cos AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+         |SELECT vec_id, neighbor_id, cosine, rnk FROM (
+         |  SELECT vec_id, neighbor_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5""".stripMargin
     Map(
       "x_text_tokens" ->
         s"SELECT doc_id, ${tokenCountSql("text")} AS n_tokens FROM documents",
@@ -3863,32 +3881,9 @@ object SparkEntry {
            |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
            |ORDER BY cosine DESC, b.vec_id LIMIT 10""".stripMargin,
 
-      // cosine is projected BEFORE the ranking window: ordering the
-      // window by the raw expression would drag both 64-float embedding
-      // lists per pair through the sort (~256 MB at sf0.01 — the board's
-      // hungriest oracle and an r12 driver-red); ranked over the scalar
-      // the window input is 24 bytes/pair
-      "x_knn_topk" ->
-        s"""WITH scored AS MATERIALIZED (
-           |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cos AS cosine
-           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
-           |SELECT vec_id, neighbor_id, cosine, rnk FROM (
-           |  SELECT vec_id, neighbor_id, cosine,
-           |    CAST(row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
-           |  FROM scored)
-           |WHERE rnk <= 5""".stripMargin,
+      "x_knn_topk" -> knnTopkSql,
 
-      "x_knn_topk_agg" ->
-        s"""WITH scored AS MATERIALIZED (
-           |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, $cos AS cosine
-           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
-           |SELECT vec_id, neighbor_id, cosine, rnk FROM (
-           |  SELECT vec_id, neighbor_id, cosine,
-           |    CAST(row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
-           |  FROM scored)
-           |WHERE rnk <= 5""".stripMargin,
+      "x_knn_topk_agg" -> knnTopkSql,
 
       // approximate-by-construction yet bit-reproducible: the oracles
       // replay the full deterministic ANN algorithms (seeded hyperplanes

@@ -185,7 +185,17 @@ object Sampling {
     // head). For a RAW staged table the count agg is a single-column
     // columnar scan, and re-running it is cheaper than the persist's
     // extra stage barrier (measured ~0.3-0.6 s on the sf0.1 gate, r12
-    // driver bench) — pass false there.
+    // driver bench) — pass false there. The opt-out is only sound when
+    // re-evaluating `df` yields the same rows: without the persist the
+    // total branch and the per-domain branch each re-run the stats
+    // subtree, and a nondeterministic input (sample()/rand()) would give
+    // them INCONSISTENT counts — thresholds normalized by a total that
+    // disagrees with its own parts. Enforce rather than document: a
+    // nondeterministic plan keeps the persist regardless of the knob.
+    val inputDeterministic =
+      df.queryExecution.analyzed.find(p =>
+        p.expressions.exists(e => e.find(!_.deterministic).isDefined)).isEmpty
+    val persist = persistStats || !inputDeterministic
     val seededRaw = counts
       .withColumn("_s0", floor(sqrt(col("_cd").cast("double"))).cast("long"))
       .withColumn("_sd",
@@ -193,7 +203,7 @@ object Sampling {
           .when(col("_s0") * col("_s0") > col("_cd"), col("_s0") - 1)
           .otherwise(col("_s0")))
     val seeded =
-      if (persistStats) graft.Persisted.track(seededRaw
+      if (persist) graft.Persisted.track(seededRaw
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else seededRaw
     // grand total as a 1-row aggregate broadcast back over the per-domain

@@ -469,7 +469,7 @@ object Similarity {
     val nG = groupCols.length
     val outSchema = StructType(
       skinny.schema.fields.take(nG) :+
-        StructField("_m", DoubleType, nullable = false))
+        StructField("_m", DoubleType, nullable = true))
     skinny.mapPartitions { it =>
       def sameKey(a: Row, b: Row): Boolean = {
         var i = 0
@@ -483,15 +483,27 @@ object Similarity {
           val head = if (pending != null) pending else it.next()
           pending = null
           var sum = 0.0 // fold seed, as in aggregate(_vals, 0.0, ...)
-          sum += head.getDouble(nG + 1)
-          var cnt = 1L
+          var cnt = 0L
+          // a null value poisons the whole group's mean — exactly the
+          // replaced fold's semantics (collect_list keeps struct(id,
+          // NULL) and `acc + NULL` nulls the aggregate), NOT avg's
+          // skip-nulls; crashing or skipping would silently fork the
+          // two determinism modes on the same input
+          var sawNull = false
+          def add(r: Row): Unit = {
+            if (r.isNullAt(nG + 1)) sawNull = true
+            else sum += r.getDouble(nG + 1)
+            cnt += 1L
+          }
+          add(head)
           var open = true
           while (open && it.hasNext) {
             val r = it.next()
-            if (sameKey(r, head)) { sum += r.getDouble(nG + 1); cnt += 1L }
+            if (sameKey(r, head)) add(r)
             else { pending = r; open = false }
           }
-          Row.fromSeq((0 until nG).map(head.get) :+ sum / cnt)
+          Row.fromSeq((0 until nG).map(head.get) :+
+            (if (sawNull) null else sum / cnt))
         }
       }
     }(Encoders.row(outSchema))
@@ -1192,15 +1204,50 @@ object Similarity {
     */
   def ivfAssign(embeddings: DataFrame, idCol: String, vecCol: String,
       numClusters: Int): DataFrame = {
-    // the cluster count rides as column metadata (survives parquet, the
-    // shingle-artifact pattern) so a staged assignment carries its own
-    // compatibility proof — ivfTopK's precomputedAssignments hook
-    // require-checks it against the probe-time numClusters
+    // the cluster count AND a fingerprint of the centroid set ride as
+    // column metadata (survives parquet, the shingle-artifact pattern)
+    // so a staged assignment carries its own compatibility proof —
+    // ivfTopK's precomputedAssignments hook require-checks the count
+    // against the probe-time numClusters and the fingerprint against
+    // the centroids of the PROBE-TIME embeddings: an assignment whose
+    // centroid set no longer matches the live corpus would silently
+    // select the wrong inverted lists (the count alone can't see that)
+    val centLocal = ivfCentroids(embeddings, idCol, vecCol, numClusters)
+      .collect() // numClusters rows — KBs
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong("graft.ivf.numClusters", numClusters.toLong).build()
+      .putLong("graft.ivf.numClusters", numClusters.toLong)
+      .putLong("graft.ivf.centroidFp", centroidFingerprint(centLocal))
+      .build()
     assignToCentroids(embeddings, idCol, vecCol,
       ivfCentroids(embeddings, idCol, vecCol, numClusters))
       .select(col(idCol), col(vecCol), col("cluster").as("cluster", meta))
+  }
+
+  /** Order-independent-of-collection, bit-exact fingerprint of a
+    * centroid relation (FNV-1a over (id, raw vector bits), rows folded
+    * in id order). The same (corpus prefix, numClusters) always hashes
+    * the same; a corpus whose first `numClusters` vectors changed —
+    * the exact drift that re-seeds [[ivfCentroids]] and invalidates a
+    * staged assignment — always hashes differently.
+    */
+  private def centroidFingerprint(
+      rows: Array[org.apache.spark.sql.Row]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    def idBits(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => other.hashCode.toLong // value-based, deterministic
+    }
+    rows.sortBy(r => idBits(r.get(0))).foreach { r =>
+      mix(idBits(r.get(0)))
+      r.getSeq[Any](1).foreach {
+        case f: Float => mix(java.lang.Float.floatToRawIntBits(f).toLong)
+        case d: Double => mix(java.lang.Double.doubleToRawLongBits(d))
+        case other => mix(idBits(other))
+      }
+    }
+    h
   }
 
   def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
@@ -1217,9 +1264,17 @@ object Similarity {
     * to the cluster store, and probed by every query — per-query cost
     * drops to centroid ranking + nProbe inverted-list scans instead of a
     * full corpus re-assignment. The artifact is VALIDATED: exact
-    * (idCol, vecCol, cluster) schema and [[ivfAssign]]'s numClusters
-    * stamp must be present and match — an assignment built with a
-    * different cluster count silently probes the wrong lists otherwise.
+    * (idCol, vecCol, cluster) schema, [[ivfAssign]]'s numClusters stamp,
+    * AND its centroid fingerprint must match the centroids of the
+    * probe-time `embeddings` — a cluster-count mismatch or a stale
+    * index (corpus drifted since the assignment was built, so the live
+    * centroid set differs) silently probes the wrong lists otherwise.
+    * The fingerprint check costs nothing extra: the staged path needs
+    * the centroid set collected for ranking anyway (numClusters rows).
+    * What the stamp CANNOT see: rows added since the build that do not
+    * displace a centroid — they are simply absent from the staged
+    * index; refreshing the assignment on ingest is the deployment's
+    * freshness contract, as with any external index.
     */
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, numClusters: Int = 16, nProbe: Int = 4,
@@ -1241,7 +1296,29 @@ object Similarity {
       .getOrElse(ivfAssign(embeddings, idCol, vecCol, numClusters))
     val query = embeddings.filter(col(idCol) === queryId)
       .select(col(vecCol).as("_qvec"))
-    val probed = ivfCentroids(embeddings, idCol, vecCol, numClusters)
+    val centRel = ivfCentroids(embeddings, idCol, vecCol, numClusters)
+    val probedBase = precomputedAssignments match {
+      case Some(pre) =>
+        // staged path: the centroid set is collected (numClusters rows)
+        // both to verify the artifact's fingerprint against the LIVE
+        // corpus and to rank probes from a local relation — one tiny
+        // sort-limit job, no second corpus scan
+        val centLocal = centRel.collect()
+        val fp = centroidFingerprint(centLocal)
+        val md = pre.schema("cluster").metadata
+        require(md.contains("graft.ivf.centroidFp"),
+          "precomputedAssignments carry no centroid fingerprint — " +
+            "rebuild them with ivfAssign()")
+        require(md.getLong("graft.ivf.centroidFp") == fp,
+          "precomputedAssignments are STALE: the live corpus's centroid " +
+            "set no longer matches the one this assignment was built " +
+            "against — probing it would select wrong inverted lists; " +
+            "rebuild the assignment with ivfAssign()")
+        embeddings.sparkSession.createDataFrame(
+          java.util.Arrays.asList(centLocal: _*), centRel.schema)
+      case None => centRel
+    }
+    val probed = probedBase
       .join(broadcast(query))
       .select(col("_cid"), cosine(col("_cvec"), col("_qvec")).as("_qsim"))
       .orderBy(col("_qsim").desc, col("_cid"))

@@ -78,7 +78,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       spark.catalog.clearCache()
     }
     assert(cartesians.isEmpty, s"cartesian products in: $cartesians")
-    val rogue = (withPartitionless -- benignPartitionlessWindows).toSeq.sorted
+    val rogue = (withPartitionless.toSet -- benignPartitionlessWindows).toSeq.sorted
     assert(rogue.isEmpty,
       s"partitionless (single-partition) windows outside the " +
         s"bounded-offsets allowlist in: $rogue")
@@ -577,14 +577,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     val pat = "collect_(list|set)\\(".r
     val counts = walk(root).filter(_.getName.endsWith(".scala")).flatMap { f =>
       val src = scala.io.Source.fromFile(f, "UTF-8")
-      val n =
-        try src.getLines()
-          .map(_.trim)
-          // strip comment/scaladoc lines — prose may NAME the functions
-          .filterNot(l => l.startsWith("//") || l.startsWith("*") ||
-            l.startsWith("/*"))
-          .map(l => pat.findAllIn(l).length).sum
+      // strip comments STRUCTURALLY, not by line prefix: prose may NAME
+      // the functions, and a prefix filter both misses a trailing
+      // `// ... collect_list(...)` after code and skips real code on a
+      // line that OPENS with an inline /* block */ (which would let an
+      // unbounded agg land unseen — the failure this sweep exists for).
+      // No source line in this repo embeds "//" or "/*" inside a string
+      // literal; the SQL twins spell list()/list_sort(), never these.
+      val code =
+        try src.mkString
+          .replaceAll("(?s)/\\*.*?\\*/", " ")
+          .replaceAll("(?m)//.*$", " ")
         finally src.close()
+      val n = pat.findAllIn(code).length
       if (n > 0) Some(root.toPath.relativize(f.toPath).toString -> n)
       else None
     }.toMap

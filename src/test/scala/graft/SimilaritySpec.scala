@@ -116,6 +116,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IVF staged assignment: a STALE index (live centroid set drifted) " +
+    "is rejected; non-centroid drift passes per the documented contract") {
+    import org.apache.spark.sql.functions._
+    val emb = DerivedModel.table(spark, dir, "embeddings")
+    val staged = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+    // perturb vec 0 — a centroid seed (lowest 8 ids) — so the live
+    // corpus's centroid set no longer matches the build-time fingerprint
+    val centroidDrift = emb.select(col("vec_id"),
+      when(col("vec_id") === 0L,
+        expr("transform(embedding, x -> x + CAST(1.0 AS FLOAT))"))
+        .otherwise(col("embedding")).as("embedding"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(centroidDrift, "vec_id", "embedding", 1L, 10,
+        numClusters = 8, nProbe = 2, precomputedAssignments = Some(staged))
+    }
+    // drift OUTSIDE the centroid seed set is invisible to the stamp by
+    // design (the scaladoc's freshness contract) — the probe must run
+    val tailDrift = emb.select(col("vec_id"),
+      when(col("vec_id") === 500L,
+        expr("transform(embedding, x -> x + CAST(1.0 AS FLOAT))"))
+        .otherwise(col("embedding")).as("embedding"))
+    assert(Similarity.ivfTopK(tailDrift, "vec_id", "embedding", 0L, 10,
+      numClusters = 8, nProbe = 2,
+      precomputedAssignments = Some(staged)).count() == 10)
+  }
+
   test("random projection: basis vectors read off the sign matrix, dot " +
       "products preserved in expectation") {
     import spark.implicits._
@@ -595,5 +621,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
           s"group $k: ${got(k)} != $m at $parts input partitions")
       }
     }
+    // null semantics match the replaced fold too: collect_list keeps
+    // struct(id, NULL) and `acc + NULL` nulls the whole group's mean —
+    // a null value must POISON its group (not crash, not be skipped)
+    // while untouched groups keep their exact means
+    val withNull = df.withColumn("_v",
+      when(col("_g1") === 3 && col("_g2") === 1 && col("_id") % 100 === 0,
+        lit(null)).otherwise(col("_v")))
+    val gotN = graft.sim.Similarity.orderedGroupMeans(
+        withNull, Seq("_g1", "_g2"), col("_id"), col("_v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(gotN((3, 1)).isEmpty, "null value must poison its group's mean")
+    for ((k, m) <- expected if k != (3, 1))
+      assert(java.lang.Double.compare(gotN(k).get, m) == 0,
+        s"null in one group must not perturb group $k")
   }
 }
