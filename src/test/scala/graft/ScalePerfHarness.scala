@@ -77,6 +77,7 @@ object ScalePerfHarness {
       case "ssjoin" => ssjoinMode(spark, count)
       case "ssjoinskew" => ssjoinSkewMode(spark, count)
       case "graphskew" => graphSkewMode(spark, count)
+      case "joins" => joinsMode(spark, count)
       case "winnow" => winnowMode(spark, count)
       case "graphxl" => graphXlMode(spark, count)
       case "cap" => capMode(spark, count)
@@ -409,6 +410,168 @@ object ScalePerfHarness {
       Persisted.unpersistAll()
     }
     nodes.unpersist()
+  }
+
+  /** Joins-family decade probe (as-of / interval / grid) — the last
+    * family whose TUNING rows were design notes without measured 10M
+    * rows. Arms:
+    *  - as-of backward, uniform keys: `count` left events, `count/10`
+    *    right reference rows, `count/100` keys — the one-shuffle
+    *    union-tag plan; output asserted == |L| rows.
+    *  - as-of backward, CELEBRITY key (10% of left rows on one key):
+    *    the documented "skew is bounded by per-key sort" claim,
+    *    measured — one window partition sorts ~count/10 + right rows.
+    *  - as-of naive theta-join baseline (inner max-struct reduce), run
+    *    at <= ~1M only: the quadratic-per-key intermediate the operator
+    *    exists to avoid, quantified against the same inputs (matched
+    *    rows and sum(px) asserted equal to the union-tag form's).
+    *  - interval join (`clickPurchaseJoinBatch`): per-user burst
+    *    traffic (events 60 s apart per user, 30-min horizon), so the
+    *    per-key click x purchase block is bounded by the horizon — the
+    *    shape a range join must have to survive 100 TB.
+    *  - grid join: 25 broadcast zones at cellDeg=10 AND 10,000 small
+    *    zones at cellDeg=2 — the zone-cell relation stays broadcastable
+    *    (~60k rows) and candidates stay ~4/point, demonstrating the
+    *    zone-count axis the operator doc claims ("no cross product at
+    *    any zone count").
+    * Timestamps are hash-jittered (not pre-sorted within keys) so the
+    * per-key sorts do real work.
+    */
+  private def joinsMode(spark: SparkSession, count: Long): Unit = {
+    import graft.ops.AsofJoin
+    val numKeys = math.max(count / 100L, 1L)
+    val base = 1700000000000L
+    def leftEvents(celebrity: Boolean): DataFrame = {
+      val uid = if (celebrity)
+        when(col("id") % 10 === 0, lit(0L)).otherwise(col("id") % numKeys)
+      else col("id") % numKeys
+      spark.range(count).select(
+        uid.as("user_id"), col("id").as("event_id"),
+        expr(s"timestamp_millis(${base}L + pmod(xxhash64(id), ${count}L) * 1000)")
+          .as("ts"))
+    }
+    // right side unique per (key, ts) BY CONSTRUCTION (AsofJoin contract):
+    // 1000 ms id spacing dominates the <= 997 ms hash jitter
+    val right = spark.range(math.max(count / 10L, 1L)).select(
+      (col("id") % numKeys).as("user_id"),
+      expr(s"timestamp_millis(${base}L + id * 1000 + pmod(xxhash64(id, 7), 997))")
+        .as("rts"),
+      (col("id") % 1000).cast("double").as("px"))
+
+    // untimed warmup at count/10: the first timed arm must not carry
+    // codegen/JIT charges the second arm skips (graphSkewMode fencing)
+    AsofJoin.backward(leftEvents(celebrity = false).limit((count / 10L).toInt),
+        right, Seq("user_id"), "ts", "rts", Seq("px"))
+      .write.mode("overwrite").format("noop").save()
+
+    var uniformMatched = -1L; var uniformSum = Double.NaN
+    for ((name, celebrity) <- Seq("uniform" -> false, "celebrity" -> true)) {
+      time(s"asofBackward($name keys=$numKeys)", count) {
+        val out = AsofJoin.backward(leftEvents(celebrity), right,
+          Seq("user_id"), "ts", "rts", Seq("px"))
+        val r = out.agg(org.apache.spark.sql.functions.count(lit(1)), org.apache.spark.sql.functions.count(col("asof_px")),
+          sum(col("asof_px"))).collect()(0)
+        require(r.getLong(0) == count,
+          s"as-of must preserve left rows: ${r.getLong(0)} vs $count")
+        println(f"[joins] asof $name: matched=${r.getLong(1)} " +
+          f"sum_px=${r.getDouble(2)}%.1f")
+        if (!celebrity) { uniformMatched = r.getLong(1); uniformSum = r.getDouble(2) }
+        r.getLong(0)
+      }
+    }
+    if (count <= 2000000L) {
+      def naive(l: DataFrame, r: DataFrame): DataFrame =
+        l.join(r, l("user_id") === r("user_id") && col("rts") <= col("ts"))
+          .groupBy(col("event_id"))
+          .agg(max(struct(col("rts"), col("px"))).as("_m"))
+          .select(col("event_id"), col("_m.px").as("px"))
+      time("asofNaiveThetaBaseline(uniform)", count) {
+        val r = naive(leftEvents(celebrity = false), right)
+          .agg(org.apache.spark.sql.functions.count(lit(1)), sum(col("px"))).collect()(0)
+        require(r.getLong(0) == uniformMatched &&
+          math.abs(r.getDouble(1) - uniformSum) < 1e-6,
+          s"theta baseline disagrees: ${r.getLong(0)}/${r.getDouble(1)} " +
+            s"vs $uniformMatched/$uniformSum")
+        r.getLong(0)
+      }
+      // DENSE-key arm: the regime where the theta join's per-key
+      // |L_u| x |R_u| intermediate actually explodes (keys=count/10000
+      // => R_u ~ 1000, intermediate ~ count * R_u / 2 rows) while the
+      // union-tag plan still sorts exactly |L|+|R| rows. At R_u ~ 10
+      // (the uniform arm above) the two are comparable — the union-tag
+      // form is insurance priced at zero, paying off as right-side
+      // density per key grows.
+      val denseKeys = math.max(count / 10000L, 1L)
+      val denseLeft = spark.range(count).select(
+        (col("id") % denseKeys).as("user_id"), col("id").as("event_id"),
+        expr(s"timestamp_millis(${base}L + pmod(xxhash64(id), ${count}L) * 1000)")
+          .as("ts"))
+      val denseRight = spark.range(math.max(count / 10L, 1L)).select(
+        (col("id") % denseKeys).as("user_id"),
+        expr(s"timestamp_millis(${base}L + id * 1000 + pmod(xxhash64(id, 7), 997))")
+          .as("rts"),
+        (col("id") % 1000).cast("double").as("px"))
+      var denseMatched = -1L; var denseSum = Double.NaN
+      time(s"asofBackward(dense keys=$denseKeys)", count) {
+        val r = AsofJoin.backward(denseLeft, denseRight,
+            Seq("user_id"), "ts", "rts", Seq("px"))
+          .agg(org.apache.spark.sql.functions.count(col("asof_px")),
+            sum(col("asof_px"))).collect()(0)
+        denseMatched = r.getLong(0); denseSum = r.getDouble(1)
+        denseMatched
+      }
+      time(s"asofNaiveTheta(dense keys=$denseKeys)", count) {
+        val r = naive(denseLeft, denseRight)
+          .agg(org.apache.spark.sql.functions.count(lit(1)), sum(col("px"))).collect()(0)
+        require(r.getLong(0) == denseMatched &&
+          math.abs(r.getDouble(1) - denseSum) < 1e-6,
+          s"dense theta disagrees: ${r.getLong(0)}/${r.getDouble(1)} " +
+            s"vs $denseMatched/$denseSum")
+        r.getLong(0)
+      }
+    }
+
+    // interval join: bursty per-user traffic, bounded per-key block
+    val events = spark.range(count).select(
+      (col("id") % numKeys).as("user_id"),
+      col("id").as("event_id"),
+      expr(s"timestamp_millis(${base}L + (id DIV ${numKeys}L) * 60000 + " +
+        s"pmod(id, 60) * 1000)").as("ts"),
+      // type from a HASH of the id, not id mod k: numKeys can share
+      // factors with k, which would correlate type with user_id (a
+      // mod-20 type on mod-10400 users gives purchase-users no clicks)
+      when(expr("pmod(xxhash64(id, 3), 20)") < 10, lit("click"))
+        .when(expr("pmod(xxhash64(id, 3), 20)") === 10, lit("purchase"))
+        .otherwise(lit("view")).as("event_type"),
+      (col("id") % 500).cast("double").as("value"))
+    time("intervalJoin(30min horizon)", count) {
+      graft.streaming.StreamingOps.clickPurchaseJoinBatch(events)
+        .agg(org.apache.spark.sql.functions.count(lit(1))).collect()(0).getLong(0)
+    }
+
+    // grid join: hash-spread points; zone-count axis
+    val points = spark.range(count).select(
+      (col("id") % 997L).as("taxon"),
+      expr("(pmod(xxhash64(id, 1), 17000) / 100.0D) - 85.0D").as("lat"),
+      expr("(pmod(xxhash64(id, 2), 35000) / 100.0D) - 175.0D").as("lon"))
+    val manyZones = spark.range(10000).selectExpr(
+      "id AS zone_id",
+      "(id * 37) % 160 - 80 AS lat0",
+      "(id * 37) % 160 - 80 + 2 + id % 3 AS lat1",
+      "(id * 101) % 340 - 170 AS lon0",
+      "(id * 101) % 340 - 170 + 3 + id % 4 AS lon1")
+    for ((name, zs, cell) <- Seq(
+        ("25 zones cellDeg=10", graft.geo.GridJoin.zones(spark), 10),
+        ("10k zones cellDeg=2", manyZones, 2))) {
+      time(s"gridJoin($name)", count) {
+        val r = graft.geo.GridJoin.pointsPerZone(points, "lat", "lon",
+            "taxon", zs, cell)
+          .agg(org.apache.spark.sql.functions.count(lit(1)), sum(col("n_points"))).collect()(0)
+        println(s"[joins] grid $name: zones_hit=${r.getLong(0)} " +
+          s"contained_points=${r.getLong(1)}")
+        r.getLong(0)
+      }
+    }
   }
 
   /** PageRank alone at the scale=2^32 guard's ceiling (~2^26 nodes):
