@@ -78,6 +78,7 @@ object ScalePerfHarness {
       case "ssjoinskew" => ssjoinSkewMode(spark, count)
       case "graphskew" => graphSkewMode(spark, count)
       case "joins" => joinsMode(spark, count)
+      case "merge" => mergeMode(spark, count)
       case "winnow" => winnowMode(spark, count)
       case "graphxl" => graphXlMode(spark, count)
       case "cap" => capMode(spark, count)
@@ -410,6 +411,107 @@ object ScalePerfHarness {
       Persisted.unpersistAll()
     }
     nodes.unpersist()
+  }
+
+  /** Merge/CDC-family decade probe (compact / upsert / scd2 /
+    * snapshotDiff / purge). Arms and their checks:
+    *  - `compact` over a count-row change stream (4 changes/key, 1%
+    *    deletes, hash-jittered versions, 64-byte payloads riding the
+    *    window shuffle).
+    *  - `upsert` with the CDC INVARIANT asserted: split the stream at a
+    *    version threshold (batch = newer versions, the MERGE contract),
+    *    then upsert(compact(pre), batch) must equal compact(all) —
+    *    count AND sum(version)/sum(tie) checksums.
+    *  - `scd2` at 100 versions/key; invariant: exactly ONE open
+    *    interval (is_current) per surviving key.
+    *  - `snapshotDiff` of two count-row releases with PLANTED
+    *    added/removed/changed counts, asserted exactly (the shuffle
+    *    carries (key, 16-byte md5), never the 200-byte payload).
+    *  - `purgeKeys` of 0.5% of keys — broadcast anti-join at scan
+    *    speed; removed count asserted exactly.
+    */
+  private def mergeMode(spark: SparkSession, count: Long): Unit = {
+    import graft.ops.Merge
+    val numKeys = math.max(count / 4L, 1L)
+    val isDel = expr("pmod(xxhash64(tie, 3), 100) = 0")
+    val changes = spark.range(count).select(
+      (col("id") % numKeys).as("key"),
+      expr(s"pmod(xxhash64(id, 1), ${count}L)").as("version"),
+      col("id").as("tie"),
+      expr("pmod(xxhash64(id, 2), 7)").as("attr"),
+      expr("repeat('x', 64)").as("payload"))
+    // warmup (untimed): pay codegen/JIT before the first timed arm
+    Merge.compact(changes.limit((count / 10L).toInt), "key", "version",
+        "tie", isDel)
+      .write.mode("overwrite").format("noop").save()
+
+    var allCnt = -1L; var allVsum = -1L; var allTsum = -1L
+    time(s"compact($count changes, $numKeys keys)", count) {
+      val r = Merge.compact(changes, "key", "version", "tie", isDel)
+        .agg(org.apache.spark.sql.functions.count(lit(1)),
+          sum(col("version")), sum(col("tie"))).collect()(0)
+      allCnt = r.getLong(0); allVsum = r.getLong(1); allTsum = r.getLong(2)
+      require(allCnt > (numKeys * 9) / 10 && allCnt <= numKeys,
+        s"compact kept $allCnt of $numKeys keys")
+      allCnt
+    }
+    val splitV = count / 2
+    time(s"upsert(snapshot + newer-version batch)", count) {
+      val pre = changes.filter(col("version") < splitV)
+      val batch = changes.filter(col("version") >= splitV)
+      val snap = Merge.compact(pre, "key", "version", "tie", isDel)
+      val r = Merge.upsert(snap, batch, "key", "version", "tie", isDel)
+        .agg(org.apache.spark.sql.functions.count(lit(1)),
+          sum(col("version")), sum(col("tie"))).collect()(0)
+      require(r.getLong(0) == allCnt && r.getLong(1) == allVsum &&
+        r.getLong(2) == allTsum,
+        s"upsert != compact(all): ${r.getLong(0)}/${r.getLong(1)}/${r.getLong(2)} " +
+          s"vs $allCnt/$allVsum/$allTsum")
+      r.getLong(0)
+    }
+
+    val scdKeys = math.max(count / 100L, 1L)
+    val history = spark.range(count).select(
+      (col("id") % scdKeys).as("key"),
+      col("id").as("version"), col("id").as("tie"),
+      expr("pmod(xxhash64(id, 4), 3)").cast("string").as("attr"),
+      expr("repeat('y', 64)").as("payload"))
+    time(s"scd2($count rows, $scdKeys keys)", count) {
+      val r = Merge.scd2(history, "key", "version", "tie", "attr")
+        .agg(org.apache.spark.sql.functions.count(lit(1)),
+          sum(col("is_current").cast("long")),
+          count_distinct(col("key"))).collect()(0)
+      require(r.getLong(1) == r.getLong(2),
+        s"scd2 open intervals ${r.getLong(1)} != keys ${r.getLong(2)}")
+      r.getLong(0)
+    }
+
+    // snapshot diff with planted added/removed/changed
+    val shift = count / 200 // 0.5% churn each way
+    val older = spark.range(count).select(col("id").as("key"),
+      (col("id") % 1000).as("v"), expr("repeat('z', 200)").as("payload"))
+    val newer = spark.range(shift, count + shift).select(col("id").as("key"),
+      ((col("id") % 1000) +
+        when(col("id") % 100 === 7, lit(1)).otherwise(lit(0))).as("v"),
+      expr("repeat('z', 200)").as("payload"))
+    val expChanged = (shift until count).count(i => i % 100 == 7).toLong
+    time(s"snapshotDiff($count rows, 0.5% churn)", count) {
+      val byStatus = Merge.snapshotDiff(older, newer, "key", Seq("v", "payload"))
+        .groupBy(col("status")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(byStatus.getOrElse("added", 0L) == shift &&
+        byStatus.getOrElse("removed", 0L) == shift &&
+        byStatus.getOrElse("changed", 0L) == expChanged,
+        s"diff $byStatus vs added/removed=$shift changed=$expChanged")
+      byStatus.values.sum
+    }
+
+    time(s"purgeKeys(0.5% of keys)", count) {
+      val keys = spark.range(shift).select(col("id").as("k"))
+      val r = Merge.purgeKeys(older, "key", keys, "k").count()
+      require(r == count - shift, s"purge kept $r, expected ${count - shift}")
+      r
+    }
   }
 
   /** Joins-family decade probe (as-of / interval / grid) — the last
