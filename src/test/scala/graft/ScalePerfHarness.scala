@@ -1195,6 +1195,11 @@ object ScalePerfHarness {
         case None => spark.conf.unset(key)
       }
     } finally {
+      // quiesce RocksDB provider maintenance threads BEFORE deleting
+      // their working dirs: the 100M-key run SEGV'd at JVM exit inside
+      // the RocksDB JNI logger callback when teardown raced the delete
+      // (all measurements had completed; exit-path only)
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(rootFile): Unit
     }
   }
