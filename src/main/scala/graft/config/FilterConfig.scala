@@ -51,12 +51,12 @@ object FilterConfig {
     * enum is dropped; ranks uppercased.
     */
   def normalized(cfg: FilterConfig): FilterConfig = cfg.copy(
-    taxaRank = cfg.taxaRank.map(_.toUpperCase),
-    resolveToRank = cfg.resolveToRank.map(_.toUpperCase).map {
+    taxaRank = cfg.taxaRank.map(_.toUpperCase(java.util.Locale.ROOT)),
+    resolveToRank = cfg.resolveToRank.map(_.toUpperCase(java.util.Locale.ROOT)).map {
       case "GENUS" => "GENUS"
       case _       => "SPECIES" // anything else coerces (apply_gbif_filter.py:60-64)
     },
-    habitat = cfg.habitat.map(_.toUpperCase).filter(Habitats.contains))
+    habitat = cfg.habitat.map(_.toUpperCase(java.util.Locale.ROOT)).filter(Habitats.contains))
 
   /** Minimal flat-YAML loader for reference-shaped config files
     * (`example/config.yml`, `test/config.yml`): flat `key : "value" #

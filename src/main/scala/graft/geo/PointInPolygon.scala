@@ -21,7 +21,7 @@ object PointInPolygon {
     */
   def parsePolygon(wkt: String): Array[Array[Double]] = {
     val s = wkt.trim
-    val upper = s.toUpperCase
+    val upper = s.toUpperCase(java.util.Locale.ROOT)
     require(upper.startsWith("POLYGON"), s"not a WKT POLYGON: ${s.take(40)}")
     val body = s.substring(s.indexOf('(')).trim
     require(body.startsWith("(") && body.endsWith(")"), s"malformed WKT: $s")

@@ -67,7 +67,7 @@ object OccurrenceFilter {
     */
   def occurrencesAtRanks(occurrence: DataFrame, ranks: Seq[String]): DataFrame = {
     val base = if (ranks.isEmpty) occurrence
-      else occurrence.filter(upper(col("taxonRank")).isin(ranks.map(_.toUpperCase): _*))
+      else occurrence.filter(upper(col("taxonRank")).isin(ranks.map(_.toUpperCase(java.util.Locale.ROOT)): _*))
     base.select(col("taxonKey"))
   }
 }

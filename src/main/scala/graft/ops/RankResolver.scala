@@ -37,9 +37,9 @@ object RankResolver {
   private val ResolvableRanks = Seq("FAMILY", "GENUS")
 
   def namesCol(target: String): String =
-    s"gbif_filter_resolved_${target.toLowerCase}_names"
+    s"gbif_filter_resolved_${target.toLowerCase(java.util.Locale.ROOT)}_names"
   def idsCol(target: String): String =
-    s"gbif_filter_resolved_${target.toLowerCase}_ids"
+    s"gbif_filter_resolved_${target.toLowerCase(java.util.Locale.ROOT)}_ids"
 
   /** Accepted children of `parents` (a 1-column DataFrame of parent taxids)
     * at `cfg.resolveToRank`, habitat-filtered, zone-filtered.
@@ -70,7 +70,7 @@ object RankResolver {
       .getOrElse(lit(true))
     val cand = backbone
       .filter(col("taxonomicStatus") === "ACCEPTED" &&
-        upper(col("rank")) === lit(target.toUpperCase) && habitatCond)
+        upper(col("rank")) === lit(target.toUpperCase(java.util.Locale.ROOT)) && habitatCond)
       .select(col("key"), col("canonicalName"),
         explode(col("higherTaxonKeys")).as("_graft_anc"))
     val parentKeys = broadcast(parents.toDF("_graft_parent").distinct())
@@ -92,7 +92,7 @@ object RankResolver {
     val target = cfg.resolveToRank.getOrElse("SPECIES")
     val eligible = col(OccurrenceFilter.TagCol) === true &&
       col(TaxonomyResolver.RankCol).isin(ResolvableRanks: _*) &&
-      col(TaxonomyResolver.RankCol) =!= lit(target.toUpperCase)
+      col(TaxonomyResolver.RankCol) =!= lit(target.toUpperCase(java.util.Locale.ROOT))
 
     val parents = tagged.filter(eligible)
       .select(col(TaxonomyResolver.TaxidCol)).distinct()

@@ -53,7 +53,7 @@ object TaxonomyResolver {
     val taxidExpr = cfg.taxidColumn.map(c => parseTaxid(col(c)))
       .getOrElse(lit(null).cast("long"))
     val rankExpr = cfg.rankColumn.map(c => upper(trim(col(c))))
-      .orElse(cfg.taxaRank.map(r => lit(r.toUpperCase).cast("string")))
+      .orElse(cfg.taxaRank.map(r => lit(r.toUpperCase(java.util.Locale.ROOT)).cast("string")))
       .getOrElse(lit(null).cast("string"))
 
     val keyed = input

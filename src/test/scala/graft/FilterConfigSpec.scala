@@ -57,4 +57,30 @@ class FilterConfigSpec extends AnyFunSuite {
   test("requires a name or taxid column") {
     assertThrows[IllegalArgumentException](FilterConfig())
   }
+
+  test("case normalization is locale-independent (Turkish-i regression)") {
+    // under a tr-TR DEFAULT locale, "species".toUpperCase is "SPECİES"
+    // (dotted capital İ) — every driver-side case map must use
+    // Locale.ROOT or rank filters and habitat validation silently break
+    // on a Turkish-locale JVM
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert("species".toUpperCase != "SPECIES",
+        "precondition: tr locale must be in effect for this test")
+      val cfg = FilterConfig.normalized(FilterConfig(
+        nameColumn = Some("n"),
+        resolveToRank = Some("species"),
+        habitat = Some("terrestrial"),
+        taxaRank = Some("species")))
+      assert(cfg.resolveToRank.contains("SPECIES"))
+      assert(cfg.habitat.contains("TERRESTRIAL"),
+        "habitat must survive normalization under tr locale")
+      assert(cfg.taxaRank.contains("SPECIES"))
+      // WKT type detection must also be locale-independent
+      val rings = graft.geo.PointInPolygon.parsePolygon(
+        "polygon((0 0, 1 0, 1 1, 0 0))")
+      assert(rings.head.length == 8)
+    } finally java.util.Locale.setDefault(saved)
+  }
 }
