@@ -3427,7 +3427,7 @@ object SparkEntry {
            |JOIN documents a ON a.doc_id = p.id_a
            |JOIN documents b ON b.doc_id = p.id_b
            |WHERE 10 * levenshtein(a.text, b.text)
-           |  <= greatest(length(a.text), length(b.text))""".stripMargin,
+           |  <= greatest(strlen(a.text), strlen(b.text))""".stripMargin,
 
       "x_dedup_ngram_jaccard_maxdf" ->
         """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -3743,11 +3743,11 @@ object SparkEntry {
       // mod-2^64 polynomial hash replayed in HUGEINT; codepoints == bytes
       // because this corpus is ASCII (checked) — the engine hashes bytes
       "x_text_rolling_hash" ->
-        """WITH h AS (
+        s"""WITH h AS (
           |  SELECT doc_id,
           |    list_reduce(
           |      list_prepend(0::HUGEINT,
-          |        list_transform(range(1, length(text) + 1), i -> unicode(text[i])::HUGEINT)),
+          |        ${graft.dedup.SimHashOracle.utf8Bytes("text")}),
           |      (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT) AS hu
           |  FROM documents)
           |SELECT doc_id, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT

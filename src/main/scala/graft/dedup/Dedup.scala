@@ -456,7 +456,10 @@ object Dedup {
     * Spark's thresholded `levenshtein(l, r, k)` (early-exits above k,
     * returns −1) or truncate to a fixed character budget first; the
     * gated form keeps the plain call so the emitted distance replays
-    * exactly in the oracle.
+    * exactly in the oracle. The distance is defined over UTF-8 BYTES —
+    * the one unit both engines can agree on for arbitrary text (Spark
+    * via an ISO-8859-1 byte-per-char decode; DuckDB natively) — and the
+    * threshold ratio uses byte lengths to match.
     */
   def editDistanceNearDup(df: DataFrame, idCol: String, textCol: String,
       n: Int, tauNum: Int, tauDen: Int,
@@ -468,8 +471,17 @@ object Dedup {
     val cands = precomputedCandidates
       .getOrElse(jaccardPrefixPairs(df, idCol, textCol, n, tauNum, tauDen))
       .select(col("id_a"), col("id_b"))
-    val texts = df.select(col(idCol).as("_tid"), col(textCol).as("_txt"),
-      length(col(textCol)).cast("long").as("_len"))
+    // BYTE-level distance on both sides: Spark's levenshtein counts
+    // code points while DuckDB's counts BYTES — divergent on non-ASCII
+    // (measured on an adversarial Unicode corpus). Decoding the UTF-8
+    // bytes as ISO-8859-1 yields one char per byte, making Spark's
+    // levenshtein compute the byte-level distance DuckDB computes
+    // natively; identical on ASCII. The length in the threshold ratio
+    // uses octet_length for the same unit. Byte edits upper-bound code
+    // point edits, so the near-dup threshold stays conservative.
+    val bytesAsChars = decode(encode(col(textCol), "UTF-8"), "ISO-8859-1")
+    val texts = df.select(col(idCol).as("_tid"), bytesAsChars.as("_txt"),
+      octet_length(col(textCol)).cast("long").as("_len"))
     cands
       .join(texts.select(col("_tid").as("id_a"), col("_txt").as("_ta"),
         col("_len").as("_la")), Seq("id_a"))

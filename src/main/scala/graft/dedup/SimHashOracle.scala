@@ -6,8 +6,9 @@ package graft.dedup
   * lacked xxhash64.
   *
   * The XXH64 rounds are generated as chained CTE stages over a HUGEINT
-  * token-byte list (ASCII corpus: code points == bytes, as the rolling-
-  * hash oracle already relies on):
+  * token-byte list — TRUE UTF-8 bytes synthesized from code points
+  * ([[utf8Bytes]]), so the replay is exact on arbitrary text, not just
+  * ASCII:
   *
   *  - all arithmetic is mod 2^64 in HUGEINT; 64x64-bit products would
   *    overflow the signed 128-bit HUGEINT, so multiplication is split
@@ -87,10 +88,36 @@ object SimHashOracle {
     * `keyProj` is the (comma-terminated, possibly empty) key projection
     * of the final stage. Reused by [[graft.sketch.CountMinOracle]].
     */
+  /** UTF-8 byte list of a VARCHAR expression, synthesized from code
+    * points with pure integer arithmetic (DuckDB indexes strings by code
+    * point, so `unicode(x[i])` enumerates them; the CASE mirrors the
+    * UTF-8 encoding rules bit-for-bit — validated against Python's
+    * `encode()` on emoji/CJK/combining-mark corpora). This is what makes
+    * every byte-level hash replay (XXH64 below, the rolling-hash oracle)
+    * exact on ARBITRARY text, not just ASCII, matching Spark's
+    * `UTF8String.getBytes` view of the same string.
+    */
+  private[graft] def utf8Bytes(col: String): String =
+    s"""flatten(list_transform(range(1, length($col) + 1), i ->
+       |  CASE WHEN unicode($col[i]) < 128 THEN [unicode($col[i])::HUGEINT]
+       |       WHEN unicode($col[i]) < 2048 THEN
+       |         [(192 + unicode($col[i]) // 64)::HUGEINT,
+       |          (128 + unicode($col[i]) % 64)::HUGEINT]
+       |       WHEN unicode($col[i]) < 65536 THEN
+       |         [(224 + unicode($col[i]) // 4096)::HUGEINT,
+       |          (128 + (unicode($col[i]) // 64) % 64)::HUGEINT,
+       |          (128 + unicode($col[i]) % 64)::HUGEINT]
+       |       ELSE
+       |         [(240 + unicode($col[i]) // 262144)::HUGEINT,
+       |          (128 + (unicode($col[i]) // 4096) % 64)::HUGEINT,
+       |          (128 + (unicode($col[i]) // 64) % 64)::HUGEINT,
+       |          (128 + unicode($col[i]) % 64)::HUGEINT]
+       |  END))""".stripMargin
+
   private[graft] def hashChain(tkBody: String, keyProj: String): String =
     s"""tk AS ($tkBody),
-       |tb AS (SELECT *, length(tok) AS len,
-       |         list_transform(range(1, length(tok) + 1), i -> unicode(tok[i])::HUGEINT) AS bs FROM tk),
+       |tb AS (SELECT *, ${utf8Bytes("tok")} AS bs,
+       |         length(bs) AS len FROM tk),
        |tw AS (SELECT *, len // 32 AS ns,
        |         list_transform(range(len // 8), j -> $w8Sum) AS w8 FROM tb),
        |tv AS (SELECT *, CASE WHEN len >= 32 THEN ${lane(1, V1)} END AS v1,

@@ -93,16 +93,29 @@ object TextFunctions {
   def fingerprintSql(c: String): String =
     s"md5(array_to_string(list_sort(string_split(trim($c), ' ')), ' '))"
 
-  /** Canonical pre-dedup text normalization: lowercase, strip every
-    * character outside [a-z0-9 ], collapse whitespace runs, trim. The
-    * regexes use only constructs with identical semantics in Java regex
-    * (Spark) and RE2 (DuckDB), so the oracle replays them exactly.
+  /** Canonical pre-dedup text normalization: ASCII-lowercase, strip
+    * every character outside [a-z0-9 ], collapse whitespace runs, trim.
+    * The case map is an explicit A-Z→a-z `translate` — NOT `lower()`,
+    * whose Unicode special casings are engine-dependent (Java lowercases
+    * U+0130 İ to TWO code points `i`+U+0307 where DuckDB/ICU yields one,
+    * so `lower()`-based normalization diverges between the engine and
+    * its oracle on such input; measured on an adversarial Unicode
+    * corpus). `translate` is a code-point map with identical semantics
+    * in both engines, and every non-ASCII character — upper or lower —
+    * is stripped by the same regex class anyway, so the translate form
+    * is engine-invariant on ARBITRARY input. The regexes use only
+    * constructs with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB), so the oracle replays them exactly.
     */
+  private val AsciiUpper = ('A' to 'Z').mkString
+  private val AsciiLower = ('a' to 'z').mkString
   def normalize(c: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+      regexp_replace(translate(c, AsciiUpper, AsciiLower),
+        "[^a-z0-9 ]", " "), " +", " "))
   def normalizeSql(c: String): String =
-    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"trim(regexp_replace(regexp_replace(translate($c, '$AsciiUpper', '$AsciiLower'), " +
+      "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** BPE-ish subword token count: the classic GPT-2-style pre-tokenizer
     * shape restricted to constructs whose semantics are identical in Java
