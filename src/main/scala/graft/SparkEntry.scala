@@ -1022,13 +1022,17 @@ object SparkEntry {
         ceil(col("l_extendedprice")).as("price_ceil"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod"))),
 
+    // map over STRING values: a Map<String,Long> target nulls the WHOLE
+    // map when any value fails the long parse (Jackson semantics no SQL
+    // twin can replay); string values keep the parse total, and the
+    // numeric k value is an explicit cast both engines share
     "f_map_funcs" -> ((s, dir) =>
       DerivedModel.events(s, dir).select(col("event_id"),
         element_at(from_json(col("props"), org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)),
-          "k").as("k_val"),
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)),
+          "k").cast("long").as("k_val"),
         size(map_keys(from_json(col("props"), org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))))
           .cast("long").as("n_keys"))),
 
     "set2_intersect" -> ((s, dir) => {
@@ -1661,6 +1665,23 @@ object SparkEntry {
       graft.ops.Sampling.stratifiedSample(
         DerivedModel.table(s, dir, "documents"), "lang", "doc_id", quota = 20)
         .select(col("doc_id"), col("lang"))),
+
+    // ---- ingest validation / quarantine ------------------------------
+    // the operators' input contract made explicit: per-row violation
+    // audit over a deterministically corrupted twin (fixture convention)
+    // so every rule fires at every SF; see ops.Validate scaladoc and the
+    // adversarial-corpus sweeps that motivated it
+    "x_validate_events" -> ((s, dir) =>
+      graft.ops.Validate.violationRows(
+        graft.ops.Validate.eventsWithPlantedCorruption(
+          DerivedModel.events(s, dir)),
+        "event_id", graft.ops.Validate.eventRules())),
+
+    "x_validate_embeddings" -> ((s, dir) =>
+      graft.ops.Validate.violationRows(
+        graft.ops.Validate.embeddingsWithPlantedCorruption(
+          DerivedModel.table(s, dir, "embeddings"), dim = 64),
+        "vec_id", graft.ops.Validate.embeddingRules("embedding", 64))),
 
     // interval (range) join: equi on user + bounded time range — the batch
     // twin of the watermarked stream-stream join
@@ -3143,7 +3164,10 @@ object SparkEntry {
     "f_map_funcs" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        |  CASE WHEN props IS NOT NULL AND json_valid(props)
+        |         AND json_type(props::JSON) = 'OBJECT'
+        |       THEN CAST(len(json_keys(props)) AS BIGINT)
+        |       END AS n_keys
         |FROM events""".stripMargin,
 
     "w3_lag_lead" ->
@@ -4085,6 +4109,16 @@ object SparkEntry {
         """SELECT doc_id, lang FROM documents
           |QUALIFY row_number() OVER (PARTITION BY lang
           |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20""".stripMargin,
+
+      "x_validate_events" ->
+        s"""WITH ev AS (
+           |${graft.ops.Validate.eventsWithPlantedCorruptionSql})
+           |${graft.ops.Validate.eventViolationsSql}""".stripMargin,
+
+      "x_validate_embeddings" ->
+        s"""WITH em AS (
+           |${graft.ops.Validate.embeddingsWithPlantedCorruptionSql(64)})
+           |${graft.ops.Validate.embeddingViolationsSql(64)}""".stripMargin,
 
       "x_interval_join" ->
         """SELECT c.event_id AS click_id, p.event_id AS purch_id, c.user_id,

@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ingest validation / quarantine — the contract boundary every
+  * 100 TB pipeline needs in front of its operators. The adversarial
+  * input sweeps (r13, `tools/make_adversarial_corpus.py` +
+  * NOTES "hostile events/embeddings") measured what raw hostile rows do
+  * to the board: NaN/±Inf/over-range values blow up exact-cents casts
+  * (correctly, on BOTH engines — ANSI refuses), NULL keys/timestamps
+  * make window and as-of ordering engine-dependent, zero-norm or
+  * wrong-dimension embeddings kill every cosine-normalizing ANN gate
+  * with DIVIDE_BY_ZERO. Rather than sprinkling per-operator guards
+  * (which would silently define semantics for undefined input), the
+  * engine's contract is: operators assume VALIDATED input, and this
+  * module is the validator — explicit, oracle-replayable rules, rows
+  * that fail are quarantined with their violation names so "why was
+  * this row dropped" has an auditable answer (the same discipline as
+  * the curation keep/drop gates).
+  *
+  * All rules are pure scan expressions (no shuffle, no state) and every
+  * rule replays bit-identically in DuckDB: JSON validity via
+  * `get_json_object(p, '$')`, which was probe-verified to agree with
+  * DuckDB's `json_valid` on malformed/duplicate-key/leading-zero edge
+  * cases — unlike `try_parse_json`, which rejects duplicate keys that
+  * `json_valid` accepts.
+  */
+object Validate {
+
+  /** Exact-cents safety bound: |value| <= 1e12 keeps value*100 far from
+    * the int64 edge with headroom for SUM over billions of rows.
+    */
+  val MaxAbsValue: Double = 1e12
+
+  val MinTs = "1900-01-01"
+  val MaxTs = "2200-01-01"
+
+  /** Fixed-point safety bound for embedding components: quantization at
+    * 2^20 and 64-dim int64 accumulation leave orders of magnitude of
+    * headroom at 1e6.
+    */
+  val MaxAbsComponent: Float = 1e6f
+
+  /** (rule_name, fires) — ordered; names are the quarantine audit
+    * vocabulary and the oracle twin enumerates the same names.
+    */
+  def eventRules(): Seq[(String, Column)] = Seq(
+    "null_event_id" -> col("event_id").isNull,
+    "null_user_id" -> col("user_id").isNull,
+    "null_ts" -> col("ts").isNull,
+    "ts_out_of_range" -> (col("ts").isNotNull &&
+      (col("ts") < lit(MinTs).cast("timestamp") ||
+        col("ts") >= lit(MaxTs).cast("timestamp"))),
+    "nonfinite_value" -> (col("value").isNotNull &&
+      (isnan(col("value")) || col("value") === Double.PositiveInfinity ||
+        col("value") === Double.NegativeInfinity)),
+    "value_out_of_range" -> (col("value").isNotNull && !isnan(col("value")) &&
+      col("value") =!= Double.PositiveInfinity &&
+      col("value") =!= Double.NegativeInfinity &&
+      abs(col("value")) > MaxAbsValue),
+    "invalid_props_json" -> (col("props").isNotNull &&
+      get_json_object(col("props"), "$").isNull))
+
+  /** @param dim the corpus's one embedding dimensionality (similarity
+    *            ops assume it; a mixed-dim corpus is two corpora)
+    */
+  def embeddingRules(embCol: String, dim: Int): Seq[(String, Column)] = Seq(
+    "null_embedding" -> col(embCol).isNull,
+    "wrong_dim" -> (col(embCol).isNotNull && size(col(embCol)) =!= dim),
+    "null_component" -> (col(embCol).isNotNull &&
+      exists(col(embCol), x => x.isNull)),
+    "nonfinite_component" -> (col(embCol).isNotNull &&
+      exists(col(embCol), x => x.isNotNull &&
+        (isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity))),
+    // the fixed-point embedding ops quantize at 2^20 (RandomProjection,
+    // pooling): components beyond this bound overflow their exact-int64
+    // envelope (measured: a 1e38-component vector long-overflows rproj
+    // on Spark and the pooling oracle's INT64 cast on DuckDB)
+    "component_out_of_range" -> (col(embCol).isNotNull &&
+      exists(col(embCol), x => x.isNotNull && !isnan(x) &&
+        x =!= Float.PositiveInfinity && x =!= Float.NegativeInfinity &&
+        abs(x) > MaxAbsComponent)),
+    // exact test (no FP accumulation): the all-zero vector is the one
+    // input whose cosine is undefined no matter the precision
+    "zero_vector" -> (col(embCol).isNotNull &&
+      size(col(embCol)) === dim &&
+      !exists(col(embCol), x => x.isNull || x =!= lit(0.0f))))
+
+  /** `violations` array for a row (empty array = valid). */
+  def violations(rules: Seq[(String, Column)]): Column =
+    filter(array(rules.map { case (n, c) =>
+      when(c, lit(n)).otherwise(lit(null).cast("string"))
+    }: _*), x => x.isNotNull)
+
+  /** One row per (row, violation): the quarantine audit relation. */
+  def violationRows(df: DataFrame, idCol: String,
+      rules: Seq[(String, Column)]): DataFrame =
+    df.select(col(idCol), explode(violations(rules)).as("violation"))
+
+  /** Rows passing every rule — the operators' input contract. */
+  def valid(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    df.filter(rules.map(r => !r._2).reduce(_ && _))
+
+  /** Rows failing any rule, with the full violation list attached. */
+  def quarantine(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    df.withColumn("violations", violations(rules))
+      .filter(size(col("violations")) > 0)
+
+  // ---- planted corruption twins (fixture convention: deterministic ----
+  // transforms of the real tables, so the validation gates exercise
+  // every rule at every SF and both engines construct the same rows)
+
+  /** Events with a deterministically corrupted twin appended: each twin
+    * row (event_id + 10^9) violates exactly one rule class chosen by
+    * event_id mod 6.
+    */
+  def eventsWithPlantedCorruption(events: DataFrame): DataFrame = {
+    val m = col("event_id") % 6
+    val twin = events.select(
+      (col("event_id") + lit(1000000000L)).as("event_id"),
+      when(m === 0, lit(null).cast("timestamp"))
+        .when(m === 1, lit("2263-01-01").cast("timestamp"))
+        .otherwise(col("ts")).as("ts"),
+      when(m === 2, lit(null).cast("long")).otherwise(col("user_id")).as("user_id"),
+      col("event_type"),
+      when(m === 3, lit(Double.NaN))
+        .when(m === 4, lit(1e18))
+        .otherwise(col("value")).as("value"),
+      when(m === 5, lit("{\"bad\":")).otherwise(col("props")).as("props"))
+    events.unionByName(twin)
+  }
+
+  /** DuckDB twin of [[eventsWithPlantedCorruption]] as a CTE body over
+    * `events`.
+    */
+  def eventsWithPlantedCorruptionSql: String =
+    """SELECT * FROM events
+      |UNION ALL
+      |SELECT event_id + 1000000000,
+      |  CASE WHEN event_id % 6 = 0 THEN NULL
+      |       WHEN event_id % 6 = 1 THEN TIMESTAMP '2263-01-01'
+      |       ELSE ts END,
+      |  CASE WHEN event_id % 6 = 2 THEN NULL ELSE user_id END,
+      |  event_type,
+      |  CASE WHEN event_id % 6 = 3 THEN 'NaN'::DOUBLE
+      |       WHEN event_id % 6 = 4 THEN 1e18
+      |       ELSE value END,
+      |  CASE WHEN event_id % 6 = 5 THEN '{"bad":' ELSE props END
+      |FROM events""".stripMargin
+
+  /** Embeddings with a corrupted twin: vec_id mod 6 selects the
+    * violation (truncated dim / NaN component / +Inf component / null
+    * component / all-zero vector / out-of-range component).
+    */
+  def embeddingsWithPlantedCorruption(emb: DataFrame, dim: Int): DataFrame = {
+    val m = col("vec_id") % 6
+    val twin = emb.select(
+      (col("vec_id") + lit(1000000000L)).as("vec_id"),
+      when(m === 0, slice(col("embedding"), 1, dim / 2))
+        .when(m === 1, concat(array(lit(Float.NaN)),
+          slice(col("embedding"), 2, dim - 1)))
+        .when(m === 2, concat(array(lit(Float.PositiveInfinity)),
+          slice(col("embedding"), 2, dim - 1)))
+        .when(m === 3, concat(array(lit(null).cast("float")),
+          slice(col("embedding"), 2, dim - 1)))
+        .when(m === 4, array_repeat(lit(0.0f), dim))
+        .otherwise(concat(array(lit(1e38f)),
+          slice(col("embedding"), 2, dim - 1))).as("embedding"),
+      col("label"))
+    emb.unionByName(twin)
+  }
+
+  /** DuckDB twin of [[embeddingsWithPlantedCorruption]]. */
+  def embeddingsWithPlantedCorruptionSql(dim: Int): String =
+    s"""SELECT * FROM embeddings
+       |UNION ALL
+       |SELECT vec_id + 1000000000,
+       |  CASE WHEN vec_id % 6 = 0 THEN embedding[1:${dim / 2}]
+       |       WHEN vec_id % 6 = 1 THEN list_prepend('NaN'::FLOAT, embedding[2:$dim])
+       |       WHEN vec_id % 6 = 2 THEN list_prepend('Infinity'::FLOAT, embedding[2:$dim])
+       |       WHEN vec_id % 6 = 3 THEN list_prepend(NULL::FLOAT, embedding[2:$dim])
+       |       WHEN vec_id % 6 = 4 THEN list_transform(range($dim), i -> 0.0::FLOAT)
+       |       ELSE list_prepend(1e38::FLOAT, embedding[2:$dim]) END,
+       |  label
+       |FROM embeddings""".stripMargin
+
+  /** DuckDB twin of the event rules over a relation named `ev`. */
+  def eventViolationsSql: String =
+    s"""SELECT event_id, 'null_event_id' AS violation FROM ev WHERE event_id IS NULL
+       |UNION ALL SELECT event_id, 'null_user_id' FROM ev WHERE user_id IS NULL
+       |UNION ALL SELECT event_id, 'null_ts' FROM ev WHERE ts IS NULL
+       |UNION ALL SELECT event_id, 'ts_out_of_range' FROM ev
+       |  WHERE ts IS NOT NULL AND (ts < TIMESTAMP '$MinTs' OR ts >= TIMESTAMP '$MaxTs')
+       |UNION ALL SELECT event_id, 'nonfinite_value' FROM ev
+       |  WHERE value IS NOT NULL AND (isnan(value) OR isinf(value))
+       |UNION ALL SELECT event_id, 'value_out_of_range' FROM ev
+       |  WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
+       |    AND abs(value) > ${MaxAbsValue}
+       |UNION ALL SELECT event_id, 'invalid_props_json' FROM ev
+       |  WHERE props IS NOT NULL AND NOT json_valid(props)""".stripMargin
+
+  /** DuckDB twin of the embedding rules over a relation named `em`. */
+  def embeddingViolationsSql(dim: Int): String =
+    s"""SELECT vec_id, 'null_embedding' AS violation FROM em WHERE embedding IS NULL
+       |UNION ALL SELECT vec_id, 'wrong_dim' FROM em
+       |  WHERE embedding IS NOT NULL AND len(embedding) <> $dim
+       |UNION ALL SELECT vec_id, 'null_component' FROM em
+       |  WHERE embedding IS NOT NULL AND list_bool_or(list_transform(embedding, x -> x IS NULL))
+       |UNION ALL SELECT vec_id, 'nonfinite_component' FROM em
+       |  WHERE embedding IS NOT NULL AND list_bool_or(list_transform(embedding,
+       |    x -> x IS NOT NULL AND (isnan(x) OR isinf(x))))
+       |UNION ALL SELECT vec_id, 'component_out_of_range' FROM em
+       |  WHERE embedding IS NOT NULL AND list_bool_or(list_transform(embedding,
+       |    x -> x IS NOT NULL AND NOT isnan(x) AND NOT isinf(x)
+       |      AND abs(x) > ${MaxAbsComponent}))
+       |UNION ALL SELECT vec_id, 'zero_vector' FROM em
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |    AND NOT coalesce(list_bool_or(list_transform(embedding,
+       |      x -> x IS NULL OR x <> 0.0)), FALSE)""".stripMargin
+}

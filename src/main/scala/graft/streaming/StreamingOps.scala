@@ -6,9 +6,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
   StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
-/** A CDC change row flowing through [[StreamingOps.streamingCompact]]. */
+/** A CDC change row flowing through [[StreamingOps.streamingCompact]].
+  * `value` is Option: a NULL value is a real change row (the hostile-
+  * input sweep crashed the primitive-Double encoder with
+  * NOT_NULL_ASSERT_VIOLATION; operators must not narrow the table's
+  * nullability contract).
+  */
 final case class ChangeRow(user_id: Long, event_id: Long, ts_ms: Long,
-    event_type: String, value: Double, is_delete: Boolean)
+    event_type: String, value: Option[Double], is_delete: Boolean)
 
 /** Per-user running totals carried as explicit state (see
   * [[StreamingOps.statefulUserTotals]]). */
@@ -559,17 +564,20 @@ object StreamingOps {
       .schema(schemaFrom.schema)
       .parquet(sourcePath)
       .select(col("user_id"), col("value"))
-      .as[(Long, Double)]
+      // Option value: the oracle is count(*) + SUM(cents) and SQL SUM
+      // skips NULLs — a null-value event counts but contributes 0 cents
+      .as[(Long, Option[Double])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserRunningTotal, UserRunningTotal](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (uid: Long, events: Iterator[(Long, Double)], state: GroupState[UserRunningTotal]) =>
+        (uid: Long, events: Iterator[(Long, Option[Double])],
+            state: GroupState[UserRunningTotal]) =>
           val prev = state.getOption.getOrElse(UserRunningTotal(uid, 0L, 0L))
           var n = prev.n_events
           var cents = prev.value_cents
           events.foreach { case (_, v) =>
             n += 1
-            cents += math.floor(v * 100 + 0.5).toLong
+            cents += v.map(x => math.floor(x * 100 + 0.5).toLong).getOrElse(0L)
           }
           val next = UserRunningTotal(uid, n, cents)
           state.update(next)
@@ -584,21 +592,21 @@ object StreamingOps {
     * custom streaming state. Requires the RocksDB state store provider.
     */
   class UserTotalsProcessor
-      extends StatefulProcessor[Long, (Long, Double), UserRunningTotal] {
+      extends StatefulProcessor[Long, (Long, Option[Double]), UserRunningTotal] {
     @transient private var totals: ValueState[UserRunningTotal] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       totals = getHandle.getValueState[UserRunningTotal]("totals",
         Encoders.product[UserRunningTotal], TTLConfig.NONE)
 
-    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Option[Double])],
         timerValues: TimerValues): Iterator[UserRunningTotal] = {
       val prev = if (totals.exists()) totals.get() else UserRunningTotal(key, 0L, 0L)
       var n = prev.n_events
       var cents = prev.value_cents
       rows.foreach { case (_, v) =>
         n += 1
-        cents += math.floor(v * 100 + 0.5).toLong
+        cents += v.map(x => math.floor(x * 100 + 0.5).toLong).getOrElse(0L)
       }
       val next = UserRunningTotal(key, n, cents)
       totals.update(next)
@@ -620,7 +628,7 @@ object StreamingOps {
       .schema(schemaFrom.schema)
       .parquet(sourcePath)
       .select(col("user_id"), col("value"))
-      .as[(Long, Double)]
+      .as[(Long, Option[Double])]
       .groupByKey(_._1)
       .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
@@ -680,7 +688,12 @@ object StreamingOps {
       .filter(!(col("event_type") <=> SentinelEventType))
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("ts_ms"), col("event_type"), col("value"),
-        (col("event_type") === "error").as("is_delete"))
+        // three-valued alignment with the batch twin: compact's
+        // `rn = 1 AND NOT is_delete` (and the oracle's
+        // `event_type <> 'error'`) DROP a null-event_type winner, so the
+        // streaming form must tombstone it too — a bare === would make
+        // is_delete NULL and crash the primitive-Boolean encoder
+        coalesce(col("event_type") === "error", lit(true)).as("is_delete"))
       .as[ChangeRow]
       .groupByKey(_.user_id)
       .transformWithState(new KeepLatestProcessor, TimeMode.None(),

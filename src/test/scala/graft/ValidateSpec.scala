@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.Validate
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the ingest-validation contract on exactly the hostile rows the
+  * adversarial-input sweep used (NOTES r13): every rule fires on its
+  * planted row and ONLY there, valid+quarantine partition the input,
+  * and benign-but-unusual rows (empty/unicode event_type, negative
+  * values, -0.0, denormals) pass.
+  */
+class ValidateSpec extends AnyFunSuite with SparkTestBase {
+
+  private def eventsDf = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val ts = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    def r(id: java.lang.Long, t: java.sql.Timestamp, u: java.lang.Long,
+        et: String, v: java.lang.Double, p: String) = Row(id, t, u, et, v, p)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        r(1L, ts, 1L, "click", 1.0, "{\"k\":1}"),             // valid
+        r(2L, ts, 2L, "", -1.5, "{}"),                        // valid (benign-unusual)
+        r(3L, ts, 3L, "клик", -0.0, "[]"),                    // valid
+        r(null, ts, 4L, "click", 1.0, null),                  // null_event_id
+        r(5L, null, 5L, "click", 1.0, null),                  // null_ts
+        r(6L, java.sql.Timestamp.valueOf("2263-01-01 00:00:00"),
+          6L, "click", 1.0, null),                            // ts_out_of_range
+        r(7L, ts, null, "click", 1.0, null),                  // null_user_id
+        r(8L, ts, 8L, "click", Double.NaN, null),             // nonfinite_value
+        r(9L, ts, 9L, "click", Double.PositiveInfinity, null),// nonfinite_value
+        r(10L, ts, 10L, "click", 1e18, null),                 // value_out_of_range
+        r(11L, ts, 11L, "click", null, null),                 // valid (null value ok)
+        r(12L, ts, 12L, "click", 1.0, "not json"),            // invalid_props_json
+        r(13L, ts, 13L, "click", 1.0, "{\"a\":"))),           // invalid_props_json
+      schema)
+  }
+
+  test("event rules fire exactly on their planted rows") {
+    val rules = Validate.eventRules()
+    val got = Validate.violationRows(eventsDf, "event_id", rules)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(got == Set(
+      (None, "null_event_id"), (Some(5L), "null_ts"),
+      (Some(6L), "ts_out_of_range"), (Some(7L), "null_user_id"),
+      (Some(8L), "nonfinite_value"), (Some(9L), "nonfinite_value"),
+      (Some(10L), "value_out_of_range"), (Some(12L), "invalid_props_json"),
+      (Some(13L), "invalid_props_json")))
+  }
+
+  test("valid and quarantine partition the events") {
+    val rules = Validate.eventRules()
+    val all = eventsDf.count()
+    val v = Validate.valid(eventsDf, rules)
+    val q = Validate.quarantine(eventsDf, rules)
+    assert(v.count() + q.count() == all)
+    assert(v.collect().map(_.get(0)).toSet == Set(1L, 2L, 3L, 11L))
+    // quarantine carries the violation names
+    assert(q.filter(col("event_id") === 8L)
+      .select(col("violations")(0)).head.getString(0) == "nonfinite_value")
+  }
+
+  test("embedding rules: dim, null/nonfinite/out-of-range components, zero vector") {
+    import spark.implicits._
+    val dim = 4
+    val rows: Seq[(Long, Seq[java.lang.Float])] = Seq(
+      1L -> Seq[java.lang.Float](1.0f, 0.5f, -0.25f, 1e-40f),   // valid (denormal ok)
+      2L -> Seq[java.lang.Float](-0.0f, 1.0f, 0.0f, 0.0f),      // valid (-0.0 ok)
+      3L -> Seq[java.lang.Float](1.0f, 2.0f),                   // wrong_dim
+      4L -> Seq[java.lang.Float](Float.NaN, 1f, 1f, 1f),        // nonfinite_component
+      5L -> Seq[java.lang.Float](Float.NegativeInfinity, 1f, 1f, 1f), // nonfinite
+      6L -> Seq[java.lang.Float](null, 1f, 1f, 1f),             // null_component
+      7L -> Seq[java.lang.Float](0.0f, -0.0f, 0.0f, 0.0f),      // zero_vector
+      8L -> Seq[java.lang.Float](1e38f, 1f, 1f, 1f))            // component_out_of_range
+    val df = rows.toDF("vec_id", "embedding")
+    val rules = Validate.embeddingRules("embedding", dim)
+    val got = Validate.violationRows(df, "vec_id", rules)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (3L, "wrong_dim"), (4L, "nonfinite_component"),
+      (5L, "nonfinite_component"), (6L, "null_component"),
+      (7L, "zero_vector"), (8L, "component_out_of_range")))
+    assert(Validate.valid(df, rules).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("null embedding row fires null_embedding") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, null))), schema)
+    val got = Validate.violationRows(df, "vec_id",
+      Validate.embeddingRules("embedding", 4))
+      .collect().map(_.getString(1)).toSeq
+    assert(got == Seq("null_embedding"))
+  }
+}

@@ -67,5 +67,73 @@ def build(out_dir: str) -> None:
     print(f"wrote {len(docs)} adversarial docs to {out}/documents.parquet")
 
 
+def build_hostile_tables(out_dir: str) -> None:
+    """Append hostile rows to events (extreme/negative/NULL timestamps,
+    NULL keys, NaN/Inf/1e18 values, invalid JSON props) and embeddings
+    (zero vector, NaN/Inf/null/huge components, wrong dims) — the inputs
+    behind graft.ops.Validate. Write the CLEANED twins (validator rules
+    replayed in DuckDB) to <out>_clean: the full board must match there.
+    """
+    import datetime
+    out = Path(out_dir)
+    ep = datetime.datetime
+    src = pq.read_table(out / "events.parquet")
+    adv = {
+        "event_id": [100001 + i for i in range(12)],
+        "ts": [ep(1970, 1, 1), ep(1969, 12, 31, 23, 59, 59), ep(2262, 4, 11),
+               ep(2024, 1, 15), ep(2024, 1, 15), ep(2024, 1, 15),
+               ep(2024, 1, 16), ep(2024, 1, 16), ep(2024, 1, 17),
+               ep(2024, 1, 17), ep(2024, 1, 18), None],
+        "user_id": [1, 2, 3, None, 4, 4, 5, 5, 6, 7, 8, 9],
+        "event_type": ["click", "purchase", "click", "click", None, "",
+                       "клик", "click", "purchase", "click", "error", "click"],
+        "value": [float("nan"), float("inf"), -float("inf"), -1.5, None, 0.0,
+                  -0.0, 1e18, 1e-300, 327.53, 5.0, 2.0],
+        "props": ["not json at all", '{"a":', None,
+                  '{"k":"v","nested":{"deep":{"deeper":[1,2,3]}}}',
+                  '{"ключ":"значение"}', "{}", "[]", '{"a":1e999}',
+                  '{"a":null}', '{"dup":1,"dup":2}', '{"s":"with \\"quote"}',
+                  '{"n":-0.0}'],
+    }
+    advt = pa.table({k: pa.array(v, src.schema.field(k).type)
+                     for k, v in adv.items()})
+    pq.write_table(pa.concat_tables([src, advt]), out / "events.parquet")
+    esrc = pq.read_table(out / "embeddings.parquet")
+    nan, inf = float("nan"), float("inf")
+    vecs = [[0.0] * 64, [nan] + [0.1] * 63, [inf] + [0.1] * 63, [-0.0] * 64,
+            [1e38] * 64, [1e-40] * 64, [0.1] * 32, [0.1] * 65]
+    eadv = pa.table({
+        "vec_id": pa.array([9001 + i for i in range(len(vecs))], pa.int64()),
+        "embedding": pa.array(vecs, esrc.schema.field("embedding").type),
+        "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+    })
+    pq.write_table(pa.concat_tables([esrc, eadv]), out / "embeddings.parquet")
+
+    import duckdb
+    clean = Path(str(out) + "_clean")
+    clean.mkdir(parents=True, exist_ok=True)
+    for p2 in out.glob("*.parquet"):
+        shutil.copy(p2, clean / p2.name)
+    con = duckdb.connect()
+    con.execute(f"""COPY (
+      SELECT * FROM '{out}/events.parquet'
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+        AND ts >= TIMESTAMP '1900-01-01' AND ts < TIMESTAMP '2200-01-01'
+        AND (value IS NULL OR (NOT isnan(value) AND NOT isinf(value)
+             AND abs(value) <= 1e12))
+        AND (props IS NULL OR json_valid(props))
+    ) TO '{clean}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (
+      SELECT * FROM '{out}/embeddings.parquet'
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+        AND NOT coalesce(list_bool_or(list_transform(embedding,
+              x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e6)), FALSE)
+        AND coalesce(list_bool_or(list_transform(embedding, x -> x <> 0.0)), FALSE)
+    ) TO '{clean}/embeddings.parquet' (FORMAT PARQUET)""")
+    print(f"hostile tables written; cleaned twins in {clean}")
+
+
 if __name__ == "__main__":
-    build(sys.argv[1] if len(sys.argv) > 1 else "/tmp/advcorpus")
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/advcorpus"
+    build(out)
+    build_hostile_tables(out)
