@@ -1677,6 +1677,12 @@ object SparkEntry {
           DerivedModel.events(s, dir)),
         "event_id", graft.ops.Validate.eventRules())),
 
+    "x_validate_documents" -> ((s, dir) =>
+      graft.ops.Validate.violationRows(
+        graft.ops.Validate.documentsWithPlantedCorruption(
+          DerivedModel.table(s, dir, "documents"), capChars = 2000),
+        "doc_id", graft.ops.Validate.documentRules(maxChars = 2000))),
+
     "x_validate_embeddings" -> ((s, dir) =>
       graft.ops.Validate.violationRows(
         graft.ops.Validate.embeddingsWithPlantedCorruption(
@@ -4114,6 +4120,11 @@ object SparkEntry {
         s"""WITH ev AS (
            |${graft.ops.Validate.eventsWithPlantedCorruptionSql})
            |${graft.ops.Validate.eventViolationsSql}""".stripMargin,
+
+      "x_validate_documents" ->
+        s"""WITH dc AS (
+           |${graft.ops.Validate.documentsWithPlantedCorruptionSql(2000)})
+           |${graft.ops.Validate.documentViolationsSql(2000)}""".stripMargin,
 
       "x_validate_embeddings" ->
         s"""WITH em AS (

@@ -37,13 +37,17 @@ object Dedup {
   // ---------------- word n-gram shingles ----------------
 
   /** Distinct word n-gram shingles of a text column (1-based `slice`). */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val t = TextFunctions.tokens(c)
-    when(size(t) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n))))))
-  }
+  def wordNgrams(c: Column, n: Int): Column =
+    // tokens bound ONCE (TextFunctions.bindOnce): the inner lambda must
+    // slice a bound array, not re-tokenize the document per position —
+    // the unbound form was quadratic in document length (measured 99.8 s
+    // on one 40k-token doc; bound form 0.5 s, identical output)
+    TextFunctions.bindOnce(TextFunctions.tokens(c)) { t =>
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n))))))
+    }
 
   /** Exploded (id, shingle) pairs, distinct per document. The shingle
     * width `n` rides as column metadata (survives a parquet round-trip),

@@ -87,6 +87,19 @@ object Validate {
       size(col(embCol)) === dim &&
       !exists(col(embCol), x => x.isNull || x =!= lit(0.0f))))
 
+  /** Documents: identity and text presence, plus a LENGTH CAP — every
+    * production curation pipeline bounds document size (storage, task
+    * balance, and pathological inputs; the hostile-doc sweep's single
+    * 200k-char document was also what exposed the quadratic n-gram
+    * lambda, fixed via [[graft.text.TextFunctions.bindOnce]]). The cap
+    * is policy, so it is a parameter; `maxChars` compares code points
+    * (`length`), identical in both engines.
+    */
+  def documentRules(maxChars: Int = 1000000): Seq[(String, Column)] = Seq(
+    "null_doc_id" -> col("doc_id").isNull,
+    "null_text" -> col("text").isNull,
+    "text_too_long" -> (col("text").isNotNull && length(col("text")) > maxChars))
+
   /** `violations` array for a row (empty array = valid). */
   def violations(rules: Seq[(String, Column)]): Column =
     filter(array(rules.map { case (n, c) =>
@@ -184,6 +197,40 @@ object Validate {
        |       ELSE list_prepend(1e38::FLOAT, embedding[2:$dim]) END,
        |  label
        |FROM embeddings""".stripMargin
+
+  /** Documents with a corrupted twin: doc_id mod 3 selects null id /
+    * null text / an over-cap text (`capChars + 1` chars — keep the gate
+    * cap SMALL so the planted relation stays tiny at every SF).
+    */
+  def documentsWithPlantedCorruption(docs: DataFrame, capChars: Int): DataFrame = {
+    val m = col("doc_id") % 3
+    val twin = docs.select(
+      when(m === 0, lit(null).cast("long"))
+        .otherwise(col("doc_id") + lit(1000000000L)).as("doc_id"),
+      when(m === 1, lit(null).cast("string"))
+        .when(m === 2, concat(lit("z"), expr(s"repeat('z', $capChars)")))
+        .otherwise(col("text")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    docs.unionByName(twin)
+  }
+
+  /** DuckDB twin of [[documentsWithPlantedCorruption]]. */
+  def documentsWithPlantedCorruptionSql(capChars: Int): String =
+    s"""SELECT * FROM documents
+       |UNION ALL
+       |SELECT CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id + 1000000000 END,
+       |  CASE WHEN doc_id % 3 = 1 THEN NULL
+       |       WHEN doc_id % 3 = 2 THEN 'z' || repeat('z', $capChars)
+       |       ELSE text END,
+       |  lang, source, n_chars
+       |FROM documents""".stripMargin
+
+  /** DuckDB twin of the document rules over a relation named `dc`. */
+  def documentViolationsSql(maxChars: Int): String =
+    s"""SELECT doc_id, 'null_doc_id' AS violation FROM dc WHERE doc_id IS NULL
+       |UNION ALL SELECT doc_id, 'null_text' FROM dc WHERE text IS NULL
+       |UNION ALL SELECT doc_id, 'text_too_long' FROM dc
+       |  WHERE text IS NOT NULL AND length(text) > $maxChars""".stripMargin
 
   /** DuckDB twin of the event rules over a relation named `ev`. */
   def eventViolationsSql: String =

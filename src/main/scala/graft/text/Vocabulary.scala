@@ -1865,11 +1865,16 @@ object Vocabulary {
     */
   private def dsirFeatureBuckets(df: DataFrame, textCol: String,
       keep: Column*): DataFrame = {
-    val t = TextFunctions.tokens(col(textCol))
-    val bi = when(size(t) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", slice(t, i, lit(2)))))
-    df.select(keep :+ explode(concat(t, bi)).as("_feat"): _*)
+    // unigram+bigram feature stream with the tokens bound ONCE
+    // (TextFunctions.bindOnce): an unbound `t` inside the bigram lambda
+    // re-tokenizes per position — quadratic in document length
+    val feats = TextFunctions.bindOnce(TextFunctions.tokens(col(textCol))) { t =>
+      val bi = when(size(t) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", slice(t, i, lit(2)))))
+      concat(t, bi)
+    }
+    df.select(keep :+ explode(feats).as("_feat"): _*)
       .select(keep :+ substring(md5(col("_feat").cast("binary")), 1,
         DsirHexChars).as("_bkt"): _*)
   }
@@ -1998,10 +2003,14 @@ object Vocabulary {
     require(weights.size == DsirBuckets,
       s"weights must cover the full $DsirBuckets-bucket universe " +
         s"(got ${weights.size}) — build with dsirBucketWeights")
-    val t = TextFunctions.tokens(textCol)
-    val bi = when(size(t) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", slice(t, i, lit(2)))))
+    // same bound-tokens discipline as dsirFeatureBuckets (quadratic
+    // otherwise — see TextFunctions.bindOnce)
+    val feats = TextFunctions.bindOnce(TextFunctions.tokens(textCol)) { t =>
+      val bi = when(size(t) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", slice(t, i, lit(2)))))
+      concat(t, bi)
+    }
     // the model rides as an ARRAY literal indexed by the bucket's
     // integer value (conv of the hex prefix) — element_at on an array is
     // O(1), where a 4096-entry MAP literal is a per-lookup linear scan
@@ -2009,7 +2018,7 @@ object Vocabulary {
     val byIndex = (0 until DsirBuckets.toInt)
       .map(i => weights("%03x".format(i)))
     val m = typedLit(byIndex)
-    aggregate(concat(t, bi), lit(0L), (acc, f) =>
+    aggregate(feats, lit(0L), (acc, f) =>
       acc + element_at(m,
         conv(substring(md5(f.cast("binary")), 1, DsirHexChars), 16, 10)
           .cast("int") + 1))

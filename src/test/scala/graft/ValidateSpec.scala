@@ -88,6 +88,25 @@ class ValidateSpec extends AnyFunSuite with SparkTestBase {
     assert(Validate.valid(df, rules).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("document rules: null id/text and the length cap") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "fine short text"),
+        Row(2L, ""),                 // empty text is VALID (curation's job)
+        Row(null, "orphan"),         // null_doc_id
+        Row(4L, null),               // null_text
+        Row(5L, "x" * 101))),        // text_too_long at cap 100
+      schema)
+    val rules = Validate.documentRules(maxChars = 100)
+    val got = Validate.violationRows(df, "doc_id", rules)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(got == Set((None, "null_doc_id"), (Some(4L), "null_text"),
+      (Some(5L), "text_too_long")))
+    assert(Validate.valid(df, rules).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("null embedding row fires null_embedding") {
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))

@@ -109,6 +109,18 @@ def build_hostile_tables(out_dir: str) -> None:
     })
     pq.write_table(pa.concat_tables([esrc, eadv]), out / "embeddings.parquet")
 
+    dsrc = pq.read_table(out / "documents.parquet")
+    dadv = {
+        "doc_id": [200001, 200002, 200003, 200004, None, 200006],
+        "text": [None, "", " ", "\t\n\r", "normal text here", "word " * 40000],
+        "lang": ["en", None, "en", "en", "en", "en"],
+        "source": ["adv", "adv", None, "adv", "adv", "adv"],
+        "n_chars": [None, 0, 1, 3, 16, 200000],
+    }
+    dadvt = pa.table({k: pa.array(v, dsrc.schema.field(k).type)
+                      for k, v in dadv.items()})
+    pq.write_table(pa.concat_tables([dsrc, dadvt]), out / "documents.parquet")
+
     import duckdb
     clean = Path(str(out) + "_clean")
     clean.mkdir(parents=True, exist_ok=True)
@@ -130,6 +142,10 @@ def build_hostile_tables(out_dir: str) -> None:
               x -> x IS NULL OR isnan(x) OR isinf(x) OR abs(x) > 1e6)), FALSE)
         AND coalesce(list_bool_or(list_transform(embedding, x -> x <> 0.0)), FALSE)
     ) TO '{clean}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (
+      SELECT * FROM '{out}/documents.parquet'
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) <= 1000000
+    ) TO '{clean}/documents.parquet' (FORMAT PARQUET)""")
     print(f"hostile tables written; cleaned twins in {clean}")
 
 
