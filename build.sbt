@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites must run SERIALLY inside the forked test JVM: the Turkish-i
+// regression test (FilterConfigSpec) temporarily mutates the JVM-global
+// default Locale, and a concurrently-running suite would transiently
+// execute under tr-TR. false is sbt's default for forked JVMs, but the
+// locale test's correctness depends on it, so pin it.
+Test / testForkedParallel := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -59,7 +59,14 @@ object Validate {
       col("value") =!= Double.PositiveInfinity &&
       col("value") =!= Double.NegativeInfinity &&
       abs(col("value")) > MaxAbsValue),
+    // `get_json_object(p, '$')` returns SQL NULL both for malformed
+    // input AND for the one valid document whose root is the JSON null
+    // literal — DuckDB's `json_valid('null')` is true, so the bare
+    // null root (wrapped in the four JSON whitespace chars, RFC 8259
+    // §2 — NOT Spark `trim`, which strips only ASCII space) is
+    // explicitly excluded to keep the rule bit-identical (r13 ADVICE).
     "invalid_props_json" -> (col("props").isNotNull &&
+      !col("props").rlike("^[ \\t\\r\\n]*null[ \\t\\r\\n]*$") &&
       get_json_object(col("props"), "$").isNull))
 
   /** @param dim the corpus's one embedding dimensionality (similarity

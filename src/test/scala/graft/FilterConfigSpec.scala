@@ -62,7 +62,11 @@ class FilterConfigSpec extends AnyFunSuite {
     // under a tr-TR DEFAULT locale, "species".toUpperCase is "SPECİES"
     // (dotted capital İ) — every driver-side case map must use
     // Locale.ROOT or rank filters and habitat validation silently break
-    // on a Turkish-locale JVM
+    // on a Turkish-locale JVM.
+    // The default-locale mutation is JVM-GLOBAL: this is safe only
+    // because `Test / testForkedParallel := false` (build.sbt) makes
+    // suites run serially in the forked test JVM — no concurrent suite
+    // can observe the tr-TR window.
     val saved = java.util.Locale.getDefault
     try {
       java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))

@@ -37,7 +37,15 @@ class ValidateSpec extends AnyFunSuite with SparkTestBase {
         r(10L, ts, 10L, "click", 1e18, null),                 // value_out_of_range
         r(11L, ts, 11L, "click", null, null),                 // valid (null value ok)
         r(12L, ts, 12L, "click", 1.0, "not json"),            // invalid_props_json
-        r(13L, ts, 13L, "click", 1.0, "{\"a\":"))),           // invalid_props_json
+        r(13L, ts, 13L, "click", 1.0, "{\"a\":"),             // invalid_props_json
+        // JSON null-root class (r13 ADVICE): a bare `null` document is
+        // VALID JSON (json_valid('null') is true in DuckDB) even though
+        // Spark's get_json_object(props,'$') returns SQL NULL for it —
+        // incl. wrapped in the four RFC 8259 whitespace chars
+        r(14L, ts, 14L, "click", 1.0, "null"),                // valid
+        r(15L, ts, 15L, "click", 1.0, " null "),              // valid
+        r(16L, ts, 16L, "click", 1.0, "\tnull\r\n"),          // valid
+        r(17L, ts, 17L, "click", 1.0, "nullx"))),             // invalid_props_json
       schema)
   }
 
@@ -50,7 +58,7 @@ class ValidateSpec extends AnyFunSuite with SparkTestBase {
       (Some(6L), "ts_out_of_range"), (Some(7L), "null_user_id"),
       (Some(8L), "nonfinite_value"), (Some(9L), "nonfinite_value"),
       (Some(10L), "value_out_of_range"), (Some(12L), "invalid_props_json"),
-      (Some(13L), "invalid_props_json")))
+      (Some(13L), "invalid_props_json"), (Some(17L), "invalid_props_json")))
   }
 
   test("valid and quarantine partition the events") {
@@ -59,7 +67,8 @@ class ValidateSpec extends AnyFunSuite with SparkTestBase {
     val v = Validate.valid(eventsDf, rules)
     val q = Validate.quarantine(eventsDf, rules)
     assert(v.count() + q.count() == all)
-    assert(v.collect().map(_.get(0)).toSet == Set(1L, 2L, 3L, 11L))
+    assert(v.collect().map(_.get(0)).toSet ==
+      Set(1L, 2L, 3L, 11L, 14L, 15L, 16L))
     // quarantine carries the violation names
     assert(q.filter(col("event_id") === 8L)
       .select(col("violations")(0)).head.getString(0) == "nonfinite_value")
