@@ -164,6 +164,23 @@ object SparkEntry {
     root
   }
 
+  /** The planted-corruption events as a finite stream source for the
+    * streaming ingest-validation gate — the same deterministically
+    * corrupted twin relation the batch gate validates
+    * ([[graft.ops.Validate.eventsWithPlantedCorruption]]), staged as
+    * plain parquet (stateless op: no watermark sentinel needed).
+    */
+  private def stagedCorruptEventsSource(s: SparkSession, dir: String): String = {
+    val root = s"${tmpPath(dir, "stream_exec_validate")}/src"
+    stageOnce(root) {
+      graft.ops.Validate.eventsWithPlantedCorruption(
+          DerivedModel.events(s, dir))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root)
+    }
+    root
+  }
+
   /** Eagerly build every session-staged fixture (dimension parquet,
     * minhash pair relations, finite streaming sources). Bench calls this
     * from its untimed warmup block so per-query timings measure the
@@ -207,7 +224,8 @@ object SparkEntry {
       "kn_model" -> (() => { knModelDim(s, dir); () }),
       "docs_raw_src" -> (() => { stagedRawDocsSource(s, dir); () }),
       "events_src" -> (() => { stagedEventsSource(s, dir); () }),
-      "events_dbl" -> (() => { stagedDoubledEventsSource(s, dir); () }))
+      "events_dbl" -> (() => { stagedDoubledEventsSource(s, dir); () }),
+      "events_corrupt" -> (() => { stagedCorruptEventsSource(s, dir); () }))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
       val futures = chains.map { case (name, build) =>
@@ -1688,6 +1706,81 @@ object SparkEntry {
         graft.ops.Validate.embeddingsWithPlantedCorruption(
           DerivedModel.table(s, dir, "embeddings"), dim = 64),
         "vec_id", graft.ops.Validate.embeddingRules("embedding", 64))),
+
+    // ingest validation at the STREAM boundary (13th real
+    // StreamingQuery): the quarantine split executed as a
+    // Trigger.AvailableNow query over the planted-corruption events —
+    // valid rows append to the contract sink, the per-(row, violation)
+    // audit to the quarantine sink (two sinks via foreachBatch). Rules
+    // are row-pure, so the quarantine sink equals the batch
+    // x_validate_events relation exactly; same oracle
+    "x_stream_validate_exec" -> ((s, dir) => {
+      val srcPath = stagedCorruptEventsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val (_, quarantine) =
+        graft.streaming.StreamingOps.streamingValidateQuarantine(
+          s, srcPath, src, "event_id", graft.ops.Validate.eventRules(),
+          s"${tmpPath(dir, "stream_exec_validate")}/sink")
+      quarantine.select(col("event_id"), col("violation"))
+    }),
+
+    // quarantine OBSERVABILITY: per-rule violation counters riding the
+    // observe()/CollectMetrics path of ONE materialization (the same
+    // machinery as x_quality_audit) — how a 100 TB ingest reports what
+    // its validation gate dropped, and why, with zero extra passes
+    "x_validate_audit" -> ((s, dir) =>
+      graft.ops.Profile.observeAudit(
+        graft.ops.Validate.eventsWithPlantedCorruption(
+          DerivedModel.events(s, dir)),
+        graft.ops.Validate.quarantineAuditMetrics(
+          graft.ops.Validate.eventRules()))),
+
+    // the "operators assume VALIDATED input" contract proven end-to-end:
+    // planted-corruption documents -> Validate quarantine (violation
+    // names attached) -> C4/Gopher rule gate -> exact dedup -> train/val/
+    // test split, emitted as ONE disposition row per input row — every
+    // drop attributed to its stage, every survivor to its split, so the
+    // ledger sums exactly to the input (dropped-row accounting is a
+    // relation, not a log line)
+    "x_pipeline_validate_curate" -> ((s, dir) => {
+      val cap = 2000
+      val rules = graft.ops.Validate.documentRules(maxChars = cap)
+      // input = the boilerplate corpus (the rule gate's fixture — plain
+      // documents lack terminal punctuation, so every stage downstream
+      // of the rules would carry zero flow) + the standard corruption
+      // twins + exact-duplicate twins (doc_id % 3 == 1, +2e9 ids) so
+      // validation, rule, dedup and split ALL have attributable traffic
+      val boiler = DerivedModel.documentsBoilerplate(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+      val corrupt = graft.ops.Validate.documentsWithPlantedCorruption(
+          boiler, capChars = cap)
+        .unionByName(boiler.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      val quarantined = graft.ops.Validate.quarantine(corrupt, rules)
+        .select(col("doc_id"),
+          concat(lit("quarantined:"), array_join(col("violations"), ","))
+            .as("disposition"))
+      val validDocs = graft.ops.Validate.valid(corrupt, rules)
+      // keep is three-valued on degenerate text (no words -> NULL
+      // avg_word_len); the ledger must PARTITION, so NULL keep = dropped
+      val ruled = graft.text.Curation.ruleFilter(validDocs, "doc_id", "text")
+        .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("keep"))
+      val ruleDropped = ruled.filter(!col("keep"))
+        .select(col("doc_id"), lit("rule_dropped").as("disposition"))
+      val kept = validDocs
+        .join(ruled.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      val labeled = graft.dedup.Dedup.exactDedupLabeled(kept, "doc_id", "text")
+      val dupDropped = labeled.filter(!col("is_dup_survivor"))
+        .select(col("doc_id"), lit("dup_dropped").as("disposition"))
+      val split = graft.ops.Sampling.datasetSplit(
+        labeled.filter(col("is_dup_survivor")), "doc_id")
+        .select(col("doc_id"),
+          concat(lit("kept:"), col("split")).as("disposition"))
+      quarantined.unionByName(ruleDropped).unionByName(dupDropped)
+        .unionByName(split)
+    }),
 
     // interval (range) join: equi on user + bounded time range — the batch
     // twin of the watermarked stream-stream join
@@ -4120,6 +4213,56 @@ object SparkEntry {
         s"""WITH ev AS (
            |${graft.ops.Validate.eventsWithPlantedCorruptionSql})
            |${graft.ops.Validate.eventViolationsSql}""".stripMargin,
+
+      // identical relation — the Spark side executed it as a real
+      // foreachBatch StreamingQuery splitting valid/quarantine sinks
+      "x_stream_validate_exec" ->
+        s"""WITH ev AS (
+           |${graft.ops.Validate.eventsWithPlantedCorruptionSql})
+           |${graft.ops.Validate.eventViolationsSql}""".stripMargin,
+
+      // per-rule counters restated as plain conditional counts over the
+      // same planted relation (the Spark side rode observe() metrics)
+      "x_validate_audit" ->
+        s"""WITH ev AS MATERIALIZED (
+           |${graft.ops.Validate.eventsWithPlantedCorruptionSql})
+           |${graft.ops.Validate.eventAuditSql}""".stripMargin,
+
+      "x_pipeline_validate_curate" -> {
+        val cap = 2000
+        s"""WITH ${DerivedSql.documentsBoilerplate},
+           |docs2 AS MATERIALIZED (
+           |  SELECT doc_id, text, lang, source,
+           |    CAST(length(text) AS BIGINT) AS n_chars
+           |  FROM documents_boiler),
+           |dc AS (
+           |${graft.ops.Validate.documentsWithPlantedCorruptionSql(cap, "docs2")}
+           |UNION ALL
+           |SELECT doc_id + 2000000000, text, lang, source, n_chars
+           |FROM docs2 WHERE doc_id % 3 = 1),
+           |vios AS MATERIALIZED (
+           |  SELECT *, ${graft.ops.Validate.violationListSql(
+                graft.ops.Validate.documentRuleSqlPreds(cap))} AS v
+           |  FROM dc),
+           |valid_docs AS MATERIALIZED (
+           |  SELECT doc_id, text FROM vios WHERE len(v) = 0),
+           |ruled AS MATERIALIZED (
+           |  SELECT doc_id, coalesce(keep, FALSE) AS keep FROM (
+           |${graft.text.Curation.ruleFilterSql("valid_docs", "doc_id", "text")}
+           |  )),
+           |kept AS (
+           |  SELECT d.doc_id, d.text FROM valid_docs d
+           |  JOIN ruled r ON d.doc_id = r.doc_id WHERE r.keep),
+           |ranked AS MATERIALIZED (
+           |  SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+           |    ORDER BY doc_id) AS rn FROM kept)
+           |SELECT doc_id, 'quarantined:' || array_to_string(v, ',') AS disposition
+           |FROM vios WHERE len(v) > 0
+           |UNION ALL SELECT doc_id, 'rule_dropped' FROM ruled WHERE NOT keep
+           |UNION ALL SELECT doc_id, 'dup_dropped' FROM ranked WHERE rn > 1
+           |UNION ALL SELECT doc_id, 'kept:' || ${graft.ops.Sampling.datasetSplitSql("doc_id")}
+           |FROM ranked WHERE rn = 1""".stripMargin
+      },
 
       "x_validate_documents" ->
         s"""WITH dc AS (

@@ -34,6 +34,18 @@ object Dedup {
       .drop("_graft_rn")
   }
 
+  /** [[exactDedup]] with the decision LABELED instead of applied: every
+    * row kept, `is_dup_survivor` marks the first-by-id row per distinct
+    * text — the accounting form for audit pipelines that must attribute
+    * every dropped row (the x_pipeline_validate_curate disposition
+    * ledger), at the same cost as [[exactDedup]] (one content-hash
+    * shuffle, one rank window).
+    */
+  def exactDedupLabeled(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    df.withColumn("is_dup_survivor", row_number().over(w) === 1)
+  }
+
   // ---------------- word n-gram shingles ----------------
 
   /** Distinct word n-gram shingles of a text column (1-based `slice`). */

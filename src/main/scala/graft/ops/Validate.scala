@@ -221,38 +221,97 @@ object Validate {
     docs.unionByName(twin)
   }
 
-  /** DuckDB twin of [[documentsWithPlantedCorruption]]. */
-  def documentsWithPlantedCorruptionSql(capChars: Int): String =
-    s"""SELECT * FROM documents
+  /** DuckDB twin of [[documentsWithPlantedCorruption]] over `table` (any
+    * relation with the documents column set).
+    */
+  def documentsWithPlantedCorruptionSql(capChars: Int,
+      table: String = "documents"): String =
+    s"""SELECT * FROM $table
        |UNION ALL
        |SELECT CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id + 1000000000 END,
        |  CASE WHEN doc_id % 3 = 1 THEN NULL
        |       WHEN doc_id % 3 = 2 THEN 'z' || repeat('z', $capChars)
        |       ELSE text END,
        |  lang, source, n_chars
-       |FROM documents""".stripMargin
+       |FROM $table""".stripMargin
+
+  /** (rule_name, DuckDB predicate over a relation named `dc`) — SQL twin
+    * of [[documentRules]], data-shaped like [[eventRuleSqlPreds]] so the
+    * violation relation and the pipeline disposition ledger share one
+    * predicate inventory.
+    */
+  def documentRuleSqlPreds(maxChars: Int): Seq[(String, String)] = Seq(
+    "null_doc_id" -> "doc_id IS NULL",
+    "null_text" -> "text IS NULL",
+    "text_too_long" -> s"text IS NOT NULL AND length(text) > $maxChars")
 
   /** DuckDB twin of the document rules over a relation named `dc`. */
   def documentViolationsSql(maxChars: Int): String =
-    s"""SELECT doc_id, 'null_doc_id' AS violation FROM dc WHERE doc_id IS NULL
-       |UNION ALL SELECT doc_id, 'null_text' FROM dc WHERE text IS NULL
-       |UNION ALL SELECT doc_id, 'text_too_long' FROM dc
-       |  WHERE text IS NOT NULL AND length(text) > $maxChars""".stripMargin
+    documentRuleSqlPreds(maxChars).zipWithIndex.map { case ((n, p), i) =>
+      val sel = if (i == 0) s"SELECT doc_id, '$n' AS violation FROM dc"
+      else s"UNION ALL SELECT doc_id, '$n' FROM dc"
+      s"$sel WHERE $p"
+    }.mkString("\n")
+
+  /** The rule-order violation LIST as one DuckDB expression (twin of
+    * [[violations]]) — `list_filter` over CASE entries preserves rule
+    * order exactly like the Spark array builder.
+    */
+  def violationListSql(preds: Seq[(String, String)]): String =
+    preds.map { case (n, p) => s"CASE WHEN $p THEN '$n' END" }
+      .mkString("list_filter([", ", ", "], x -> x IS NOT NULL)")
+
+  /** (rule_name, DuckDB predicate over a relation named `ev`) — the SQL
+    * twin of [[eventRules]], kept as data so BOTH the violation relation
+    * ([[eventViolationsSql]]) and the per-rule audit counters
+    * ([[eventAuditSql]]) derive from the one predicate inventory (a rule
+    * added to [[eventRules]] without a twin here fails its gate, not
+    * silently half of them).
+    */
+  def eventRuleSqlPreds: Seq[(String, String)] = Seq(
+    "null_event_id" -> "event_id IS NULL",
+    "null_user_id" -> "user_id IS NULL",
+    "null_ts" -> "ts IS NULL",
+    "ts_out_of_range" ->
+      s"ts IS NOT NULL AND (ts < TIMESTAMP '$MinTs' OR ts >= TIMESTAMP '$MaxTs')",
+    "nonfinite_value" ->
+      "value IS NOT NULL AND (isnan(value) OR isinf(value))",
+    "value_out_of_range" ->
+      ("value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value) " +
+        s"AND abs(value) > ${MaxAbsValue}"),
+    "invalid_props_json" -> "props IS NOT NULL AND NOT json_valid(props)")
 
   /** DuckDB twin of the event rules over a relation named `ev`. */
   def eventViolationsSql: String =
-    s"""SELECT event_id, 'null_event_id' AS violation FROM ev WHERE event_id IS NULL
-       |UNION ALL SELECT event_id, 'null_user_id' FROM ev WHERE user_id IS NULL
-       |UNION ALL SELECT event_id, 'null_ts' FROM ev WHERE ts IS NULL
-       |UNION ALL SELECT event_id, 'ts_out_of_range' FROM ev
-       |  WHERE ts IS NOT NULL AND (ts < TIMESTAMP '$MinTs' OR ts >= TIMESTAMP '$MaxTs')
-       |UNION ALL SELECT event_id, 'nonfinite_value' FROM ev
-       |  WHERE value IS NOT NULL AND (isnan(value) OR isinf(value))
-       |UNION ALL SELECT event_id, 'value_out_of_range' FROM ev
-       |  WHERE value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
-       |    AND abs(value) > ${MaxAbsValue}
-       |UNION ALL SELECT event_id, 'invalid_props_json' FROM ev
-       |  WHERE props IS NOT NULL AND NOT json_valid(props)""".stripMargin
+    eventRuleSqlPreds.zipWithIndex.map { case ((n, p), i) =>
+      val sel = if (i == 0) s"SELECT event_id, '$n' AS violation FROM ev"
+      else s"UNION ALL SELECT event_id, '$n' FROM ev"
+      s"$sel\n  WHERE $p"
+    }.mkString("\n")
+
+  /** Per-rule quarantine counters as `observe()` metrics (see
+    * [[graft.ops.Profile.observeAudit]]): row total, quarantined total,
+    * and one violation counter per rule — all riding the task-completion
+    * path of ONE materialization, the zero-extra-pass way a 100 TB
+    * ingest reports what its validation gate dropped and why.
+    */
+  def quarantineAuditMetrics(rules: Seq[(String, Column)]): Seq[(String, Column)] =
+    Seq[(String, Column)](
+      "n_rows" -> count(lit(1)),
+      "n_quarantined" -> count(when(size(violations(rules)) > 0, 1))) ++
+      rules.map { case (n, c) => s"viol_$n" -> count(when(c, 1)) }
+
+  /** DuckDB twin of [[quarantineAuditMetrics]] over a relation named
+    * `ev` with the event rules.
+    */
+  def eventAuditSql: String = {
+    val any = eventRuleSqlPreds.map { case (_, p) => s"($p)" }.mkString(" OR ")
+    (s"SELECT 'n_rows' AS metric, count(*)::BIGINT AS value FROM ev\n" +
+      s"UNION ALL SELECT 'n_quarantined', count(CASE WHEN $any THEN 1 END)::BIGINT FROM ev\n" +
+      eventRuleSqlPreds.map { case (n, p) =>
+        s"UNION ALL SELECT 'viol_$n', count(CASE WHEN $p THEN 1 END)::BIGINT FROM ev"
+      }.mkString("\n"))
+  }
 
   /** DuckDB twin of the embedding rules over a relation named `em`. */
   def embeddingViolationsSql(dim: Int): String =

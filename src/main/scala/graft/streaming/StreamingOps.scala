@@ -402,6 +402,58 @@ object StreamingOps {
     spark.read.parquet(s"$outRoot/data")
   }
 
+  /** Ingest VALIDATION as a REAL StreamingQuery — the stream-boundary
+    * deployment of [[graft.ops.Validate]]: every arriving micro-batch is
+    * split row-by-row into the validated stream (appended to the `valid`
+    * sink — the input every downstream operator's contract assumes) and
+    * the per-(row, violation) quarantine audit (appended to the
+    * `quarantine` sink, violation names attached, so "why was this row
+    * dropped" stays answerable at ingest time, not in a post-mortem
+    * rescan). The rules are pure scan expressions (no join, no
+    * watermark, no state store), so the split is a pure function of each
+    * row and ANY micro-batch decomposition equals the batch
+    * [[graft.ops.Validate.valid]]/[[graft.ops.Validate.violationRows]]
+    * partition exactly (spec-asserted under `maxFilesPerTrigger = 1`).
+    *
+    * Two sinks from one query take `foreachBatch` — the standard
+    * Structured Streaming multi-sink idiom; the batch is persisted so
+    * the source scan is paid once, not once per sink. As with the
+    * ingest-dedup gate, a production deployment makes the two appends
+    * idempotent by batchId-keyed paths; the gate's `AvailableNow` run
+    * over an immutable staging has no retry window to protect.
+    */
+  def streamingValidateQuarantine(spark: SparkSession, sourcePath: String,
+      schemaFrom: DataFrame, idCol: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)], outRoot: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      timeoutMs: Long = 600000L): (DataFrame, DataFrame) = {
+    deleteRecursively(new java.io.File(outRoot))
+    val reader = spark.readStream.schema(schemaFrom.schema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    val sq = reader.parquet(sourcePath)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.persist()
+        try {
+          graft.ops.Validate.valid(batch, rules)
+            .write.mode("append").parquet(s"$outRoot/valid")
+          graft.ops.Validate.violationRows(batch, idCol, rules)
+            .write.mode("append").parquet(s"$outRoot/quarantine")
+        } finally { batch.unpersist(); () }
+      }
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$outRoot/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!sq.awaitTermination(timeoutMs)) {
+      sq.stop()
+      throw new IllegalStateException(
+        s"streaming query did not terminate within ${timeoutMs} ms")
+    }
+    (spark.read.parquet(s"$outRoot/valid"),
+      spark.read.parquet(s"$outRoot/quarantine"))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

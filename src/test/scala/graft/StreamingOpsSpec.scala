@@ -235,6 +235,59 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
       s"streaming keep set != batch (sizes ${got.size}/${want.size})")
   }
 
+  test("streaming validate/quarantine == batch partition, per-file batches") {
+    // ingest validation is row-pure: any micro-batch split must yield
+    // exactly the batch valid/violationRows partition, and the two sinks
+    // must partition the source (every row in exactly one, counting a
+    // multi-violation row once)
+    import graft.ops.Validate
+    import org.apache.spark.sql.functions._
+    val root = s"$base/validate_stream"
+    locally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val corrupt = Validate.eventsWithPlantedCorruption(
+      DerivedModel.events(spark, dir).limit(300)).cache()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/src"))
+    Seq(corrupt.filter(col("event_id") % 2 === 0),
+      corrupt.filter(col("event_id") % 2 =!= 0)).zipWithIndex.foreach {
+      case (half, i) =>
+        val tmp = s"$root/_stage"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$root/src", f"f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        assert(dst.setLastModified(1700000000000L + i * 10000L))
+    }
+    val rules = Validate.eventRules()
+    val (validSink, quarantineSink) =
+      graft.streaming.StreamingOps.streamingValidateQuarantine(
+        spark, s"$root/src", corrupt, "event_id", rules,
+        s"$root/sink", maxFilesPerTrigger = Some(1))
+    val gotValid = validSink.collect().map(_.getLong(0)).toSet
+    val wantValid = Validate.valid(corrupt, rules)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotValid == wantValid && gotValid.nonEmpty,
+      s"valid sink != batch valid (sizes ${gotValid.size}/${wantValid.size})")
+    val gotQ = quarantineSink.collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    val wantQ = Validate.violationRows(corrupt, "event_id", rules)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(gotQ == wantQ && gotQ.nonEmpty,
+      s"quarantine sink != batch violations: only-stream=${gotQ -- wantQ}, " +
+        s"only-batch=${wantQ -- gotQ}")
+    // the sinks PARTITION the source
+    val quarantinedRows = quarantineSink.select(col("event_id")).distinct().count()
+    assert(validSink.count() + quarantinedRows == corrupt.count(),
+      "valid + quarantined must partition the stream")
+    corrupt.unpersist(): Unit
+  }
+
   test("streaming source counters: last update per source over multi-" +
       "batch arrival equals the batch volumes") {
     import org.apache.spark.sql.functions._

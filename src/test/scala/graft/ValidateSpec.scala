@@ -116,6 +116,42 @@ class ValidateSpec extends AnyFunSuite with SparkTestBase {
     assert(Validate.valid(df, rules).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("pipeline disposition ledger partitions the input; planted rows " +
+      "are recovered in quarantine and never in the output") {
+    // the x_pipeline_validate_curate contract: one disposition row per
+    // input row (drops attributed to their stage, survivors to their
+    // split), and every planted-corruption twin lands in quarantine —
+    // none survives into a kept: split
+    val sfDir = "/root/testdata/sf0.001"
+    // the gate's input: boiler corpus + corruption twins (ids +1e9 or
+    // null) + exact-duplicate twins (ids +2e9 for doc_id % 3 == 1)
+    val nBoiler = DerivedModel.documentsBoilerplate(spark, sfDir).count()
+    val nDupTwins = DerivedModel.documentsBoilerplate(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1).count()
+    val out = SparkEntry.queries("x_pipeline_validate_curate")(spark, sfDir)
+      .cache()
+    assert(out.count() == 2 * nBoiler + nDupTwins,
+      "ledger must have exactly one row per input row")
+    // corruption twins are quarantined, always
+    val corruptionDisp = out
+      .filter(col("doc_id").isNull ||
+        (col("doc_id") >= 1000000000L && col("doc_id") < 2000000000L))
+      .select("disposition").distinct()
+      .collect().map(_.getString(0))
+    assert(corruptionDisp.nonEmpty &&
+      corruptionDisp.forall(_.startsWith("quarantined:")),
+      s"every corruption twin must be quarantined, got: ${corruptionDisp.toSeq}")
+    // a duplicate twin can never out-survive its smaller-id original
+    assert(out.filter(col("doc_id") >= 2000000000L &&
+      col("disposition").startsWith("kept:")).count() == 0,
+      "no duplicate twin may reach the output")
+    // every stage carries attributable traffic
+    for (d <- Seq("kept:", "rule_dropped", "dup_dropped", "quarantined:"))
+      assert(out.filter(col("disposition").startsWith(d)).count() > 0,
+        s"degenerate fixture: no rows with disposition $d")
+    out.unpersist(): Unit
+  }
+
   test("null embedding row fires null_embedding") {
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
