@@ -94,6 +94,8 @@ object ScalePerfHarness {
       case "triangles" => trianglesMode(spark, count)
       case "sketches" => sketchesMode(spark, count)
       case "cooc" => coocMode(spark, count)
+      case "prefixdecade" => prefixDecadeMode(spark, count)
+      case "vocabdecade" => vocabDecadeMode(spark, count)
       case "neardedup" =>
         profileQuery(spark, "x_dedup_near_dedup",
           rest.headOption.getOrElse("/root/testdata/sf0.1"))
@@ -289,6 +291,136 @@ object ScalePerfHarness {
     * SPARK_GRAFT_BP_EVERY overrides the boilerplate spacing (default
     * 1000 → df ≈ count/1000, ~10.4k docs at 10.4M).
     */
+  /** Cumulative shuffle-write / spill totals across an arm's stages —
+    * the DISK law the 104M dedup-prefix decade needs: whether the next
+    * rung fits this box is a shuffle-bytes projection, not a guess.
+    */
+  private final class IoTotals extends org.apache.spark.scheduler.SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      diskSpill.addAndGet(m.diskBytesSpilled)
+      memSpill.addAndGet(m.memoryBytesSpilled): Unit
+    }
+  }
+
+  private def withIoTotals(spark: SparkSession, tag: String)(f: => Unit): Unit = {
+    val l = new IoTotals
+    spark.sparkContext.addSparkListener(l)
+    // sample the LIVE disk floor: cumulative shuffle totals understate
+    // the binding resource (concurrent shuffle files + in-flight sort
+    // spill), and the rung-feasibility projection needs the true peak
+    val minFree = new java.util.concurrent.atomic.AtomicLong(Long.MaxValue)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sampler = new Thread(() => {
+      while (!stop.get()) {
+        minFree.getAndUpdate(m =>
+          math.min(m, new java.io.File("/tmp").getUsableSpace))
+        Thread.sleep(2000)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    try f finally {
+      Thread.sleep(3000) // listener bus is async; let it drain
+      stop.set(true)
+      spark.sparkContext.removeSparkListener(l)
+      println(f"[io-totals] $tag shuffleWriteGB=${l.shuffleWrite.get / 1e9}%.1f " +
+        f"diskSpillGB=${l.diskSpill.get / 1e9}%.1f " +
+        f"memSpillGB=${l.memSpill.get / 1e9}%.1f " +
+        f"tmpFreeGB=${new java.io.File("/tmp").getUsableSpace / 1e9}%.1f " +
+        f"minFreeGB=${minFree.get / 1e9}%.1f")
+    }
+  }
+
+  /** r13 verdict item 4: the dedup-prefix at-scale posture at its third
+    * decade. Runs ONLY the postures recommended for boilerplate corpora
+    * (absolute maxDf; jaccard prefix; containment prefix — the
+    * unguarded arms are infeasible at this df by the measured law, as
+    * the 20%-share probe established), on the standard bpEvery=1000
+    * skewed corpus, with per-arm cumulative shuffle/spill totals so the
+    * next rung's DISK footprint is a measured projection (shuffle bytes
+    * are linear in docs; the box's free disk is the binding resource at
+    * 104M, and a cluster's disk scales with executors).
+    * `SPARK_GRAFT_PREFIX_ARMS=maxdf|jaccard|containment` runs one arm
+    * (the 104M rungs are hour-scale each; one arm per process keeps a
+    * failure from voiding completed arms).
+    */
+  private def prefixDecadeMode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    val bpEvery = sys.env.getOrElse("SPARK_GRAFT_BP_EVERY", "1000").toLong
+    val armSel = sys.env.getOrElse("SPARK_GRAFT_PREFIX_ARMS", "all")
+    def on(a: String) = armSel == "all" || armSel == a
+    val docs = skewedTextCorpus(spark, count, bpEvery).persist()
+    val n = docs.count()
+    println(s"[scale-harness] prefixdecade: n=$n bpEvery=$bpEvery " +
+      s"(planted df ~= ${count / bpEvery}) arms=$armSel")
+    if (on("maxdf")) {
+      withIoTotals(spark, "maxdf1000") {
+        time("ngramJaccardPairs(maxDf=1000 absolute)", n) {
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.8,
+            maxDf = Some(1000)).count()
+        }: Unit
+      }
+      Persisted.unpersistAll()
+    }
+    if (on("jaccard")) {
+      withIoTotals(spark, "jaccardPrefix") {
+        time("jaccardPrefixPairs(tau=4/5)", n) {
+          Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3,
+            tauNum = 4, tauDen = 5).count()
+        }: Unit
+      }
+      Persisted.unpersistAll()
+    }
+    if (on("containment")) {
+      withIoTotals(spark, "containmentPrefix") {
+        time("containmentPrefixPairs(tau=9/10)", n) {
+          Dedup.containmentPrefixPairs(docs, "doc_id", "text", n = 3,
+            tauNum = 9, tauDen = 10).count()
+        }: Unit
+      }
+      Persisted.unpersistAll()
+    }
+    docs.unpersist(): Unit
+  }
+
+  /** r13 verdict item 6: the vocab family at 104M docs (4.2B tokens) —
+    * frequency pass + top-N (the map-side-combine claim: the shuffle is
+    * bounded by partitions × distinct tokens, never the token stream),
+    * broadcast-join encode, and OOV stats at the decade the signals10m
+    * evidence stops at.
+    */
+  private def vocabDecadeMode(spark: SparkSession, count: Long): Unit = {
+    import graft.text.Vocabulary
+    def consume(df: DataFrame): Long = {
+      df.write.mode("overwrite").format("noop").save(); 0L
+    }
+    val docs = textCorpus(spark, count).persist()
+    val n = docs.count()
+    val vocab = Vocabulary.buildVocab(docs, "text", size = 50000, minCount = 2L)
+      .persist()
+    withIoTotals(spark, "buildVocab") {
+      time("buildVocab(size=50k)", n) { vocab.count() }: Unit
+    }
+    withIoTotals(spark, "encode") {
+      time("encode(token-ids)", n) {
+        consume(Vocabulary.encode(docs, "doc_id", "text", vocab))
+      }: Unit
+    }
+    withIoTotals(spark, "oovStats") {
+      time("oovStats", n) {
+        consume(Vocabulary.oovStats(docs, "doc_id", "text", vocab))
+      }: Unit
+    }
+    vocab.unpersist()
+    docs.unpersist(): Unit
+  }
+
   private def ssjoinSkewMode(spark: SparkSession, count: Long): Unit = {
     import graft.dedup.Dedup
     val bpEvery = sys.env.getOrElse("SPARK_GRAFT_BP_EVERY", "1000").toLong
