@@ -1985,6 +1985,18 @@ object SparkEntry {
           DerivedModel.table(s, dir, "documents"), "text",
           size = 200, minCount = 2L))),
 
+    // encode WITHOUT the reassembly exchange: the vocab embedded in a
+    // codegen expression (VocabEncodeExpr, O(1) hash lookup per token) —
+    // the at-scale posture the r14 vocabdecade measurement motivates
+    // (the relational form's per-doc reassembly wrote 36.9 GB shuffle +
+    // 87.9 GB spill at 4.24B tokens; this form is a pure scan)
+    "x_vocab_encode_inrow" -> ((s, dir) =>
+      graft.text.Vocabulary.encodeInRowJoined(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        graft.text.Vocabulary.buildVocab(
+          DerivedModel.table(s, dir, "documents"), "text",
+          size = 200, minCount = 2L))),
+
     // tokenizer-aware quality signal: per-doc OOV counts under the vocab
     // (integer-only, broadcast lookup)
     "x_vocab_oov" -> ((s, dir) =>
@@ -4342,6 +4354,12 @@ object SparkEntry {
         graft.text.Vocabulary.buildVocabSql(size = 200, minCount = 2L),
 
       "x_vocab_encode" ->
+        graft.text.Vocabulary.encodeSql(size = 200, minCount = 2L),
+
+      // identical relation — the Spark side encodes inside the scan via
+      // the embedded-vocab expression (no join, no exchange); the oracle
+      // replays the relational definition
+      "x_vocab_encode_inrow" ->
         graft.text.Vocabulary.encodeSql(size = 200, minCount = 2L),
 
       // vocab size 20 so a meaningful OOV fraction exists at sf0.01

@@ -78,6 +78,36 @@ object Vocabulary {
         array_join(transform(col("token_ids"), _.cast("string")), " ")
           .as("token_ids"))
 
+  /** [[encode]] in ONE scan — zero joins, zero exchanges: the vocab
+    * (≤ `size` entries, the same bound that makes the relational
+    * broadcast legal) is collected once on the driver and embedded in a
+    * codegen expression with an O(1) hash lookup per token
+    * ([[VocabEncodeExpr]]). Output is bit-identical to [[encode]]
+    * (spec-pinned). This is the at-scale posture the `vocabdecade` r14
+    * measurement motivates: the relational form's per-doc reassembly
+    * exchange is 36.9 GB shuffle + 87.9 GB spill at 4.24B tokens, and
+    * this form eliminates it — encode rides the same scan as any other
+    * per-row text signal.
+    */
+  def encodeInRow(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, oovId: Long = -1L): DataFrame = {
+    // vocab-bounded driver collect (same staging bound as the DSIR
+    // weights map); deterministic content, so every consumer agrees
+    val entries = vocab.select(col("token"), col("token_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.select(col(idCol),
+      VocabEncodeExpr.encodeCol(TextFunctions.tokens(col(textCol)),
+        entries, oovId).as("token_ids"))
+  }
+
+  /** [[encodeInRow]] in the gated space-joined form of [[encodeJoined]]. */
+  def encodeInRowJoined(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, oovId: Long = -1L): DataFrame =
+    encodeInRow(df, idCol, textCol, vocab, oovId)
+      .select(col(idCol),
+        array_join(transform(col("token_ids"), _.cast("string")), " ")
+          .as("token_ids"))
+
   /** Per-document out-of-vocabulary stats under `vocab` — the quality
     * signal a tokenizer-aware curation gate filters on (high OOV ⇒ the
     * vocab doesn't model the doc). Integer counts only, so the result is

@@ -397,6 +397,11 @@ object ScalePerfHarness {
     */
   private def vocabDecadeMode(spark: SparkSession, count: Long): Unit = {
     import graft.text.Vocabulary
+    // arm filter (comma-set of encode|inrow|oov): the 106M relational
+    // encode costs ~19 min and drove the disk floor to 3 GB — re-runs
+    // that only need the in-row comparison skip it
+    val arms = sys.env.getOrElse("SPARK_GRAFT_VOCAB_ARMS", "encode,inrow,oov")
+      .split(',').map(_.trim).toSet
     def consume(df: DataFrame): Long = {
       df.write.mode("overwrite").format("noop").save(); 0L
     }
@@ -407,12 +412,17 @@ object ScalePerfHarness {
     withIoTotals(spark, "buildVocab") {
       time("buildVocab(size=50k)", n) { vocab.count() }: Unit
     }
-    withIoTotals(spark, "encode") {
+    if (arms("encode")) withIoTotals(spark, "encode") {
       time("encode(token-ids)", n) {
         consume(Vocabulary.encode(docs, "doc_id", "text", vocab))
       }: Unit
     }
-    withIoTotals(spark, "oovStats") {
+    if (arms("inrow")) withIoTotals(spark, "encodeInRow") {
+      time("encodeInRow(token-ids)", n) {
+        consume(Vocabulary.encodeInRow(docs, "doc_id", "text", vocab))
+      }: Unit
+    }
+    if (arms("oov")) withIoTotals(spark, "oovStats") {
       time("oovStats", n) {
         consume(Vocabulary.oovStats(docs, "doc_id", "text", vocab))
       }: Unit

@@ -133,6 +133,32 @@ class VocabularySpec extends AnyFunSuite with SparkTestBase {
     assert(enc(2L) == "-1 0", s"got ${enc(2L)}")
   }
 
+  test("encodeInRow == encode (embedded-vocab expression vs relational " +
+      "join+reassembly), incl. OOV and on the documents corpus") {
+    import spark.implicits._
+    val tiny = Seq((1L, "b a b c"), (2L, "zz a")).toDF("doc_id", "text")
+    val vt = Vocabulary.buildVocab(tiny, "text", size = 2)
+    val inrow = Vocabulary.encodeInRowJoined(tiny, "doc_id", "text", vt)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(inrow(1L) == "1 0 1 -1" && inrow(2L) == "-1 0", s"got $inrow")
+    // corpus check: bit-identical to the relational form
+    val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val vocab = Vocabulary.buildVocab(docs, "text", size = 200, minCount = 2L)
+      .persist()
+    val a = Vocabulary.encodeJoined(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Vocabulary.encodeInRowJoined(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    vocab.unpersist()
+    assert(a == b, s"forms diverge on ${a.keySet.filter(k => a(k) != b(k)).take(3)}")
+    // the in-row form is a pure scan: no exchange anywhere in its plan
+    val plan = Vocabulary.encodeInRow(docs, "doc_id", "text",
+      Vocabulary.buildVocab(docs, "text", size = 200, minCount = 2L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"encodeInRow must not shuffle:\n$plan")
+  }
+
   test("surprisalBuckets: exact thirds land head/middle/tail by " +
     "common/mid/rare vocabulary") {
     import spark.implicits._
