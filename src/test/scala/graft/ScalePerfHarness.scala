@@ -427,6 +427,23 @@ object ScalePerfHarness {
         consume(Vocabulary.oovStats(docs, "doc_id", "text", vocab))
       }: Unit
     }
+    // BPE segmentation stats: relational (explode + broadcast join +
+    // per-doc reassembly agg) vs the embedded word→n_syms expression
+    // (r15 verdict item 4). Both time a full call including the
+    // identical 6-round training, so the delta IS the application path;
+    // withIoTotals separates the reassembly exchange.
+    if (arms("bpeseg")) withIoTotals(spark, "bpeSegmentStats") {
+      time("bpeSegmentStats(rounds=6)", n) {
+        consume(Vocabulary.bpeSegmentStats(docs, "doc_id", "text", 6))
+      }: Unit
+      Persisted.unpersistAll()
+    }
+    if (arms("bpeseginrow")) withIoTotals(spark, "bpeSegmentStatsInRow") {
+      time("bpeSegmentStatsInRow(rounds=6)", n) {
+        consume(Vocabulary.bpeSegmentStatsInRow(docs, "doc_id", "text", 6))
+      }: Unit
+      Persisted.unpersistAll()
+    }
     vocab.unpersist()
     docs.unpersist(): Unit
   }
@@ -1202,15 +1219,27 @@ object ScalePerfHarness {
     val chains = spark.range(count)
       .filter(col("id") % 1000 =!= 999)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-    Seq(("stars(size-4,diam-2)", stars), ("chains(len-1000)", chains))
-      .foreach { case (name, pairs) =>
+    Seq(("stars(size-4,diam-2)", stars, (count + 3) / 4),
+      ("chains(len-1000)", chains, (count + 999) / 1000))
+      .foreach { case (name, pairs, wantGroups) =>
         val p = pairs.persist()
         val n = p.count()
         var rounds = 0
-        time(s"duplicateGroupsConverged:$name", n) {
-          Dedup.duplicateGroupsConverged(p, onRound = r => rounds = r).count()
+        var groups = 0L
+        // io totals per arm (r15 verdict item 5): the decade claim is
+        // linear shuffle bytes per pair alongside bounded rounds
+        withIoTotals(spark, s"groups:$name") {
+          time(s"duplicateGroupsConverged:$name", n) {
+            groups = Dedup.duplicateGroupsConverged(
+              p, onRound = r => rounds = r)
+              .select(col("group_id")).distinct().count()
+            groups
+          }: Unit
         }
-        println(s"[scale-harness] $name rounds=$rounds")
+        println(s"[scale-harness] $name pairs=$n rounds=$rounds " +
+          s"groups=$groups (want $wantGroups)")
+        assert(groups == wantGroups,
+          s"$name: got $groups components, expected $wantGroups")
         Persisted.unpersistAll()
         p.unpersist(true): Unit
       }

@@ -277,6 +277,51 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTestBase {
     graft.Persisted.unpersistAll()
   }
 
+  test("bpeSegmentStatsInRow == bpeSegmentStats (embedded word-length " +
+      "table vs relational), incl. row presence on null text and on the " +
+      "documents corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // same tiny corpus as the relational test + a NULL-text doc: both
+    // forms must drop it (inner join feeds the groupBy there; the
+    // n_tokens > 0 filter here), not emit a null/zero row
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "aaab aaab ab"), Row(2L, "ab"),
+        Row(3L, null.asInstanceOf[String]))), schema)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rel = toMap(graft.text.Vocabulary.bpeSegmentStats(
+      docs, "doc_id", "text", rounds = 1))
+    graft.Persisted.unpersistAll()
+    val inrow = toMap(graft.text.Vocabulary.bpeSegmentStatsInRow(
+      docs, "doc_id", "text", rounds = 1))
+    graft.Persisted.unpersistAll()
+    assert(rel == inrow && !rel.contains(3L), s"rel=$rel inrow=$inrow")
+    // corpus check: bit-identical on real documents
+    val corpus = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
+    val a = toMap(graft.text.Vocabulary.bpeSegmentStats(
+      corpus, "doc_id", "text", rounds = 3))
+    graft.Persisted.unpersistAll()
+    val b = toMap(graft.text.Vocabulary.bpeSegmentStatsInRow(
+      corpus, "doc_id", "text", rounds = 3))
+    graft.Persisted.unpersistAll()
+    assert(a == b,
+      s"forms diverge on ${a.keySet.filter(k => a.get(k) != b.get(k)).take(3)}")
+    // the in-row application path is a pure scan past the trained model:
+    // its plan contains no exchange (training runs eagerly in the
+    // collect; what's planned here is only the scan + filter)
+    val plan = graft.text.Vocabulary.bpeSegmentStatsInRow(
+      corpus, "doc_id", "text", rounds = 1)
+      .queryExecution.executedPlan.toString
+    graft.Persisted.unpersistAll()
+    assert(!plan.contains("Exchange"),
+      s"bpeSegmentStatsInRow must not shuffle:\n$plan")
+  }
+
   test("surprisal: fixed-point tracks -log2 P within 2^-FracBits per token") {
     import spark.implicits._
     val docs = Seq(

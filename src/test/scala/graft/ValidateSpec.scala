@@ -45,7 +45,13 @@ class ValidateSpec extends AnyFunSuite with SparkTestBase {
         r(14L, ts, 14L, "click", 1.0, "null"),                // valid
         r(15L, ts, 15L, "click", 1.0, " null "),              // valid
         r(16L, ts, 16L, "click", 1.0, "\tnull\r\n"),          // valid
-        r(17L, ts, 17L, "click", 1.0, "nullx"))),             // invalid_props_json
+        r(17L, ts, 17L, "click", 1.0, "nullx"),               // invalid_props_json
+        // Java-regex line terminators (NOT JSON whitespace): `$` would
+        // match before a final U+0085/U+2028/U+2029 and wrongly
+        // suppress the rule; the \A/\z anchors must NOT (r14 ADVICE)
+        r(18L, ts, 18L, "click", 1.0, "null\u0085"),          // invalid_props_json
+        r(19L, ts, 19L, "click", 1.0, " null \u2028"),        // invalid_props_json
+        r(20L, ts, 20L, "click", 1.0, "null\u2029"))),        // invalid_props_json
       schema)
   }
 
@@ -58,7 +64,9 @@ class ValidateSpec extends AnyFunSuite with SparkTestBase {
       (Some(6L), "ts_out_of_range"), (Some(7L), "null_user_id"),
       (Some(8L), "nonfinite_value"), (Some(9L), "nonfinite_value"),
       (Some(10L), "value_out_of_range"), (Some(12L), "invalid_props_json"),
-      (Some(13L), "invalid_props_json"), (Some(17L), "invalid_props_json")))
+      (Some(13L), "invalid_props_json"), (Some(17L), "invalid_props_json"),
+      (Some(18L), "invalid_props_json"), (Some(19L), "invalid_props_json"),
+      (Some(20L), "invalid_props_json")))
   }
 
   test("valid and quarantine partition the events") {

@@ -141,6 +141,17 @@ class VocabularySpec extends AnyFunSuite with SparkTestBase {
     val inrow = Vocabulary.encodeInRowJoined(tiny, "doc_id", "text", vt)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(inrow(1L) == "1 0 1 -1" && inrow(2L) == "-1 0", s"got $inrow")
+    // NULL-text row-presence semantics match encode's: the doc is
+    // ABSENT from both outputs, not present with a NULL encoding
+    // (r14 ADVICE)
+    val withNull = Seq((1L, "b a"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val encIds = Vocabulary.encode(withNull, "doc_id", "text", vt)
+      .collect().map(_.getLong(0)).toSet
+    val inrowIds = Vocabulary.encodeInRow(withNull, "doc_id", "text", vt)
+      .collect().map(_.getLong(0)).toSet
+    assert(encIds == Set(1L) && inrowIds == Set(1L),
+      s"null-text doc must be absent from both: enc=$encIds inrow=$inrowIds")
     // corpus check: bit-identical to the relational form
     val docs = DerivedModel.table(spark, "/root/testdata/sf0.001", "documents")
     val vocab = Vocabulary.buildVocab(docs, "text", size = 200, minCount = 2L)

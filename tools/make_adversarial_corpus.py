@@ -79,27 +79,35 @@ def build_hostile_tables(out_dir: str) -> None:
     ep = datetime.datetime
     src = pq.read_table(out / "events.parquet")
     adv = {
-        "event_id": [100001 + i for i in range(16)],
+        "event_id": [100001 + i for i in range(19)],
         "ts": [ep(1970, 1, 1), ep(1969, 12, 31, 23, 59, 59), ep(2262, 4, 11),
                ep(2024, 1, 15), ep(2024, 1, 15), ep(2024, 1, 15),
                ep(2024, 1, 16), ep(2024, 1, 16), ep(2024, 1, 17),
                ep(2024, 1, 17), ep(2024, 1, 18), None,
-               ep(2024, 1, 19), ep(2024, 1, 19), ep(2024, 1, 19), ep(2024, 1, 19)],
-        "user_id": [1, 2, 3, None, 4, 4, 5, 5, 6, 7, 8, 9, 10, 10, 10, 10],
+               ep(2024, 1, 19), ep(2024, 1, 19), ep(2024, 1, 19), ep(2024, 1, 19),
+               ep(2024, 1, 20), ep(2024, 1, 20), ep(2024, 1, 20)],
+        "user_id": [1, 2, 3, None, 4, 4, 5, 5, 6, 7, 8, 9, 10, 10, 10, 10,
+                    11, 11, 11],
         "event_type": ["click", "purchase", "click", "click", None, "",
                        "клик", "click", "purchase", "click", "error", "click",
-                       "click", "click", "click", "click"],
+                       "click", "click", "click", "click",
+                       "click", "click", "click"],
         "value": [float("nan"), float("inf"), -float("inf"), -1.5, None, 0.0,
-                  -0.0, 1e18, 1e-300, 327.53, 5.0, 2.0, 1.0, 1.0, 1.0, 1.0],
-        # last four: the JSON null-root class (r13 ADVICE) — bare `null`
-        # and its JSON-whitespace wrappings are VALID documents
-        # (json_valid = true) and must be kept by the validator, while
-        # `nullx` stays invalid.
+                  -0.0, 1e18, 1e-300, 327.53, 5.0, 2.0, 1.0, 1.0, 1.0, 1.0,
+                  1.0, 1.0, 1.0],
+        # null/" null "/"\tnull\r\n"/nullx: the JSON null-root class
+        # (r13 ADVICE) — bare `null` and its JSON-whitespace wrappings
+        # are VALID documents (json_valid = true) and must be kept by
+        # the validator, while `nullx` stays invalid.
         "props": ["not json at all", '{"a":', None,
                   '{"k":"v","nested":{"deep":{"deeper":[1,2,3]}}}',
                   '{"ключ":"значение"}', "{}", "[]", '{"a":1e999}',
                   '{"a":null}', '{"dup":1,"dup":2}', '{"s":"with \\"quote"}',
-                  '{"n":-0.0}', "null", " null ", "\tnull\r\n", "nullx"],
+                  '{"n":-0.0}', "null", " null ", "\tnull\r\n", "nullx",
+                  # Java-regex line terminators that are NOT JSON
+                  # whitespace: json_valid is FALSE, and the Spark
+                  # null-root guard must not swallow them (r14 ADVICE)
+                  "null\u0085", " null \u2028", "null\u2029"],
     }
     advt = pa.table({k: pa.array(v, src.schema.field(k).type)
                      for k, v in adv.items()})
