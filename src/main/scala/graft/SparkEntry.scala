@@ -198,6 +198,25 @@ object SparkEntry {
     root
   }
 
+  /** The planted-corruption embeddings as a finite stream source — the
+    * third (and last) rule set through
+    * [[graft.streaming.StreamingOps.streamingValidateQuarantine]]: the
+    * embedding rules are the only ones evaluating an ARRAY column
+    * (size / exists-lambda predicates), so this run is also execution
+    * evidence that the stream-boundary split handles non-scalar
+    * payloads, not just the events/documents scalar rows.
+    */
+  private def stagedCorruptEmbsSource(s: SparkSession, dir: String): String = {
+    val root = s"${tmpPath(dir, "stream_exec_validate_embs")}/src"
+    stageOnce(root) {
+      graft.ops.Validate.embeddingsWithPlantedCorruption(
+          DerivedModel.table(s, dir, "embeddings"), dim = 64)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(root)
+    }
+    root
+  }
+
   /** Eagerly build every session-staged fixture (dimension parquet,
     * minhash pair relations, finite streaming sources). Bench calls this
     * from its untimed warmup block so per-query timings measure the
@@ -243,7 +262,8 @@ object SparkEntry {
       "events_src" -> (() => { stagedEventsSource(s, dir); () }),
       "events_dbl" -> (() => { stagedDoubledEventsSource(s, dir); () }),
       "events_corrupt" -> (() => { stagedCorruptEventsSource(s, dir); () }),
-      "docs_corrupt" -> (() => { stagedCorruptDocsSource(s, dir); () }))
+      "docs_corrupt" -> (() => { stagedCorruptDocsSource(s, dir); () }),
+      "embs_corrupt" -> (() => { stagedCorruptEmbsSource(s, dir); () }))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     try {
       val futures = chains.map { case (name, build) =>
@@ -1755,6 +1775,22 @@ object SparkEntry {
           graft.ops.Validate.documentRules(maxChars = 2000),
           s"${tmpPath(dir, "stream_exec_validate_docs")}/sink")
       quarantine.select(col("doc_id"), col("violation"))
+    }),
+
+    // the EMBEDDINGS rule set through the same validator — the last of
+    // the three rule inventories, and the one whose predicates evaluate
+    // an array<float> column (size / exists lambdas / zero-vector
+    // check), proving the stream-boundary split is payload-shape
+    // agnostic; same oracle as x_validate_embeddings
+    "x_stream_validate_embeddings_exec" -> ((s, dir) => {
+      val srcPath = stagedCorruptEmbsSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val (_, quarantine) =
+        graft.streaming.StreamingOps.streamingValidateQuarantine(
+          s, srcPath, src, "vec_id",
+          graft.ops.Validate.embeddingRules("embedding", 64),
+          s"${tmpPath(dir, "stream_exec_validate_embs")}/sink")
+      quarantine.select(col("vec_id"), col("violation"))
     }),
 
     // quarantine OBSERVABILITY: per-rule violation counters riding the
@@ -4332,6 +4368,13 @@ object SparkEntry {
            |${graft.ops.Validate.documentViolationsSql(2000)}""".stripMargin,
 
       "x_validate_embeddings" ->
+        s"""WITH em AS (
+           |${graft.ops.Validate.embeddingsWithPlantedCorruptionSql(64)})
+           |${graft.ops.Validate.embeddingViolationsSql(64)}""".stripMargin,
+
+      // identical relation — the Spark side executed it as a real
+      // foreachBatch StreamingQuery over the embeddings rule set
+      "x_stream_validate_embeddings_exec" ->
         s"""WITH em AS (
            |${graft.ops.Validate.embeddingsWithPlantedCorruptionSql(64)})
            |${graft.ops.Validate.embeddingViolationsSql(64)}""".stripMargin,

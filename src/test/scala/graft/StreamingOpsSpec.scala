@@ -341,6 +341,62 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     corrupt.unpersist(): Unit
   }
 
+  test("streaming validate/quarantine runs the EMBEDDINGS rule set too " +
+      "(array<float> payload: size/exists-lambda rules), per-file batches") {
+    // the last rule inventory through the rules-generic validator — and
+    // the only one whose predicates evaluate a non-scalar column, so
+    // this pins that the stream split is payload-shape agnostic
+    import graft.ops.Validate
+    import org.apache.spark.sql.functions._
+    val root = s"$base/validate_embs_stream"
+    locally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val corrupt = Validate.embeddingsWithPlantedCorruption(
+      DerivedModel.table(spark, dir, "embeddings").limit(300),
+      dim = 64).cache()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/src"))
+    Seq(corrupt.filter(coalesce(col("vec_id"), lit(0L)) % 2 === 0),
+      corrupt.filter(coalesce(col("vec_id"), lit(0L)) % 2 =!= 0)).zipWithIndex
+      .foreach { case (half, i) =>
+        val tmp = s"$root/_stage"
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$root/src", f"f$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        assert(dst.setLastModified(1700000000000L + i * 10000L))
+      }
+    val rules = Validate.embeddingRules("embedding", 64)
+    val (validSink, quarantineSink) =
+      graft.streaming.StreamingOps.streamingValidateQuarantine(
+        spark, s"$root/src", corrupt, "vec_id", rules,
+        s"$root/sink", maxFilesPerTrigger = Some(1))
+    val gotValid = validSink.collect().map(_.getLong(0)).toSet
+    val wantValid = Validate.valid(corrupt, rules)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotValid == wantValid && gotValid.nonEmpty,
+      s"valid sink != batch valid (sizes ${gotValid.size}/${wantValid.size})")
+    val gotQ = quarantineSink.collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    val wantQ = Validate.violationRows(corrupt, "vec_id", rules)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(gotQ == wantQ && gotQ.nonEmpty,
+      s"quarantine sink != batch violations: only-stream=${gotQ -- wantQ}, " +
+        s"only-batch=${wantQ -- gotQ}")
+    // every PLANTED rule fired through the stream (the twin plants 5 of
+    // the 6 rules — null_embedding has no twin row; a null array would
+    // make every limit-sliced base row ambiguous)
+    assert(gotQ.map(_._2) == Set("wrong_dim", "null_component",
+        "nonfinite_component", "component_out_of_range", "zero_vector"),
+      s"expected every planted embeddings rule to fire, got ${gotQ.map(_._2)}")
+    corrupt.unpersist(): Unit
+  }
+
   test("streaming source counters: last update per source over multi-" +
       "batch arrival equals the batch volumes") {
     import org.apache.spark.sql.functions._
