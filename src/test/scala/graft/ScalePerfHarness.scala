@@ -73,6 +73,7 @@ object ScalePerfHarness {
       case "signals" => signalsMode(spark, count)
       case "search" => searchMode(spark, count)
       case "streamstate" => streamStateMode(spark, count)
+      case "streamvalidate" => streamValidateMode(spark, count)
       case "pipeline" => pipelineMode(spark, count)
       case "ssjoin" => ssjoinMode(spark, count)
       case "ssjoinskew" => ssjoinSkewMode(spark, count)
@@ -1262,6 +1263,109 @@ object ScalePerfHarness {
     * partition) before committing — the executor-loss / redeploy cost
     * at `count` resident keys, reported separately as [streamrestore].
     */
+  /** Streaming ingest-validation decade probe: the stateless
+    * valid/quarantine split ([[graft.streaming.StreamingOps
+    * .streamingValidateQuarantine]]) over a synthetic events corpus with
+    * a deterministic ~16% corruption mix (id % 37 selects one violation
+    * class: null user / null ts / out-of-range ts / NaN value /
+    * over-envelope value / truncated-JSON props), ingested as 8
+    * micro-batches (16 files, maxFilesPerTrigger=2). Stateless rules ⇒
+    * the claims to verify are (a) per-batch wall tracks BATCH size, not
+    * stream history (no state operator — nothing accumulates), and
+    * (b) end-to-end wall and sink bytes scale linearly in `count`.
+    * Accounting is EXACT, not statistical: each corrupt id violates
+    * exactly one rule, so quarantine rows == planted ids and
+    * valid + quarantined must partition the source.
+    */
+  private def streamValidateMode(spark: SparkSession, count: Long): Unit = {
+    import graft.streaming.StreamingOps
+    import graft.ops.Validate
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_streamvalidate_" +
+      s"${ProcessHandle.current().pid()}"
+    val rootFile = new java.io.File(root)
+    try {
+      val m = col("id") % 37
+      spark.range(count).select(
+          col("id").as("event_id"),
+          when(m === 1, lit(null).cast("long"))
+            .otherwise(col("id") % 1000000L).as("user_id"),
+          when(m === 2, lit(null).cast("timestamp"))
+            .when(m === 3, expr("timestamp_millis(-3000000000000)"))
+            .otherwise(expr("timestamp_millis(1700000000000 + id * 37)"))
+            .as("ts"),
+          when(col("id") % 3 === 0, lit("click"))
+            .when(col("id") % 3 === 1, lit("view"))
+            .otherwise(lit("purchase")).as("event_type"),
+          when(m === 4, lit(Double.NaN))
+            .when(m === 5, lit(1e18d))
+            .otherwise((col("id") % 10000).cast("double") / 100.0)
+            .as("value"),
+          when(m === 6, lit("{\"a\":1,"))
+            .otherwise(concat(lit("{\"k\":"), (col("id") % 100).cast("string"),
+              lit("}"))).as("props"))
+        .repartition(16).write.parquet(s"$root/src")
+      val src = spark.read.parquet(s"$root/src")
+      val n = src.count()
+      val rules = Validate.eventRules()
+      // per-batch progress via a listener — the operator returns only the
+      // sink relations; progress events are async, so collect by batchId
+      val progress = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          progress.synchronized {
+            progress += ((e.progress.batchId, e.progress.numInputRows,
+              e.progress.batchDuration)); ()
+          }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      val (valid, quarantine) =
+        try {
+          var out: (DataFrame, DataFrame) = null
+          time(s"streamingValidateQuarantine 8 batches, $count events", n) {
+            out = StreamingOps.streamingValidateQuarantine(
+              spark, s"$root/src", src, "event_id", rules, s"$root/out",
+              maxFilesPerTrigger = Some(2), timeoutMs = 3600000L)
+            0L
+          }
+          Thread.sleep(2000) // drain async listener events
+          out
+        } finally spark.streams.removeListener(listener)
+      progress.synchronized {
+        progress.sortBy(_._1).foreach { case (id, in, wall) =>
+          println(f"[streamvalidate] batch=$id%2d in=$in%9d " +
+            f"wall=${wall / 1e3}%7.1f s")
+        }
+      }
+      val validN = valid.count()
+      val quarantineRows = quarantine.count()
+      val quarantinedIds = quarantine.select("event_id").distinct().count()
+      val planted = src.filter(col("event_id") % 37 >= 1 &&
+        col("event_id") % 37 <= 6).count()
+      println(f"[streamvalidate] n=$n valid=$validN quarantineRows=" +
+        f"$quarantineRows quarantinedIds=$quarantinedIds planted=$planted " +
+        f"validMB=${org.apache.commons.io.FileUtils.sizeOfDirectory(
+          new java.io.File(s"$root/out/valid")) / 1e6}%.1f " +
+        f"quarMB=${org.apache.commons.io.FileUtils.sizeOfDirectory(
+          new java.io.File(s"$root/out/quarantine")) / 1e6}%.1f")
+      assert(quarantineRows == planted && quarantinedIds == planted,
+        s"quarantine must equal the planted set exactly " +
+          s"($quarantineRows/$quarantinedIds vs $planted)")
+      assert(validN + quarantinedIds == n,
+        "valid + quarantined must partition the stream")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(rootFile)
+    }
+  }
+
   private def streamStateMode(spark: SparkSession, count: Long): Unit = {
     import graft.streaming.StreamingOps
     import org.apache.spark.sql.streaming.Trigger
