@@ -397,6 +397,88 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     corrupt.unpersist(): Unit
   }
 
+  test("streaming validate/quarantine RESTART from checkpoint ingests " +
+      "only the late file — no re-emission of already-committed rows") {
+    // the operational claim behind the 100 TB stream boundary: an
+    // AvailableNow run terminates, more data lands, and the next run
+    // resumes from the same checkpoint — the source offsets must skip
+    // every already-committed file, so the append sinks end up with
+    // EXACTLY the batch relation over the union (a naive re-run without
+    // the checkpoint would double every early row in the sinks)
+    import graft.ops.Validate
+    import org.apache.spark.sql.functions._
+    val root = s"$base/validate_restart_stream"
+    locally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val corrupt = Validate.eventsWithPlantedCorruption(
+      DerivedModel.events(spark, dir).limit(300)).cache()
+    val early = corrupt.filter(col("event_id") % 3 =!= 0)
+    val late = corrupt.filter(col("event_id") % 3 === 0)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/src"))
+    def land(df: org.apache.spark.sql.DataFrame, name: String, ts: Long): Unit = {
+      val tmp = s"$root/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$root/src", name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(ts))
+    }
+    land(early, "f0.parquet", 1700000000000L)
+    val rules = Validate.eventRules()
+    // first run commits the early file and terminates (AvailableNow);
+    // note streamingValidateQuarantine deletes outRoot on entry, so the
+    // restart must NOT call it again — it re-runs the same query shape
+    // against the same checkpoint by hand
+    val (_, _) = graft.streaming.StreamingOps.streamingValidateQuarantine(
+      spark, s"$root/src", corrupt, "event_id", rules, s"$root/sink")
+    val validAfterFirst = spark.read.parquet(s"$root/sink/valid").count()
+    land(late, "f1.parquet", 1700000060000L)
+    locally {
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val sq = spark.readStream.schema(corrupt.schema)
+        .parquet(s"$root/src")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Validate.valid(batch, rules)
+            .write.mode("append").parquet(s"$root/sink/valid")
+          Validate.violationRows(batch, "event_id", rules)
+            .write.mode("append").parquet(s"$root/sink/quarantine")
+          ()
+        }
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/sink/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(sq.awaitTermination(600000L), "restart run timed out")
+    }
+    val validSink = spark.read.parquet(s"$root/sink/valid")
+    val quarantineSink = spark.read.parquet(s"$root/sink/quarantine")
+    // the restart only added the late file's valid rows
+    val wantValid = Validate.valid(corrupt, rules)
+    assert(validSink.count() == wantValid.count() &&
+      validAfterFirst == Validate.valid(early, rules).count(),
+      "restart must append exactly the late file's rows")
+    // and the final sinks equal the batch relations over the UNION —
+    // multiset equality via id sets + total counts (no duplicates)
+    val gotValid = validSink.collect().map(_.getLong(0)).toSet
+    assert(gotValid == wantValid.collect().map(_.getLong(0)).toSet,
+      "valid sink != batch valid after restart")
+    val gotQ = quarantineSink.collect()
+      .map(r => (Option(r.get(0)), r.getString(1)))
+    val wantQ = Validate.violationRows(corrupt, "event_id", rules)
+      .collect().map(r => (Option(r.get(0)), r.getString(1)))
+    assert(gotQ.toSet == wantQ.toSet && gotQ.length == wantQ.length,
+      s"quarantine sink != batch violations after restart " +
+        s"(${gotQ.length} vs ${wantQ.length} rows)")
+    corrupt.unpersist(): Unit
+  }
+
   test("streaming source counters: last update per source over multi-" +
       "batch arrival equals the batch volumes") {
     import org.apache.spark.sql.functions._
