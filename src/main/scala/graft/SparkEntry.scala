@@ -1781,7 +1781,12 @@ object SparkEntry {
     // the three rule inventories, and the one whose predicates evaluate
     // an array<float> column (size / exists lambdas / zero-vector
     // check), proving the stream-boundary split is payload-shape
-    // agnostic; same oracle as x_validate_embeddings
+    // agnostic; same oracle as x_validate_embeddings. This gate also
+    // runs the RETRY-SAFE sink layout (idempotentBatchPaths: each epoch
+    // overwrites its own batch=<id> directory — the at-least-once
+    // foreachBatch posture a production deployment needs), so the
+    // idempotent mode has gate-level execution evidence, not just the
+    // StreamingOpsSpec retry twin
     "x_stream_validate_embeddings_exec" -> ((s, dir) => {
       val srcPath = stagedCorruptEmbsSource(s, dir)
       val src = s.read.parquet(srcPath)
@@ -1789,7 +1794,8 @@ object SparkEntry {
         graft.streaming.StreamingOps.streamingValidateQuarantine(
           s, srcPath, src, "vec_id",
           graft.ops.Validate.embeddingRules("embedding", 64),
-          s"${tmpPath(dir, "stream_exec_validate_embs")}/sink")
+          s"${tmpPath(dir, "stream_exec_validate_embs")}/sink",
+          idempotentBatchPaths = true)
       quarantine.select(col("vec_id"), col("violation"))
     }),
 

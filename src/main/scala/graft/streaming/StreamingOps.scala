@@ -417,29 +417,38 @@ object StreamingOps {
     *
     * Two sinks from one query take `foreachBatch` — the standard
     * Structured Streaming multi-sink idiom; the batch is persisted so
-    * the source scan is paid once, not once per sink. As with the
-    * ingest-dedup gate, a production deployment makes the two appends
-    * idempotent by batchId-keyed paths; the gate's `AvailableNow` run
-    * over an immutable staging has no retry window to protect.
+    * the source scan is paid once, not once per sink.
+    *
+    * RETRY SAFETY (`idempotentBatchPaths`): foreachBatch gives
+    * at-least-once delivery — if an executor dies after the `valid`
+    * write but before the epoch commits, the engine REPLAYS the batch
+    * and a plain append double-counts every row of the first attempt.
+    * With `idempotentBatchPaths = true` each batch OVERWRITES its own
+    * `batch=<id>` directory under each sink ([[writeValidatedBatch]]),
+    * so a replay of batch N rewrites exactly batch N's output and the
+    * sinks stay a function of the committed offsets — the standard
+    * batchId-keyed idempotence pattern for file sinks behind
+    * foreachBatch. Read-back uses `recursiveFileLookup` (the `batch=`
+    * directories are retry epochs, not data partitions — they must not
+    * surface as a column). The default stays the flat append: the gated
+    * `AvailableNow` runs over an immutable staging have no retry window
+    * to protect, and a flat sink is what the batch twins' readers
+    * expect on disk.
     */
   def streamingValidateQuarantine(spark: SparkSession, sourcePath: String,
       schemaFrom: DataFrame, idCol: String,
       rules: Seq[(String, org.apache.spark.sql.Column)], outRoot: String,
       maxFilesPerTrigger: Option[Int] = None,
-      timeoutMs: Long = 600000L): (DataFrame, DataFrame) = {
+      timeoutMs: Long = 600000L,
+      idempotentBatchPaths: Boolean = false): (DataFrame, DataFrame) = {
     deleteRecursively(new java.io.File(outRoot))
     val reader = spark.readStream.schema(schemaFrom.schema)
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
     val sq = reader.parquet(sourcePath)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.persist()
-        try {
-          graft.ops.Validate.valid(batch, rules)
-            .write.mode("append").parquet(s"$outRoot/valid")
-          graft.ops.Validate.violationRows(batch, idCol, rules)
-            .write.mode("append").parquet(s"$outRoot/quarantine")
-        } finally { batch.unpersist(); () }
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeValidatedBatch(batch, batchId, idCol, rules, outRoot,
+          idempotentBatchPaths)
       }
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", s"$outRoot/ckpt")
@@ -450,8 +459,41 @@ object StreamingOps {
       throw new IllegalStateException(
         s"streaming query did not terminate within ${timeoutMs} ms")
     }
-    (spark.read.parquet(s"$outRoot/valid"),
-      spark.read.parquet(s"$outRoot/quarantine"))
+    def readSink(name: String): DataFrame =
+      if (idempotentBatchPaths)
+        spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$outRoot/$name")
+      else spark.read.parquet(s"$outRoot/$name")
+    (readSink("valid"), readSink("quarantine"))
+  }
+
+  /** The per-batch dual-sink write behind
+    * [[streamingValidateQuarantine]], factored out so the RETRY path is
+    * directly testable: calling it twice with the SAME `batchId` in
+    * idempotent mode must leave the sinks exactly as one call would (a
+    * replayed epoch overwrites its own `batch=<id>` directories), while
+    * append mode double-writes — which is why at-least-once foreachBatch
+    * deployments key their writes by batchId.
+    */
+  private[graft] def writeValidatedBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long, idCol: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)], outRoot: String,
+      idempotentBatchPaths: Boolean): Unit = {
+    batch.persist()
+    try {
+      if (idempotentBatchPaths) {
+        graft.ops.Validate.valid(batch, rules)
+          .write.mode("overwrite").parquet(s"$outRoot/valid/batch=$batchId")
+        graft.ops.Validate.violationRows(batch, idCol, rules)
+          .write.mode("overwrite")
+          .parquet(s"$outRoot/quarantine/batch=$batchId")
+      } else {
+        graft.ops.Validate.valid(batch, rules)
+          .write.mode("append").parquet(s"$outRoot/valid")
+        graft.ops.Validate.violationRows(batch, idCol, rules)
+          .write.mode("append").parquet(s"$outRoot/quarantine")
+      }
+    } finally { batch.unpersist(); () }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

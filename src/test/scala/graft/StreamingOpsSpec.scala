@@ -397,6 +397,74 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     corrupt.unpersist(): Unit
   }
 
+  test("streaming validate/quarantine RETRY: idempotentBatchPaths makes a " +
+      "replayed epoch a no-op where plain append double-counts") {
+    // foreachBatch is at-least-once: an epoch can be REPLAYED after a
+    // failure between the sink write and the offset commit. The
+    // batchId-keyed overwrite layout must absorb the replay exactly;
+    // the flat append (fine for the gates' immutable AvailableNow
+    // staging) must visibly double — both claims pinned here
+    import graft.ops.Validate
+    import org.apache.spark.sql.functions._
+    val root = s"$base/validate_retry"
+    locally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val corrupt = Validate.eventsWithPlantedCorruption(
+      DerivedModel.events(spark, dir).limit(200)).cache()
+    val rules = Validate.eventRules()
+    val wantValid = Validate.valid(corrupt, rules).count()
+    val wantQ = Validate.violationRows(corrupt, "event_id", rules).count()
+    // idempotent mode: write epoch 7, then REPLAY epoch 7
+    graft.streaming.StreamingOps.writeValidatedBatch(
+      corrupt, 7L, "event_id", rules, s"$root/idem", idempotentBatchPaths = true)
+    graft.streaming.StreamingOps.writeValidatedBatch(
+      corrupt, 7L, "event_id", rules, s"$root/idem", idempotentBatchPaths = true)
+    val idemValid = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/idem/valid")
+    val idemQ = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$root/idem/quarantine")
+    assert(idemValid.count() == wantValid && idemQ.count() == wantQ,
+      s"replayed idempotent epoch must be a no-op " +
+        s"(${idemValid.count()}/$wantValid, ${idemQ.count()}/$wantQ)")
+    // the replayed-epoch schema is unchanged (batch= dirs are retry
+    // epochs, not data partitions — recursiveFileLookup must not
+    // surface them as a column)
+    assert(idemValid.schema == corrupt.schema,
+      s"batch= epoch dirs leaked into the schema: ${idemValid.schema}")
+    // append mode: the same replay double-counts — the failure mode the
+    // idempotent layout exists to remove
+    graft.streaming.StreamingOps.writeValidatedBatch(
+      corrupt, 7L, "event_id", rules, s"$root/app", idempotentBatchPaths = false)
+    graft.streaming.StreamingOps.writeValidatedBatch(
+      corrupt, 7L, "event_id", rules, s"$root/app", idempotentBatchPaths = false)
+    assert(spark.read.parquet(s"$root/app/valid").count() == 2 * wantValid,
+      "plain append must double on replay (this is the documented hazard)")
+    // and the end-to-end idempotent STREAM (the embeddings gate's
+    // posture) still equals the batch partition across micro-batches
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/src"))
+    locally {
+      val tmp = s"$root/_stage"
+      corrupt.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(s"$root/src", "f0.parquet").toPath)
+    }
+    val (validSink, quarantineSink) =
+      graft.streaming.StreamingOps.streamingValidateQuarantine(
+        spark, s"$root/src", corrupt, "event_id", rules,
+        s"$root/sink", idempotentBatchPaths = true)
+    assert(validSink.count() == wantValid &&
+      quarantineSink.count() == wantQ,
+      "idempotent-mode stream sinks must equal the batch partition")
+    corrupt.unpersist(): Unit
+  }
+
   test("streaming validate/quarantine RESTART from checkpoint ingests " +
       "only the late file — no re-emission of already-committed rows") {
     // the operational claim behind the 100 TB stream boundary: an
