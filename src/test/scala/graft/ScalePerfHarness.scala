@@ -1357,6 +1357,25 @@ object ScalePerfHarness {
           s"($quarantineRows/$quarantinedIds vs $planted)")
       assert(validN + quarantinedIds == n,
         "valid + quarantined must partition the stream")
+      // RETRY-SAFE posture arm: the batchId-keyed overwrite layout
+      // (idempotentBatchPaths) pays one directory per epoch per sink —
+      // this arm prices that protection at the same n so the deploy
+      // choice (append for replay-free backfills vs idempotent for
+      // live at-least-once ingest) is a measured trade, not a guess
+      val (validI, quarantineI) =
+        locally {
+          var out: (DataFrame, DataFrame) = null
+          time(s"streamingValidateQuarantine IDEMPOTENT layout, $count events", n) {
+            out = StreamingOps.streamingValidateQuarantine(
+              spark, s"$root/src", src, "event_id", rules, s"$root/outIdem",
+              maxFilesPerTrigger = Some(2), timeoutMs = 3600000L,
+              idempotentBatchPaths = true)
+            0L
+          }
+          out
+        }
+      assert(validI.count() == validN && quarantineI.count() == quarantineRows,
+        "idempotent-layout sinks must equal the append-layout relation")
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
