@@ -2829,16 +2829,19 @@ object SparkEntry {
 
     // ingest-time near-dedup (10th real StreamingQuery): every arriving
     // micro-batch probes the staged corpus dedup index inside
-    // foreachBatch and survivors append to the sink — the
-    // dedup-on-ingest deployment shape. Stateless across batches, so
-    // the oracle truth is x_dedup_incremental's (identical survivors)
+    // foreachBatch and survivors land in the sink — the dedup-on-ingest
+    // deployment shape. Stateless across batches, so the oracle truth
+    // is x_dedup_incremental's (identical survivors). Runs the
+    // RETRY-SAFE batchId-keyed sink layout (idempotentBatchPaths), same
+    // at-least-once posture as the embeddings validation gate
     "x_stream_neardedup_exec" -> ((s, dir) => {
       val srcPath = stagedBatchDocsSource(s, dir)
       val src = s.read.parquet(srcPath)
       graft.streaming.StreamingOps.streamingIncrementalDedup(
         s, srcPath, src, "doc_id", "text",
         incrementalIndexDims(s, dir),
-        s"${tmpPath(dir, "stream_exec_neardedup")}/sink")
+        s"${tmpPath(dir, "stream_exec_neardedup")}/sink",
+        idempotentBatchPaths = true)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 

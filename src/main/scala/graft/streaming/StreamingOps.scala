@@ -378,17 +378,25 @@ object StreamingOps {
       index: graft.dedup.Dedup.CorpusDedupIndex, outRoot: String,
       n: Int = 3, tau: Double = 0.8, numHashes: Int = 32,
       rowsPerBand: Int = 2, maxFilesPerTrigger: Option[Int] = None,
-      timeoutMs: Long = 600000L): DataFrame = {
+      timeoutMs: Long = 600000L,
+      idempotentBatchPaths: Boolean = false): DataFrame = {
     deleteRecursively(new java.io.File(outRoot))
     val emptyCorpus = schemaFrom.limit(0)
     val reader = spark.readStream.schema(schemaFrom.schema)
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
     val sq = reader.parquet(sourcePath)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.dedup.Dedup.incrementalDedup(emptyCorpus, batch, idCol,
-          textCol, n, tau, numHashes, rowsPerBand, Some(index))
-          .write.mode("append").parquet(s"$outRoot/data")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val survivors = graft.dedup.Dedup.incrementalDedup(emptyCorpus,
+          batch, idCol, textCol, n, tau, numHashes, rowsPerBand, Some(index))
+        // same at-least-once posture as streamingValidateQuarantine:
+        // keep/drop is a pure function of (document, frozen index), so a
+        // replayed epoch recomputes identical survivors and the
+        // batchId-keyed overwrite absorbs it exactly
+        if (idempotentBatchPaths)
+          survivors.write.mode("overwrite")
+            .parquet(s"$outRoot/data/batch=$batchId")
+        else survivors.write.mode("append").parquet(s"$outRoot/data")
       }
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", s"$outRoot/ckpt")
@@ -399,7 +407,10 @@ object StreamingOps {
       throw new IllegalStateException(
         s"streaming query did not terminate within ${timeoutMs} ms")
     }
-    spark.read.parquet(s"$outRoot/data")
+    if (idempotentBatchPaths)
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$outRoot/data")
+    else spark.read.parquet(s"$outRoot/data")
   }
 
   /** Ingest VALIDATION as a REAL StreamingQuery — the stream-boundary

@@ -194,6 +194,20 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
       s"streaming survivors != batch: only-stream=${got -- want}, " +
         s"only-batch=${want -- got}")
     assert(got.nonEmpty, "degenerate fixture: no survivors at all")
+    // retry-safe layout twin: the batchId-keyed overwrite sinks carry
+    // the identical survivor set (keep/drop is a pure function of
+    // (document, frozen index) — same property that makes a replayed
+    // epoch a no-op), and the epoch dirs never surface as a column
+    val gotIdem = graft.streaming.StreamingOps.streamingIncrementalDedup(
+      spark, s"$root/src", arriving, "doc_id", "text", idx,
+      s"$root/sink_idem", maxFilesPerTrigger = Some(1),
+      idempotentBatchPaths = true)
+    Persisted.unpersistAll()
+    assert(gotIdem.columns.toSet == arriving.columns.toSet,
+      s"batch= epoch dirs leaked into the schema: ${gotIdem.columns.toSeq}")
+    assert(gotIdem.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        == want,
+      "idempotent-layout survivors != batch survivors")
   }
 
   test("streaming rule filter == batch filter, per-file batches") {
