@@ -181,6 +181,24 @@ object SparkEntry {
     root
   }
 
+  /** The planted-corruption events as a MULTI-FILE stream source (4 part
+    * files) — with `maxFilesPerTrigger = 1` the validation stream runs 4
+    * epochs, giving [[graft.streaming.EpochLayout.compactEpochSink]] a
+    * real multi-epoch sink to fold. Same relation as
+    * [[stagedCorruptEventsSource]]; only the file split differs, which
+    * cannot change any row-pure split result.
+    */
+  private def stagedCorruptEventsMultiSource(s: SparkSession, dir: String): String = {
+    val root = s"${tmpPath(dir, "stream_exec_validate_compact")}/src"
+    stageOnce(root) {
+      graft.ops.Validate.eventsWithPlantedCorruption(
+          DerivedModel.events(s, dir))
+        .repartition(4)
+        .write.mode("overwrite").parquet(root)
+    }
+    root
+  }
+
   /** The planted-corruption documents as a finite stream source — the
     * documents-rule-set execution evidence for the rules-generic
     * [[graft.streaming.StreamingOps.streamingValidateQuarantine]]
@@ -262,6 +280,7 @@ object SparkEntry {
       "events_src" -> (() => { stagedEventsSource(s, dir); () }),
       "events_dbl" -> (() => { stagedDoubledEventsSource(s, dir); () }),
       "events_corrupt" -> (() => { stagedCorruptEventsSource(s, dir); () }),
+      "events_corrupt_multi" -> (() => { stagedCorruptEventsMultiSource(s, dir); () }),
       "docs_corrupt" -> (() => { stagedCorruptDocsSource(s, dir); () }),
       "embs_corrupt" -> (() => { stagedCorruptEmbsSource(s, dir); () }))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -1797,6 +1816,30 @@ object SparkEntry {
           s"${tmpPath(dir, "stream_exec_validate_embs")}/sink",
           idempotentBatchPaths = true)
       quarantine.select(col("vec_id"), col("violation"))
+    }),
+
+    // EPOCH COMPACTION through the idempotent layout (r15 verdict item
+    // 2): a 4-epoch validation stream writes the batchId-keyed sinks,
+    // EpochLayout.compactEpochSink folds every closed epoch of BOTH
+    // sinks into one merged dir under the crash-safe marker protocol,
+    // and the gate returns the post-compaction marker-aware read-back —
+    // oracle equality therefore proves compaction preserved the
+    // relation bit-for-bit (the file-count/replay-absorption invariants
+    // are spec-pinned in StreamingOpsSpec)
+    "x_stream_validate_compact_exec" -> ((s, dir) => {
+      val srcPath = stagedCorruptEventsMultiSource(s, dir)
+      val src = s.read.parquet(srcPath)
+      val rules = graft.ops.Validate.eventRules()
+      val outRoot = s"${tmpPath(dir, "stream_exec_validate_compact")}/sink"
+      val (_, _) =
+        graft.streaming.StreamingOps.streamingValidateQuarantine(
+          s, srcPath, src, "event_id", rules, outRoot,
+          maxFilesPerTrigger = Some(1), idempotentBatchPaths = true)
+      graft.streaming.EpochLayout.compactEpochSink(s, s"$outRoot/valid")
+      graft.streaming.EpochLayout.compactEpochSink(s, s"$outRoot/quarantine")
+      graft.streaming.StreamingOps.readValidatedSink(s, outRoot,
+          "quarantine", "event_id", rules, src, idempotentBatchPaths = true)
+        .select(col("event_id"), col("violation"))
     }),
 
     // quarantine OBSERVABILITY: per-rule violation counters riding the
@@ -4317,6 +4360,15 @@ object SparkEntry {
       // identical relation — the Spark side executed it as a real
       // foreachBatch StreamingQuery splitting valid/quarantine sinks
       "x_stream_validate_exec" ->
+        s"""WITH ev AS (
+           |${graft.ops.Validate.eventsWithPlantedCorruptionSql})
+           |${graft.ops.Validate.eventViolationsSql}""".stripMargin,
+
+      // identical relation again — the Spark side ran 4 epochs through
+      // the idempotent sink layout and compacted them before read-back,
+      // so this oracle equality IS the compaction-preserves-the-relation
+      // invariant at gate level
+      "x_stream_validate_compact_exec" ->
         s"""WITH ev AS (
            |${graft.ops.Validate.eventsWithPlantedCorruptionSql})
            |${graft.ops.Validate.eventViolationsSql}""".stripMargin,

@@ -308,9 +308,12 @@ object Multimodal {
     * blue LSB at even x — luma moves by at most 1, so the twin's aHash
     * sits within a few bits of its base (the same planted-pair pattern
     * as [[graft.DerivedModel.embeddingsAugmented]]). Built distributed:
-    * narrow flatMap, no shuffle.
+    * narrow flatMap, no shuffle. `twinOffset` must exceed the max
+    * doc_id (the default matches the gates' fixed corpora and their
+    * oracle SQL; the harness's decade rungs pass a wider one).
     */
-  def syntheticImagesWithTwins(documents: DataFrame): Dataset[MediaRecord] = {
+  def syntheticImagesWithTwins(documents: DataFrame,
+      twinOffset: Long = 1000000L): Dataset[MediaRecord] = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
@@ -323,7 +326,7 @@ object Multimodal {
       .flatMap { id =>
         val base = plantedPng(id, id, perturb = false)
         if (id % 30 == 1)
-          Seq(base, plantedPng(id + 1000000L, id, perturb = true))
+          Seq(base, plantedPng(id + twinOffset, id, perturb = true))
         else Seq(base)
       }
   }

@@ -392,11 +392,14 @@ object StreamingOps {
         // same at-least-once posture as streamingValidateQuarantine:
         // keep/drop is a pure function of (document, frozen index), so a
         // replayed epoch recomputes identical survivors and the
-        // batchId-keyed overwrite absorbs it exactly
-        if (idempotentBatchPaths)
-          survivors.write.mode("overwrite")
-            .parquet(s"$outRoot/data/batch=$batchId")
-        else survivors.write.mode("append").parquet(s"$outRoot/data")
+        // batchId-keyed overwrite absorbs it exactly. An epoch already
+        // folded by EpochLayout.compactEpochSink is absorbed by SKIP —
+        // its rows live inside the merged dir
+        if (idempotentBatchPaths) {
+          if (!EpochLayout.compactedUpTo(s"$outRoot/data").exists(batchId <= _))
+            survivors.write.mode("overwrite")
+              .parquet(s"$outRoot/data/batch=$batchId")
+        } else survivors.write.mode("append").parquet(s"$outRoot/data")
       }
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", s"$outRoot/ckpt")
@@ -407,9 +410,12 @@ object StreamingOps {
       throw new IllegalStateException(
         s"streaming query did not terminate within ${timeoutMs} ms")
     }
+    // a zero-epoch source leaves the sink dir nonexistent in both
+    // layouts — return the empty survivor relation, not a reader error
     if (idempotentBatchPaths)
-      spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$outRoot/data")
+      EpochLayout.readEpochSink(spark, s"$outRoot/data", schemaFrom)
+    else if (!new java.io.File(s"$outRoot/data").isDirectory)
+      schemaFrom.limit(0)
     else spark.read.parquet(s"$outRoot/data")
   }
 
@@ -439,20 +445,40 @@ object StreamingOps {
     * so a replay of batch N rewrites exactly batch N's output and the
     * sinks stay a function of the committed offsets — the standard
     * batchId-keyed idempotence pattern for file sinks behind
-    * foreachBatch. Read-back uses `recursiveFileLookup` (the `batch=`
-    * directories are retry epochs, not data partitions — they must not
-    * surface as a column). The default stays the flat append: the gated
+    * foreachBatch. Read-back is marker-aware via
+    * [[EpochLayout.readEpochSink]] (the `batch=` directories are retry
+    * epochs, not data partitions — they must not surface as a column;
+    * epochs folded by [[EpochLayout.compactEpochSink]] are read from the
+    * merged dir instead). The default stays the flat append: the gated
     * `AvailableNow` runs over an immutable staging have no retry window
     * to protect, and a flat sink is what the batch twins' readers
-    * expect on disk.
+    * expect on disk — though two gates
+    * (`x_stream_validate_embeddings_exec`, `x_stream_neardedup_exec`)
+    * and the compaction gate deliberately opt INTO the idempotent
+    * layout so that mode has gate-level execution coverage, not just
+    * its spec twins.
+    *
+    * RESTART (`resumeFromCheckpoint = true`): keep the existing
+    * checkpoint and sinks instead of starting fresh — the recovery path
+    * after a failed run. The engine replays the uncommitted epoch with
+    * the SAME batchId and data (offsets were logged before the attempt),
+    * which is exactly the window `idempotentBatchPaths` protects.
+    *
+    * `afterBatchWrite` runs inside `foreachBatch` AFTER the sink writes
+    * of each epoch — a metrics/fault-injection seam: a hook that throws
+    * fails the epoch after its writes landed but before its commit,
+    * which is the precise at-least-once hazard (the crash-injection spec
+    * drives a real engine retry through it).
     */
   def streamingValidateQuarantine(spark: SparkSession, sourcePath: String,
       schemaFrom: DataFrame, idCol: String,
       rules: Seq[(String, org.apache.spark.sql.Column)], outRoot: String,
       maxFilesPerTrigger: Option[Int] = None,
       timeoutMs: Long = 600000L,
-      idempotentBatchPaths: Boolean = false): (DataFrame, DataFrame) = {
-    deleteRecursively(new java.io.File(outRoot))
+      idempotentBatchPaths: Boolean = false,
+      resumeFromCheckpoint: Boolean = false,
+      afterBatchWrite: Long => Unit = _ => ()): (DataFrame, DataFrame) = {
+    if (!resumeFromCheckpoint) deleteRecursively(new java.io.File(outRoot))
     val reader = spark.readStream.schema(schemaFrom.schema)
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
     val sq = reader.parquet(sourcePath)
@@ -460,6 +486,7 @@ object StreamingOps {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         writeValidatedBatch(batch, batchId, idCol, rules, outRoot,
           idempotentBatchPaths)
+        afterBatchWrite(batchId)
       }
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", s"$outRoot/ckpt")
@@ -470,12 +497,29 @@ object StreamingOps {
       throw new IllegalStateException(
         s"streaming query did not terminate within ${timeoutMs} ms")
     }
-    def readSink(name: String): DataFrame =
-      if (idempotentBatchPaths)
-        spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$outRoot/$name")
-      else spark.read.parquet(s"$outRoot/$name")
-    (readSink("valid"), readSink("quarantine"))
+    (readValidatedSink(spark, outRoot, "valid", idCol, rules, schemaFrom,
+      idempotentBatchPaths),
+      readValidatedSink(spark, outRoot, "quarantine", idCol, rules,
+        schemaFrom, idempotentBatchPaths))
+  }
+
+  /** Read one of [[streamingValidateQuarantine]]'s sinks back, in either
+    * layout. A source that yielded zero epochs leaves the sink dir
+    * nonexistent — return the correctly-shaped EMPTY relation (the batch
+    * split of zero rows) instead of an unhelpful reader error.
+    */
+  private[graft] def readValidatedSink(spark: SparkSession, outRoot: String,
+      name: String, idCol: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      schemaFrom: DataFrame, idempotentBatchPaths: Boolean): DataFrame = {
+    def emptyLike: DataFrame =
+      if (name == "valid") graft.ops.Validate.valid(schemaFrom.limit(0), rules)
+      else graft.ops.Validate.violationRows(schemaFrom.limit(0), idCol, rules)
+    if (idempotentBatchPaths)
+      EpochLayout.readEpochSink(spark, s"$outRoot/$name", emptyLike)
+    else if (!new java.io.File(s"$outRoot/$name").isDirectory)
+      emptyLike.limit(0)
+    else spark.read.parquet(s"$outRoot/$name")
   }
 
   /** The per-batch dual-sink write behind
@@ -493,11 +537,21 @@ object StreamingOps {
     batch.persist()
     try {
       if (idempotentBatchPaths) {
-        graft.ops.Validate.valid(batch, rules)
-          .write.mode("overwrite").parquet(s"$outRoot/valid/batch=$batchId")
-        graft.ops.Validate.violationRows(batch, idCol, rules)
-          .write.mode("overwrite")
-          .parquet(s"$outRoot/quarantine/batch=$batchId")
+        // an epoch at or below a sink's EpochLayout compaction marker is
+        // absorbed by SKIP: its rows already live inside the merged dir
+        // (replays are deterministic — the checkpoint fixes the epoch's
+        // offsets and the split is row-pure), and readEpochSink would
+        // ignore a rewritten batch= dir at that id anyway — two
+        // independent layers of replay safety
+        if (!EpochLayout.compactedUpTo(s"$outRoot/valid")
+            .exists(batchId <= _))
+          graft.ops.Validate.valid(batch, rules)
+            .write.mode("overwrite").parquet(s"$outRoot/valid/batch=$batchId")
+        if (!EpochLayout.compactedUpTo(s"$outRoot/quarantine")
+            .exists(batchId <= _))
+          graft.ops.Validate.violationRows(batch, idCol, rules)
+            .write.mode("overwrite")
+            .parquet(s"$outRoot/quarantine/batch=$batchId")
       } else {
         graft.ops.Validate.valid(batch, rules)
           .write.mode("append").parquet(s"$outRoot/valid")
@@ -597,6 +651,22 @@ object StreamingOps {
     * the idempotent-upsert consumption shape for update output. Readers
     * take the max-batch row per key ([[runUpdateToParquetSink]]'s caller);
     * with a single-file finite source there is exactly one update batch.
+    *
+    * REPLAY DECISION (r16): this sink deliberately KEEPS the stamped
+    * append — file-level idempotence (the `batch=<id>` overwrite layout)
+    * is unnecessary here because the READER contract already absorbs
+    * at-least-once replays. A replayed epoch re-emits byte-identical
+    * rows: the state store is versioned per batch, so the retry loads
+    * state version N−1 and recomputes epoch N deterministically, and the
+    * stamp is the same batchId. The consumer's latest-batch-wins
+    * window (max `_graft_batch_id` per key, ties arbitrary among
+    * IDENTICAL rows) therefore returns the same snapshot whether an
+    * epoch's rows appear once or twice — duplicated files cost dead
+    * bytes until compaction, never wrong answers. Spec-pinned by
+    * duplicating an epoch's stamped output and asserting the consumed
+    * snapshot is unchanged ([[StreamingOpsSpec]]). Contrast with the
+    * validate/dedup sinks, whose readers consume raw rows (counts would
+    * double) — those are the sinks that need [[EpochLayout]].
     */
   def runUpdateToParquetSink(streaming: DataFrame, outRoot: String,
       timeoutMs: Long = 600000L): DataFrame = {

