@@ -1395,9 +1395,15 @@ object ScalePerfHarness {
         EpochLayout.dataFileCount(new java.io.File(qRoot))
       var reports: Seq[EpochLayout.CompactionReport] = Nil
       time(s"compactEpochSink both sinks, $count events", n) {
-        reports = Seq(vRoot, qRoot).flatMap(r =>
+        // size merged files to ~128 MB (the maxPartitionBytes posture) —
+        // file COUNT is what compaction exists to shrink, so the target
+        // follows bytes, not core count
+        reports = Seq(vRoot, qRoot).flatMap { r =>
+          val mb = org.apache.commons.io.FileUtils
+            .sizeOfDirectory(new java.io.File(r)) / 1e6
           EpochLayout.compactEpochSink(spark, r,
-            targetFiles = spark.sparkContext.defaultParallelism))
+            targetFiles = math.max(1, math.ceil(mb / 128).toInt))
+        }
         0L
       }
       val filesAfter = EpochLayout.dataFileCount(new java.io.File(vRoot)) +
