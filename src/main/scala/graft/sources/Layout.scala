@@ -144,13 +144,16 @@ object Layout {
       outRoot: String): DataFrame = {
     require(rowsPerFile >= 1 && lo <= hi)
     val spark = df.sparkSession
-    def one(layout: String, positioned: DataFrame): DataFrame = {
+    def writeOne(layout: String, positioned: DataFrame): String = {
       val path = s"$outRoot/$layout"
       positioned
         .withColumn("_graft_shard", expr(s"position DIV ${rowsPerFile}L"))
         .drop("position")
         .repartition(col("_graft_shard"))
         .write.mode("overwrite").partitionBy("_graft_shard").parquet(path)
+      path
+    }
+    def statsOne(layout: String, path: String): DataFrame = {
       val skip = col("_mx") < lo || col("_mn") > hi
       spark.read.parquet(path)
         .groupBy(input_file_name().as("_f"))
@@ -162,10 +165,25 @@ object Layout {
         .select(lit(layout).as("layout"), col("n_files"), col("n_skipped"),
           col("rows_scanned"))
     }
-    one("clustered", graft.ops.Sampling.withGlobalPositionByValue(
-        df, keyCol, valueCol, maxValue))
-      .unionByName(one("arrival",
-        graft.ops.Sampling.withGlobalPosition(df, keyCol)))
+    // the two layout writes are INDEPENDENT jobs over disjoint output
+    // directories: submit them from two threads so the second write's
+    // tasks back-fill the first's straggler/file-commit tail (guide
+    // §2.6 — actions are only sequential because the driver calls them
+    // sequentially). Each write is deterministic and lands in its own
+    // dir, so concurrency cannot change the audited result; the lazy
+    // read-back stats stay a single union job as before.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq(
+      "clustered" -> Future(writeOne("clustered",
+        graft.ops.Sampling.withGlobalPositionByValue(
+          df, keyCol, valueCol, maxValue))),
+      "arrival" -> Future(writeOne("arrival",
+        graft.ops.Sampling.withGlobalPosition(df, keyCol))))
+    writes.map { case (layout, f) =>
+      statsOne(layout, Await.result(f, Duration.Inf))
+    }.reduce(_.unionByName(_))
   }
 
   /** DuckDB twin of [[zoneMapSkipAudit]] over `documents`: replays the
