@@ -1020,6 +1020,21 @@ object Similarity {
        |ORDER BY cosine DESC, t.vec_id LIMIT $k""".stripMargin
   }
 
+  /** Round-robin spread of the STREAMED side of an all-pairs
+    * (broadcast-nested-loop) pair loop. A small collection read from one
+    * parquet file is ONE scan task, so the O(n·|build|) pair loop — the
+    * dominant cost by far — runs single-threaded no matter how many cores
+    * exist (measured: x_knn_topk 3.8 s solo with a 1-task stream side at
+    * sf0.1/local[32]). The repartition shuffles only the LINEAR row set to
+    * `defaultParallelism` (scale-adaptive, never a local constant) to
+    * parallelize the QUADRATIC pair work — a trade that holds at every
+    * scale, and a no-op-sized cost when the side is already wide. Results
+    * are placement-independent (pair set, window ranks, aggregates), so
+    * this cannot change what any query computes.
+    */
+  private def spreadForPairLoop(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** All pairs with cosine >= tau. NB: this is the exact O(n^2) formulation
     * (a cross join with an inequality filter) — correct at verification
     * scale; at 100 TB use [[lshCosinePairs]], which replaces the cross join
@@ -1034,7 +1049,8 @@ object Similarity {
     val normed = embeddings.select(col(idCol).as("_nid"),
       col(vecCol).cast("array<double>").as("_nvec"),
       sqrt(SimExpressions.dot(col(vecCol), col(vecCol))).as("_nnorm"))
-    val a = normed.select(col("_nid").as("id_a"), col("_nvec").as("_va"), col("_nnorm").as("_na"))
+    val a = spreadForPairLoop(normed)
+      .select(col("_nid").as("id_a"), col("_nvec").as("_va"), col("_nnorm").as("_na"))
     val b = normed.select(col("_nid").as("id_b"), col("_nvec").as("_vb"), col("_nnorm").as("_nb"))
     val cosineExpr =
       SimExpressions.dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))
@@ -1384,7 +1400,9 @@ object Similarity {
     val prepped = embeddings.select(col(idCol).as("_pid"),
       col(vecCol).cast("array<double>").as("_pvec"))
       .withColumn("_pnorm", sqrt(SimExpressions.dot(col("_pvec"), col("_pvec"))))
-    val a = prepped.select(col("_pid").as("vec_id"),
+    // spread the anchor side: the n·n pair loop below must not inherit the
+    // 1-task layout of a small parquet scan (see spreadForPairLoop)
+    val a = spreadForPairLoop(prepped).select(col("_pid").as("vec_id"),
       col("_pvec").as("_va"), col("_pnorm").as("_na"))
     val b = prepped.select(col("_pid").as("neighbor_id"),
       col("_pvec").as("_vb"), col("_pnorm").as("_nb"))
@@ -1411,7 +1429,10 @@ object Similarity {
     val prepped = embeddings.select(col(idCol).as("_pid"),
       col(vecCol).cast("array<double>").as("_pvec"))
       .withColumn("_pnorm", sqrt(SimExpressions.dot(col("_pvec"), col("_pvec"))))
-    val a = prepped.select(col("_pid").as("vec_id"),
+    // spread the anchor side (see spreadForPairLoop): the UDAF's map-side
+    // top-k combine is per task, so parallelism here also bounds the
+    // shuffle to tasks × anchors × k rows
+    val a = spreadForPairLoop(prepped).select(col("_pid").as("vec_id"),
       col("_pvec").as("_va"), col("_pnorm").as("_na"))
     val b = prepped.select(col("_pid").as("neighbor_id"),
       col("_pvec").as("_vb"), col("_pnorm").as("_nb"))
