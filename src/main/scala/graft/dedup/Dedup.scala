@@ -73,8 +73,12 @@ object Dedup {
     // generator loses its metadata in the analyzer's Generate rewrite
     // (verified by spec); aliasing the plain attribute keeps it, and
     // CollapseProject folds the extra projection away
-    df.select(col(idCol).as("_id"),
-      explode(wordNgrams(col(textCol), n)).as("ngram"))
+    // tokenize+explode ride the scan stage: floor its parallelism when
+    // the input cannot yield one task per core (single-row-group files;
+    // no-op at production input sizes) — see ops.Parallelism
+    graft.ops.Parallelism.spreadIfNarrow(df)
+      .select(col(idCol).as("_id"),
+        explode(wordNgrams(col(textCol), n)).as("ngram"))
       .select(col("_id"), col("ngram").as("ngram", meta))
   }
 
@@ -1427,7 +1431,8 @@ object Dedup {
     * +/-1 contributions from each token's xxhash64 bit. One groupBy with 64
     * integer sums — constant-width state, scan-speed at scale.
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash64(df0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = graft.ops.Parallelism.spreadIfNarrow(df0)
     val tok = df.select(col(idCol).as("_id"),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("token"))
       .withColumn("_h", xxhash64(col("token")))
@@ -1445,8 +1450,11 @@ object Dedup {
     * [[SimHashExpr]]) — bit-identical output, no token shuffle.
     */
   def simhash64Fast(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("_id"),
-      SimHashExpr.simhashCol(col(textCol)).as("simhash"))
+    // the whole-doc hash expression rides the scan stage — floor its
+    // parallelism on narrow inputs (see ops.Parallelism)
+    graft.ops.Parallelism.spreadIfNarrow(df)
+      .select(col(idCol).as("_id"),
+        SimHashExpr.simhashCol(col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidates: pairs within `maxHamming` bits. Pair
     * generation via block banding (split the 64-bit hash into

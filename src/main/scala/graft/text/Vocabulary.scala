@@ -55,7 +55,7 @@ object Vocabulary {
     */
   def encode(df: DataFrame, idCol: String, textCol: String, vocab: DataFrame,
       oovId: Long = -1L): DataFrame =
-    df.select(col(idCol),
+    graft.ops.Parallelism.spreadIfNarrow(df).select(col(idCol),
       posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
       .join(broadcast(vocab.select(col("token"), col("token_id"))),
         Seq("token"), "left")
@@ -121,7 +121,7 @@ object Vocabulary {
     */
   def oovStats(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame =
-    df.select(col(idCol),
+    graft.ops.Parallelism.spreadIfNarrow(df).select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
       .join(broadcast(vocab.select(col("token"), col("token_id"))),
         Seq("token"), "left")
@@ -455,7 +455,10 @@ object Vocabulary {
     * pattern the DSIR weights use); every scoring pass then broadcasts
     * it instead of re-aggregating the token stream.
     */
-  def surprisalModel(df: DataFrame, textCol: String): DataFrame = {
+  def surprisalModel(df0: DataFrame, textCol: String): DataFrame = {
+    // tokenize+explode ride the scan stage -- floor its parallelism on
+    // narrow inputs (no-op at production sizes); see ops.Parallelism
+    val df = graft.ops.Parallelism.spreadIfNarrow(df0)
     val toks = df.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
     val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("_cnt"))
     val total = counts.agg(sum(col("_cnt")).as("_tot"))
@@ -466,8 +469,9 @@ object Vocabulary {
       .select(col("token"), col("_idf_fp").as("_sup_fp"))
   }
 
-  def surprisalScore(df: DataFrame, idCol: String, textCol: String,
+  def surprisalScore(df0: DataFrame, idCol: String, textCol: String,
       precomputedModel: Option[DataFrame] = None): DataFrame = {
+    val df = graft.ops.Parallelism.spreadIfNarrow(df0)
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     val scored = precomputedModel.getOrElse(surprisalModel(df, textCol))
@@ -497,7 +501,7 @@ object Vocabulary {
   def heldOutSurprisal(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val model = surprisalModel(train, textCol)
-    test.select(col(idCol),
+    graft.ops.Parallelism.spreadIfNarrow(test).select(col(idCol),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .join(broadcast(model), Seq("token"), "left")
       .groupBy(col(idCol))
@@ -896,9 +900,10 @@ object Vocabulary {
     * corpora and merge counts, or floor-rescale (TOTAL, counts) by a
     * common factor first.
     */
-  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+  def bigramSurprisal(df0: DataFrame, idCol: String, textCol: String,
       topN: Int = 256,
       precomputedModel: Option[DataFrame] = None): DataFrame = {
+    val df = graft.ops.Parallelism.spreadIfNarrow(df0)
     val tokArr = df.select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("_toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -962,8 +967,9 @@ object Vocabulary {
     * many; the corpus-touching half of the op, exactly like
     * [[surprisalModel]] for the unigram signal).
     */
-  def bigramSurprisalModel(df: DataFrame, textCol: String,
+  def bigramSurprisalModel(df0: DataFrame, textCol: String,
       topN: Int = 256): DataFrame = {
+    val df = graft.ops.Parallelism.spreadIfNarrow(df0)
     val tokArr = df.select(TextFunctions.tokens(col(textCol)).as("_toks"))
     val bigrams = tokArr.filter(size(col("_toks")) >= 2)
       .select(explode(expr(
@@ -1139,8 +1145,9 @@ object Vocabulary {
     * `pnum < 2^63`). Larger corpora shard and floor-rescale counts by a
     * common factor first.
     */
-  def knSurprisal(df: DataFrame, idCol: String, textCol: String,
+  def knSurprisal(df0: DataFrame, idCol: String, textCol: String,
       precomputedModel: Option[DataFrame] = None): DataFrame = {
+    val df = graft.ops.Parallelism.spreadIfNarrow(df0)
     val tokArr = df.select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("_toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1190,7 +1197,8 @@ object Vocabulary {
     * for staging behind the `precomputedModel` hook (exactly like
     * [[bigramSurprisalModel]]).
     */
-  def knSurprisalModel(df: DataFrame, textCol: String): DataFrame = {
+  def knSurprisalModel(df0: DataFrame, textCol: String): DataFrame = {
+    val df = graft.ops.Parallelism.spreadIfNarrow(df0)
     val tokArr = df.select(TextFunctions.tokens(col(textCol)).as("_toks"))
     val bigrams = tokArr.filter(size(col("_toks")) >= 2)
       .select(explode(expr(
@@ -1660,7 +1668,8 @@ object Vocabulary {
   def bpeFertilityByGroup(df: DataFrame, grpCol: String, textCol: String,
       rounds: Int): DataFrame = {
     val (types, _) = bpeWordTypes(df, textCol, rounds)
-    df.select(col(grpCol),
+    graft.ops.Parallelism.spreadIfNarrow(df)
+      .select(col(grpCol),
         explode(TextFunctions.tokens(col(textCol))).as("word"))
       .join(broadcast(types.select(col("word"), col("syms"))), Seq("word"))
       .groupBy(col(grpCol))
