@@ -2387,10 +2387,16 @@ object SparkEntry {
       val k = 64
       val srcPath = stagedRawDocsSource(s, dir)
       val src = s.read.parquet(srcPath)
-      val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
-        graft.streaming.StreamingOps.streamingBucketMinSketch(
-          s, srcPath, src, "doc_id", k),
-        s"${tmpPath(dir, "stream_exec_kmv")}/sink")
+      // state-store commit floor is per partition per batch (see
+      // StreamingOps.withShufflePartitions) -- the update-mode sketch
+      // gates were the only stateful queries still running at the
+      // session's full shuffle-partition count (r16 optimization)
+      val upd = graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingOps.runUpdateToParquetSink(
+          graft.streaming.StreamingOps.streamingBucketMinSketch(
+            s, srcPath, src, "doc_id", k),
+          s"${tmpPath(dir, "stream_exec_kmv")}/sink")
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("bucket"))
         .orderBy(col("_graft_batch_id").desc, col("min_h").asc)
@@ -2411,10 +2417,12 @@ object SparkEntry {
       val (m, k) = (131072L, 4)
       val srcPath = stagedRawDocsSource(s, dir)
       val src = s.read.parquet(srcPath)
-      val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
-        graft.streaming.StreamingOps.streamingBloomPositions(
-          s, srcPath, src, "doc_id", m, k),
-        s"${tmpPath(dir, "stream_exec_bloom")}/sink")
+      val upd = graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingOps.runUpdateToParquetSink(
+          graft.streaming.StreamingOps.streamingBloomPositions(
+            s, srcPath, src, "doc_id", m, k),
+          s"${tmpPath(dir, "stream_exec_bloom")}/sink")
+      }
       graft.sketch.Bloom.bloomFprAudit(
         src.select(col("doc_id").as("v")).distinct(),
         src.select((col("doc_id") + 10000000L).as("v")).distinct(),
@@ -2429,10 +2437,12 @@ object SparkEntry {
       val widthBits = 8
       val srcPath = stagedRawDocsSource(s, dir)
       val src = s.read.parquet(srcPath)
-      val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
-        graft.streaming.StreamingOps.streamingCmsSketch(
-          s, srcPath, src, "text", widthBits),
-        s"${tmpPath(dir, "stream_exec_cms")}/sink")
+      val upd = graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingOps.runUpdateToParquetSink(
+          graft.streaming.StreamingOps.streamingCmsSketch(
+            s, srcPath, src, "text", widthBits),
+          s"${tmpPath(dir, "stream_exec_cms")}/sink")
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("r"), col("bucket"))
         .orderBy(col("_graft_batch_id").desc, col("cnt").desc)
@@ -2450,10 +2460,12 @@ object SparkEntry {
       val p = 10
       val srcPath = stagedRawDocsSource(s, dir)
       val src = s.read.parquet(srcPath)
-      val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
-        graft.streaming.StreamingOps.streamingHllRegisters(
-          s, srcPath, src, "doc_id", p),
-        s"${tmpPath(dir, "stream_exec_hll")}/sink")
+      val upd = graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingOps.runUpdateToParquetSink(
+          graft.streaming.StreamingOps.streamingHllRegisters(
+            s, srcPath, src, "doc_id", p),
+          s"${tmpPath(dir, "stream_exec_hll")}/sink")
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("bucket"))
         .orderBy(col("_graft_batch_id").desc, col("register").desc)
@@ -2475,10 +2487,12 @@ object SparkEntry {
     "x_stream_card_exec" -> ((s, dir) => {
       val srcPath = stagedRawDocsSource(s, dir)
       val src = s.read.parquet(srcPath)
-      val upd = graft.streaming.StreamingOps.runUpdateToParquetSink(
-        graft.streaming.StreamingOps.streamingSourceCounters(
-          s, srcPath, src, "source", "text"),
-        s"${tmpPath(dir, "stream_exec_card")}/sink")
+      val upd = graft.streaming.StreamingOps.withShufflePartitions(s, 4) {
+        graft.streaming.StreamingOps.runUpdateToParquetSink(
+          graft.streaming.StreamingOps.streamingSourceCounters(
+            s, srcPath, src, "source", "text"),
+          s"${tmpPath(dir, "stream_exec_card")}/sink")
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("_graft_batch_id").desc)
       upd.withColumn("_rn", row_number().over(w))
