@@ -1835,8 +1835,19 @@ object SparkEntry {
         graft.streaming.StreamingOps.streamingValidateQuarantine(
           s, srcPath, src, "event_id", rules, outRoot,
           maxFilesPerTrigger = Some(1), idempotentBatchPaths = true)
-      graft.streaming.EpochLayout.compactEpochSink(s, s"$outRoot/valid")
-      graft.streaming.EpochLayout.compactEpochSink(s, s"$outRoot/quarantine")
+      // the two sinks compact independently (disjoint dirs) — overlap
+      // the two rewrite jobs (guide §2.6, the zoneMapSkipAudit pattern)
+      locally {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        Seq(
+          Future(graft.streaming.EpochLayout
+            .compactEpochSink(s, s"$outRoot/valid")),
+          Future(graft.streaming.EpochLayout
+            .compactEpochSink(s, s"$outRoot/quarantine")))
+          .foreach(Await.result(_, Duration.Inf))
+      }
       graft.streaming.StreamingOps.readValidatedSink(s, outRoot,
           "quarantine", "event_id", rules, src, idempotentBatchPaths = true)
         .select(col("event_id"), col("violation"))

@@ -1485,9 +1485,16 @@ object Similarity {
       k: Int, numClusters: Int = 16, nProbe: Int = 4): DataFrame = {
     import embeddings.sparkSession.implicits._
     val cent = ivfCentroids(embeddings, idCol, vecCol, numClusters)
-    val prepped = graft.Persisted.track(embeddings.select(col(idCol).as("_pid"),
-      col(vecCol).cast("array<double>").as("_pvec"))
-      .withColumn("_pnorm", sqrt(SimExpressions.dot(col("_pvec"), col("_pvec"))))
+    // spread before persist: the cached layout otherwise inherits the
+    // 1-task scan of a small parquet file and every downstream consumer
+    // (centroid scoring, both vector re-joins) stays single-threaded
+    // (see ops.Parallelism; no-op at production input sizes)
+    val prepped = graft.Persisted.track(
+      graft.ops.Parallelism.spreadIfNarrow(
+        embeddings.select(col(idCol).as("_pid"),
+          col(vecCol).cast("array<double>").as("_pvec"))
+        .withColumn("_pnorm",
+          sqrt(SimExpressions.dot(col("_pvec"), col("_pvec")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // rank every (vector, centroid) cosine once; rn = 1 is the assignment,
     // rn <= nProbe are the anchor's probe clusters — one broadcast join
@@ -1556,9 +1563,16 @@ object Similarity {
     import embeddings.sparkSession.implicits._
     val r = if (rerank > 0) rerank else 2 * k
     val cent = ivfCentroids(embeddings, idCol, vecCol, numClusters)
-    val prepped = graft.Persisted.track(embeddings.select(col(idCol).as("_pid"),
-      col(vecCol).cast("array<double>").as("_pvec"))
-      .withColumn("_pnorm", sqrt(SimExpressions.dot(col("_pvec"), col("_pvec"))))
+    // spread before persist: the cached layout otherwise inherits the
+    // 1-task scan of a small parquet file and every downstream consumer
+    // (centroid scoring, both vector re-joins) stays single-threaded
+    // (see ops.Parallelism; no-op at production input sizes)
+    val prepped = graft.Persisted.track(
+      graft.ops.Parallelism.spreadIfNarrow(
+        embeddings.select(col(idCol).as("_pid"),
+          col(vecCol).cast("array<double>").as("_pvec"))
+        .withColumn("_pnorm",
+          sqrt(SimExpressions.dot(col("_pvec"), col("_pvec")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // int8 twin, built once: the only relation the candidate join carries
     val qprepped = graft.Persisted.track(

@@ -536,28 +536,47 @@ object StreamingOps {
       idempotentBatchPaths: Boolean): Unit = {
     batch.persist()
     try {
-      if (idempotentBatchPaths) {
-        // an epoch at or below a sink's EpochLayout compaction marker is
-        // absorbed by SKIP: its rows already live inside the merged dir
-        // (replays are deterministic — the checkpoint fixes the epoch's
-        // offsets and the split is row-pure), and readEpochSink would
-        // ignore a rewritten batch= dir at that id anyway — two
-        // independent layers of replay safety
-        if (!EpochLayout.compactedUpTo(s"$outRoot/valid")
-            .exists(batchId <= _))
-          graft.ops.Validate.valid(batch, rules)
-            .write.mode("overwrite").parquet(s"$outRoot/valid/batch=$batchId")
-        if (!EpochLayout.compactedUpTo(s"$outRoot/quarantine")
-            .exists(batchId <= _))
-          graft.ops.Validate.violationRows(batch, idCol, rules)
-            .write.mode("overwrite")
-            .parquet(s"$outRoot/quarantine/batch=$batchId")
-      } else {
-        graft.ops.Validate.valid(batch, rules)
-          .write.mode("append").parquet(s"$outRoot/valid")
-        graft.ops.Validate.violationRows(batch, idCol, rules)
-          .write.mode("append").parquet(s"$outRoot/quarantine")
-      }
+      // the two sink writes are independent jobs over disjoint dirs fed
+      // by the same persisted batch — submit them from two threads so
+      // the quarantine write back-fills the valid write's commit tail
+      // (guide §2.6); both complete before this returns, so the
+      // at-least-once window (and the afterBatchWrite fault seam) is
+      // unchanged
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes: Seq[Future[Unit]] =
+        if (idempotentBatchPaths) Seq(
+          // an epoch at or below a sink's EpochLayout compaction marker
+          // is absorbed by SKIP: its rows already live inside the merged
+          // dir (replays are deterministic — the checkpoint fixes the
+          // epoch's offsets and the split is row-pure), and readEpochSink
+          // would ignore a rewritten batch= dir at that id anyway — two
+          // independent layers of replay safety
+          Future {
+            if (!EpochLayout.compactedUpTo(s"$outRoot/valid")
+                .exists(batchId <= _))
+              graft.ops.Validate.valid(batch, rules)
+                .write.mode("overwrite")
+                .parquet(s"$outRoot/valid/batch=$batchId")
+          },
+          Future {
+            if (!EpochLayout.compactedUpTo(s"$outRoot/quarantine")
+                .exists(batchId <= _))
+              graft.ops.Validate.violationRows(batch, idCol, rules)
+                .write.mode("overwrite")
+                .parquet(s"$outRoot/quarantine/batch=$batchId")
+          })
+        else Seq(
+          Future {
+            graft.ops.Validate.valid(batch, rules)
+              .write.mode("append").parquet(s"$outRoot/valid")
+          },
+          Future {
+            graft.ops.Validate.violationRows(batch, idCol, rules)
+              .write.mode("append").parquet(s"$outRoot/quarantine")
+          })
+      writes.foreach(Await.result(_, Duration.Inf))
     } finally { batch.unpersist(); () }
   }
 
