@@ -142,6 +142,36 @@ object Bench {
       java.nio.file.Paths.get("bench_out.json"), full + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
+    // the per-query records printed above scroll out of the driver's
+    // ~40-line tail capture (every BENCH_r*.json back through r13 ends
+    // parsed:null with per_query empty — r16 verdict item 5/8). Re-emit
+    // the COMPLETE map as compact (<200-char) chunk lines immediately
+    // before the final total line so the tail window always holds the
+    // whole map. Additions only: the streaming per-query lines and
+    // bench_out.json above are unchanged.
+    val chunkEntries = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) fmt(v) else "\"err\"")
+    }
+    val chunks = chunkEntries.foldLeft(Vector(Vector.empty[String])) {
+      (acc, e) =>
+        if (acc.last.map(_.length + 1).sum + e.length <= 150)
+          acc.init :+ (acc.last :+ e)
+        else acc :+ Vector(e)
+    }.filter(_.nonEmpty)
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_chunk","i":$i,"of":${chunks.size},"queries":${c.mkString("{", ",", "}")}}""")
+    }
+    // the observed tail capture is ~2000 BYTES (BENCH_r16.tail is exactly
+    // 2000 chars), and the query names alone sum to ~3.8 kB — no named
+    // map can ever fit. Emit the complete per-query seconds as ONE
+    // values-only array in the bench's deterministic sorted-name order
+    // (the same order the streaming lines print): zip with the sorted
+    // query names to reconstruct the full map from the tail alone.
+    val vals = results.map { case (_, v, ok) =>
+      if (ok) String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      else "\"err\""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"queries_sorted_vals","n":${results.size},"v":$vals}""")
     // ...and the LAST stdout line is a short (<200 char) total-only record
     // so the driver's tail capture always contains one parseable JSON line
     println(

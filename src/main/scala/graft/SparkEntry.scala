@@ -1841,12 +1841,16 @@ object SparkEntry {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration.Duration
+        // await BOTH compactions before rethrowing the first failure
+        // (r16 ADVICE): a failed gate must not unwind while a background
+        // job is still mutating its output dir
         Seq(
           Future(graft.streaming.EpochLayout
             .compactEpochSink(s, s"$outRoot/valid")),
           Future(graft.streaming.EpochLayout
             .compactEpochSink(s, s"$outRoot/quarantine")))
-          .foreach(Await.result(_, Duration.Inf))
+          .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+          .foreach(_.get)
       }
       graft.streaming.StreamingOps.readValidatedSink(s, outRoot,
           "quarantine", "event_id", rules, src, idempotentBatchPaths = true)

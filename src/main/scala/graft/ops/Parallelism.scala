@@ -33,10 +33,13 @@ object Parallelism {
     val maxPartitionBytes = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    // NonFatal only (r16 ADVICE): a blanket Throwable catch would swallow
+    // InterruptedException/fatal errors and silently mask a real planning
+    // bug as "don't spread"
     val leafBytes =
       try df.queryExecution.optimizedPlan.collectLeaves()
         .map(_.stats.sizeInBytes).sum
-      catch { case _: Throwable => return df }
+      catch { case scala.util.control.NonFatal(_) => return df }
     if (leafBytes < BigInt(target) * maxPartitionBytes) df.repartition(target)
     else df
   }

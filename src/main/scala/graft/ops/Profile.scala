@@ -30,6 +30,12 @@ object Profile {
     */
   def profile(df: DataFrame, cols: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {
+    // clear error instead of agg(mmAggs.head, ...) NoSuchElementException
+    // (r16 ADVICE). NOTE the two-subtree split below scans df TWICE — the
+    // deliberate trade for keeping both subtrees sort-free (a profile
+    // input is a base-table scan; callers profiling an expensive derived
+    // plan should persist it first).
+    require(cols.nonEmpty, "profile: cols must be non-empty")
     def nd(c: String): Column =
       if (approxDistinct) approx_count_distinct(col(c))
       else countDistinct(col(c))

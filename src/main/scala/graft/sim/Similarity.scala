@@ -1031,9 +1031,16 @@ object Similarity {
     * scale, and a no-op-sized cost when the side is already wide. Results
     * are placement-independent (pair set, window ranks, aggregates), so
     * this cannot change what any query computes.
+    *
+    * Statistics-gated via [[graft.ops.Parallelism.spreadIfNarrow]] (r16
+    * verdict item 5): an unconditional repartition would force a full
+    * shuffle of an already-wide side at production scale — and could even
+    * REDUCE its partition count to defaultParallelism. The gate makes the
+    * spread a provable no-op once the input exceeds
+    * defaultParallelism × maxPartitionBytes.
     */
   private def spreadForPairLoop(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.ops.Parallelism.spreadIfNarrow(df)
 
   /** All pairs with cosine >= tau. NB: this is the exact O(n^2) formulation
     * (a cross join with an inequality filter) — correct at verification

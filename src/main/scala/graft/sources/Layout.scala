@@ -181,9 +181,13 @@ object Layout {
           df, keyCol, valueCol, maxValue))),
       "arrival" -> Future(writeOne("arrival",
         graft.ops.Sampling.withGlobalPosition(df, keyCol))))
-    writes.map { case (layout, f) =>
-      statsOne(layout, Await.result(f, Duration.Inf))
-    }.reduce(_.unionByName(_))
+    // await BOTH writes before rethrowing the first failure (r16 ADVICE):
+    // failing out of the first await would leave the sibling write job
+    // running detached while the caller unwinds
+    val awaited = writes.map { case (layout, f) =>
+      layout -> scala.util.Try(Await.result(f, Duration.Inf)) }
+    awaited.map { case (layout, t) => statsOne(layout, t.get) }
+      .reduce(_.unionByName(_))
   }
 
   /** DuckDB twin of [[zoneMapSkipAudit]] over `documents`: replays the

@@ -576,7 +576,13 @@ object StreamingOps {
             graft.ops.Validate.violationRows(batch, idCol, rules)
               .write.mode("append").parquet(s"$outRoot/quarantine")
           })
-      writes.foreach(Await.result(_, Duration.Inf))
+      // await ALL writes before rethrowing the first failure (r16
+      // ADVICE): rethrowing on the first failed future would leave the
+      // sibling write running detached past the batch's unpersist, and
+      // on replay the zombie overwrite of the same batch=<id> dir could
+      // race the replayed write
+      writes.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        .foreach(_.get)
     } finally { batch.unpersist(); () }
   }
 
