@@ -9,7 +9,18 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle partitions DERIVED FROM INPUT VOLUME, not core count
+      // (r17, guide §2.2): `partitions = cpus` fragmented KB-scale
+      // shuffles 32 ways and made the suite faster at 8 cores than 32;
+      // volume-derived width (5 at sf0.1) beat both (253 -> 221 s, see
+      // OPTIMIZATION_r17 "anti-scaling"). Saturates at 4x cluster width
+      // at production volumes. SPARK_GRAFT_SHUFFLE_PARTS overrides for
+      // probes.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
+          graft.ops.Parallelism.derivedShufflePartitions(sfDir,
+            cpus.toIntOption.getOrElse(
+              Runtime.getRuntime.availableProcessors())).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // expose cached plans' output partitioning to EnsureRequirements

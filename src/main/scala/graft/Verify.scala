@@ -10,7 +10,13 @@ object Verify {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // volume-derived shuffle width, same rule as Bench (r17; results
+      // are partition-count independent — the oracle board pins that)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
+          graft.ops.Parallelism.derivedShufflePartitions(sfDir,
+            cpus.toIntOption.getOrElse(
+              Runtime.getRuntime.availableProcessors())).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // expose cached plans' output partitioning to EnsureRequirements

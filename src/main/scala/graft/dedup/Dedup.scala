@@ -1369,9 +1369,16 @@ object Dedup {
       .join(corpusHashes, Seq("_chash"), "left_anti")
       .drop("_chash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // batch shingles are needed TWICE (minhash signatures + the Jaccard
+    // verification) — compute and persist them once and feed the same
+    // relation to both consumers (r17; previously the signature path
+    // re-ran the whole tokenize+shingle explode over the batch)
+    val bNg = Persisted.track(shingles(exactClean, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // (2) near probe: batch band buckets against the corpus bucket index
     val bBuckets = bandBuckets(
-      minhashSignatures(exactClean, idCol, textCol, n, numHashes),
+      minhashSignatures(exactClean, idCol, textCol, n, numHashes,
+        precomputedShingles = Some(bNg)),
       numHashes, rowsPerBand)
     val cBuckets = precomputedIndex.map(_.buckets).getOrElse(bandBuckets(
       minhashSignatures(corpus, idCol, textCol, n, numHashes),
@@ -1385,8 +1392,7 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // exact cross-side Jaccard for the candidates: shingle equi-joins keyed
     // on (id, ngram) — per pair we stream |shingles(batch doc)| probe rows
-    val bNg = Persisted.track(shingles(exactClean, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // (bNg persisted above, shared with the signature path)
     val cNgAll = precomputedIndex.map(_.shingles).getOrElse(
       Persisted.track(shingles(corpus, idCol, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))

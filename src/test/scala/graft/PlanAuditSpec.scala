@@ -433,17 +433,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"pagerank must equi-join:\n$p")
     assert(p.contains("InMemoryTableScan"),
       s"the degree-folded edge relation must be cached:\n$p")
-    // the cached edge build carries its own two exchanges (the deliberate
-    // one-time REPARTITION_BY_COL on src + the degree agg) — those lines
-    // print under the InMemoryTableScan but execute once. Per ROUND the
-    // only shuffles allowed are the contribution agg and the node
-    // left-join (the rank relation broadcasts or shuffles, never edges)
+    // cache-build exchanges (the deliberate one-time REPARTITION_BY_COL
+    // on edges.src, plus the degree agg) print under the
+    // InMemoryTableScan — and a MATERIALIZED adaptive cache prints its
+    // build exchange twice (== Final Plan == / == Initial Plan ==) —
+    // but execute once. Count only the per-ROUND shuffles (the
+    // ENSURE_REQUIREMENTS exchanges): one round may shuffle the
+    // contribution agg and the node-join side, never the cached edges
+    // (r17: raw-line counting false-flagged a cache-build exchange).
     assert(p.contains("REPARTITION_BY_COL"),
       s"edges must be explicitly pre-partitioned by src in the cache:\n$p")
-    val exchanges = p.split("\n").filter(l =>
-      l.contains("Exchange hashpartitioning"))
-    assert(exchanges.length <= 5,
-      s"one pagerank round must not re-shuffle the cached edges, got ${exchanges.length}:\n$p")
+    // drop the cache-build subtrees before counting: everything printed
+    // UNDER an InMemoryRelation line (deeper tree marker) executes once
+    // at cache build, not per round
+    def depthOf(l: String): Int = {
+      val ms = Seq(l.indexOf("+- "), l.indexOf(":- ")).filter(_ >= 0)
+      if (ms.isEmpty) -1 else ms.min
+    }
+    var cacheDepth = -1
+    val roundLines = p.split("\n").filter { l =>
+      val d = depthOf(l)
+      if (cacheDepth >= 0 && d >= 0 && d <= cacheDepth) cacheDepth = -1
+      val inCache = cacheDepth >= 0
+      if (!inCache && l.contains("InMemoryRelation") && d >= 0) cacheDepth = d
+      !inCache
+    }
+    val roundExchanges = roundLines.filter(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(roundExchanges.length <= 2,
+      s"one pagerank round must shuffle only the contribution agg and at " +
+        s"most the rank join side, got ${roundExchanges.length}:\n$p")
     Persisted.unpersistAll()
     spark.catalog.clearCache()
   }
@@ -607,5 +626,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     // anti-rot: a listed file with no sites left must be delisted
     val stale = (boundedCollectSites.keySet -- counts.keySet).toSeq.sorted
     assert(stale.isEmpty, s"allowlist entries with no sites left: $stale")
+  }
+
+  test("derivedShufflePartitions tracks input volume: floor 4, 4MB/partition, cap 4x cpus") {
+    import graft.ops.Parallelism.derivedShufflePartitions
+    def dirOf(bytes: Long): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_dsp_").toFile
+      d.deleteOnExit()
+      val f = new java.io.File(d, "data.bin")
+      f.deleteOnExit()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        val chunk = new Array[Byte](1 << 16)
+        var left = bytes
+        while (left > 0) {
+          val n = math.min(left, chunk.length.toLong).toInt
+          out.write(chunk, 0, n); left -= n
+        }
+      } finally out.close()
+      d.getAbsolutePath
+    }
+    // tiny input: floor, never the core count
+    assert(derivedShufflePartitions(dirOf(1L << 20), 32) === 4)
+    // volume-proportional in the middle: 18 MB / 4 MB -> 5
+    assert(derivedShufflePartitions(dirOf(18L << 20), 32) === 5)
+    // big input saturates at 4x cluster width
+    assert(derivedShufflePartitions(dirOf(600L << 20), 8) === 32)
+    // missing dir degrades to the floor, not an exception
+    assert(derivedShufflePartitions("/nonexistent/graft", 32) === 4)
   }
 }
