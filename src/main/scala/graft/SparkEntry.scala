@@ -113,6 +113,16 @@ object SparkEntry {
     s.read.parquet(root)
   }
 
+  /** Split count for corpus-sized staged fixtures: the session's
+    * (volume-derived, r17) shuffle width instead of the core count —
+    * 32-way-split KB-scale fixtures made every probe scan a 32-task
+    * stage over tiny files; at production volumes the width saturates
+    * at 4x cluster width, so fixtures stay at-least-cluster-wide.
+    */
+  private def stagedParts(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions",
+      s.sparkContext.defaultParallelism.toString).toInt
+
   /** The derived occurrence fact, staged once per (sf, process) and
     * MULTI-SPLIT: a dozen gates rebuild the identical lineitem x nation
     * derivation, and the raw testdata parquet is a single row group so
@@ -124,7 +134,7 @@ object SparkEntry {
     */
   private def occDim(s: SparkSession, dir: String): DataFrame =
     stagedFixture(s, dir, "occurrence",
-      parts = s.sparkContext.defaultParallelism)(occurrence(s, dir))
+      parts = stagedParts(s))(occurrence(s, dir))
 
   /** MinHash near-dup pair relations staged once per (sf, process):
     * computing the pair set re-shingles and re-signatures the corpus —
@@ -327,7 +337,7 @@ object SparkEntry {
     */
   private def pqCodesDim(s: SparkSession, dir: String): DataFrame =
     stagedFixture(s, dir, "pq_trained_codes",
-      parts = s.sparkContext.defaultParallelism)( // corpus-sized: multi-split
+      parts = stagedParts(s))( // corpus-sized: multi-split
       graft.sim.Similarity.pqEncodedRelation(
         DerivedModel.table(s, dir, "embeddings"), "vec_id", "embedding",
         pqTrainedCodebook(s, dir), m = 8, ksub = 16, dim = 64,
@@ -391,7 +401,7 @@ object SparkEntry {
     */
   private def shinglesDim(s: SparkSession, dir: String): DataFrame =
     stagedFixture(s, dir, "shingles3",
-      parts = s.sparkContext.defaultParallelism)(
+      parts = stagedParts(s))(
       graft.dedup.Dedup.shingles(
         DerivedModel.table(s, dir, "documents"), "doc_id", "text", n = 3))
 
@@ -546,7 +556,7 @@ object SparkEntry {
     val idx = graft.dedup.Dedup.buildCorpusDedupIndex(
       DerivedModel.table(s, dir, "documents").filter(col("doc_id") % 5 =!= 0),
       "doc_id", "text")
-    val parts = s.sparkContext.defaultParallelism // corpus-sized relations
+    val parts = stagedParts(s) // corpus-sized relations
     graft.dedup.Dedup.CorpusDedupIndex(
       hashes = stagedFixture(s, dir, "incr_hashes", parts)(idx.hashes),
       buckets = stagedFixture(s, dir, "incr_buckets", parts)(idx.buckets),
