@@ -350,9 +350,83 @@ object Vocabulary {
     * `idf_fp·22·tf·SDL < 2^63` holds while `SDL·tf < 2^33` — a petabyte
     * corpus rescales SDL (idf and the tf-weight are ratio-invariant under
     * a common floor-rescale of SDL at the precision the gate carries).
+    *
+    * Execution (r17): for literal query sets up to [[Bm25WideTermCap]]
+    * terms, tf per (doc, term) is a per-row array count
+    * (`size(toks) - size(array_remove(toks, t))` — one column per term,
+    * whole-stage-codegen'd), NOT an explode + shuffle. ONE global
+    * aggregate carries N, SDL and every per-term df; that 1-row result
+    * is fetched to the driver (O(1) bytes at ANY corpus size — the
+    * [[graft.graph.PageRank]] `nodes.count()` precedent, not a data
+    * collect) and idf is computed with the scalar [[log2Fixed]] — the
+    * IDENTICAL op sequence [[log2FixedCols]] unrolls, so the values are
+    * bit-equal. Scoring is then a pure map-side projection against
+    * literal constants followed by a TakeOrdered: the corpus is scanned
+    * twice and NOTHING wide ever shuffles. The r16 plan scanned and
+    * re-tokenized the corpus in 5 subtrees, ran 3 wide aggregations, and
+    * — the dominant cost at bench scale — carried the FracBits-unrolled
+    * idf chain as ~120 Project nodes that the driver re-analyzed and
+    * AQE re-optimized per stage (measured: ~2.8 s of a 4.6 s solo run
+    * was plan processing; corpus compute is ms at sf0.1). Score/rank
+    * arithmetic is unchanged op-for-op (oracle re-proven bit-identical).
+    * Query sets wider than the cap keep the exploded shape — a column
+    * per term stops being a sane plan somewhere past a dozen terms.
     */
+  private[graft] val Bm25WideTermCap = 8
+
   def bm25SearchFixed(df: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k: Int): DataFrame = {
+    val terms = query.distinct
+    if (terms.isEmpty || terms.size > Bm25WideTermCap)
+      return bm25SearchFixedExploded(df, idCol, textCol, query, k)
+    // tf per term as size(toks) - size(array_remove(toks, t)): ArrayRemove
+    // is whole-stage-codegen'd, where the lambda form filter(toks, _ = t)
+    // is interpreted per element (HigherOrderFunction, no codegen) and
+    // measured slower end-to-end. split() yields no null elements, so
+    // remove-count equals occurrence-count exactly.
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = df.select(
+      col(idCol) +:
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("_dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          (size(toks) - size(array_remove(toks, lit(t))))
+            .cast("long").as(s"_tf$i")
+        }: _*)
+    // ONE global aggregate: N, SDL, and df per term (docs with tf > 0) —
+    // a single row regardless of corpus size, fetched to the driver
+    val statsRow = base.agg(count(lit(1)).as("_n"),
+      sum(col("_dl")).as("_sdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0L, 1L).otherwise(0L)).as(s"_df$i")): _*)
+      .head()
+    val n = statsRow.getLong(0)
+    if (n == 0L)
+      return base.select(col(idCol), lit(0L).as("bm25_fp"),
+        lit(0L).as("distinct_terms")).filter(lit(false)).limit(k)
+    val sdl = statsRow.getLong(1)
+    val idf = terms.indices.map(i =>
+      log2Fixed(2L * n + 2L, 2L * statsRow.getLong(2 + i) + 1L))
+    val termScore = terms.indices.map { i =>
+      when(col(s"_tf$i") > 0L, expr(
+        s"(${idf(i)}L * 22L * _tf$i * ${sdl}L) DIV " +
+          s"(10L * _tf$i * ${sdl}L + 3L * ${sdl}L + 9L * _dl * ${n}L)"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val distinctTerms = terms.indices.map(i =>
+      when(col(s"_tf$i") > 0L, 1L).otherwise(0L)).reduce(_ + _)
+    base
+      .withColumn("bm25_fp", termScore)
+      .withColumn("distinct_terms", distinctTerms)
+      .filter(col("distinct_terms") > 0L)
+      .select(col(idCol), col("bm25_fp"), col("distinct_terms"))
+      .orderBy(col("bm25_fp").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The pre-r17 exploded shape — still the right plan when the query
+    * set is too wide for a column per term. */
+  private def bm25SearchFixedExploded(df: DataFrame, idCol: String,
+      textCol: String, query: Seq[String], k: Int): DataFrame = {
     val docLens = df.select(col(idCol),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("_dl"))
     val stats = docLens.agg(count(lit(1)).as("_n"), sum(col("_dl")).as("_sdl"))
