@@ -74,7 +74,10 @@ object LabelProp {
       labels = nodes
         .join(winners, Seq("node"), "left")
         .select(col("node"), coalesce(col("label"), col("node")).as("label"))
-      if (it < iters) labels = labels.localCheckpoint(true)
+      // lazy: lineage still cut per round, but materialization happens
+      // inside the caller's one action instead of one driver job per
+      // round (see PageRank — same r17 change, measured there)
+      if (it < iters) labels = labels.localCheckpoint(false)
     }
     labels
   }

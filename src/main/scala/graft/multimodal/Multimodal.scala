@@ -37,6 +37,20 @@ final case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
   */
 object Multimodal {
 
+  /** `ImageIO`'s stream cache is DISK-backed by default: every
+    * `ImageIO.read(InputStream)` / `ImageIO.write(..., OutputStream)`
+    * spins up a FileCache stream — a temp FILE created, written and
+    * deleted per image (≈6.6k temp-file cycles per decode-gate run at
+    * sf0.1, r17 measurement). For KB-scale in-memory payloads the
+    * memory cache is strictly better; encoded/decoded BYTES are
+    * identical (same codecs). One JVM-global flip, executed once per
+    * executor JVM by referencing this val inside the codec closures.
+    */
+  @transient private lazy val imageIOMemCache: Boolean = {
+    javax.imageio.ImageIO.setUseCache(false)
+    true
+  }
+
   /** Decoder boundary. png/jpeg → real `ImageIO` pixel decode; wav →
     * real `AudioSystem` WAVE decode (frame count / sample rate /
     * channels); anything else (`bin`) → deterministic stub features
@@ -48,8 +62,9 @@ object Multimodal {
       * contexts here; the JDK codecs need none). Returns a decode
       * function for reuse across the partition's rows.
       */
-    def open(): MediaRecord => MediaFeatures = { rec =>
-      rec.format match {
+    def open(): MediaRecord => MediaFeatures = {
+      val _ = imageIOMemCache
+      rec => rec.format match {
         case "png" | "jpeg" =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(rec.payload))
@@ -133,8 +148,9 @@ object Multimodal {
       // corpus parquet is often a single split (see
       // [[syntheticImagesWithTwins]])
       .repartition(spark.sparkContext.defaultParallelism)
-      .map {
-      case (docId, _) =>
+      .mapPartitions { it =>
+        val _ = imageIOMemCache
+        it.map { case (docId, _) =>
         val format = (docId % 3) match {
           case 0 => "jpeg"
           case 1 => "png"
@@ -178,6 +194,7 @@ object Multimodal {
           javax.imageio.ImageIO.write(img, format, bos)
           MediaRecord(docId, bos.toByteArray, format)
         }
+      }
     }
   }
 
@@ -283,6 +300,7 @@ object Multimodal {
     */
   private def plantedPng(docId: Long, baseId: Long,
       perturb: Boolean): MediaRecord = {
+    val _ = imageIOMemCache
     val w = plantedWidth(baseId)
     val h = plantedHeight(baseId)
     val img = new java.awt.image.BufferedImage(
@@ -342,6 +360,7 @@ object Multimodal {
     val spark = records.sparkSession
     import spark.implicits._
     records.mapPartitions { it =>
+      val _ = imageIOMemCache
       it.map { rec =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(rec.payload))
