@@ -1896,11 +1896,17 @@ object SparkEntry {
       val boiler = DerivedModel.documentsBoilerplate(s, dir)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           length(col("text")).cast("long").as("n_chars"))
-      val corrupt = graft.ops.Validate.documentsWithPlantedCorruption(
-          boiler, capChars = cap)
-        .unionByName(boiler.filter(col("doc_id") % 3 === 1)
-          .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"),
-            col("lang"), col("source"), col("n_chars")))
+      // the 4-way disposition union re-evaluates every shared subtree
+      // per branch (Spark has no cross-branch CSE): corrupt fed all four
+      // branches, ruled three, labeled two. Persist the shared relations
+      // so the generate->validate->rule->dedup chain runs once (§1.2)
+      val corrupt = graft.Persisted.track(
+        graft.ops.Validate.documentsWithPlantedCorruption(
+            boiler, capChars = cap)
+          .unionByName(boiler.filter(col("doc_id") % 3 === 1)
+            .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"),
+              col("lang"), col("source"), col("n_chars")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val quarantined = graft.ops.Validate.quarantine(corrupt, rules)
         .select(col("doc_id"),
           concat(lit("quarantined:"), array_join(col("violations"), ","))
@@ -1908,13 +1914,17 @@ object SparkEntry {
       val validDocs = graft.ops.Validate.valid(corrupt, rules)
       // keep is three-valued on degenerate text (no words -> NULL
       // avg_word_len); the ledger must PARTITION, so NULL keep = dropped
-      val ruled = graft.text.Curation.ruleFilter(validDocs, "doc_id", "text")
-        .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("keep"))
+      val ruled = graft.Persisted.track(
+        graft.text.Curation.ruleFilter(validDocs, "doc_id", "text")
+          .select(col("doc_id"), coalesce(col("keep"), lit(false)).as("keep"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val ruleDropped = ruled.filter(!col("keep"))
         .select(col("doc_id"), lit("rule_dropped").as("disposition"))
       val kept = validDocs
         .join(ruled.filter(col("keep")).select("doc_id"), Seq("doc_id"))
-      val labeled = graft.dedup.Dedup.exactDedupLabeled(kept, "doc_id", "text")
+      val labeled = graft.Persisted.track(
+        graft.dedup.Dedup.exactDedupLabeled(kept, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val dupDropped = labeled.filter(!col("is_dup_survivor"))
         .select(col("doc_id"), lit("dup_dropped").as("disposition"))
       val split = graft.ops.Sampling.datasetSplit(
@@ -2348,7 +2358,14 @@ object SparkEntry {
         .filter(col("ppl_bucket") === "head")
         .select(col("doc_id"))
         .join(docs, Seq("doc_id"))
-      val deduped = graft.dedup.Dedup.exactDedup(head, "doc_id", "text")
+      // the mix-sample's domain-count agg and its final join each
+      // evaluate their input; persist the deduped head so the
+      // surprisal-score -> join -> dedup-window upstream runs ONCE, not
+      // twice (guide §1.2 / §5 — persist iff reused AND expensive;
+      // temperatureMixSample documents the same trade for its stats)
+      val deduped = graft.Persisted.track(
+        graft.dedup.Dedup.exactDedup(head, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       graft.ops.Sampling.temperatureMixSample(deduped, "source", "doc_id",
         targetRows = 800L)
         .select(col("doc_id"), col("source"), col("n_chars"))
@@ -2802,9 +2819,12 @@ object SparkEntry {
       // training itself)
       val kn = graft.text.Vocabulary.knSurprisal(docs, "doc_id", "text",
         precomputedModel = Some(knModelDim(s, dir)))
-      val scored = kn.join(ent, Seq("doc_id"))
+      // tokenBudgetSelect passes over its input twice (offsets agg +
+      // windowed join); persist so the KN scoring join runs once (§1.2)
+      val scored = graft.Persisted.track(kn.join(ent, Seq("doc_id"))
         .select(col("doc_id"),
           (-col("mean_surprisal_fp")).as("fluency_fp"), col("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       graft.ops.Sampling.tokenBudgetSelect(scored, "doc_id", "n_tokens",
         "fluency_fp", budget = 6000L)
     }),
@@ -2817,8 +2837,11 @@ object SparkEntry {
       // the staged offline centrality artifact (same params as the
       // x_graph_trustrank gate, which measures the computation itself)
       val trust = trustRanksDim(s, dir)
-      val scored = kept.join(trust, col("doc_id") === col("node"))
-        .select(col("doc_id"), col("rank").as("trust_fp"), col("n_words"))
+      // same two-pass consumer as curate4: persist the rule+trust join
+      val scored = graft.Persisted.track(
+        kept.join(trust, col("doc_id") === col("node"))
+          .select(col("doc_id"), col("rank").as("trust_fp"), col("n_words"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       graft.ops.Sampling.tokenBudgetSelect(scored, "doc_id", "n_words",
         "trust_fp", budget = 2000L)
     }),
