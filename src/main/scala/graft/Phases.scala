@@ -4,7 +4,11 @@ object Phases {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).toSeq
-    val spark = SparkSession.builder().master("local[32]")
+    val b0 = SparkSession.builder().master("local[32]")
+    val b1 = sys.env.get("GRAFT_EVLOG").fold(b0)(dir =>
+      b0.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", dir))
+    val spark = b1
       .config("spark.sql.shuffle.partitions", "5")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
